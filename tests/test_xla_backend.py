@@ -1,0 +1,123 @@
+"""XLA backend parity tests: jit-compiled milli graphs vs the CPU oracle.
+
+This is the TPU analog of the reference's Vulkan-vs-NDArray comparisons
+(src/backends/vulkan_backend/ops/unary.rs:1126-1235): every graph runs
+through both the oracle interpreter and compile_milli, outputs must match.
+"""
+
+import numpy as np
+import pytest
+
+from whisper_tensor_tpu.dtype import DType
+from whisper_tensor_tpu.milli import MilliGraph
+from whisper_tensor_tpu.milli.ops import (Cast, Concat, Constant, Gather,
+                                          GatherShape, MatMul, Reduce,
+                                          Reshape, Shape, SimpleBinary,
+                                          SimpleUnary, Slice, Transpose,
+                                          Where)
+from whisper_tensor_tpu.backends.xla.compiler import (GraphNotJittable,
+                                                      compile_milli)
+
+
+def xla_vs_oracle(g, feeds, static=None, rtol=1e-5, atol=1e-6):
+    ref = g.eval(feeds)
+    comp = compile_milli(g, feeds, static_inputs=static, use_cache=False)
+    out = comp(feeds)
+    assert set(out) >= set(ref)
+    for k, v in ref.items():
+        np.testing.assert_allclose(np.asarray(out[k], dtype=np.float64) if v.dtype.kind == "f" else np.asarray(out[k]),
+                                   v.astype(np.float64) if v.dtype.kind == "f" else v,
+                                   rtol=rtol, atol=atol, err_msg=k)
+    return out
+
+
+def test_mlp_graph():
+    g = MilliGraph()
+    x = g.add_input("x")
+    w1, w2 = g.add_input("w1"), g.add_input("w2")
+    h = g.op1(SimpleUnary("tanh"), g.op1(MatMul(), x, w1))
+    y = g.op1(MatMul(), h, w2)
+    g.mark_output("y", y)
+    feeds = {"x": np.random.randn(4, 8).astype(np.float32),
+             "w1": np.random.randn(8, 16).astype(np.float32),
+             "w2": np.random.randn(16, 2).astype(np.float32)}
+    xla_vs_oracle(g, feeds)
+
+
+def test_shape_math_folds_to_static():
+    """Shape->Gather->Concat->Reshape chains must fold at trace time."""
+    g = MilliGraph()
+    x = g.add_input("x")
+    shp = g.op1(Shape(), x)
+    d0 = g.op1(GatherShape(0), shp)
+    neg1 = g.op1(Constant(np.asarray([-1], dtype=np.int64)))
+    tgt = g.op1(Concat(axis=0), d0, neg1)
+    g.mark_output("y", g.op1(Reshape(), x, tgt))
+    feeds = {"x": np.random.randn(3, 4, 5).astype(np.float32)}
+    out = xla_vs_oracle(g, feeds)
+    assert np.asarray(out["y"]).shape == (3, 20)
+
+
+def test_mixed_dtypes_and_compare():
+    g = MilliGraph()
+    a, b = g.add_input("a"), g.add_input("b")
+    m = g.op1(SimpleBinary("lt"), a, b)
+    y = g.op1(Where(), m, a, b)
+    g.mark_output("y", y)
+    g.mark_output("mask", g.op1(Cast(DType.I32), m))
+    feeds = {"a": np.random.randn(5).astype(np.float32),
+             "b": np.random.randn(5).astype(np.float32)}
+    xla_vs_oracle(g, feeds)
+
+
+def test_bf16_matmul_parity():
+    import ml_dtypes
+
+    g = MilliGraph()
+    x, w = g.add_input("x"), g.add_input("w")
+    g.mark_output("y", g.op1(MatMul(), x, w))
+    feeds = {"x": np.random.randn(8, 16).astype(ml_dtypes.bfloat16),
+             "w": np.random.randn(16, 8).astype(ml_dtypes.bfloat16)}
+    ref = g.eval(feeds)["y"]
+    comp = compile_milli(g, feeds, use_cache=False)
+    out = np.asarray(comp(feeds)["y"])
+    # bf16 x bf16 -> f32 accumulate is exact on both paths
+    np.testing.assert_array_equal(out.view(np.uint16), ref.view(np.uint16))
+
+
+def test_callback_fallback_for_op_without_jax_rule():
+    from whisper_tensor_tpu.milli.ops.conv import ConvWeightGrad
+
+    g = MilliGraph()
+    ws, x, gr = g.add_input("ws"), g.add_input("x"), g.add_input("g")
+    g.mark_output("dw", g.op1(ConvWeightGrad(strides=[1, 1]), ws, x, gr))
+    feeds = {"ws": np.asarray([2, 3, 3, 3], dtype=np.int64),
+             "x": np.random.randn(1, 3, 8, 8).astype(np.float32),
+             "g": np.random.randn(1, 2, 6, 6).astype(np.float32)}
+    xla_vs_oracle(g, feeds, static={"ws": feeds["ws"]}, rtol=1e-4, atol=1e-5)
+
+
+def test_data_dependent_shape_raises_not_jittable():
+    from whisper_tensor_tpu.milli.ops import NonZero
+
+    g = MilliGraph()
+    x = g.add_input("x")
+    nz = g.op1(NonZero(), x)
+    g.mark_output("idx", nz)
+    feeds = {"x": np.asarray([0.0, 1.0, 0.0, 2.0], dtype=np.float32)}
+    with pytest.raises(GraphNotJittable):
+        compile_milli(g, feeds, use_cache=False)
+    # oracle still handles it
+    out = g.eval(feeds)["idx"]
+    np.testing.assert_array_equal(out, [[1, 3]])
+
+
+def test_intermediate_capture_taps():
+    g = MilliGraph()
+    x = g.add_input("x")
+    h = g.add_op(SimpleUnary("exp"), [x], labels=["hidden_exp"])[0]
+    g.mark_output("y", g.op1(Reduce("sum", axes=[0], keepdims=False), h))
+    feeds = {"x": np.random.randn(6).astype(np.float32)}
+    comp = compile_milli(g, feeds, capture_labels=["hidden_exp"], use_cache=False)
+    out = comp(feeds)
+    np.testing.assert_allclose(np.asarray(out["hidden_exp"]), np.exp(feeds["x"]), rtol=1e-6)

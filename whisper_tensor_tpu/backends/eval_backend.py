@@ -1,0 +1,204 @@
+"""EvalBackend: execution dispatch over a SymbolicGraph.
+
+Reference equivalent: src/backends/eval_backend.rs:18-296 — the
+per-op scheduling interpreter with validation, observers, panic capture
+and cancellation. TPU redesign: the interpreter survives as the oracle
+and control-flow host (mode="oracle"); mode="xla" lowers the whole
+graph to one MilliOpGraph and jit-compiles it (per-op dispatch on
+device would waste the TPU — the unit of execution is the compiled
+program). Graphs containing If/Scan/Loop run control flow on host and
+their bodies through the selected mode recursively.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, List, Optional
+
+import numpy as np
+
+from ..dtype import DType
+from ..milli.ir import EvalCancelled, MilliGraph
+from ..symbolic_graph.ir import SymbolicGraph, TensorKind
+from ..symbolic_graph.ops.base import LowerCtx
+from ..tensor_info import TensorInfo
+
+
+class SymbolicObserver:
+    """Observer protocol (reference src/symbolic_graph/observer.rs:7-25)."""
+
+    def on_op_executed(self, graph, sop, ms: float) -> None:
+        pass
+
+    def on_tensor_assigned(self, graph, name: str, value) -> None:
+        pass
+
+    def on_loading_weight(self, name: str) -> None:
+        pass
+
+    def should_cancel(self) -> bool:
+        return False
+
+
+class EvalBackend:
+    """mode: "oracle" (numpy interpreter) | "xla" (jit whole graph)."""
+
+    def __init__(self, mode: str = "oracle", validate: bool = False,
+                 observer: Optional[SymbolicObserver] = None):
+        if mode not in ("oracle", "xla"):
+            raise ValueError(mode)
+        self.mode = mode
+        self.validate = validate
+        self.observer = observer
+        self._op_milli_cache: Dict[int, Any] = {}
+        self._graph_milli_cache: Dict[int, Any] = {}
+        self._weights_device_cache: Dict[int, Dict[str, Any]] = {}
+
+    # ------------------------------------------------------------------
+    def run(self, graph: SymbolicGraph, feeds: Dict[str, np.ndarray],
+            outer_env: Optional[Dict[str, np.ndarray]] = None) -> Dict[str, np.ndarray]:
+        if self.mode == "xla" and not graph.has_control_flow():
+            try:
+                return self._run_xla(graph, feeds, outer_env)
+            except Exception as e:
+                from .xla.compiler import GraphNotJittable
+
+                if not isinstance(e, GraphNotJittable):
+                    raise
+                # graph-partition fallback: whole graph on the oracle
+        return self._run_interp(graph, feeds, outer_env)
+
+    # ------------------------------------------------------------------
+    # oracle interpreter (per-op, validating, observable)
+    # ------------------------------------------------------------------
+    def _run_interp(self, graph: SymbolicGraph, feeds: Dict[str, np.ndarray],
+                    outer_env: Optional[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+        env: Dict[str, np.ndarray] = {}
+        outer = outer_env or {}
+
+        def resolve(name: str):
+            if name in env:
+                return env[name]
+            if name in graph.store:
+                if self.observer is not None:
+                    self.observer.on_loading_weight(name)
+                v = graph.store.get_numeric(name).numpy()
+                env[name] = v
+                return v
+            if name in outer:
+                return outer[name]
+            raise KeyError(f"tensor {name!r} has no value")
+
+        for name, v in feeds.items():
+            env[name] = np.asarray(v)
+        for tid in graph.inputs:
+            n = graph.tensors[tid].name
+            if n not in env and n not in outer:
+                raise KeyError(f"missing graph input {n!r}")
+
+        child_env = dict(outer)
+        for sop in graph.topo_sort():
+            in_names = [graph.tensors[i].name if i is not None else None
+                        for i in sop.inputs]
+            ins = [resolve(n) if n is not None else None for n in in_names]
+            n_out = len(sop.outputs)
+            t0 = time.perf_counter()
+            try:
+                if hasattr(sop.op, "eval_direct"):
+                    child_env.update(env)
+                    outs = sop.op.eval_direct(self, ins, child_env, n_out)
+                else:
+                    outs = self._eval_single_op(graph, sop, ins)
+            except (EvalCancelled, KeyboardInterrupt):
+                raise
+            except Exception as e:
+                shapes = [None if x is None else tuple(np.shape(x)) for x in ins]
+                raise RuntimeError(
+                    f"op {sop.name!r} ({sop.op.OP_TYPE}) failed with input "
+                    f"shapes {shapes}: {e}") from e
+            ms = (time.perf_counter() - t0) * 1e3
+            for st, v in zip(sop.outputs, outs):
+                if st is None:
+                    continue
+                v = np.asarray(v)
+                name = graph.tensors[st].name
+                if self.validate:
+                    self._check(graph, st, v, sop)
+                env[name] = v
+                if self.observer is not None:
+                    self.observer.on_tensor_assigned(graph, name, v)
+            if self.observer is not None:
+                self.observer.on_op_executed(graph, sop, ms)
+                if self.observer.should_cancel():
+                    raise EvalCancelled()
+        out = {}
+        for tid in graph.outputs:
+            n = graph.tensors[tid].name
+            out[n] = resolve(n)
+        return out
+
+    def _eval_single_op(self, graph: SymbolicGraph, sop, ins: List[Optional[np.ndarray]]):
+        """Default Operation.eval: lower this op alone into a milli graph
+        and run the oracle (reference ops/mod.rs:108-119)."""
+        key = sop.id
+        cached = self._op_milli_cache.get(key)
+        if cached is None:
+            milli = MilliGraph(f"op:{sop.op.OP_TYPE}")
+            ctx = LowerCtx(milli)
+            in_ids = []
+            for k, v in enumerate(ins):
+                in_ids.append(milli.add_input(f"i{k}") if v is not None else None)
+            outs = sop.op.lower(ctx, in_ids, len(sop.outputs))
+            for k, o in enumerate(outs):
+                milli.mark_output(f"o{k}", o)
+            cached = milli
+            self._op_milli_cache[key] = cached
+        feeds = {f"i{k}": v for k, v in enumerate(ins) if v is not None}
+        res = cached.eval(feeds)
+        return [res[f"o{k}"] for k in range(len(cached.outputs))]
+
+    def _check(self, graph: SymbolicGraph, tid: int, v: np.ndarray, sop) -> None:
+        info = graph.tensors[tid].info
+        if info is None:
+            return
+        truth = TensorInfo.numeric(v)
+        if info.dtype is not None and not info.consistent_with(truth):
+            raise RuntimeError(
+                f"validation failed: {graph.tensors[tid].name} from {sop.name}: "
+                f"declared {info}, got {truth}")
+
+    # ------------------------------------------------------------------
+    # XLA whole-graph mode
+    # ------------------------------------------------------------------
+    def _run_xla(self, graph: SymbolicGraph, feeds: Dict[str, np.ndarray],
+                 outer_env: Optional[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+        from .xla.compiler import compile_milli
+
+        cached = self._graph_milli_cache.get(graph.id)
+        if cached is None:
+            milli, weight_inputs = graph.to_milli()
+            cached = (milli, weight_inputs)
+            self._graph_milli_cache[graph.id] = cached
+        milli, weight_inputs = cached
+
+        dev_weights = self._weights_device_cache.setdefault(graph.id, {})
+        all_feeds: Dict[str, Any] = {}
+        for name in milli.inputs:
+            if name in feeds:
+                all_feeds[name] = np.asarray(feeds[name])
+            elif name in weight_inputs:
+                if name not in dev_weights:
+                    if self.observer is not None:
+                        self.observer.on_loading_weight(name)
+                    import jax
+
+                    host = graph.store.get_numeric(name).numpy()
+                    dev_weights[name] = jax.device_put(host)
+                all_feeds[name] = dev_weights[name]
+            elif outer_env and name in outer_env:
+                all_feeds[name] = np.asarray(outer_env[name])
+            else:
+                raise KeyError(f"missing input {name!r}")
+        compiled = compile_milli(milli, all_feeds)
+        outs = compiled(all_feeds)
+        return {k: np.asarray(v) for k, v in outs.items()}

@@ -1,0 +1,236 @@
+"""Attention + RotaryEmbedding milli ops.
+
+These are first-class milli ops (not reduce-chain lowerings) because
+they are the seam where the Pallas flash-attention kernel plugs in on
+TPU (backends/pallas/attention.py); the jnp path below is the portable
+XLA implementation and the numpy path is the oracle.
+
+Reference equivalents: the RotaryEmbedding symbolic op
+(src/symbolic_graph/ops/mod.rs:223-286) and the attention subgraphs the
+reference's LLM recipes emit op-by-op (crates/whisper-tensor-import/
+src/models/llm/*.rs) — here fused into one op so the TPU backend can
+dispatch a flash kernel.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from ...tensor_info import Level, TensorInfo
+from ..ir import MilliOp
+
+
+def _np_softmax(x, axis=-1):
+    m = np.max(x, axis=axis, keepdims=True)
+    e = np.exp(x - m)
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+@dataclass
+class AttentionMilli(MilliOp):
+    """Scaled dot-product attention.
+
+    inputs: q (B, Hq, Sq, D), k (B, Hkv, Skv, D), v (B, Hkv, Skv, Dv)
+            [, mask (additive, broadcastable to (B, Hq, Sq, Skv))]
+    GQA: Hq may be a multiple of Hkv.
+    """
+
+    scale: Optional[float] = None
+    is_causal: bool = False
+    softcap: float = 0.0
+    KIND = "Attention"
+
+    def eval(self, inputs):
+        q, k, v = inputs[0], inputs[1], inputs[2]
+        mask = inputs[3] if len(inputs) > 3 and inputs[3] is not None else None
+        out_dt = q.dtype
+        qf = q.astype(np.float32)
+        kf = k.astype(np.float32)
+        vf = v.astype(np.float32)
+        B, Hq, Sq, D = qf.shape
+        Hkv = kf.shape[1]
+        rep = Hq // Hkv
+        if rep > 1:
+            kf = np.repeat(kf, rep, axis=1)
+            vf = np.repeat(vf, rep, axis=1)
+        scale = self.scale if self.scale is not None else 1.0 / np.sqrt(D)
+        scores = np.einsum("bhqd,bhkd->bhqk", qf, kf) * scale
+        if self.softcap > 0:
+            scores = self.softcap * np.tanh(scores / self.softcap)
+        if mask is not None:
+            if mask.dtype == np.bool_:
+                scores = np.where(mask, scores, np.float32(-1e30))
+            else:
+                scores = scores + mask.astype(np.float32)
+        if self.is_causal:
+            Skv = kf.shape[2]
+            causal = np.tril(np.ones((Sq, Skv), dtype=bool), k=Skv - Sq)
+            scores = np.where(causal, scores, np.float32(-1e30))
+        p = _np_softmax(scores, axis=-1)
+        out = np.einsum("bhqk,bhkd->bhqd", p, vf)
+        return [out.astype(out_dt)]
+
+    def to_jax(self, inputs, static=None):
+        import jax
+        import jax.numpy as jnp
+
+        q, k, v = inputs[0], inputs[1], inputs[2]
+        mask = inputs[3] if len(inputs) > 3 and inputs[3] is not None else None
+        B, Hq, Sq, D = q.shape
+        Hkv = k.shape[1]
+        scale = self.scale if self.scale is not None else 1.0 / np.sqrt(D)
+
+        # Pallas flash-attention fast path (TPU, no mask tensor, no softcap)
+        from ...backends.pallas.attention import flash_attention_usable, flash_attention
+
+        if flash_attention_usable(q, k, v, mask, self.softcap):
+            return [flash_attention(q, k, v, scale=scale, causal=self.is_causal)]
+
+        rep = Hq // Hkv
+        kf, vf = k, v
+        if rep > 1:
+            kf = jnp.repeat(kf, rep, axis=1)
+            vf = jnp.repeat(vf, rep, axis=1)
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                            kf.astype(jnp.float32),
+                            preferred_element_type=jnp.float32) * scale
+        if self.softcap > 0:
+            scores = self.softcap * jnp.tanh(scores / self.softcap)
+        if mask is not None:
+            if mask.dtype == jnp.bool_:
+                scores = jnp.where(mask, scores, jnp.float32(-1e30))
+            else:
+                scores = scores + mask.astype(jnp.float32)
+        if self.is_causal:
+            Skv = kf.shape[2]
+            causal = jnp.tril(jnp.ones((Sq, Skv), dtype=bool), k=Skv - Sq)
+            scores = jnp.where(causal, scores, jnp.float32(-1e30))
+        p = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(q.dtype), vf,
+                         preferred_element_type=jnp.float32)
+        return [out.astype(q.dtype)]
+
+    def infer(self, infos):
+        if all(i is not None and i.level is Level.NUMERIC for i in infos):
+            return [TensorInfo.numeric(self.eval([i.value for i in infos])[0])]
+        q, k, v = infos[0], infos[1], infos[2]
+        dq, dv = q.dims(), v.dims()
+        if dq is not None and dv is not None:
+            return [TensorInfo.shaped(q.dtype, [dq[0], dq[1], dq[2], dv[3]])]
+        if q.rank is not None:
+            return [TensorInfo.ranked(q.dtype, q.rank)]
+        return [TensorInfo.minimal(q.dtype)]
+
+
+@dataclass
+class RotaryMilli(MilliOp):
+    """Rotary position embedding.
+
+    inputs: x (B, H, S, D), cos (S', D/2 or D), sin (S', D/2 or D)
+            [, position_ids (B, S) or (S,)]
+    interleaved=False (GPT-NeoX style halves) or True (GPT-J pairs).
+    rotary_dim: apply to the first `rotary_dim` features only (0 = all).
+    """
+
+    interleaved: bool = False
+    rotary_dim: int = 0
+    KIND = "Rotary"
+
+    def _tables(self, xp, cos, sin, pos, S):
+        # select rows by positions
+        if pos is not None:
+            cos = cos[pos.astype(np.int64) if isinstance(pos, np.ndarray) else pos]
+            sin = sin[pos.astype(np.int64) if isinstance(pos, np.ndarray) else pos]
+        else:
+            cos = cos[:S]
+            sin = sin[:S]
+        return cos, sin
+
+    def eval(self, inputs):
+        x = inputs[0]
+        cos, sin = inputs[1], inputs[2]
+        pos = inputs[3] if len(inputs) > 3 and inputs[3] is not None else None
+        out_dt = x.dtype
+        xf = x.astype(np.float32)
+        B, H, S, D = xf.shape
+        rd = self.rotary_dim or D
+        xr, xpass = xf[..., :rd], xf[..., rd:]
+        cos, sin = self._tables(xf, cos.astype(np.float32), sin.astype(np.float32), pos, S)
+        # shape cos/sin to (B or 1, 1, S, rd/2)
+        while cos.ndim < 3:
+            cos = cos[None]
+            sin = sin[None]
+        cos = cos[:, None, :, :]
+        sin = sin[:, None, :, :]
+        half = rd // 2
+        if cos.shape[-1] == rd:  # full-width tables
+            cos_h, sin_h = cos[..., :half], sin[..., :half]
+        else:
+            cos_h, sin_h = cos, sin
+        if self.interleaved:
+            x1 = xr[..., 0::2]
+            x2 = xr[..., 1::2]
+            o1 = x1 * cos_h - x2 * sin_h
+            o2 = x2 * cos_h + x1 * sin_h
+            rot = np.empty_like(xr)
+            rot[..., 0::2] = o1
+            rot[..., 1::2] = o2
+        else:
+            x1 = xr[..., :half]
+            x2 = xr[..., half:]
+            rot = np.concatenate([x1 * cos_h - x2 * sin_h,
+                                  x2 * cos_h + x1 * sin_h], axis=-1)
+        out = np.concatenate([rot, xpass], axis=-1) if rd < D else rot
+        return [out.astype(out_dt)]
+
+    def to_jax(self, inputs, static=None):
+        import jax.numpy as jnp
+
+        x = inputs[0]
+        cos, sin = inputs[1], inputs[2]
+        pos = inputs[3] if len(inputs) > 3 and inputs[3] is not None else None
+        B, H, S, D = x.shape
+        rd = self.rotary_dim or D
+        xf = x.astype(jnp.float32)
+        xr, xpass = xf[..., :rd], xf[..., rd:]
+        cosf = cos.astype(jnp.float32)
+        sinf = sin.astype(jnp.float32)
+        if pos is not None:
+            cosf = cosf[pos]
+            sinf = sinf[pos]
+        else:
+            cosf = cosf[:S]
+            sinf = sinf[:S]
+        while cosf.ndim < 3:
+            cosf = cosf[None]
+            sinf = sinf[None]
+        cosf = cosf[:, None, :, :]
+        sinf = sinf[:, None, :, :]
+        half = rd // 2
+        if cosf.shape[-1] == rd:
+            cos_h, sin_h = cosf[..., :half], sinf[..., :half]
+        else:
+            cos_h, sin_h = cosf, sinf
+        if self.interleaved:
+            x1 = xr[..., 0::2]
+            x2 = xr[..., 1::2]
+            o1 = x1 * cos_h - x2 * sin_h
+            o2 = x2 * cos_h + x1 * sin_h
+            rot = jnp.stack([o1, o2], axis=-1).reshape(xr.shape)
+        else:
+            x1 = xr[..., :half]
+            x2 = xr[..., half:]
+            rot = jnp.concatenate([x1 * cos_h - x2 * sin_h,
+                                   x2 * cos_h + x1 * sin_h], axis=-1)
+        out = jnp.concatenate([rot, xpass], axis=-1) if rd < D else rot
+        return [out.astype(x.dtype)]
+
+    def infer(self, infos):
+        i = infos[0]
+        if all(f is not None and f.level is Level.NUMERIC for f in infos):
+            return [TensorInfo.numeric(self.eval([f.value for f in infos])[0])]
+        return [i.forget_value()]

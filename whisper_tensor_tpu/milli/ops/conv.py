@@ -1,0 +1,575 @@
+"""Conv / ConvTranspose / conv gradients / Resize milli ops.
+
+Reference equivalents: src/milli_graph/ops/conv.rs (Conv + ConvInputGrad/
+ConvWeightGrad/ConvBiasGrad) and ops/resize.rs. The oracle implements
+N-d convolution directly (kernel-position accumulation over strided
+slices — no torch); the XLA path maps to lax.conv_general_dilated,
+which XLA tiles onto the MXU. Resize shares one host-side index/weight
+computation between the numpy and JAX paths so all ONNX
+coordinate-transformation modes behave identically on both backends.
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ...dtype import DType
+from ...scalar_info import ScalarInfo
+from ...tensor_info import Level, TensorInfo
+from ..ir import MilliOp, Phase
+from .common import downcast_result, upcast_for_compute
+
+
+def _conv_out_size(in_size, k, stride, dil, pad_begin, pad_end):
+    eff_k = (k - 1) * dil + 1
+    return (in_size + pad_begin + pad_end - eff_k) // stride + 1
+
+
+def _np_conv(x, w, bias, strides, pads, dilations, groups):
+    """x: (N, Cin, *sp); w: (Cout, Cin/g, *k). pads: [b0..bn, e0..en]."""
+    nsp = x.ndim - 2
+    strides = list(strides or [1] * nsp)
+    dilations = list(dilations or [1] * nsp)
+    pads = list(pads or [0] * (2 * nsp))
+    pb, pe = pads[:nsp], pads[nsp:]
+    xp = np.pad(x, [(0, 0), (0, 0)] + [(pb[i], pe[i]) for i in range(nsp)])
+    N, Cin = x.shape[:2]
+    Cout = w.shape[0]
+    ksp = w.shape[2:]
+    osp = [_conv_out_size(x.shape[2 + i], ksp[i], strides[i], dilations[i], pb[i], pe[i])
+           for i in range(nsp)]
+    icg = Cin // groups
+    ocg = Cout // groups
+    out = np.zeros((N, Cout, *osp), dtype=x.dtype)
+    for kpos in itertools.product(*[range(k) for k in ksp]):
+        sl = tuple(
+            slice(kpos[i] * dilations[i],
+                  kpos[i] * dilations[i] + strides[i] * (osp[i] - 1) + 1,
+                  strides[i])
+            for i in range(nsp))
+        xs = xp[(slice(None), slice(None)) + sl]  # (N, Cin, *osp)
+        wk = w[(slice(None), slice(None)) + kpos]  # (Cout, icg)
+        if groups == 1:
+            out += np.einsum("nc...,oc->no...", xs, wk)
+        else:
+            xs_g = xs.reshape(N, groups, icg, *osp)
+            wk_g = wk.reshape(groups, ocg, icg)
+            og = np.einsum("ngc...,goc->ngo...", xs_g, wk_g)
+            out += og.reshape(N, Cout, *osp)
+    if bias is not None:
+        out += bias.reshape((1, -1) + (1,) * nsp)
+    return out
+
+
+@dataclass
+class Conv(MilliOp):
+    """inputs: x, w[, bias]. Explicit pads (auto_pad resolved at lowering)."""
+
+    strides: Optional[List[int]] = None
+    pads: Optional[List[int]] = None
+    dilations: Optional[List[int]] = None
+    groups: int = 1
+    KIND = "Conv"
+
+    def eval(self, inputs):
+        x, w = inputs[0], inputs[1]
+        bias = inputs[2] if len(inputs) > 2 and inputs[2] is not None else None
+        xc, orig = upcast_for_compute(x)
+        wc, _ = upcast_for_compute(w)
+        bc = upcast_for_compute(bias)[0] if bias is not None else None
+        out = _np_conv(xc, wc, bc, self.strides, self.pads, self.dilations, self.groups)
+        return [downcast_result(out, orig)]
+
+    def to_jax(self, inputs, static=None):
+        import jax
+        import jax.numpy as jnp
+
+        x, w = inputs[0], inputs[1]
+        nsp = x.ndim - 2
+        strides = tuple(self.strides or [1] * nsp)
+        dil = tuple(self.dilations or [1] * nsp)
+        pads = list(self.pads or [0] * (2 * nsp))
+        pad_pairs = tuple((pads[i], pads[i + nsp]) for i in range(nsp))
+        dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
+                                            ("NCHW"[:2 + nsp] if nsp <= 2 else None,
+                                             "OIHW"[:2 + nsp] if nsp <= 2 else None,
+                                             "NCHW"[:2 + nsp] if nsp <= 2 else None)
+                                            if nsp <= 2 else None)
+        acc = jnp.float32 if x.dtype in (jnp.bfloat16, jnp.float16) else None
+        out = jax.lax.conv_general_dilated(
+            x, w, window_strides=strides, padding=pad_pairs,
+            rhs_dilation=dil, dimension_numbers=dn,
+            feature_group_count=self.groups,
+            preferred_element_type=acc)
+        out = out.astype(x.dtype)
+        if len(inputs) > 2 and inputs[2] is not None:
+            out = out + inputs[2].reshape((1, -1) + (1,) * nsp)
+        return [out]
+
+    def infer(self, infos):
+        x, w = infos[0], infos[1]
+        if all(i.level is Level.NUMERIC for i in infos):
+            return [TensorInfo.numeric(self.eval([i.value for i in infos])[0])]
+        dx, dw = x.dims(), w.dims()
+        if dx is not None and dw is not None:
+            nsp = len(dx) - 2
+            strides = self.strides or [1] * nsp
+            dil = self.dilations or [1] * nsp
+            pads = list(self.pads or [0] * (2 * nsp))
+            out = [dx[0], dw[0]]
+            for i in range(nsp):
+                if dx[2 + i].is_known and dw[2 + i].is_known:
+                    out.append(ScalarInfo.of(_conv_out_size(
+                        int(dx[2 + i].value()), int(dw[2 + i].value()),
+                        strides[i], dil[i], pads[i], pads[i + nsp])))
+                else:
+                    return [TensorInfo.ranked(x.dtype, len(dx))]
+            return [TensorInfo.shaped(x.dtype, out)]
+        if x.rank is not None:
+            return [TensorInfo.ranked(x.dtype, x.rank)]
+        return [TensorInfo.minimal(x.dtype)]
+
+    def backward(self, b, node, out_grads):
+        g = out_grads[0]
+        if g is None:
+            return [None] * len(node.inputs)
+        P = Phase.BACKWARD
+        from .shape import Shape
+
+        x, w = node.inputs[0], node.inputs[1]
+        xs = b.op1(Shape(), x, phase=P)
+        ws = b.op1(Shape(), w, phase=P)
+        gx = b.op1(ConvInputGrad(self.strides, self.pads, self.dilations, self.groups),
+                   xs, w, g, phase=P)
+        gw = b.op1(ConvWeightGrad(self.strides, self.pads, self.dilations, self.groups),
+                   ws, x, g, phase=P)
+        grads = [gx, gw]
+        if len(node.inputs) > 2:
+            gb = b.op1(ConvBiasGrad(), g, phase=P)
+            grads.append(gb)
+        return grads
+
+
+@dataclass
+class ConvInputGrad(MilliOp):
+    """(x_shape, w, grad) -> dX. Transposed convolution of grad by w."""
+
+    strides: Optional[List[int]] = None
+    pads: Optional[List[int]] = None
+    dilations: Optional[List[int]] = None
+    groups: int = 1
+    KIND = "ConvInputGrad"
+
+    def _compute_np(self, x_shape, w, g):
+        nsp = len(x_shape) - 2
+        strides = list(self.strides or [1] * nsp)
+        dil = list(self.dilations or [1] * nsp)
+        pads = list(self.pads or [0] * (2 * nsp))
+        pb, pe = pads[:nsp], pads[nsp:]
+        N, Cin = x_shape[0], x_shape[1]
+        Cout = w.shape[0]
+        ksp = w.shape[2:]
+        osp = g.shape[2:]
+        icg = Cin // self.groups
+        ocg = Cout // self.groups
+        padded_shape = [x_shape[2 + i] + pb[i] + pe[i] for i in range(nsp)]
+        dxp = np.zeros((N, Cin, *padded_shape), dtype=g.dtype)
+        for kpos in itertools.product(*[range(k) for k in ksp]):
+            wk = w[(slice(None), slice(None)) + kpos]  # (Cout, icg)
+            if self.groups == 1:
+                contrib = np.einsum("no...,oc->nc...", g, wk)  # (N, Cin, *osp)
+            else:
+                g_g = g.reshape(N, self.groups, ocg, *osp)
+                wk_g = wk.reshape(self.groups, ocg, icg)
+                contrib = np.einsum("ngo...,goc->ngc...", g_g, wk_g).reshape(N, Cin, *osp)
+            sl = tuple(
+                slice(kpos[i] * dil[i],
+                      kpos[i] * dil[i] + strides[i] * (osp[i] - 1) + 1,
+                      strides[i])
+                for i in range(nsp))
+            dxp[(slice(None), slice(None)) + sl] += contrib
+        unpad = tuple(slice(pb[i], pb[i] + x_shape[2 + i]) for i in range(nsp))
+        return dxp[(slice(None), slice(None)) + unpad]
+
+    def eval(self, inputs):
+        x_shape = tuple(int(v) for v in np.asarray(inputs[0]).reshape(-1))
+        w, g = inputs[1], inputs[2]
+        wc, _ = upcast_for_compute(w)
+        gc, orig = upcast_for_compute(g)
+        return [downcast_result(self._compute_np(x_shape, wc, gc), orig)]
+
+    def to_jax(self, inputs, static=None):
+        import jax
+        import jax.numpy as jnp
+
+        from .shape import _need_static
+
+        x_shape = tuple(int(v) for v in _need_static(static, 0, "ConvInputGrad").reshape(-1))
+        w, g = inputs[1], inputs[2]
+        nsp = len(x_shape) - 2
+        strides = list(self.strides or [1] * nsp)
+        dil = list(self.dilations or [1] * nsp)
+        pads = list(self.pads or [0] * (2 * nsp))
+        ksp = w.shape[2:]
+        # dX = conv(g upsampled by stride, w flipped & swapped) — express as
+        # conv_general_dilated with lhs_dilation=strides.
+        eff_k = [(ksp[i] - 1) * dil[i] + 1 for i in range(nsp)]
+        # full-correlation padding for the transposed conv: left pad
+        # eff_k-1-pb; right pad chosen so the output is exactly x_size
+        # given the stride-dilated gradient (size (o-1)*stride + 1).
+        pad_pairs = tuple((eff_k[i] - 1 - pads[i],
+                           x_shape[2 + i] + pads[i] - (g.shape[2 + i] - 1) * strides[i] - 1)
+                          for i in range(nsp))
+        # transpose weights: (Cout, icg, *k) -> (Cin, ocg, *k), flip spatial
+        Cout, icg = w.shape[0], w.shape[1]
+        gdim = self.groups
+        wt = w.reshape(gdim, Cout // gdim, icg, *ksp)
+        wt = jnp.swapaxes(wt, 1, 2).reshape(gdim * icg, Cout // gdim, *ksp)
+        wt = jnp.flip(wt, axis=tuple(range(2, 2 + nsp)))
+        dn = jax.lax.conv_dimension_numbers(
+            g.shape, wt.shape, ("NCHW"[:2 + nsp], "OIHW"[:2 + nsp], "NCHW"[:2 + nsp]))
+        acc = jnp.float32 if g.dtype in (jnp.bfloat16, jnp.float16) else None
+        out = jax.lax.conv_general_dilated(
+            g, wt, window_strides=(1,) * nsp, padding=pad_pairs,
+            lhs_dilation=tuple(strides), rhs_dilation=tuple(dil),
+            dimension_numbers=dn, feature_group_count=gdim,
+            preferred_element_type=acc)
+        return [out.astype(g.dtype)]
+
+    def infer(self, infos):
+        shp = infos[0]
+        dt = infos[2].dtype
+        if shp.level is Level.NUMERIC:
+            return [TensorInfo.shaped(dt, [int(v) for v in shp.value.reshape(-1)])]
+        return [TensorInfo.minimal(dt)]
+
+
+@dataclass
+class ConvWeightGrad(MilliOp):
+    """(w_shape, x, grad) -> dW."""
+
+    strides: Optional[List[int]] = None
+    pads: Optional[List[int]] = None
+    dilations: Optional[List[int]] = None
+    groups: int = 1
+    KIND = "ConvWeightGrad"
+
+    def eval(self, inputs):
+        w_shape = tuple(int(v) for v in np.asarray(inputs[0]).reshape(-1))
+        x, g = inputs[1], inputs[2]
+        xc, _ = upcast_for_compute(x)
+        gc, orig = upcast_for_compute(g)
+        nsp = x.ndim - 2
+        strides = list(self.strides or [1] * nsp)
+        dil = list(self.dilations or [1] * nsp)
+        pads = list(self.pads or [0] * (2 * nsp))
+        pb, pe = pads[:nsp], pads[nsp:]
+        xp = np.pad(xc, [(0, 0), (0, 0)] + [(pb[i], pe[i]) for i in range(nsp)])
+        N, Cin = x.shape[:2]
+        Cout = w_shape[0]
+        icg = Cin // self.groups
+        ocg = Cout // self.groups
+        ksp = w_shape[2:]
+        osp = gc.shape[2:]
+        dw = np.zeros(w_shape, dtype=gc.dtype)
+        for kpos in itertools.product(*[range(k) for k in ksp]):
+            sl = tuple(
+                slice(kpos[i] * dil[i],
+                      kpos[i] * dil[i] + strides[i] * (osp[i] - 1) + 1,
+                      strides[i])
+                for i in range(nsp))
+            xs = xp[(slice(None), slice(None)) + sl]  # (N, Cin, *osp)
+            sp = "defgh"[:nsp]  # spatial index letters (reduced)
+            if self.groups == 1:
+                dw[(slice(None), slice(None)) + kpos] += np.einsum(
+                    f"no{sp},nc{sp}->oc", gc, xs)
+            else:
+                g_g = gc.reshape(N, self.groups, ocg, *osp)
+                xs_g = xs.reshape(N, self.groups, icg, *osp)
+                dd = np.einsum(f"ngo{sp},ngc{sp}->goc", g_g, xs_g).reshape(Cout, icg)
+                dw[(slice(None), slice(None)) + kpos] += dd
+        return [downcast_result(dw, orig)]
+
+    def infer(self, infos):
+        shp = infos[0]
+        dt = infos[2].dtype
+        if shp.level is Level.NUMERIC:
+            return [TensorInfo.shaped(dt, [int(v) for v in shp.value.reshape(-1)])]
+        return [TensorInfo.minimal(dt)]
+
+
+@dataclass
+class ConvBiasGrad(MilliOp):
+    """grad -> dBias (sum over all but channel axis 1)."""
+
+    KIND = "ConvBiasGrad"
+
+    def eval(self, inputs):
+        g = inputs[0]
+        gc, orig = upcast_for_compute(g)
+        ax = (0,) + tuple(range(2, g.ndim))
+        return [downcast_result(gc.sum(axis=ax), orig)]
+
+    def to_jax(self, inputs, static=None):
+        import jax.numpy as jnp
+
+        g = inputs[0]
+        ax = (0,) + tuple(range(2, g.ndim))
+        return [jnp.sum(g, axis=ax)]
+
+    def infer(self, infos):
+        i = infos[0]
+        dims = i.dims()
+        if dims is not None:
+            return [TensorInfo.shaped(i.dtype, [dims[1]])]
+        return [TensorInfo.ranked(i.dtype, 1)]
+
+
+# ---------------------------------------------------------------------------
+# Resize
+# ---------------------------------------------------------------------------
+
+
+def _orig_coord(out_idx: np.ndarray, scale: float, in_size: int, out_size: int,
+                mode: str) -> np.ndarray:
+    x = out_idx.astype(np.float64)
+    if mode == "half_pixel":
+        return (x + 0.5) / scale - 0.5
+    if mode == "pytorch_half_pixel":
+        return (x + 0.5) / scale - 0.5 if out_size > 1 else np.zeros_like(x)
+    if mode == "align_corners":
+        if out_size == 1:
+            return np.zeros_like(x)
+        return x * (in_size - 1) / (out_size - 1)
+    if mode == "asymmetric":
+        return x / scale
+    if mode == "half_pixel_symmetric":
+        adjustment = out_size / (scale * in_size)
+        center = in_size / 2.0
+        offset = center * (1 - adjustment)
+        return offset + (x + 0.5) / scale - 0.5
+    raise NotImplementedError(f"coordinate_transformation_mode {mode}")
+
+
+def _nearest_pick(coord: np.ndarray, mode: str) -> np.ndarray:
+    if mode == "round_prefer_floor":
+        return np.ceil(coord - 0.5)
+    if mode == "round_prefer_ceil":
+        return np.floor(coord + 0.5)
+    if mode == "floor":
+        return np.floor(coord)
+    if mode == "ceil":
+        return np.ceil(coord)
+    raise NotImplementedError(f"nearest_mode {mode}")
+
+
+def _cubic_weights(t: np.ndarray, a: float) -> np.ndarray:
+    """Keys cubic kernel weights for offsets [-1,0,1,2] around floor(coord)."""
+    # t in [0,1): fractional part
+    w = np.empty(t.shape + (4,), dtype=np.float64)
+    for i, off in enumerate((-1, 0, 1, 2)):
+        x = np.abs(t - off)
+        w[..., i] = np.where(
+            x <= 1, ((a + 2) * x - (a + 3)) * x * x + 1,
+            np.where(x < 2, ((a * x - 5 * a) * x + 8 * a) * x - 4 * a, 0.0))
+    return w
+
+
+def resize_plan(in_size: int, out_size: int, scale: float, mode: str,
+                coord_mode: str, nearest_mode: str, cubic_a: float,
+                exclude_outside: bool):
+    """Host-side gather plan for one axis: (indices (out,k), weights (out,k))."""
+    out_idx = np.arange(out_size)
+    coord = _orig_coord(out_idx, scale, in_size, out_size, coord_mode)
+    if mode == "nearest":
+        idx = _nearest_pick(coord, nearest_mode).astype(np.int64)
+        idx = np.clip(idx, 0, in_size - 1)
+        return idx[:, None], np.ones((out_size, 1))
+    if mode == "linear":
+        lo = np.floor(coord).astype(np.int64)
+        t = coord - lo
+        idx = np.stack([lo, lo + 1], axis=1)
+        w = np.stack([1 - t, t], axis=1)
+        idx_c = np.clip(idx, 0, in_size - 1)
+        return idx_c, w
+    if mode == "cubic":
+        lo = np.floor(coord).astype(np.int64)
+        t = coord - lo
+        w = _cubic_weights(t, cubic_a)
+        idx = np.stack([lo - 1, lo, lo + 1, lo + 2], axis=1)
+        if exclude_outside:
+            inside = (idx >= 0) & (idx < in_size)
+            w = np.where(inside, w, 0.0)
+            w = w / w.sum(axis=1, keepdims=True)
+        idx_c = np.clip(idx, 0, in_size - 1)
+        return idx_c, w
+    raise NotImplementedError(f"resize mode {mode}")
+
+
+@dataclass
+class Resize(MilliOp):
+    """inputs: x, roi?, scales?, sizes? (exactly one of scales/sizes set;
+    empty tensors mean absent, per ONNX)."""
+
+    mode: str = "nearest"
+    coord_mode: str = "half_pixel"
+    nearest_mode: str = "round_prefer_floor"
+    cubic_a: float = -0.75
+    exclude_outside: bool = False
+    axes: Optional[List[int]] = None
+    KIND = "Resize"
+
+    def _plan(self, in_shape, scales, sizes):
+        rank = len(in_shape)
+        axes = self.axes if self.axes else list(range(rank))
+        axes = [a % rank for a in axes]
+        out_shape = list(in_shape)
+        per_axis = {}
+        if sizes is not None and np.asarray(sizes).size:
+            sizes = [int(s) for s in np.asarray(sizes).reshape(-1)]
+            for a, s in zip(axes, sizes):
+                out_shape[a] = s
+                per_axis[a] = (s, s / in_shape[a])
+        else:
+            scales = np.asarray(scales).reshape(-1).astype(np.float64)
+            for a, sc in zip(axes, scales):
+                o = int(np.floor(in_shape[a] * sc))
+                out_shape[a] = o
+                per_axis[a] = (o, sc)
+        plans = {}
+        for a, (o, sc) in per_axis.items():
+            if o == in_shape[a] and abs(sc - 1.0) < 1e-9:
+                continue
+            plans[a] = resize_plan(in_shape[a], o, sc, self.mode, self.coord_mode,
+                                   self.nearest_mode, self.cubic_a, self.exclude_outside)
+        return tuple(out_shape), plans
+
+    def eval(self, inputs):
+        x = inputs[0]
+        scales = inputs[2] if len(inputs) > 2 else None
+        sizes = inputs[3] if len(inputs) > 3 else None
+        xc, orig = upcast_for_compute(x)
+        out_shape, plans = self._plan(x.shape, scales, sizes)
+        out = xc
+        for a, (idx, w) in plans.items():
+            gathered = np.take(out, idx.reshape(-1), axis=a)
+            new_shape = out.shape[:a] + idx.shape + out.shape[a + 1:]
+            gathered = gathered.reshape(new_shape)
+            wb = w.reshape((1,) * a + w.shape + (1,) * (out.ndim - a - 1))
+            out = (gathered * wb).sum(axis=a + 1)
+            if self.mode == "nearest":
+                out = out.astype(xc.dtype)
+        out = out.astype(xc.dtype, copy=False)
+        return [downcast_result(out, orig)]
+
+    def to_jax(self, inputs, static=None):
+        import jax.numpy as jnp
+
+        from .shape import _need_static
+
+        x = inputs[0]
+        scales = None
+        sizes = None
+        if len(inputs) > 2 and static is not None and static[2] is not None:
+            scales = static[2]
+        elif len(inputs) > 2:
+            raise NotImplementedError("Resize: dynamic scales")
+        if len(inputs) > 3:
+            if static is None or static[3] is None:
+                raise NotImplementedError("Resize: dynamic sizes")
+            sizes = static[3]
+        out_shape, plans = self._plan(x.shape, scales, sizes)
+        out = x
+        for a, (idx, w) in plans.items():
+            gathered = jnp.take(out, jnp.asarray(idx.reshape(-1)), axis=a)
+            new_shape = out.shape[:a] + idx.shape + out.shape[a + 1:]
+            gathered = gathered.reshape(new_shape)
+            wb = jnp.asarray(w.reshape((1,) * a + w.shape + (1,) * (out.ndim - a - 1)),
+                             dtype=jnp.float32)
+            out = (gathered.astype(jnp.float32) * wb).sum(axis=a + 1).astype(x.dtype)
+        return [out]
+
+    def infer(self, infos):
+        vals = [i.value if i is not None and i.level is Level.NUMERIC else None for i in infos]
+        x = infos[0]
+        if all(v is not None for v in vals):
+            return [TensorInfo.numeric(self.eval(vals)[0])]
+        cs = x.concrete_shape()
+        scales = vals[2] if len(vals) > 2 else None
+        sizes = vals[3] if len(vals) > 3 else None
+        if cs is not None and (scales is not None or sizes is not None):
+            out_shape, _ = self._plan(cs, scales, sizes)
+            return [TensorInfo.shaped(x.dtype, list(out_shape))]
+        if x.rank is not None:
+            return [TensorInfo.ranked(x.dtype, x.rank)]
+        return [TensorInfo.minimal(x.dtype)]
+
+
+@dataclass
+class ConvTransposeMilli(MilliOp):
+    """ConvTranspose: x(N,Cin,*sp), w(Cin, Cout/g, *k)[, bias(Cout)].
+
+    Implemented as the input-gradient of a forward conv (identical math):
+    reference src/symbolic_graph/ops/mod.rs ConvTranspose.
+    """
+
+    strides: Optional[List[int]] = None
+    pads: Optional[List[int]] = None
+    dilations: Optional[List[int]] = None
+    groups: int = 1
+    output_padding: Optional[List[int]] = None
+    KIND = "ConvTranspose"
+
+    def _out_shape(self, x_shape, w_shape):
+        nsp = len(x_shape) - 2
+        strides = list(self.strides or [1] * nsp)
+        dil = list(self.dilations or [1] * nsp)
+        pads = list(self.pads or [0] * (2 * nsp))
+        opad = list(self.output_padding or [0] * nsp)
+        cout = w_shape[1] * self.groups
+        sp = [
+            (x_shape[2 + i] - 1) * strides[i] + (w_shape[2 + i] - 1) * dil[i] + 1
+            - pads[i] - pads[i + nsp] + opad[i]
+            for i in range(nsp)
+        ]
+        return (x_shape[0], cout, *sp)
+
+    def _as_input_grad(self):
+        return ConvInputGrad(self.strides, self.pads, self.dilations, self.groups)
+
+    def eval(self, inputs):
+        x, w = inputs[0], inputs[1]
+        out_shape = self._out_shape(x.shape, w.shape)
+        xc, orig = upcast_for_compute(x)
+        wc, _ = upcast_for_compute(w)
+        out = self._as_input_grad()._compute_np(out_shape, wc, xc)
+        if len(inputs) > 2 and inputs[2] is not None:
+            bc, _ = upcast_for_compute(inputs[2])
+            out = out + bc.reshape((1, -1) + (1,) * (out.ndim - 2))
+        return [downcast_result(out, orig)]
+
+    def to_jax(self, inputs, static=None):
+        x, w = inputs[0], inputs[1]
+        out_shape = np.asarray(self._out_shape(x.shape, w.shape), dtype=np.int64)
+        ig = self._as_input_grad()
+        out = ig.to_jax([None, w, x], static=[out_shape, None, None])[0]
+        if len(inputs) > 2 and inputs[2] is not None:
+            out = out + inputs[2].reshape((1, -1) + (1,) * (out.ndim - 2))
+        return [out]
+
+    def infer(self, infos):
+        x, w = infos[0], infos[1]
+        vals = [i.value if i is not None and i.level is Level.NUMERIC else None
+                for i in infos]
+        if all(v is not None for v in vals):
+            return [TensorInfo.numeric(self.eval(vals)[0])]
+        cx, cw = x.concrete_shape(), w.concrete_shape()
+        if cx is not None and cw is not None:
+            return [TensorInfo.shaped(x.dtype, list(self._out_shape(cx, cw)))]
+        if x.rank is not None:
+            return [TensorInfo.ranked(x.dtype, x.rank)]
+        return [TensorInfo.minimal(x.dtype)]

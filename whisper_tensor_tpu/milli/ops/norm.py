@@ -1,0 +1,246 @@
+"""Normalization milli ops.
+
+First-class milli norms (rather than reduce-chain lowerings) because:
+(1) the ONNX axis..rank span needs the runtime rank, which these ops see;
+(2) they are the natural seam for fused Pallas kernels on TPU
+(backends/pallas/norms.py) while XLA fuses the jnp fallback anyway.
+Oracle semantics: stats in f32 (ONNX stash_type=1 default), output cast
+back to the input dtype.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from ...tensor_info import Level, TensorInfo
+from ..ir import MilliOp, Phase
+
+
+def _bcast_to_rank(v, ndim: int, axis: int):
+    """reshape 1-D per-channel param for broadcasting at `axis`."""
+    shape = [1] * ndim
+    shape[axis] = -1
+    return v.reshape(shape)
+
+
+@dataclass
+class LayerNormMilli(MilliOp):
+    """x, scale[, bias] -> y[, mean, inv_std]; normalizes dims [axis:]."""
+
+    axis: int = -1
+    epsilon: float = 1e-5
+    stash_f32: bool = True
+    KIND = "LayerNorm"
+    N_OUTPUTS = 1
+
+    def _stats(self, xp, ax):
+        mean = xp.mean(axis=ax, keepdims=True)
+        d = xp - mean
+        var = (d * d).mean(axis=ax, keepdims=True)
+        return mean, d, var
+
+    def eval(self, inputs):
+        x = inputs[0]
+        scale = inputs[1]
+        bias = inputs[2] if len(inputs) > 2 and inputs[2] is not None else None
+        ax = tuple(range(self.axis % x.ndim, x.ndim))
+        xp = x.astype(np.float32) if self.stash_f32 and x.dtype.kind == "f" and x.dtype.itemsize < 4 else x
+        mean, d, var = self._stats(xp, ax)
+        inv = 1.0 / np.sqrt(var + np.asarray(self.epsilon, dtype=xp.dtype))
+        y = d * inv * scale.astype(xp.dtype)
+        if bias is not None:
+            y = y + bias.astype(xp.dtype)
+        return [y.astype(x.dtype)]
+
+    def to_jax(self, inputs, static=None):
+        import jax.numpy as jnp
+
+        x = inputs[0]
+        scale = inputs[1]
+        bias = inputs[2] if len(inputs) > 2 and inputs[2] is not None else None
+        ax = tuple(range(self.axis % x.ndim, x.ndim))
+        xp = x.astype(jnp.float32) if self.stash_f32 else x
+        mean = xp.mean(axis=ax, keepdims=True)
+        d = xp - mean
+        var = (d * d).mean(axis=ax, keepdims=True)
+        y = d * jax_rsqrt(var + self.epsilon) * scale.astype(xp.dtype)
+        if bias is not None:
+            y = y + bias.astype(xp.dtype)
+        return [y.astype(x.dtype)]
+
+    def infer(self, infos):
+        i = infos[0]
+        if all(f is not None and f.level is Level.NUMERIC for f in infos):
+            return [TensorInfo.numeric(self.eval([f.value for f in infos])[0])]
+        return [i.forget_value()]
+
+    def backward(self, b, node, out_grads):
+        # symbolic LN backward via recompute (reference per-op backward);
+        # training recipes use jax.grad over the XLA path instead.
+        raise NotImplementedError("LayerNorm backward: use training path")
+
+
+@dataclass
+class RMSNormMilli(MilliOp):
+    axis: int = -1
+    epsilon: float = 1e-5
+    stash_f32: bool = True
+    KIND = "RMSNorm"
+
+    def eval(self, inputs):
+        x, scale = inputs[0], inputs[1]
+        ax = tuple(range(self.axis % x.ndim, x.ndim))
+        xp = x.astype(np.float32) if self.stash_f32 and x.dtype.kind == "f" and x.dtype.itemsize < 4 else x
+        ms = (xp * xp).mean(axis=ax, keepdims=True)
+        y = xp / np.sqrt(ms + np.asarray(self.epsilon, dtype=xp.dtype))
+        return [(y * scale.astype(xp.dtype)).astype(x.dtype)]
+
+    def to_jax(self, inputs, static=None):
+        import jax.numpy as jnp
+
+        x, scale = inputs[0], inputs[1]
+        ax = tuple(range(self.axis % x.ndim, x.ndim))
+        xp = x.astype(jnp.float32) if self.stash_f32 else x
+        ms = (xp * xp).mean(axis=ax, keepdims=True)
+        y = xp * jax_rsqrt(ms + self.epsilon)
+        return [(y * scale.astype(xp.dtype)).astype(x.dtype)]
+
+    def infer(self, infos):
+        i = infos[0]
+        if all(f.level is Level.NUMERIC for f in infos):
+            return [TensorInfo.numeric(self.eval([f.value for f in infos])[0])]
+        return [i.forget_value()]
+
+
+@dataclass
+class InstanceNormMilli(MilliOp):
+    """x(N,C,*sp), scale(C), bias(C): normalize each (n,c) over spatial."""
+
+    epsilon: float = 1e-5
+    KIND = "InstanceNorm"
+
+    def eval(self, inputs):
+        x, scale, bias = inputs
+        ax = tuple(range(2, x.ndim))
+        xp = x.astype(np.float32) if x.dtype.kind == "f" and x.dtype.itemsize < 4 else x
+        mean = xp.mean(axis=ax, keepdims=True)
+        d = xp - mean
+        var = (d * d).mean(axis=ax, keepdims=True)
+        y = d / np.sqrt(var + np.asarray(self.epsilon, dtype=xp.dtype))
+        y = y * _bcast_to_rank(scale.astype(xp.dtype), x.ndim, 1) \
+            + _bcast_to_rank(bias.astype(xp.dtype), x.ndim, 1)
+        return [y.astype(x.dtype)]
+
+    def to_jax(self, inputs, static=None):
+        import jax.numpy as jnp
+
+        x, scale, bias = inputs
+        ax = tuple(range(2, x.ndim))
+        xp = x.astype(jnp.float32)
+        mean = xp.mean(axis=ax, keepdims=True)
+        d = xp - mean
+        var = (d * d).mean(axis=ax, keepdims=True)
+        y = d * jax_rsqrt(var + self.epsilon)
+        y = y * _bcast_to_rank(scale.astype(jnp.float32), x.ndim, 1) \
+            + _bcast_to_rank(bias.astype(jnp.float32), x.ndim, 1)
+        return [y.astype(x.dtype)]
+
+    def infer(self, infos):
+        i = infos[0]
+        if all(f.level is Level.NUMERIC for f in infos):
+            return [TensorInfo.numeric(self.eval([f.value for f in infos])[0])]
+        return [i.forget_value()]
+
+
+@dataclass
+class GroupNormMilli(MilliOp):
+    """x(N,C,*sp), scale(C), bias(C); normalize per group of channels."""
+
+    epsilon: float = 1e-5
+    num_groups: int = 1
+    KIND = "GroupNorm"
+
+    def eval(self, inputs):
+        x, scale, bias = inputs
+        N, C = x.shape[0], x.shape[1]
+        sp = x.shape[2:]
+        gdim = self.num_groups
+        xp = x.astype(np.float32) if x.dtype.kind == "f" and x.dtype.itemsize < 4 else x
+        xg = xp.reshape(N, gdim, C // gdim, *sp)
+        ax = tuple(range(2, xg.ndim))
+        mean = xg.mean(axis=ax, keepdims=True)
+        d = xg - mean
+        var = (d * d).mean(axis=ax, keepdims=True)
+        y = (d / np.sqrt(var + np.asarray(self.epsilon, dtype=xp.dtype))).reshape(x.shape)
+        y = y * _bcast_to_rank(scale.astype(xp.dtype), x.ndim, 1) \
+            + _bcast_to_rank(bias.astype(xp.dtype), x.ndim, 1)
+        return [y.astype(x.dtype)]
+
+    def to_jax(self, inputs, static=None):
+        import jax.numpy as jnp
+
+        x, scale, bias = inputs
+        N, C = x.shape[0], x.shape[1]
+        sp = x.shape[2:]
+        gdim = self.num_groups
+        xp = x.astype(jnp.float32)
+        xg = xp.reshape(N, gdim, C // gdim, *sp)
+        ax = tuple(range(2, xg.ndim))
+        mean = xg.mean(axis=ax, keepdims=True)
+        d = xg - mean
+        var = (d * d).mean(axis=ax, keepdims=True)
+        y = (d * jax_rsqrt(var + self.epsilon)).reshape(x.shape)
+        y = y * _bcast_to_rank(scale.astype(jnp.float32), x.ndim, 1) \
+            + _bcast_to_rank(bias.astype(jnp.float32), x.ndim, 1)
+        return [y.astype(x.dtype)]
+
+    def infer(self, infos):
+        i = infos[0]
+        if all(f.level is Level.NUMERIC for f in infos):
+            return [TensorInfo.numeric(self.eval([f.value for f in infos])[0])]
+        return [i.forget_value()]
+
+
+@dataclass
+class BatchNormMilli(MilliOp):
+    """inference-mode batch norm: x, scale, bias, mean, var (all per-C)."""
+
+    epsilon: float = 1e-5
+    KIND = "BatchNorm"
+
+    def eval(self, inputs):
+        x, scale, bias, mean, var = inputs
+        xp = x.astype(np.float32) if x.dtype.kind == "f" and x.dtype.itemsize < 4 else x
+        r = x.ndim
+        y = (xp - _bcast_to_rank(mean.astype(xp.dtype), r, 1)) \
+            / np.sqrt(_bcast_to_rank(var.astype(xp.dtype), r, 1) + np.asarray(self.epsilon, dtype=xp.dtype))
+        y = y * _bcast_to_rank(scale.astype(xp.dtype), r, 1) \
+            + _bcast_to_rank(bias.astype(xp.dtype), r, 1)
+        return [y.astype(x.dtype)]
+
+    def to_jax(self, inputs, static=None):
+        import jax.numpy as jnp
+
+        x, scale, bias, mean, var = inputs
+        r = x.ndim
+        xp = x.astype(jnp.float32)
+        y = (xp - _bcast_to_rank(mean.astype(jnp.float32), r, 1)) \
+            * jax_rsqrt(_bcast_to_rank(var.astype(jnp.float32), r, 1) + self.epsilon)
+        y = y * _bcast_to_rank(scale.astype(jnp.float32), r, 1) \
+            + _bcast_to_rank(bias.astype(jnp.float32), r, 1)
+        return [y.astype(x.dtype)]
+
+    def infer(self, infos):
+        i = infos[0]
+        if all(f.level is Level.NUMERIC for f in infos):
+            return [TensorInfo.numeric(self.eval([f.value for f in infos])[0])]
+        return [i.forget_value()]
+
+
+def jax_rsqrt(v):
+    import jax
+
+    return jax.lax.rsqrt(v)

@@ -1,0 +1,149 @@
+"""LSTM milli op (ONNX LSTM semantics; iofc gate order).
+
+Reference equivalent: the Lstm symbolic op (src/symbolic_graph/ops/
+mod.rs:223-286). Oracle: numpy time loop; XLA: lax.scan (compiles to a
+single fused while-loop on TPU).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from ...dtype import DType
+from ...tensor_info import Level, TensorInfo
+from ..ir import MilliOp
+
+
+def _sig(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+@dataclass
+class LstmMilli(MilliOp):
+    """inputs: X(S,B,I), W(nd,4H,I), R(nd,4H,H)[, B(nd,8H), seq_lens(B),
+    initial_h(nd,B,H), initial_c(nd,B,H)].
+    outputs: Y(S,nd,B,H), Y_h(nd,B,H), Y_c(nd,B,H)."""
+
+    hidden_size: int = 0
+    direction: str = "forward"  # forward | reverse | bidirectional
+    KIND = "Lstm"
+    N_OUTPUTS = 3
+
+    def _dirs(self):
+        if self.direction == "bidirectional":
+            return [0, 1]
+        return [1] if self.direction == "reverse" else [0]
+
+    def eval(self, inputs):
+        X = inputs[0].astype(np.float32)
+        W = inputs[1].astype(np.float32)
+        R = inputs[2].astype(np.float32)
+        Bi = inputs[3].astype(np.float32) if len(inputs) > 3 and inputs[3] is not None else None
+        seq_lens = inputs[4] if len(inputs) > 4 and inputs[4] is not None else None
+        H = self.hidden_size
+        S, Bn, I = X.shape
+        nd = W.shape[0]
+        h0 = (inputs[5].astype(np.float32) if len(inputs) > 5 and inputs[5] is not None
+              else np.zeros((nd, Bn, H), np.float32))
+        c0 = (inputs[6].astype(np.float32) if len(inputs) > 6 and inputs[6] is not None
+              else np.zeros((nd, Bn, H), np.float32))
+        Y = np.zeros((S, nd, Bn, H), np.float32)
+        Yh = np.zeros((nd, Bn, H), np.float32)
+        Yc = np.zeros((nd, Bn, H), np.float32)
+        for d in range(nd):
+            rev = (self.direction == "reverse") or (d == 1)
+            Wd, Rd = W[d], R[d]
+            bias = Bi[d][:4 * H] + Bi[d][4 * H:] if Bi is not None else np.zeros(4 * H, np.float32)
+            h, c = h0[d].copy(), c0[d].copy()
+            order = range(S - 1, -1, -1) if rev else range(S)
+            for t in order:
+                x = X[t]
+                g = x @ Wd.T + h @ Rd.T + bias
+                i = _sig(g[:, 0:H])
+                o = _sig(g[:, H:2 * H])
+                f = _sig(g[:, 2 * H:3 * H])
+                cc = np.tanh(g[:, 3 * H:4 * H])
+                c_new = f * c + i * cc
+                h_new = o * np.tanh(c_new)
+                if seq_lens is not None:
+                    active = (t < np.asarray(seq_lens).astype(np.int64))[:, None]
+                    h_new = np.where(active, h_new, h)
+                    c_new = np.where(active, c_new, c)
+                    Y[t, d] = np.where(active, h_new, 0.0)
+                else:
+                    Y[t, d] = h_new
+                h, c = h_new, c_new
+            Yh[d], Yc[d] = h, c
+        dt = inputs[0].dtype
+        return [Y.astype(dt), Yh.astype(dt), Yc.astype(dt)]
+
+    def to_jax(self, inputs, static=None):
+        import jax
+        import jax.numpy as jnp
+
+        X = inputs[0].astype(jnp.float32)
+        W = inputs[1].astype(jnp.float32)
+        R = inputs[2].astype(jnp.float32)
+        Bi = inputs[3].astype(jnp.float32) if len(inputs) > 3 and inputs[3] is not None else None
+        if len(inputs) > 4 and inputs[4] is not None:
+            raise NotImplementedError("LSTM sequence_lens in jit")
+        H = self.hidden_size
+        S, Bn, I = X.shape
+        nd = W.shape[0]
+        h0 = (inputs[5].astype(jnp.float32) if len(inputs) > 5 and inputs[5] is not None
+              else jnp.zeros((nd, Bn, H), jnp.float32))
+        c0 = (inputs[6].astype(jnp.float32) if len(inputs) > 6 and inputs[6] is not None
+              else jnp.zeros((nd, Bn, H), jnp.float32))
+        outs, hs, cs = [], [], []
+        for d in range(nd):
+            rev = (self.direction == "reverse") or (d == 1)
+            Wd, Rd = W[d], R[d]
+            bias = (Bi[d][:4 * H] + Bi[d][4 * H:]) if Bi is not None else jnp.zeros(4 * H, jnp.float32)
+            xseq = jnp.flip(X, axis=0) if rev else X
+
+            def step(carry, x):
+                h, c = carry
+                g = x @ Wd.T + h @ Rd.T + bias
+                i = jax.nn.sigmoid(g[:, 0:H])
+                o = jax.nn.sigmoid(g[:, H:2 * H])
+                f = jax.nn.sigmoid(g[:, 2 * H:3 * H])
+                cc = jnp.tanh(g[:, 3 * H:4 * H])
+                c2 = f * c + i * cc
+                h2 = o * jnp.tanh(c2)
+                return (h2, c2), h2
+
+            (hT, cT), ys = jax.lax.scan(step, (h0[d], c0[d]), xseq)
+            if rev:
+                ys = jnp.flip(ys, axis=0)
+            outs.append(ys)
+            hs.append(hT)
+            cs.append(cT)
+        dt = inputs[0].dtype
+        Y = jnp.stack(outs, axis=1).astype(dt)
+        return [Y, jnp.stack(hs, axis=0).astype(dt), jnp.stack(cs, axis=0).astype(dt)]
+
+    def infer(self, infos):
+        vals = [i.value if i is not None and i.level is Level.NUMERIC else None
+                for i in infos]
+        if all(v is not None for v in vals[:3]) and all(
+                v is not None or infos[k] is None for k, v in enumerate(vals)):
+            try:
+                outs = self.eval([v for v in vals])
+                return [TensorInfo.numeric(o) for o in outs]
+            except Exception:
+                pass
+        x = infos[0]
+        dx = x.dims()
+        nd = 2 if self.direction == "bidirectional" else 1
+        H = self.hidden_size
+        if dx is not None:
+            from ...scalar_info import ScalarInfo
+
+            S, Bn = dx[0], dx[1]
+            return [TensorInfo.shaped(x.dtype, [S, ScalarInfo.of(nd), Bn, ScalarInfo.of(H)]),
+                    TensorInfo.shaped(x.dtype, [ScalarInfo.of(nd), Bn, ScalarInfo.of(H)]),
+                    TensorInfo.shaped(x.dtype, [ScalarInfo.of(nd), Bn, ScalarInfo.of(H)])]
+        return [TensorInfo.minimal(x.dtype)] * 3

@@ -1,0 +1,167 @@
+"""Composite symbolic ops: Attention, RotaryEmbedding, LSTM, STFT,
+Dropout, DepthToSpace/SpaceToDepth, QuantizeLinear/DequantizeLinear.
+
+Reference equivalents: RotaryEmbedding / Lstm / Stft / QuantMatMul in
+src/symbolic_graph/ops/mod.rs:223-286.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional
+
+import numpy as np
+
+from ...dtype import DType, ONNX_TO_DTYPE
+from ...milli.ops import (Cast, Concat, Reshape, Shape, SimpleBinary,
+                          Transpose)
+from ...milli.ops.attention import AttentionMilli, RotaryMilli
+from ...milli.ops.quant import DequantizeLinearMilli, QuantizeLinearMilli
+from ...milli.ops.rnn import LstmMilli
+from ...milli.ops.signal import StftMilli
+from .base import Attrs, Operation, register
+
+
+@register("Attention")
+@dataclass
+class Attention(Operation):
+    """Fused SDPA (ONNX opset 23 Attention, 4-D Q/K/V subset + GQA)."""
+
+    scale: Optional[float] = None
+    is_causal: bool = False
+    softcap: float = 0.0
+
+    @classmethod
+    def from_onnx(cls, node, attrs, opset):
+        return cls(attrs.f("scale", None), bool(attrs.i("is_causal", 0)),
+                   attrs.f("softcap", 0.0))
+
+    def lower(self, ctx, inputs, n_outputs):
+        args = [i for i in inputs if i is not None]
+        return [ctx.emit1(AttentionMilli(self.scale, self.is_causal,
+                                         self.softcap), *args)]
+
+
+@register("RotaryEmbedding")
+@dataclass
+class RotaryEmbedding(Operation):
+    interleaved: bool = False
+    rotary_embedding_dim: int = 0
+
+    @classmethod
+    def from_onnx(cls, node, attrs, opset):
+        return cls(bool(attrs.i("interleaved", 0)),
+                   attrs.i("rotary_embedding_dim", 0))
+
+    def lower(self, ctx, inputs, n_outputs):
+        args = [i for i in inputs if i is not None]
+        return [ctx.emit1(RotaryMilli(self.interleaved,
+                                      self.rotary_embedding_dim), *args)]
+
+
+@register("LSTM")
+@dataclass
+class LSTM(Operation):
+    hidden_size: int = 0
+    direction: str = "forward"
+
+    @classmethod
+    def from_onnx(cls, node, attrs, opset):
+        acts = attrs.strings("activations", None)
+        if acts and [a.lower() for a in acts[:3]] != ["sigmoid", "tanh", "tanh"]:
+            raise NotImplementedError(f"LSTM custom activations {acts}")
+        return cls(attrs.i("hidden_size", 0), attrs.s("direction", "forward"))
+
+    def lower(self, ctx, inputs, n_outputs):
+        outs = ctx.emit(LstmMilli(self.hidden_size, self.direction), *inputs,
+                        n_outputs=3)
+        return outs[:n_outputs] if n_outputs < 3 else outs
+
+
+@register("STFT")
+@dataclass
+class STFT(Operation):
+    onesided: bool = True
+
+    @classmethod
+    def from_onnx(cls, node, attrs, opset):
+        return cls(bool(attrs.i("onesided", 1)))
+
+    def lower(self, ctx, inputs, n_outputs):
+        return [ctx.emit1(StftMilli(self.onesided), *inputs)]
+
+
+@register("Dropout")
+class Dropout(Operation):
+    """Inference mode: identity (+ all-true mask when requested)."""
+
+    def lower(self, ctx, inputs, n_outputs):
+        from ...milli.ops import ConstantOfShape
+
+        x = inputs[0]
+        outs = [x]
+        if n_outputs > 1:
+            shp = ctx.emit1(Shape(), x)
+            mask = ctx.emit1(ConstantOfShape(np.asarray(True)), shp)
+            outs.append(mask)
+        return outs
+
+
+@register("DepthToSpace")
+@dataclass
+class DepthToSpace(Operation):
+    blocksize: int = 1
+    mode: str = "DCR"
+
+    @classmethod
+    def from_onnx(cls, node, attrs, opset):
+        return cls(attrs.i("blocksize", 1), attrs.s("mode", "DCR"))
+
+    def lower(self, ctx, inputs, n_outputs):
+        from ...milli.ops.misc import DepthToSpaceMilli
+
+        return [ctx.emit1(DepthToSpaceMilli(self.blocksize, self.mode), inputs[0])]
+
+
+@register("SpaceToDepth")
+@dataclass
+class SpaceToDepth(Operation):
+    blocksize: int = 1
+
+    @classmethod
+    def from_onnx(cls, node, attrs, opset):
+        return cls(attrs.i("blocksize", 1))
+
+    def lower(self, ctx, inputs, n_outputs):
+        from ...milli.ops.misc import SpaceToDepthMilli
+
+        return [ctx.emit1(SpaceToDepthMilli(self.blocksize), inputs[0])]
+
+
+@register("QuantizeLinear")
+@dataclass
+class QuantizeLinear(Operation):
+    axis: int = 1
+    output_dtype: Optional[DType] = None
+
+    @classmethod
+    def from_onnx(cls, node, attrs, opset):
+        return cls(attrs.i("axis", 1), ONNX_TO_DTYPE.get(attrs.i("output_dtype", 0)))
+
+    def lower(self, ctx, inputs, n_outputs):
+        args = [i for i in inputs if i is not None]
+        return [ctx.emit1(QuantizeLinearMilli(self.axis, self.output_dtype), *args)]
+
+
+@register("DequantizeLinear")
+@dataclass
+class DequantizeLinear(Operation):
+    axis: int = 1
+
+    @classmethod
+    def from_onnx(cls, node, attrs, opset):
+        return cls(attrs.i("axis", 1))
+
+    def lower(self, ctx, inputs, n_outputs):
+        args = [i for i in inputs if i is not None]
+        return [ctx.emit1(DequantizeLinearMilli(self.axis), *args)]

@@ -1,0 +1,149 @@
+"""Linear-algebra symbolic ops: MatMul, Gemm, Conv, ConvTranspose,
+QuantMatMul, Einsum.
+
+Reference equivalents: src/symbolic_graph/ops/{mod,conv}.rs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from ...dtype import DType
+from ...milli.ops import (Cast, CastLike, Concat, Conv, MatMul, Reshape,
+                          Shape, SimpleBinary, Transpose, Unsqueeze)
+from .base import Attrs, LowerCtx, Operation, register
+
+
+@register("MatMul")
+class MatMulOp(Operation):
+    def lower(self, ctx, inputs, n_outputs):
+        return [ctx.emit1(MatMul(), inputs[0], inputs[1])]
+
+
+@register("Gemm")
+@dataclass
+class Gemm(Operation):
+    alpha: float = 1.0
+    beta: float = 1.0
+    trans_a: bool = False
+    trans_b: bool = False
+
+    @classmethod
+    def from_onnx(cls, node, attrs, opset):
+        return cls(attrs.f("alpha", 1.0), attrs.f("beta", 1.0),
+                   bool(attrs.i("transA", 0)), bool(attrs.i("transB", 0)))
+
+    def lower(self, ctx, inputs, n_outputs):
+        a, b = inputs[0], inputs[1]
+        if self.trans_a:
+            a = ctx.emit1(Transpose(swap_last2=True), a)
+        if self.trans_b:
+            b = ctx.emit1(Transpose(swap_last2=True), b)
+        y = ctx.emit1(MatMul(), a, b)
+        if self.alpha != 1.0:
+            y = ctx.emit1(SimpleBinary("mul"), ctx.const_like(self.alpha, y), y)
+        if len(inputs) > 2 and inputs[2] is not None:
+            c = inputs[2]
+            if self.beta != 1.0:
+                c = ctx.emit1(SimpleBinary("mul"), ctx.const_like(self.beta, c), c)
+            y = ctx.emit1(SimpleBinary("add"), y, c)
+        return [y]
+
+
+def _resolve_auto_pad(auto_pad: str, pads: Optional[List[int]], nsp: int):
+    """Explicit pads only; SAME_* resolved during lowering when shapes are
+    known (handled in Conv lowering via symbolic shape is deferred — the
+    common recipes emit explicit pads)."""
+    if auto_pad in ("", "NOTSET"):
+        return pads or [0] * (2 * nsp)
+    if auto_pad == "VALID":
+        return [0] * (2 * nsp)
+    return None  # SAME_UPPER / SAME_LOWER need input sizes
+
+
+@register("Conv")
+@dataclass
+class ConvOp(Operation):
+    strides: Optional[List[int]] = None
+    pads: Optional[List[int]] = None
+    dilations: Optional[List[int]] = None
+    groups: int = 1
+    auto_pad: str = "NOTSET"
+    kernel_shape: Optional[List[int]] = None
+
+    @classmethod
+    def from_onnx(cls, node, attrs, opset):
+        return cls(attrs.ints("strides", None), attrs.ints("pads", None),
+                   attrs.ints("dilations", None), attrs.i("group", 1),
+                   attrs.s("auto_pad", "NOTSET"), attrs.ints("kernel_shape", None))
+
+    def lower(self, ctx, inputs, n_outputs):
+        nsp = len(self.kernel_shape) if self.kernel_shape else None
+        pads = self.pads
+        if self.auto_pad not in ("", "NOTSET") and self.auto_pad != "VALID":
+            raise NotImplementedError(f"Conv auto_pad={self.auto_pad} requires "
+                                      "shape-aware lowering (emit explicit pads)")
+        if self.auto_pad == "VALID":
+            pads = None
+        args = [i for i in inputs if i is not None]
+        return [ctx.emit1(Conv(self.strides, pads, self.dilations, self.groups),
+                          *args)]
+
+
+@register("ConvTranspose")
+@dataclass
+class ConvTranspose(Operation):
+    strides: Optional[List[int]] = None
+    pads: Optional[List[int]] = None
+    dilations: Optional[List[int]] = None
+    groups: int = 1
+    output_padding: Optional[List[int]] = None
+
+    @classmethod
+    def from_onnx(cls, node, attrs, opset):
+        if attrs.s("auto_pad", "NOTSET") not in ("", "NOTSET"):
+            raise NotImplementedError("ConvTranspose auto_pad")
+        return cls(attrs.ints("strides", None), attrs.ints("pads", None),
+                   attrs.ints("dilations", None), attrs.i("group", 1),
+                   attrs.ints("output_padding", None))
+
+    def lower(self, ctx, inputs, n_outputs):
+        from ...milli.ops.conv import ConvTransposeMilli
+
+        args = [i for i in inputs if i is not None]
+        return [ctx.emit1(ConvTransposeMilli(self.strides, self.pads,
+                                             self.dilations, self.groups,
+                                             self.output_padding), *args)]
+
+
+@register("QuantMatMul")
+@dataclass
+class QuantMatMul(Operation):
+    """Custom-domain quantized matmul: x @ dequant(w_packed).
+
+    Reference: src/symbolic_graph/ops/mod.rs QuantMatMul. On TPU this is
+    served by the fused dequant-matmul Pallas kernel; the milli lowering
+    dequantizes then matmuls (oracle semantics).
+    """
+
+    def lower(self, ctx, inputs, n_outputs):
+        # inputs: x, w (w is a dequantized-on-load initializer in milli)
+        return [ctx.emit1(MatMul(), inputs[0], inputs[1])]
+
+
+@register("Einsum")
+@dataclass
+class Einsum(Operation):
+    equation: str = ""
+
+    @classmethod
+    def from_onnx(cls, node, attrs, opset):
+        return cls(attrs.s("equation", ""))
+
+    def lower(self, ctx, inputs, n_outputs):
+        from ...milli.ops.einsum import EinsumMilli
+
+        return [ctx.emit1(EinsumMilli(self.equation), *inputs)]
