@@ -1,0 +1,119 @@
+"""End-to-end GPT-2 slice: HF weights -> ONNX recipe -> Model -> text
+interface (compiled prefill + lax.scan decode), cross-checked against
+the torch transformers implementation with identical random weights.
+
+This is the framework's minimum-slice milestone (SURVEY.md §7 phase 2)
+and mirrors the reference's model-loading integration tests
+(tests/llama3_model_loading.rs etc.) with torch as ground truth.
+"""
+
+import numpy as np
+import pytest
+
+from whisper_tensor_tpu.dtype import DType
+from whisper_tensor_tpu.importers.recipes.llm.gpt2 import (GPT2Config,
+                                                           build_gpt2_step,
+                                                           hf_gpt2_weight_getter)
+from whisper_tensor_tpu.interfaces.text import TextInferenceInterface
+from whisper_tensor_tpu.model import Model
+
+N_LAYER, N_HEAD, N_EMBD, VOCAB, MAXPOS = 2, 2, 32, 97, 64
+
+
+@pytest.fixture(scope="module")
+def tiny_gpt2():
+    import torch
+    from transformers import GPT2Config as HFConfig
+    from transformers import GPT2LMHeadModel
+
+    torch.manual_seed(0)
+    hf = GPT2LMHeadModel(HFConfig(
+        n_layer=N_LAYER, n_head=N_HEAD, n_embd=N_EMBD, vocab_size=VOCAB,
+        n_positions=MAXPOS, attn_pdrop=0.0, embd_pdrop=0.0, resid_pdrop=0.0))
+    hf.eval()
+    cfg = GPT2Config(n_layer=N_LAYER, n_head=N_HEAD, n_embd=N_EMBD,
+                     vocab_size=VOCAB, n_positions=MAXPOS)
+    onnx_bytes = build_gpt2_step(hf_gpt2_weight_getter(hf), cfg, max_len=MAXPOS)
+    model = Model.new_from_onnx(onnx_bytes, name="tiny-gpt2")
+    return hf, model, cfg
+
+
+def torch_logits(hf, ids):
+    import torch
+
+    with torch.no_grad():
+        return hf(torch.from_numpy(np.asarray(ids, dtype=np.int64))).logits.numpy()
+
+
+def test_prefill_logits_match_torch_oracle(tiny_gpt2):
+    hf, model, cfg = tiny_gpt2
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, VOCAB, (2, 10)).astype(np.int64)
+    B, L = ids.shape
+    H, D = cfg.n_head, cfg.n_embd // cfg.n_head
+    feeds = {"input_ids": ids, "pos": np.asarray(0, dtype=np.int64)}
+    for i in range(cfg.n_layer):
+        feeds[f"cache_k_{i}"] = np.zeros((B, H, MAXPOS, D), dtype=np.float32)
+        feeds[f"cache_v_{i}"] = np.zeros((B, H, MAXPOS, D), dtype=np.float32)
+    out = model.eval(feeds, mode="oracle")
+    tl = torch_logits(hf, ids)
+    np.testing.assert_allclose(out["logits"][:, :L], tl, rtol=1e-3, atol=1e-4)
+
+
+def test_interface_logits_xla(tiny_gpt2):
+    hf, model, cfg = tiny_gpt2
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, VOCAB, (2, 12)).astype(np.int64)
+    iface = TextInferenceInterface(model, max_len=MAXPOS,
+                                   prompt_buckets=(16, 32, 64))
+    lg = iface.logits(ids)
+    tl = torch_logits(hf, ids)
+    np.testing.assert_allclose(lg, tl, rtol=1e-3, atol=1e-4)
+
+
+def test_greedy_generation_matches_torch(tiny_gpt2):
+    import torch
+
+    hf, model, cfg = tiny_gpt2
+    rng = np.random.default_rng(2)
+    prompt = rng.integers(0, VOCAB, (1, 8)).astype(np.int64)
+    n_new = 12
+    iface = TextInferenceInterface(model, max_len=MAXPOS,
+                                   prompt_buckets=(16, 32, 64))
+    ours = iface.generate_tokens(prompt, n_new)[0]
+    with torch.no_grad():
+        full = hf.generate(torch.from_numpy(prompt), max_new_tokens=n_new,
+                           do_sample=False, pad_token_id=0)
+    theirs = full[0, prompt.shape[1]:].numpy()
+    np.testing.assert_array_equal(ours, theirs)
+
+
+def test_kv_cache_decode_consistent_with_full_forward(tiny_gpt2):
+    """Decode-with-cache logits at step t must equal full-forward logits
+    at position t (the cache correctness invariant)."""
+    hf, model, cfg = tiny_gpt2
+    rng = np.random.default_rng(3)
+    seq = rng.integers(0, VOCAB, (1, 16)).astype(np.int64)
+    iface = TextInferenceInterface(model, max_len=MAXPOS,
+                                   prompt_buckets=(16, 32, 64))
+    full = iface.logits(seq)  # (1, 16, V)
+    # now run prefill on the first 8, then 8 single-token steps
+    import jax.numpy as jnp
+
+    step = iface._traced_step(1, 16)
+    import jax
+
+    jstep = jax.jit(step)
+    caches = iface.fresh_cache(1)
+    w = iface._weights()
+    padded = np.zeros((1, 16), dtype=np.int64)
+    padded[:, :8] = seq[:, :8]
+    lg, caches = jstep(jnp.asarray(padded), jnp.asarray(0, dtype=jnp.int64),
+                       caches, w)
+    np.testing.assert_allclose(np.asarray(lg)[:, :8], full[:, :8], rtol=2e-3, atol=1e-4)
+    jstep1 = jax.jit(step)
+    for t in range(8, 16):
+        lg, caches = jstep1(jnp.asarray(seq[:, t:t + 1]),
+                            jnp.asarray(t, dtype=jnp.int64), caches, w)
+        np.testing.assert_allclose(np.asarray(lg)[0, 0], full[0, t],
+                                   rtol=2e-3, atol=1e-4)

@@ -161,7 +161,8 @@ class OnnxBuilder:
                       domain=domain)
         n.attribute = [_attr(k, v) for k, v in attrs.items() if v is not None]
         self.nodes.append(n)
-        return outs[0] if n_outputs == 1 and outputs is None else tuple(outs)
+        n_real = len(outs)
+        return outs[0] if n_real == 1 else tuple(outs)
 
     # -- common sugar -------------------------------------------------------
     def const(self, value: np.ndarray, name: Optional[str] = None) -> str:

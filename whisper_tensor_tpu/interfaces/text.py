@@ -1,0 +1,191 @@
+"""Text inference interface: tokens-in -> logits-out + generation.
+
+Reference equivalent: TextInferenceTokensInLogitOutInterface
+(src/interfaces.rs:64-155). TPU redesign: instead of a per-token
+SuperGraph Scan interpreting the model graph each step (reference
+call stack §3.2), the whole decode loop compiles to ONE jitted program:
+  * prefill: step graph at a bucketed prompt length
+  * decode: lax.scan over the step graph at S=1, greedy argmax feedback,
+    KV caches as donated buffers (in-place DynamicUpdateSlice on TPU)
+Weights live on device once; each generate() call is two program
+invocations regardless of token count.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..dtype import DType
+from ..model import Model
+
+DEFAULT_PROMPT_BUCKETS = (16, 32, 64, 128, 256, 512, 1024)
+
+
+def _bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class TextInferenceInterface:
+    """Drives a "unified step graph" model (see recipes.llm.*):
+    inputs  input_ids(B,S), pos(), cache_k_i/cache_v_i(B,H,MAX,D), weights
+    outputs logits(B,S,V), new_cache_k_i/new_cache_v_i.
+    """
+
+    def __init__(self, model: Model, max_len: int,
+                 cache_dtype: DType = DType.F32,
+                 prompt_buckets: Sequence[int] = DEFAULT_PROMPT_BUCKETS,
+                 tokenizer=None, eos_token_id: Optional[int] = None):
+        self.model = model
+        self.max_len = max_len
+        self.cache_dtype = cache_dtype
+        self.prompt_buckets = [b for b in prompt_buckets if b <= max_len]
+        self.tokenizer = tokenizer
+        self.eos_token_id = eos_token_id
+        milli, weight_inputs = model.graph.to_milli()
+        self.milli = milli
+        self.weight_names = list(weight_inputs)
+        self.input_names = list(milli.inputs)
+        self.output_names = list(milli.outputs)
+        self.cache_in_names = [n for n in self.input_names if n.startswith("cache_")]
+        self.cache_out_names = [n for n in self.output_names if n.startswith("new_cache_")]
+        self._weights_dev: Optional[List[Any]] = None
+        self._programs: Dict[Tuple, Any] = {}
+        # infer cache geometry from declared input info
+        info = model.graph.tensors[model.graph.by_name[self.cache_in_names[0]]].info
+        dims = info.dims()
+        self.n_heads = int(dims[1].value())
+        self.head_dim = int(dims[3].value())
+
+    # ------------------------------------------------------------------
+    def _weights(self) -> List[Any]:
+        if self._weights_dev is None:
+            import jax
+
+            self._weights_dev = [
+                jax.device_put(self.model.graph.store.get_numeric(
+                    n, self.cache_dtype if self.cache_dtype.is_float else DType.F32).numpy())
+                for n in self.weight_names
+            ]
+        return self._weights_dev
+
+    def fresh_cache(self, batch: int):
+        import jax.numpy as jnp
+
+        shape = (batch, self.n_heads, self.max_len, self.head_dim)
+        return [jnp.zeros(shape, dtype=self.cache_dtype.to_jax())
+                for _ in self.cache_in_names]
+
+    def _traced_step(self, batch: int, seq: int):
+        """Traceable fn(ids, pos, *caches, *weights) -> (logits, *caches)."""
+        from ..backends.xla.compiler import _trace_graph, ensure_x64
+
+        ensure_x64()
+        milli = self.milli
+        fn = _trace_graph(milli, {})
+
+        order = self.input_names
+
+        def step(ids, pos, caches, weights):
+            by_name = {"input_ids": ids, "pos": pos}
+            by_name.update(dict(zip(self.cache_in_names, caches)))
+            by_name.update(dict(zip(self.weight_names, weights)))
+            args = [by_name[n] for n in order]
+            outs = fn(*args)
+            named = dict(zip(self.output_names, outs))
+            new_caches = [named[n] for n in self.cache_out_names]
+            return named["logits"], new_caches
+
+        return step
+
+    def _program(self, batch: int, prompt_bucket: int, n_new: int):
+        import jax
+        import jax.numpy as jnp
+
+        key = (batch, prompt_bucket, n_new)
+        if key in self._programs:
+            return self._programs[key]
+        step = self._traced_step(batch, prompt_bucket)
+
+        n_weights = len(self.weight_names)
+        n_caches = len(self.cache_in_names)
+
+        def full(ids_padded, prompt_len, caches, weights):
+            # prefill at bucket length
+            logits, caches = step(ids_padded, jnp.asarray(0, dtype=jnp.int64),
+                                  caches, weights)
+            last = logits[:, prompt_len - 1, :]
+            first_tok = jnp.argmax(last, axis=-1)
+
+            def body(carry, _):
+                cur, pos, caches = carry
+                lg, caches = step(cur[:, None], pos, caches, weights)
+                nxt = jnp.argmax(lg[:, -1, :], axis=-1)
+                return (nxt, pos + 1, caches), cur
+
+            (final_tok, _, caches), toks = jax.lax.scan(
+                body, (first_tok, prompt_len.astype(jnp.int64), caches),
+                None, length=n_new)
+            # toks: (n_new, B) of emitted tokens (first is first_tok)
+            return jnp.swapaxes(toks, 0, 1), caches
+
+        # donate cache buffers (arg 2)
+        jitted = jax.jit(full, donate_argnums=(2,), static_argnums=())
+        self._programs[key] = jitted
+        return jitted
+
+    # ------------------------------------------------------------------
+    def generate_tokens(self, prompt_ids: np.ndarray, n_new: int,
+                        caches=None) -> np.ndarray:
+        """prompt_ids: (B, L) int64, same L per row. Returns (B, n_new)."""
+        import jax.numpy as jnp
+
+        prompt_ids = np.asarray(prompt_ids, dtype=np.int64)
+        if prompt_ids.ndim == 1:
+            prompt_ids = prompt_ids[None]
+        B, L = prompt_ids.shape
+        Sb = _bucket(L, self.prompt_buckets)
+        padded = np.zeros((B, Sb), dtype=np.int64)
+        padded[:, :L] = prompt_ids
+        weights = self._weights()
+        if caches is None:
+            caches = self.fresh_cache(B)
+        prog = self._program(B, Sb, n_new)
+        toks, _ = prog(jnp.asarray(padded), jnp.asarray(L, dtype=jnp.int64),
+                       caches, weights)
+        return np.asarray(toks)
+
+    def logits(self, prompt_ids: np.ndarray) -> np.ndarray:
+        """Single forward: (B, L) -> (B, L, V) logits (prefill program)."""
+        import jax
+        import jax.numpy as jnp
+
+        prompt_ids = np.asarray(prompt_ids, dtype=np.int64)
+        if prompt_ids.ndim == 1:
+            prompt_ids = prompt_ids[None]
+        B, L = prompt_ids.shape
+        Sb = _bucket(L, self.prompt_buckets)
+        padded = np.zeros((B, Sb), dtype=np.int64)
+        padded[:, :L] = prompt_ids
+        step = self._traced_step(B, Sb)
+        jitted = jax.jit(lambda ids, caches, weights: step(
+            ids, jnp.asarray(0, dtype=jnp.int64), caches, weights)[0])
+        out = jitted(jnp.asarray(padded), self.fresh_cache(B), self._weights())
+        return np.asarray(out)[:, :L, :]
+
+    # ------------------------------------------------------------------
+    def run_string_in_string_out(self, text: str, n_new: int = 32) -> str:
+        if self.tokenizer is None:
+            raise ValueError("no tokenizer configured")
+        ids = np.asarray(self.tokenizer.encode(text), dtype=np.int64)[None]
+        toks = self.generate_tokens(ids, n_new)[0]
+        if self.eos_token_id is not None:
+            eos = np.nonzero(toks == self.eos_token_id)[0]
+            if eos.size:
+                toks = toks[:eos[0]]
+        return self.tokenizer.decode([int(t) for t in toks])

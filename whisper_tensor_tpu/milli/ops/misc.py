@@ -223,3 +223,37 @@ class SpaceToDepthMilli(MilliOp):
         if i.rank is not None:
             return [TensorInfo.ranked(i.dtype, i.rank)]
         return [TensorInfo.minimal(i.dtype)]
+
+
+@dataclass
+class DynUpdateSliceMilli(MilliOp):
+    """data, update, start(scalar i64) -> data with update written at
+    offset `start` along `axis`. The static-shape KV-cache write: maps to
+    jax.lax.dynamic_update_slice_in_dim (XLA DynamicUpdateSlice), which
+    donated-buffer jit turns into an in-place write on TPU."""
+
+    axis: int = 0
+    KIND = "DynUpdateSlice"
+
+    def eval(self, inputs):
+        data, update, start = inputs
+        s = int(np.asarray(start).reshape(()))
+        out = data.copy()
+        ax = self.axis % data.ndim
+        idx = [slice(None)] * data.ndim
+        idx[ax] = slice(s, s + update.shape[ax])
+        out[tuple(idx)] = update.astype(data.dtype)
+        return [out]
+
+    def to_jax(self, inputs, static=None):
+        import jax
+
+        data, update, start = inputs
+        return [jax.lax.dynamic_update_slice_in_dim(
+            data, update.astype(data.dtype), start.reshape(()),
+            axis=self.axis % data.ndim)]
+
+    def infer(self, infos):
+        if all(f.level is Level.NUMERIC for f in infos):
+            return [TensorInfo.numeric(self.eval([f.value for f in infos])[0])]
+        return [infos[0].forget_value()]

@@ -1,0 +1,110 @@
+"""Device mesh + sharding-rule layer.
+
+Net-new relative to the reference (which is single-device; SURVEY.md
+§2.6): DP/TP/SP expressed as jax.sharding over a named Mesh; XLA/GSPMD
+inserts the collectives (psum/all-gather/reduce-scatter) over ICI.
+Axis conventions:
+  dp — data parallel (batch)
+  sp — sequence parallel (activations' sequence dim; a.k.a. context)
+  tp — tensor parallel (hidden/heads; megatron-style column/row splits)
+  pp — pipeline parallel (layer groups; round-2: shard_map pipeline)
+  ep — expert parallel (MoE experts; arrives with the deepseek recipe)
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+AXES = ("dp", "sp", "tp")
+
+
+def make_mesh(dp: int = 1, sp: int = 1, tp: int = 1, devices=None):
+    """Build a Mesh with the standard (dp, sp, tp) axes."""
+    import jax
+    from jax.sharding import Mesh
+
+    devices = devices if devices is not None else jax.devices()
+    n = dp * sp * tp
+    if len(devices) < n:
+        raise ValueError(f"need {n} devices, have {len(devices)}")
+    arr = np.asarray(devices[:n]).reshape(dp, sp, tp)
+    return Mesh(arr, ("dp", "sp", "tp"))
+
+
+def auto_mesh(n_devices: int):
+    """Reasonable default factorization: tp innermost (ICI-adjacent),
+    then dp; sp=1 unless n is large."""
+    tp = 1
+    for cand in (8, 4, 2):
+        if n_devices % cand == 0:
+            tp = cand
+            break
+    dp = n_devices // tp
+    return make_mesh(dp=dp, sp=1, tp=tp)
+
+
+def named(mesh, *spec):
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    return NamedSharding(mesh, PartitionSpec(*spec))
+
+
+# ---------------------------------------------------------------------------
+# per-weight sharding rules (pattern -> PartitionSpec), megatron-style:
+# column-parallel for up-projections (shard output dim on tp), row-parallel
+# for down-projections (shard input dim on tp), embeddings sharded on vocab.
+# ---------------------------------------------------------------------------
+
+GPT2_RULES: List[Tuple[str, Tuple]] = [
+    (r"^wte$", ("tp", None)),           # (V, E): shard vocab
+    (r"^wte_t$", (None, "tp")),         # (E, V)
+    (r"^wpe$", (None, None)),
+    (r"^wqkv_\d+$", (None, "tp")),      # (E, 3E) column-parallel
+    (r"^bqkv_\d+$", ("tp",)),
+    (r"^wproj_\d+$", ("tp", None)),     # (E, E) row-parallel
+    (r"^bproj_\d+$", (None,)),
+    (r"^wfc_\d+$", (None, "tp")),       # (E, 4E) column-parallel
+    (r"^bfc_\d+$", ("tp",)),
+    (r"^wmp_\d+$", ("tp", None)),       # (4E, E) row-parallel
+    (r"^bmp_\d+$", (None,)),
+    (r"^ln\w*_?\d*$", None),            # norm params replicated
+]
+
+LLAMA_RULES: List[Tuple[str, Tuple]] = [
+    (r"embed", ("tp", None)),
+    (r"(wq|wk|wv|w_qkv)_", (None, "tp")),
+    (r"(wo|w_o)_", ("tp", None)),
+    (r"(w_gate|w_up|w1|w3)_", (None, "tp")),
+    (r"(w_down|w2)_", ("tp", None)),
+    (r"lm_head", (None, "tp")),
+    (r"norm", None),
+]
+
+
+def weight_shardings(names: Sequence[str], mesh,
+                     rules: List[Tuple[str, Optional[Tuple]]]):
+    """Map weight names to NamedShardings via the first matching rule;
+    unmatched weights are replicated."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    out = []
+    for n in names:
+        spec: Optional[Tuple] = None
+        for pat, s in rules:
+            if re.search(pat, n):
+                spec = s
+                break
+        if spec is None:
+            out.append(NamedSharding(mesh, PartitionSpec()))
+        else:
+            out.append(NamedSharding(mesh, PartitionSpec(*spec)))
+    return out
+
+
+def shard_array(arr, sharding):
+    import jax
+
+    return jax.device_put(arr, sharding)

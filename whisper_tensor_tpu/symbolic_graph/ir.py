@@ -280,7 +280,8 @@ class SymbolicGraph:
     # ------------------------------------------------------------------
     # lowering
     # ------------------------------------------------------------------
-    def to_milli(self, group: Optional[str] = None) -> Tuple[MilliGraph, Dict[str, str]]:
+    def to_milli(self, group: Optional[str] = None,
+                 bake_small_constants: bool = True) -> Tuple[MilliGraph, Dict[str, str]]:
         """Lower the whole graph to one MilliOpGraph.
 
         Returns (milli_graph, weight_inputs) where weight_inputs maps
@@ -299,7 +300,8 @@ class SymbolicGraph:
             tmap[tid] = milli.add_input(t.name, t.info)
         for tid, t in self.tensors.items():
             if t.kind is TensorKind.INITIALIZER:
-                tmap[tid] = self._lower_initializer(ctx, milli, t, weight_inputs)
+                tmap[tid] = self._lower_initializer(ctx, milli, t, weight_inputs,
+                                                    bake_small_constants)
         # outer-scope captures: tensors consumed but never produced here
         # (subgraph placeholders) become extra milli inputs fed by the
         # caller's environment.
@@ -325,14 +327,16 @@ class SymbolicGraph:
         return milli, weight_inputs
 
     def _lower_initializer(self, ctx: LowerCtx, milli: MilliGraph, t: STensor,
-                           weight_inputs: Dict[str, str]) -> int:
+                           weight_inputs: Dict[str, str],
+                           bake_small_constants: bool = True) -> int:
         from ..tensor import NumericTensor
 
         stored = self.store.get(t.name)
         n_elems = 1
         for d in getattr(stored, "shape", ()):  # both NumericTensor & PackedTensor
             n_elems *= d
-        if isinstance(stored, NumericTensor) and n_elems <= CONST_BAKE_MAX_ELEMENTS:
+        if (bake_small_constants and isinstance(stored, NumericTensor)
+                and n_elems <= CONST_BAKE_MAX_ELEMENTS):
             return ctx.const(stored.numpy())
         # big weight: runtime input, dequantized lazily for packed
         name = t.name

@@ -165,3 +165,23 @@ class DequantizeLinear(Operation):
     def lower(self, ctx, inputs, n_outputs):
         args = [i for i in inputs if i is not None]
         return [ctx.emit1(DequantizeLinearMilli(self.axis), *args)]
+
+
+@register("CacheWrite")
+@dataclass
+class CacheWrite(Operation):
+    """Custom-domain (wt) op: write `update` into `cache` at offset
+    `start` along `axis`. Used by LLM recipes for fixed-shape KV caches
+    (the TPU-native replacement for the reference's concat-grow KV pattern)."""
+
+    axis: int = 0
+
+    @classmethod
+    def from_onnx(cls, node, attrs, opset):
+        return cls(attrs.i("axis", 0))
+
+    def lower(self, ctx, inputs, n_outputs):
+        from ...milli.ops.misc import DynUpdateSliceMilli
+
+        return [ctx.emit1(DynUpdateSliceMilli(self.axis),
+                          inputs[0], inputs[1], inputs[2])]

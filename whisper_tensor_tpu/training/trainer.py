@@ -1,0 +1,132 @@
+"""LM training driver: jax.grad over a traced milli graph + optax.
+
+Reference equivalent: the symbolic-autodiff training generation
+(src/milli_graph/mod.rs:1170-1432). TPU redesign per SURVEY.md §7
+phase 7: the *math* uses jax.grad over the same milli graph the
+inference path executes (every milli to_jax rule is differentiable),
+while the milli-level symbolic autodiff/optimizers remain available as
+the editable-artifact path (milli.autodiff). Parallelism: params are
+placed with NamedShardings (parallel.mesh rules); GSPMD inserts the
+DP/TP/SP collectives.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..dtype import DType
+from ..model import Model
+
+
+class LMTrainer:
+    """Next-token cross-entropy trainer over a training-mode graph
+    (inputs: input_ids; outputs: logits)."""
+
+    def __init__(self, model: Model, optimizer: str = "adamw",
+                 lr: float = 3e-4, weight_decay: float = 0.01,
+                 mesh=None, rules=None, param_dtype: DType = DType.F32):
+        from ..backends.xla.compiler import _trace_graph, ensure_x64
+
+        ensure_x64()
+        self.model = model
+        milli, weight_inputs = model.graph.to_milli(bake_small_constants=False)
+        self.milli = milli
+        self.weight_names = [n for n in milli.inputs if n in weight_inputs]
+        self.data_names = [n for n in milli.inputs if n not in weight_inputs]
+        self._fn = _trace_graph(milli, {})
+        self._order = list(milli.inputs)
+        self.mesh = mesh
+        self.param_dtype = param_dtype
+        self.lr = lr
+
+        import optax
+
+        if optimizer == "adamw":
+            self.tx = optax.adamw(lr, weight_decay=weight_decay)
+        elif optimizer == "adam":
+            self.tx = optax.adam(lr)
+        elif optimizer == "sgd":
+            self.tx = optax.sgd(lr)
+        elif optimizer == "sgd_momentum":
+            self.tx = optax.sgd(lr, momentum=0.9)
+        else:
+            raise ValueError(optimizer)
+
+        if mesh is not None:
+            from ..parallel.mesh import GPT2_RULES, weight_shardings
+
+            self.param_shardings = weight_shardings(
+                self.weight_names, mesh, rules if rules is not None else GPT2_RULES)
+        else:
+            self.param_shardings = None
+        self._step_fn = None
+
+    # ------------------------------------------------------------------
+    def init_params(self) -> Dict[str, Any]:
+        import jax
+
+        params = {}
+        for i, n in enumerate(self.weight_names):
+            host = self.model.graph.store.get_numeric(n, self.param_dtype).numpy()
+            host = host.astype(self.param_dtype.to_numpy(), copy=False)
+            if self.param_shardings is not None:
+                params[n] = jax.device_put(host, self.param_shardings[i])
+            else:
+                params[n] = jax.device_put(host)
+        return params
+
+    def init_opt_state(self, params):
+        import jax
+
+        return jax.jit(self.tx.init)(params)
+
+    # ------------------------------------------------------------------
+    def _forward(self, params: Dict[str, Any], ids):
+        by_name = dict(params)
+        by_name["input_ids"] = ids
+        args = [by_name[n] for n in self._order]
+        outs = self._fn(*args)
+        named = dict(zip(self.milli.outputs, outs))
+        return named["logits"]
+
+    def loss_fn(self, params, ids, targets):
+        import jax
+        import jax.numpy as jnp
+
+        logits = self._forward(params, ids).astype(jnp.float32)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+        return nll.mean()
+
+    def _build_step(self):
+        import jax
+
+        def step(params, opt_state, ids, targets):
+            loss, grads = jax.value_and_grad(self.loss_fn)(params, ids, targets)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            import optax
+
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        self._step_fn = jax.jit(step, donate_argnums=(0, 1))
+        return self._step_fn
+
+    def train_step(self, params, opt_state, ids, targets):
+        """One optimizer step. ids/targets: (B, S) int."""
+        import jax.numpy as jnp
+
+        if self._step_fn is None:
+            self._build_step()
+        ids = jnp.asarray(np.asarray(ids, dtype=np.int64))
+        targets = jnp.asarray(np.asarray(targets, dtype=np.int64))
+        if self.mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            data_sh = NamedSharding(self.mesh, PartitionSpec("dp", "sp"))
+            ids = jax.device_put(ids, data_sh)
+            targets = jax.device_put(targets, data_sh)
+        return self._step_fn(params, opt_state, ids, targets)
