@@ -1,0 +1,34 @@
+"""Runner: every case through the full Model path on both backends.
+
+Reference equivalent: tests/onnx_testing.rs do_tests!(ndarray)/(vulkan)
+— here (oracle)/(xla). The case count is this framework's conformance
+metric (BASELINE.json: "all 400+ ONNX conformance tests green").
+"""
+
+import pytest
+
+from .harness import check_case
+from . import cases_elementwise, cases_nn, cases_shape
+
+ALL_CASES = (cases_elementwise.CASES + cases_shape.CASES + cases_nn.CASES)
+
+_names = [c.name for c in ALL_CASES]
+assert len(_names) == len(set(_names)), sorted(
+    n for n in _names if _names.count(n) > 1)
+
+
+@pytest.mark.parametrize("case", ALL_CASES, ids=lambda c: c.name)
+def test_oracle(case):
+    check_case(case, "oracle")
+
+
+@pytest.mark.parametrize("case", [c for c in ALL_CASES if not c.oracle_only],
+                         ids=lambda c: c.name)
+def test_xla(case):
+    check_case(case, "xla")
+
+
+def test_case_count_meets_baseline():
+    # oracle + xla expansions together form the conformance suite
+    total = len(ALL_CASES) + sum(1 for c in ALL_CASES if not c.oracle_only)
+    assert total >= 400, f"conformance suite shrank: {total} < 400"

@@ -208,18 +208,29 @@ class SimpleUnary(MilliOp):
         import jax.numpy as jnp
 
         x = inputs[0]
+        # oracle contract: bf16/f16/f8 elementwise math computes in f32
+        # and rounds back (exact); mirror that here so backends agree.
+        orig = None
+        if x.dtype in (jnp.bfloat16, jnp.float16,
+                       jnp.float8_e4m3fn, jnp.float8_e5m2):
+            orig = x.dtype
+            x = x.astype(jnp.float32)
         name = _UNARY_TABLE[self.mode][1]
         if name == "_sigmoid":
-            return [jax.nn.sigmoid(x)]
-        if name == "_erf":
-            return [jax.lax.erf(x)]
-        if name == "_reciprocal":
-            return [1.0 / x]
-        if name == "_relu":
-            return [jnp.maximum(x, 0)]
-        if name == "_softplus":
-            return [jax.nn.softplus(x)]
-        return [getattr(jnp, name)(x)]
+            out = jax.nn.sigmoid(x)
+        elif name == "_erf":
+            out = jax.lax.erf(x)
+        elif name == "_reciprocal":
+            out = 1.0 / x
+        elif name == "_relu":
+            out = jnp.maximum(x, 0)
+        elif name == "_softplus":
+            out = jax.nn.softplus(x)
+        else:
+            out = getattr(jnp, name)(x)
+        if orig is not None and out.dtype == jnp.float32:
+            out = out.astype(orig)
+        return [out]
 
     def infer(self, infos):
         i = infos[0]

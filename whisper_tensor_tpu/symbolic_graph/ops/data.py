@@ -446,3 +446,30 @@ class OneHot(Operation):
         from ...milli.ops import OneHotMilli
 
         return [ctx.emit1(OneHotMilli(self.axis), inputs[0], inputs[1], inputs[2])]
+
+
+@register("Resize")
+@dataclass
+class ResizeOp(Operation):
+    mode: str = "nearest"
+    coord_mode: str = "half_pixel"
+    nearest_mode: str = "round_prefer_floor"
+    cubic_a: float = -0.75
+    exclude_outside: bool = False
+    axes: Optional[List[int]] = None
+
+    @classmethod
+    def from_onnx(cls, node, attrs, opset):
+        return cls(attrs.s("mode", "nearest"),
+                   attrs.s("coordinate_transformation_mode", "half_pixel"),
+                   attrs.s("nearest_mode", "round_prefer_floor"),
+                   attrs.f("cubic_coeff_a", -0.75),
+                   bool(attrs.i("exclude_outside", 0)),
+                   attrs.ints("axes", None))
+
+    def lower(self, ctx, inputs, n_outputs):
+        from ...milli.ops import Resize
+
+        return [ctx.emit1(Resize(self.mode, self.coord_mode, self.nearest_mode,
+                                 self.cubic_a, self.exclude_outside, self.axes),
+                          *inputs)]
