@@ -1,0 +1,113 @@
+"""Llama-family recipe end-to-end vs torch transformers (GQA + RoPE +
+RMSNorm + SwiGLU), incl. qwen2 attention-bias variant."""
+
+import numpy as np
+import pytest
+
+from whisper_tensor_tpu.dtype import DType
+from whisper_tensor_tpu.importers.recipes.llm.llama import (LlamaConfig,
+                                                            build_llama_step,
+                                                            hf_weight_getter)
+from whisper_tensor_tpu.interfaces.text import TextInferenceInterface
+from whisper_tensor_tpu.model import Model
+
+MAXLEN = 64
+
+
+def make_tiny(model_type="llama"):
+    import torch
+
+    torch.manual_seed(0)
+    common = dict(num_hidden_layers=2, num_attention_heads=4,
+                  num_key_value_heads=2, hidden_size=32,
+                  intermediate_size=64, vocab_size=101,
+                  max_position_embeddings=MAXLEN,
+                  attention_dropout=0.0)
+    if model_type == "llama":
+        from transformers import LlamaConfig as HFCfg, LlamaForCausalLM
+
+        hf = LlamaForCausalLM(HFCfg(rope_theta=10000.0, **common))
+    else:
+        from transformers import Qwen2Config as HFCfg, Qwen2ForCausalLM
+
+        hf = Qwen2ForCausalLM(HFCfg(rope_theta=10000.0, **common))
+    hf.eval()
+    cfg = LlamaConfig.from_hf({**common, "model_type": model_type,
+                               "rope_theta": 10000.0,
+                               "rms_norm_eps": 1e-6})
+    data = build_llama_step(hf_weight_getter(hf), cfg, max_len=MAXLEN)
+    return hf, Model.new_from_onnx(data, name=f"tiny-{model_type}"), cfg
+
+
+@pytest.fixture(scope="module", params=["llama", "qwen2"])
+def tiny(request):
+    return make_tiny(request.param)
+
+
+def test_logits_match_torch(tiny):
+    import torch
+
+    hf, model, cfg = tiny
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, cfg.vocab_size, (2, 11)).astype(np.int64)
+    iface = TextInferenceInterface(model, max_len=MAXLEN,
+                                   prompt_buckets=(16, 32, 64))
+    lg = iface.logits(ids)
+    with torch.no_grad():
+        tl = hf(torch.from_numpy(ids)).logits.numpy()
+    np.testing.assert_allclose(lg, tl, rtol=2e-3, atol=2e-4)
+
+
+def test_greedy_matches_torch(tiny):
+    import torch
+
+    hf, model, cfg = tiny
+    rng = np.random.default_rng(1)
+    prompt = rng.integers(0, cfg.vocab_size, (1, 7)).astype(np.int64)
+    iface = TextInferenceInterface(model, max_len=MAXLEN,
+                                   prompt_buckets=(16, 32, 64))
+    ours = iface.generate_tokens(prompt, 10)[0]
+    with torch.no_grad():
+        full = hf.generate(torch.from_numpy(prompt), max_new_tokens=10,
+                           do_sample=False, pad_token_id=0)
+    np.testing.assert_array_equal(ours, full[0, 7:].numpy())
+
+
+def test_safetensors_round_trip(tmp_path):
+    """Save tiny llama weights as sharded safetensors; import via
+    SafetensorsStore; logits must match the in-memory path."""
+    import torch
+    from safetensors.torch import save_file
+
+    from whisper_tensor_tpu.importers.safetensors_io import SafetensorsStore
+
+    hf, model_ref, cfg = make_tiny("llama")
+    sd = {k: v.contiguous() for k, v in hf.state_dict().items()
+          if not k.startswith("lm_head")}
+    half = len(sd) // 2
+    items = list(sd.items())
+    save_file(dict(items[:half]), str(tmp_path / "a.safetensors"))
+    save_file(dict(items[half:]), str(tmp_path / "b.safetensors"))
+
+    store = SafetensorsStore([str(tmp_path / "a.safetensors"),
+                              str(tmp_path / "b.safetensors")])
+
+    def getter(name):
+        if name == "lm_head.weight" and name not in store:
+            return store.load("model.embed_tokens.weight")
+        return store.load(name)
+
+    cfg2 = LlamaConfig(**{**cfg.__dict__, "tie_word_embeddings": True})
+    data = build_llama_step(getter, cfg2, max_len=MAXLEN)
+    model = Model.new_from_onnx(data, name="st-llama")
+    rng = np.random.default_rng(2)
+    ids = rng.integers(0, cfg.vocab_size, (1, 9)).astype(np.int64)
+    iface = TextInferenceInterface(model, max_len=MAXLEN, prompt_buckets=(16,))
+    lg = iface.logits(ids)
+    assert np.isfinite(lg).all()
+    # cross-check vs torch with tied head
+    with torch.no_grad():
+        emb = hf.get_input_embeddings().weight
+        hf.lm_head.weight = torch.nn.Parameter(emb.clone())
+        tl = hf(torch.from_numpy(ids)).logits.numpy()
+    np.testing.assert_allclose(lg, tl, rtol=2e-3, atol=2e-4)

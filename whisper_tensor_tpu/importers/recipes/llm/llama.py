@@ -1,0 +1,185 @@
+"""Llama-family import recipe (llama3 / mistral / qwen2 / qwen3-dense).
+
+Reference equivalents: crates/whisper-tensor-import/src/models/llm/
+{llama3,qwen2}.rs. Same TPU design as the GPT-2 recipe: one unified
+step graph with fixed-shape KV caches + scalar position; RMSNorm,
+rotary embeddings (NeoX halves), GQA fused attention, SwiGLU MLP.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable, Dict, Optional
+
+import numpy as np
+
+from ....dtype import DType
+from ...onnx_builder import OnnxBuilder, WeightStorage
+
+
+@dataclass
+class LlamaConfig:
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 8
+    hidden_size: int = 4096
+    intermediate_size: int = 14336
+    vocab_size: int = 128256
+    max_position_embeddings: int = 8192
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 500000.0
+    tie_word_embeddings: bool = False
+    attention_bias: bool = False       # qwen2: True
+    head_dim: Optional[int] = None
+    model_type: str = "llama"
+
+    @staticmethod
+    def from_hf(cfg: dict) -> "LlamaConfig":
+        return LlamaConfig(
+            num_hidden_layers=cfg["num_hidden_layers"],
+            num_attention_heads=cfg["num_attention_heads"],
+            num_key_value_heads=cfg.get("num_key_value_heads",
+                                        cfg["num_attention_heads"]),
+            hidden_size=cfg["hidden_size"],
+            intermediate_size=cfg["intermediate_size"],
+            vocab_size=cfg["vocab_size"],
+            max_position_embeddings=cfg.get("max_position_embeddings", 8192),
+            rms_norm_eps=cfg.get("rms_norm_eps", 1e-5),
+            rope_theta=cfg.get("rope_theta", 10000.0),
+            tie_word_embeddings=cfg.get("tie_word_embeddings", False),
+            attention_bias=cfg.get("attention_bias",
+                                   cfg.get("model_type") == "qwen2"),
+            head_dim=cfg.get("head_dim"),
+            model_type=cfg.get("model_type", "llama"),
+        )
+
+    @property
+    def hd(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_attention_heads
+
+
+def rope_tables(cfg: LlamaConfig, max_len: int):
+    """cos/sin tables (max_len, head_dim/2), NeoX-style halves."""
+    hd = cfg.hd
+    inv = 1.0 / (cfg.rope_theta ** (np.arange(0, hd, 2, dtype=np.float64) / hd))
+    pos = np.arange(max_len, dtype=np.float64)
+    ang = np.outer(pos, inv)
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def build_llama_step(weights: Callable[[str], np.ndarray], cfg: LlamaConfig,
+                     max_len: int, dtype: DType = DType.F32,
+                     storage: Optional[WeightStorage] = None) -> bytes:
+    """HF llama state-dict names; HF Linear weights are (out, in) and are
+    transposed once at import into matmul-RHS layout."""
+    E = cfg.hidden_size
+    Hq = cfg.num_attention_heads
+    Hkv = cfg.num_key_value_heads
+    D = cfg.hd
+    L = cfg.num_hidden_layers
+    V = cfg.vocab_size
+    I = cfg.intermediate_size
+    np_dt = dtype.to_numpy()
+
+    def w(name: str) -> np.ndarray:
+        return np.asarray(weights(name)).astype(np_dt)
+
+    def wT(name: str) -> np.ndarray:
+        return np.ascontiguousarray(w(name).T)
+
+    b = OnnxBuilder(f"{cfg.model_type}_step", opset=23, custom_opsets={"wt": 1})
+    ids = b.input("input_ids", DType.I64, ["batch", "seq"])
+    pos = b.input("pos", DType.I64, [])
+    cache_ins = []
+    for i in range(L):
+        cache_ins.append((
+            b.input(f"cache_k_{i}", dtype, ["batch", Hkv, max_len, D]),
+            b.input(f"cache_v_{i}", dtype, ["batch", Hkv, max_len, D])))
+
+    embed = b.initializer("embed_tokens", w("model.embed_tokens.weight"))
+    x = b.gather(embed, ids)
+
+    # positions + masks
+    seq_shape = b.node("Shape", [ids], start=1, end=2)
+    s_scalar = b.node("Squeeze", [seq_shape, b.const_i64([0])])
+    zero, one = b.const_i64(0), b.const_i64(1)
+    rel = b.node("Range", [zero, s_scalar, one])
+    abs_pos = b.add(rel, b.node("Cast", [pos], to=7))               # (S,)
+    mrange = b.node("Range", [zero, b.const_i64(max_len), one])
+    vis = b.node("LessOrEqual",
+                 [b.node("Unsqueeze", [mrange, b.const_i64([0])]),
+                  b.node("Unsqueeze", [abs_pos, b.const_i64([1])])])
+    mask = b.node("Where", [vis, b.const(np.asarray(0.0, dtype=np.float32)),
+                            b.const(np.asarray(-1e30, dtype=np.float32))])
+    mask = b.node("Unsqueeze", [mask, b.const_i64([0, 1])])
+    if dtype is not DType.F32:
+        mask = b.cast(mask, dtype)
+
+    cos_t, sin_t = rope_tables(cfg, max_len)
+    cos = b.initializer("rope_cos", cos_t.astype(np_dt))
+    sin = b.initializer("rope_sin", sin_t.astype(np_dt))
+
+    eps = cfg.rms_norm_eps
+    cache_outs = []
+    for i in range(L):
+        p = f"model.layers.{i}."
+        h = b.rms_norm(x, b.initializer(f"in_norm_{i}", w(p + "input_layernorm.weight")),
+                       epsilon=eps)
+        q = b.matmul(h, b.initializer(f"wq_{i}", wT(p + "self_attn.q_proj.weight")))
+        k = b.matmul(h, b.initializer(f"wk_{i}", wT(p + "self_attn.k_proj.weight")))
+        v = b.matmul(h, b.initializer(f"wv_{i}", wT(p + "self_attn.v_proj.weight")))
+        if cfg.attention_bias:
+            q = b.add(q, b.initializer(f"bq_{i}", w(p + "self_attn.q_proj.bias")))
+            k = b.add(k, b.initializer(f"bk_{i}", w(p + "self_attn.k_proj.bias")))
+            v = b.add(v, b.initializer(f"bv_{i}", w(p + "self_attn.v_proj.bias")))
+
+        def heads(tns, nh):
+            return b.transpose(b.reshape(tns, [0, 0, nh, D]), [0, 2, 1, 3])
+
+        qh = b.rotary(heads(q, Hq), cos, sin, position_ids=abs_pos)
+        kh = b.rotary(heads(k, Hkv), cos, sin, position_ids=abs_pos)
+        vh = heads(v, Hkv)
+        ck, cv = cache_ins[i]
+        nk = b.node("CacheWrite", [ck, kh, pos], axis=2, domain="wt",
+                    outputs=[f"new_cache_k_{i}"])
+        nv = b.node("CacheWrite", [cv, vh, pos], axis=2, domain="wt",
+                    outputs=[f"new_cache_v_{i}"])
+        cache_outs.append((nk, nv))
+        att = b.attention(qh, nk, nv, mask=mask, scale=1.0 / float(np.sqrt(D)))
+        att = b.reshape(b.transpose(att, [0, 2, 1, 3]), [0, 0, Hq * D])
+        att = b.matmul(att, b.initializer(f"wo_{i}", wT(p + "self_attn.o_proj.weight")))
+        x = b.add(x, att)
+
+        h2 = b.rms_norm(x, b.initializer(
+            f"post_norm_{i}", w(p + "post_attention_layernorm.weight")), epsilon=eps)
+        gate = b.matmul(h2, b.initializer(f"w_gate_{i}", wT(p + "mlp.gate_proj.weight")))
+        up = b.matmul(h2, b.initializer(f"w_up_{i}", wT(p + "mlp.up_proj.weight")))
+        silu = b.mul(gate, b.node("Sigmoid", [gate]))
+        mlp = b.matmul(b.mul(silu, up),
+                       b.initializer(f"w_down_{i}", wT(p + "mlp.down_proj.weight")))
+        x = b.add(x, mlp)
+
+    xf = b.rms_norm(x, b.initializer("final_norm", w("model.norm.weight")),
+                    epsilon=eps)
+    if cfg.tie_word_embeddings:
+        lm = b.initializer("lm_head", np.ascontiguousarray(
+            w("model.embed_tokens.weight").T))
+    else:
+        lm = b.initializer("lm_head", wT("lm_head.weight"))
+    b.node("MatMul", [xf, lm], outputs=["logits"])
+    b.output("logits", dtype, ["batch", "seq", V])
+    for i, (nk, nv) in enumerate(cache_outs):
+        b.output(nk, dtype, ["batch", Hkv, max_len, D])
+        b.output(nv, dtype, ["batch", Hkv, max_len, D])
+    return b.build(storage or WeightStorage.embed())
+
+
+def hf_weight_getter(model) -> Callable[[str], np.ndarray]:
+    sd = model.state_dict()
+
+    def get(name: str) -> np.ndarray:
+        if name not in sd and name == "lm_head.weight":
+            return sd["model.embed_tokens.weight"].detach().cpu().float().numpy()
+        return sd[name].detach().cpu().float().numpy()
+
+    return get
