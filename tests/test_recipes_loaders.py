@@ -1,0 +1,192 @@
+"""Recipe + loader tests: gemma/gemma2/phi3 vs torch; AutoLoader probing;
+GGUF end-to-end load."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from whisper_tensor_tpu.dtype import DType
+from whisper_tensor_tpu.interfaces.text import TextInferenceInterface
+from whisper_tensor_tpu.model import Model
+
+MAXLEN = 64
+
+
+def _iface(model):
+    return TextInferenceInterface(model, max_len=MAXLEN, prompt_buckets=(16, 32))
+
+
+def _torch_logits(hf, ids):
+    import torch
+
+    with torch.no_grad():
+        return hf(torch.from_numpy(ids)).logits.numpy()
+
+
+class TestGemma:
+    @pytest.mark.parametrize("v2", [False, True])
+    def test_logits_vs_torch(self, v2):
+        import torch
+
+        from whisper_tensor_tpu.importers.recipes.llm.gemma import (
+            GemmaConfig, build_gemma_step)
+
+        torch.manual_seed(0)
+        common = dict(num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, hidden_size=32, head_dim=8,
+                      intermediate_size=64, vocab_size=99,
+                      max_position_embeddings=MAXLEN,
+                      attention_dropout=0.0)
+        if v2:
+            from transformers import Gemma2Config as HFCfg
+            from transformers import Gemma2ForCausalLM as HFModel
+
+            hf = HFModel(HFCfg(attn_logit_softcapping=50.0,
+                               final_logit_softcapping=30.0,
+                               query_pre_attn_scalar=8, sliding_window=4096,
+                               **common))
+            cfg = GemmaConfig.from_hf({**common, "model_type": "gemma2",
+                                       "attn_logit_softcapping": 50.0,
+                                       "final_logit_softcapping": 30.0,
+                                       "query_pre_attn_scalar": 8})
+        else:
+            from transformers import GemmaConfig as HFCfg
+            from transformers import GemmaForCausalLM as HFModel
+
+            hf = HFModel(HFCfg(**common))
+            cfg = GemmaConfig.from_hf({**common, "model_type": "gemma"})
+        hf.eval()
+
+        def getter(name):
+            sd = hf.state_dict()
+            if name == "lm_head.weight":
+                return sd["model.embed_tokens.weight"].float().numpy()
+            return sd[name].float().numpy()
+
+        data = build_gemma_step(getter, cfg, max_len=MAXLEN)
+        model = Model.new_from_onnx(data, name="tiny-gemma")
+        rng = np.random.default_rng(0)
+        ids = rng.integers(0, 99, (1, 9)).astype(np.int64)
+        lg = _iface(model).logits(ids)
+        tl = _torch_logits(hf, ids)
+        np.testing.assert_allclose(lg, tl, rtol=3e-3, atol=3e-4)
+
+
+class TestPhi3:
+    def test_logits_vs_torch(self):
+        import torch
+        from transformers import Phi3Config as HFCfg
+        from transformers import Phi3ForCausalLM as HFModel
+
+        from whisper_tensor_tpu.importers.recipes.llm.phi3 import (
+            Phi3Config, build_phi3_step)
+
+        torch.manual_seed(0)
+        common = dict(num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, hidden_size=32,
+                      intermediate_size=64, vocab_size=99,
+                      max_position_embeddings=MAXLEN,
+                      attention_dropout=0.0)
+        hf = HFModel(HFCfg(pad_token_id=0, **common))
+        hf.eval()
+        cfg = Phi3Config.from_hf({**common, "model_type": "phi3",
+                                  "rms_norm_eps": 1e-5,
+                                  "rope_theta": 10000.0})
+        sd = {k: v.float().numpy() for k, v in hf.state_dict().items()}
+        data = build_phi3_step(lambda n: sd[n], cfg, max_len=MAXLEN)
+        model = Model.new_from_onnx(data, name="tiny-phi3")
+        rng = np.random.default_rng(1)
+        ids = rng.integers(0, 99, (1, 8)).astype(np.int64)
+        lg = _iface(model).logits(ids)
+        tl = _torch_logits(hf, ids)
+        np.testing.assert_allclose(lg, tl, rtol=3e-3, atol=3e-4)
+
+
+class TestLoaders:
+    def test_auto_loader_transformers_dir(self, tmp_path):
+        import torch
+        from safetensors.torch import save_file
+        from transformers import LlamaConfig as HFCfg
+        from transformers import LlamaForCausalLM
+
+        from whisper_tensor_tpu.importers.loaders import identify_and_load
+
+        torch.manual_seed(0)
+        hf = LlamaForCausalLM(HFCfg(
+            num_hidden_layers=1, num_attention_heads=2, num_key_value_heads=1,
+            hidden_size=16, intermediate_size=32, vocab_size=64,
+            max_position_embeddings=64))
+        d = tmp_path / "tiny-llama"
+        d.mkdir()
+        cfg_json = {
+            "model_type": "llama", "num_hidden_layers": 1,
+            "num_attention_heads": 2, "num_key_value_heads": 1,
+            "hidden_size": 16, "intermediate_size": 32, "vocab_size": 64,
+            "max_position_embeddings": 64, "rms_norm_eps": 1e-6,
+            "rope_theta": 10000.0}
+        (d / "config.json").write_text(json.dumps(cfg_json))
+        save_file({k: v.contiguous() for k, v in hf.state_dict().items()},
+                  str(d / "model.safetensors"))
+        bundle = identify_and_load(str(d), max_len=64, dtype="f32")
+        assert bundle.meta["model_type"] == "llama"
+        (name, model), = bundle.models.items()
+        iface_cfg = bundle.interfaces["text"]
+        assert iface_cfg["n_layers"] == 1
+        ids = np.asarray([[1, 2, 3]], dtype=np.int64)
+        lg = TextInferenceInterface(model, max_len=64,
+                                    prompt_buckets=(16,)).logits(ids)
+        import torch as _t
+
+        with _t.no_grad():
+            tl = hf(_t.from_numpy(ids)).logits.numpy()
+        np.testing.assert_allclose(lg, tl, rtol=3e-3, atol=3e-4)
+
+    def test_auto_loader_gguf(self, tmp_path):
+        from whisper_tensor_tpu.importers.gguf import write_gguf
+        from whisper_tensor_tpu.importers.loaders import identify_and_load
+
+        rng = np.random.default_rng(0)
+        E, Hq, Hkv, D, I, V, L = 16, 2, 1, 8, 32, 64, 1
+        tensors = {
+            "token_embd.weight": rng.standard_normal((V, E)).astype(np.float32) * 0.05,
+            "output_norm.weight": np.ones(E, np.float32),
+        }
+        for i in range(L):
+            p = f"blk.{i}."
+            tensors[p + "attn_norm.weight"] = np.ones(E, np.float32)
+            tensors[p + "attn_q.weight"] = rng.standard_normal((Hq * D, E)).astype(np.float32) * 0.05
+            tensors[p + "attn_k.weight"] = rng.standard_normal((Hkv * D, E)).astype(np.float32) * 0.05
+            tensors[p + "attn_v.weight"] = rng.standard_normal((Hkv * D, E)).astype(np.float32) * 0.05
+            tensors[p + "attn_output.weight"] = rng.standard_normal((E, Hq * D)).astype(np.float32) * 0.05
+            tensors[p + "ffn_norm.weight"] = np.ones(E, np.float32)
+            tensors[p + "ffn_gate.weight"] = rng.standard_normal((I, E)).astype(np.float32) * 0.05
+            tensors[p + "ffn_up.weight"] = rng.standard_normal((I, E)).astype(np.float32) * 0.05
+            tensors[p + "ffn_down.weight"] = rng.standard_normal((E, I)).astype(np.float32) * 0.05
+        meta = {"general.architecture": "llama", "general.name": "tiny",
+                "llama.block_count": L, "llama.embedding_length": E,
+                "llama.attention.head_count": Hq,
+                "llama.attention.head_count_kv": Hkv,
+                "llama.feed_forward_length": I, "llama.context_length": 64,
+                "llama.vocab_size": V,
+                "llama.attention.layer_norm_rms_epsilon": 1e-5,
+                "llama.rope.freq_base": 10000.0}
+        p = str(tmp_path / "tiny.gguf")
+        write_gguf(p, meta, tensors)
+        bundle = identify_and_load(p, max_len=64)
+        (name, model), = bundle.models.items()
+        iface = TextInferenceInterface(model, max_len=64, prompt_buckets=(16,),
+                                       cache_dtype=DType.BF16)
+        toks = iface.generate_tokens(np.asarray([[1, 2, 3]], dtype=np.int64), 4)
+        assert toks.shape == (1, 4)
+
+    def test_config_schema_introspection(self):
+        from whisper_tensor_tpu.importers.loaders import loader_registry
+
+        reg = loader_registry()
+        assert {"auto", "onnx", "transformers", "gguf", "rwkv7"} <= set(reg)
+        schema = reg["transformers"].config_schema()
+        names = [f.name for f in schema]
+        assert "path" in names and "dtype" in names
+        assert all(f.to_json() for f in schema)

@@ -1,0 +1,267 @@
+"""Loader abstraction + registry + identify_and_load.
+
+Reference equivalents: src/loader.rs:28-96 (ConfigFieldType/ConfigField/
+Loader — self-describing typed config schemas the UI renders as forms)
+and crates/whisper-tensor-import/src/lib.rs:38-180 (identify_and_load
+probing + transformers config.json model_type dispatch) plus the Loader
+impls in crates/whisper-tensor-import/src/loaders/.
+"""
+
+from __future__ import annotations
+
+import enum
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..dtype import DType
+from ..model import Model
+from .onnx_builder import WeightStorage
+
+
+class ConfigFieldType(enum.Enum):
+    FILE_PATH = "file_path"
+    STRING = "string"
+    INT = "int"
+    FLOAT = "float"
+    BOOL = "bool"
+    ENUM = "enum"
+
+
+@dataclass
+class ConfigField:
+    name: str
+    type: ConfigFieldType
+    description: str = ""
+    default: Any = None
+    required: bool = False
+    choices: Optional[List[str]] = None
+    min: Optional[float] = None
+    max: Optional[float] = None
+
+    def to_json(self):
+        return {"name": self.name, "type": self.type.value,
+                "description": self.description, "default": self.default,
+                "required": self.required, "choices": self.choices,
+                "min": self.min, "max": self.max}
+
+
+@dataclass
+class LoadedBundle:
+    """What a loader produces: named models + interface descriptors."""
+
+    models: Dict[str, Model]
+    interfaces: Dict[str, Any] = field(default_factory=dict)
+    tokenizer_source: Optional[str] = None
+    meta: Dict[str, Any] = field(default_factory=dict)
+
+
+class Loader:
+    NAME = "?"
+    DESCRIPTION = ""
+
+    def config_schema(self) -> List[ConfigField]:
+        return [ConfigField("path", ConfigFieldType.FILE_PATH,
+                            "model file or directory", required=True)]
+
+    def can_load(self, path: str) -> bool:
+        return False
+
+    def load(self, config: Dict[str, Any]) -> LoadedBundle:
+        raise NotImplementedError
+
+
+_LOADERS: Dict[str, Loader] = {}
+
+
+def register_loader(cls):
+    _LOADERS[cls.NAME] = cls()
+    return cls
+
+
+def loader_registry() -> Dict[str, Loader]:
+    return dict(_LOADERS)
+
+
+# ---------------------------------------------------------------------------
+
+
+@register_loader
+class OnnxLoader(Loader):
+    NAME = "onnx"
+    DESCRIPTION = "Load a raw ONNX model file"
+
+    def can_load(self, path: str) -> bool:
+        return os.path.isfile(path) and path.endswith(".onnx")
+
+    def load(self, config):
+        path = config["path"]
+        model = Model.new_from_onnx_file(path)
+        return LoadedBundle(models={model.name: model})
+
+
+@register_loader
+class TransformersLoader(Loader):
+    NAME = "transformers"
+    DESCRIPTION = "HF transformers checkpoint dir (config.json + safetensors)"
+
+    # model_type -> (recipe builder, config adapter); per-arch recipes as
+    # in the reference's transformers dispatch (lib.rs:38-180)
+    SUPPORTED = ("gpt2", "llama", "mistral", "qwen2", "qwen3", "gemma",
+                 "gemma2", "phi3")
+
+    def config_schema(self):
+        return super().config_schema() + [
+            ConfigField("max_len", ConfigFieldType.INT, "KV cache slots",
+                        default=1024, min=16),
+            ConfigField("dtype", ConfigFieldType.ENUM, "compute dtype",
+                        default="bf16", choices=["f32", "bf16", "f16"]),
+        ]
+
+    def can_load(self, path: str) -> bool:
+        return os.path.isdir(path) and os.path.exists(
+            os.path.join(path, "config.json"))
+
+    def load(self, config):
+        from .safetensors_io import SafetensorsStore, load_hf_config
+
+        d = config["path"]
+        hf_cfg = load_hf_config(d)
+        mt = hf_cfg.get("model_type")
+        dtype = {"f32": DType.F32, "bf16": DType.BF16,
+                 "f16": DType.F16}[config.get("dtype", "bf16")]
+        max_len = int(config.get("max_len", 1024))
+        store = SafetensorsStore.from_dir(d)
+
+        if mt == "gpt2":
+            from .recipes.llm.gpt2 import GPT2Config, build_gpt2_step
+
+            cfg = GPT2Config.from_hf(hf_cfg)
+            data = build_gpt2_step(store.getter(), cfg,
+                                   max_len=min(max_len, cfg.n_positions),
+                                   dtype=dtype)
+            geometry = dict(n_layers=cfg.n_layer, n_kv_heads=cfg.n_head,
+                            head_dim=cfg.n_embd // cfg.n_head)
+        elif mt in ("llama", "mistral", "qwen2", "qwen3"):
+            from .recipes.llm.llama import LlamaConfig, build_llama_step
+
+            cfg = LlamaConfig.from_hf(hf_cfg)
+
+            def getter(name):
+                if name == "lm_head.weight" and name not in store:
+                    return store.load("model.embed_tokens.weight")
+                return store.load(name)
+
+            data = build_llama_step(getter, cfg, max_len=max_len, dtype=dtype)
+            geometry = dict(n_layers=cfg.num_hidden_layers,
+                            n_kv_heads=cfg.num_key_value_heads, head_dim=cfg.hd)
+        elif mt in ("gemma", "gemma2"):
+            from .recipes.llm.gemma import GemmaConfig, build_gemma_step
+
+            cfg = GemmaConfig.from_hf(hf_cfg)
+            data = build_gemma_step(store.getter(), cfg, max_len=max_len,
+                                    dtype=dtype)
+            geometry = dict(n_layers=cfg.num_hidden_layers,
+                            n_kv_heads=cfg.num_key_value_heads, head_dim=cfg.hd)
+        elif mt == "phi3":
+            from .recipes.llm.phi3 import Phi3Config, build_phi3_step
+
+            cfg = Phi3Config.from_hf(hf_cfg)
+            data = build_phi3_step(store.getter(), cfg, max_len=max_len,
+                                   dtype=dtype)
+            geometry = dict(n_layers=cfg.num_hidden_layers,
+                            n_kv_heads=cfg.num_key_value_heads, head_dim=cfg.hd)
+        else:
+            raise ValueError(f"transformers model_type {mt!r} not supported "
+                             f"(have: {self.SUPPORTED})")
+        name = hf_cfg.get("_name_or_path") or os.path.basename(os.path.normpath(d))
+        model = Model.new_from_onnx(data, name=name)
+        tok = d if os.path.exists(os.path.join(d, "tokenizer.json")) else None
+        return LoadedBundle(models={name: model},
+                            interfaces={"text": {"model": name,
+                                                 "max_len": max_len,
+                                                 **geometry}},
+                            tokenizer_source=tok,
+                            meta={"model_type": mt, "dtype": dtype.name})
+
+
+@register_loader
+class GgufLoader(Loader):
+    NAME = "gguf"
+    DESCRIPTION = "GGUF quantized checkpoint (llama.cpp format)"
+
+    def can_load(self, path: str) -> bool:
+        if not os.path.isfile(path) or not path.endswith(".gguf"):
+            return False
+        with open(path, "rb") as f:
+            return f.read(4) == b"GGUF"
+
+    def load(self, config):
+        from .gguf import GGUFFile
+        from .recipes.llm.gguf_llama import build_from_gguf
+
+        g = GGUFFile(config["path"])
+        arch = g.architecture
+        if arch not in ("llama", "qwen2", "qwen3", "mistral"):
+            raise ValueError(f"gguf architecture {arch!r} not supported yet")
+        max_len = int(config.get("max_len", 1024))
+        data, geometry = build_from_gguf(g, max_len=max_len)
+        name = g.metadata.get("general.name", os.path.basename(config["path"]))
+        model = Model.new_from_onnx(data, name=name)
+        return LoadedBundle(models={name: model},
+                            interfaces={"text": {"model": name,
+                                                 "max_len": max_len, **geometry}},
+                            meta={"architecture": arch,
+                                  "quantized": True})
+
+
+@register_loader
+class Rwkv7Loader(Loader):
+    NAME = "rwkv7"
+    DESCRIPTION = "RWKV-7 .pth checkpoint (linear recurrence)"
+
+    def can_load(self, path: str) -> bool:
+        return os.path.isfile(path) and path.endswith(".pth") \
+            and "rwkv" in os.path.basename(path).lower()
+
+    def load(self, config):
+        from .pth import load_pth
+        from .recipes.llm.rwkv7 import build_rwkv7_step, rwkv7_config_from_sd
+
+        sd = load_pth(config["path"])
+        cfg = rwkv7_config_from_sd(sd)
+        data = build_rwkv7_step(lambda n: sd[n], cfg)
+        name = os.path.basename(config["path"])
+        model = Model.new_from_onnx(data, name=name)
+        return LoadedBundle(models={name: model},
+                            interfaces={"text": {"model": name,
+                                                 "rnn_state": True,
+                                                 "n_layers": cfg.n_layer,
+                                                 "n_embd": cfg.n_embd}},
+                            meta={"architecture": "rwkv7"})
+
+
+@register_loader
+class AutoLoader(Loader):
+    NAME = "auto"
+    DESCRIPTION = "Probe the path and delegate to the right loader"
+
+    def can_load(self, path: str) -> bool:
+        return True
+
+    def load(self, config):
+        path = config["path"]
+        for name, loader in _LOADERS.items():
+            if name == "auto":
+                continue
+            if loader.can_load(path):
+                return loader.load(config)
+        raise ValueError(f"cannot identify model format at {path!r}")
+
+
+def identify_and_load(path: str, **config) -> LoadedBundle:
+    """Reference entry point (crates/whisper-tensor-import/src/lib.rs:38)."""
+    return _LOADERS["auto"].load({"path": path, **config})

@@ -219,9 +219,11 @@ class OnnxBuilder:
             args.append(self.const_i64(steps))
         return self.node("Slice", args)
 
-    def attention(self, q, k, v, mask=None, scale=None, is_causal=False):
+    def attention(self, q, k, v, mask=None, scale=None, is_causal=False,
+                  softcap=None):
         return self.node("Attention", [q, k, v] + ([mask] if mask else []),
-                         scale=scale, is_causal=1 if is_causal else None)
+                         scale=scale, is_causal=1 if is_causal else None,
+                         softcap=softcap)
 
     def rotary(self, x, cos, sin, position_ids=None, interleaved=False):
         return self.node("RotaryEmbedding",

@@ -1,0 +1,97 @@
+"""GGUF -> llama-family step graph.
+
+Reference equivalent: the per-arch GGUF adapters
+(crates/whisper-tensor-import/src/gguf/{llama3,qwen2,qwen3}.rs).
+Maps GGUF tensor names (token_embd / blk.N.attn_q ...) to HF names and
+reuses the llama recipe; quantized weights dequantize at import (the
+fused on-device dequant-matmul path arrives with the pallas kernel).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+from ....dtype import DType
+from .llama import LlamaConfig, build_llama_step
+
+_NAME_MAP = {
+    "model.embed_tokens.weight": "token_embd.weight",
+    "model.norm.weight": "output_norm.weight",
+    "lm_head.weight": "output.weight",
+}
+_LAYER_MAP = {
+    "input_layernorm.weight": "attn_norm.weight",
+    "self_attn.q_proj.weight": "attn_q.weight",
+    "self_attn.k_proj.weight": "attn_k.weight",
+    "self_attn.v_proj.weight": "attn_v.weight",
+    "self_attn.q_proj.bias": "attn_q.bias",
+    "self_attn.k_proj.bias": "attn_k.bias",
+    "self_attn.v_proj.bias": "attn_v.bias",
+    "self_attn.o_proj.weight": "attn_output.weight",
+    "post_attention_layernorm.weight": "ffn_norm.weight",
+    "mlp.gate_proj.weight": "ffn_gate.weight",
+    "mlp.up_proj.weight": "ffn_up.weight",
+    "mlp.down_proj.weight": "ffn_down.weight",
+}
+
+
+def _gguf_name(hf_name: str) -> str:
+    if hf_name in _NAME_MAP:
+        return _NAME_MAP[hf_name]
+    if hf_name.startswith("model.layers."):
+        rest = hf_name[len("model.layers."):]
+        idx, leaf = rest.split(".", 1)
+        return f"blk.{idx}.{_LAYER_MAP[leaf]}"
+    raise KeyError(hf_name)
+
+
+def config_from_gguf(g) -> LlamaConfig:
+    arch = g.architecture
+    m = g.metadata
+
+    def key(suffix, default=None):
+        return m.get(f"{arch}.{suffix}", default)
+
+    n_head = int(key("attention.head_count"))
+    emb = int(key("embedding_length"))
+    return LlamaConfig(
+        num_hidden_layers=int(key("block_count")),
+        num_attention_heads=n_head,
+        num_key_value_heads=int(key("attention.head_count_kv", n_head)),
+        hidden_size=emb,
+        intermediate_size=int(key("feed_forward_length")),
+        vocab_size=int(key("vocab_size",
+                           len(m.get("tokenizer.ggml.tokens", [])))),
+        max_position_embeddings=int(key("context_length", 8192)),
+        rms_norm_eps=float(key("attention.layer_norm_rms_epsilon", 1e-5)),
+        rope_theta=float(key("rope.freq_base", 10000.0)),
+        attention_bias=(arch == "qwen2"),
+        head_dim=(int(key("attention.key_length"))
+                  if key("attention.key_length") else None),
+        model_type=arch,
+        tie_word_embeddings=("output.weight" not in g.tensors),
+    )
+
+
+def build_from_gguf(g, max_len: int, dtype: DType = DType.BF16
+                    ) -> Tuple[bytes, Dict]:
+    cfg = config_from_gguf(g)
+
+    def getter(hf_name: str) -> np.ndarray:
+        if hf_name == "lm_head.weight" and cfg.tie_word_embeddings:
+            hf_name = "model.embed_tokens.weight"
+        gname = _gguf_name(hf_name)
+        t = g.load(gname)
+        from ....tensor import PackedTensor
+
+        if isinstance(t, PackedTensor):
+            return t.dequantize(DType.F32).numpy()
+        arr = t.numpy()
+        return arr.astype(np.float32) if arr.dtype.kind == "f" else arr
+
+    data = build_llama_step(getter, cfg, max_len=max_len, dtype=dtype)
+    geometry = dict(n_layers=cfg.num_hidden_layers,
+                    n_kv_heads=cfg.num_key_value_heads, head_dim=cfg.hd)
+    return data, geometry
