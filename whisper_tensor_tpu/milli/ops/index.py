@@ -149,6 +149,35 @@ class GatherElements(MilliOp):
             return [TensorInfo.ranked(data.dtype, idx.rank)]
         return [TensorInfo.minimal(data.dtype)]
 
+    def backward(self, b, node, out_grads):
+        """last-axis rule: grad_data = sum_K onehot(idx) * g — the shape
+        cross-entropy lowering needs (idx dim K along the gathered axis)."""
+        g = out_grads[0]
+        if g is None:
+            return [None, None]
+        info = b.tensors[node.inputs[0]].info
+        rank = info.rank if info is not None else None
+        if not (self.axis == -1 or (rank is not None and self.axis == rank - 1)):
+            raise NotImplementedError("GatherElements backward: axis != -1")
+        from .misc import OneHotMilli
+        from .shape import GatherShape, Shape, Transpose, Unsqueeze
+
+        P = Phase.BACKWARD
+        data, idx = node.inputs
+        from .basic import CastLike, Constant, SimpleBinary
+
+        shp = b.op1(Shape(start=-1), data, phase=P)                   # [V]
+        depth = b.op1(GatherShape(0), shp, phase=P)
+        vals = b.op1(Constant(np.asarray([0.0, 1.0], dtype=np.float32)), phase=P)
+        valsc = b.op1(CastLike(), vals, g, phase=P)
+        hot = b.op1(OneHotMilli(axis=-1), idx, depth, valsc, phase=P)  # (...,K,V)
+        gk = b.op1(Unsqueeze(axes=[-1]), g, phase=P)                   # (...,K,1)
+        contrib = b.op1(SimpleBinary("mul"), hot, gk, phase=P)
+        from .reduce import Reduce
+
+        gd = b.op1(Reduce("sum", axes=[-2], keepdims=False), contrib, phase=P)
+        return [gd, None]
+
 
 @dataclass
 class GatherND(MilliOp):

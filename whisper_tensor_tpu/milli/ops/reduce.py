@@ -143,16 +143,36 @@ class Reduce(MilliOp):
             return [None]
         x = node.inputs[0]
         P = Phase.BACKWARD
+        if self.mode in ("max", "min"):
+            # subgradient: distribute grad equally over arg-extreme ties
+            y = node.outputs[0]
+            yk, gk = y, g
+            if not self.keepdims and self.axes:
+                if not all(a < 0 for a in self.axes):
+                    raise NotImplementedError("Reduce max/min backward: "
+                                              "positive axes w/o keepdims")
+                ax = sorted(self.axes)
+                yk = b.op1(Unsqueeze(axes=ax), y, phase=P)
+                gk = b.op1(Unsqueeze(axes=ax), g, phase=P)
+            mask = b.op1(SimpleBinary("eq"), x, yk, phase=P)
+            maskf = b.op1(CastLike(), mask, g, phase=P)
+            cnt = b.op1(Reduce("sum", self.axes, keepdims=True), maskf, phase=P)
+            share = b.op1(SimpleBinary("div"), maskf, cnt, phase=P)
+            return [b.op1(SimpleBinary("mul"), gk, share, phase=P)]
         if self.mode not in ("sum", "mean"):
             raise NotImplementedError(f"backward for Reduce-{self.mode}")
         # re-insert reduced dims if keepdims=False, then broadcast
-        if not self.keepdims:
-            info = b.tensors[x].info
-            rank = info.rank if info is not None and info.rank is not None else None
-            if rank is None:
-                raise NotImplementedError("Reduce backward without rank info")
-            ax = self._axes(rank)
-            g = b.op1(Unsqueeze(axes=list(ax)), g, phase=P)
+        if not self.keepdims and self.axes:
+            if all(a < 0 for a in self.axes):
+                ax = sorted(self.axes)  # negative axes need no rank info
+            else:
+                info = b.tensors[x].info
+                rank = info.rank if info is not None and info.rank is not None else None
+                if rank is None:
+                    raise NotImplementedError("Reduce backward without rank info")
+                ax = list(self._axes(rank))
+            g = b.op1(Unsqueeze(axes=ax), g, phase=P)
+        # all-axes reduce to scalar: Expand broadcasts directly
         shp = b.op1(Shape(), x, phase=P)
         g = b.op1(Expand(), g, shp, phase=P)
         if self.mode == "mean":
