@@ -25,7 +25,58 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_TOK_S = 5000.0
 
 
+def bench_sd15_unet() -> None:
+    """SD-1.5 UNet denoise-step rate (baseline target: >= 1 step/s).
+    One step = CFG pair (batch 2) at 512x512 latents, bf16."""
+    import jax
+
+    from whisper_tensor_tpu.backends.xla.compiler import compile_milli
+    from whisper_tensor_tpu.dtype import DType
+    from whisper_tensor_tpu.importers.recipes.diffusion.unet import (
+        UNetConfig, build_sd_unet, random_unet_weights)
+    from whisper_tensor_tpu.model import Model
+
+    t0 = time.time()
+    cfg = UNetConfig.sd15()
+    data = build_sd_unet(random_unet_weights(), cfg, batch=2,
+                         latent_hw=(64, 64), dtype=DType.BF16)
+    model = Model.new_from_onnx(data, name="sd15-unet")
+    milli, weight_inputs = model.graph.to_milli()
+    rng = np.random.default_rng(0)
+    feeds = {
+        "sample": rng.standard_normal((2, 4, 64, 64)).astype(DType.BF16.to_numpy()),
+        "timestep": np.asarray(500.0, dtype=np.float32),
+        "encoder_hidden_states": rng.standard_normal((2, 77, 768)).astype(
+            DType.BF16.to_numpy()),
+    }
+    for name in weight_inputs:
+        feeds[name] = jax.device_put(model.graph.store.get_numeric(
+            name, DType.BF16).numpy())
+    t1 = time.time()
+    print(f"# build+ingest+upload: {t1 - t0:.1f}s", file=sys.stderr)
+    compiled = compile_milli(milli, feeds)
+    out = np.asarray(compiled(feeds)["out"])  # warmup
+    t2 = time.time()
+    print(f"# compile+warmup: {t2 - t1:.1f}s", file=sys.stderr)
+    runs = 10
+    t3 = time.time()
+    for _ in range(runs):
+        out = compiled(feeds)["out"]
+    np.asarray(out)
+    dt = (time.time() - t3) / runs
+    print(f"# {dt * 1e3:.1f} ms/step", file=sys.stderr)
+    print(json.dumps({
+        "metric": "sd15_unet_denoise_steps_per_sec",
+        "value": round(1.0 / dt, 2),
+        "unit": "step/s",
+        "vs_baseline": round((1.0 / dt) / 1.0, 2),
+    }))
+
+
 def main() -> None:
+    if os.environ.get("WT_BENCH_TARGET") == "sd15":
+        bench_sd15_unet()
+        return
     from whisper_tensor_tpu.dtype import DType
     from whisper_tensor_tpu.importers.recipes.llm.gpt2 import (
         GPT2Config, build_gpt2_step, random_gpt2_weights)
