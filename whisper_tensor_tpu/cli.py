@@ -1,0 +1,175 @@
+"""Command-line interface.
+
+Reference equivalent: crates/whisper-tensor-cli/src/main.rs:22-234
+(generate / image / tts / stt subcommands, loader flag + key=value
+config passthrough). Adds `serve` and `inspect`.
+
+Usage:
+  python -m whisper_tensor_tpu.cli generate --model PATH --prompt "..." \
+      [--loader auto] [--tokenizer PATH] [--max-new-tokens 64] [-c k=v ...]
+  python -m whisper_tensor_tpu.cli image --unet PATH ... --prompt "..."
+  python -m whisper_tensor_tpu.cli inspect --model PATH
+  python -m whisper_tensor_tpu.cli serve [--port 3000]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from typing import Dict, List
+
+
+def _parse_kv(pairs: List[str]) -> Dict[str, object]:
+    out: Dict[str, object] = {}
+    for p in pairs or []:
+        if "=" not in p:
+            raise SystemExit(f"bad config entry {p!r}; expected key=value")
+        k, v = p.split("=", 1)
+        for cast in (int, float):
+            try:
+                out[k] = cast(v)
+                break
+            except ValueError:
+                continue
+        else:
+            out[k] = {"true": True, "false": False}.get(v.lower(), v)
+    return out
+
+
+def cmd_generate(args) -> None:
+    import numpy as np
+
+    from .importers.loaders import identify_and_load, loader_registry
+    from .interfaces.text import TextInferenceInterface
+    from .tokenizer import AnyTokenizer
+
+    cfg = _parse_kv(args.config)
+    cfg.setdefault("max_len", args.max_len)
+    t0 = time.time()
+    if args.loader == "auto":
+        bundle = identify_and_load(args.model, **cfg)
+    else:
+        bundle = loader_registry()[args.loader].load({"path": args.model, **cfg})
+    (name, model), = bundle.models.items()
+    print(f"loaded {name} in {time.time() - t0:.1f}s", file=sys.stderr)
+    iface_cfg = bundle.interfaces.get("text") or {}
+    tok_src = args.tokenizer or bundle.tokenizer_source or "bytes"
+    iface = TextInferenceInterface(model,
+                                   max_len=int(iface_cfg.get("max_len",
+                                                             args.max_len)))
+    iface.tokenizer = AnyTokenizer.load(tok_src)
+    t1 = time.time()
+    text = iface.run_string_in_string_out(args.prompt, args.max_new_tokens)
+    dt = time.time() - t1
+    print(text)
+    print(f"[{args.max_new_tokens} tokens in {dt:.2f}s "
+          f"({args.max_new_tokens / dt:.1f} tok/s)]", file=sys.stderr)
+
+
+def cmd_image(args) -> None:
+    import numpy as np
+
+    from .interfaces.image_gen import ImageGenConfig, ImageGenerationInterface
+    from .model import Model
+    from .tokenizer import AnyTokenizer
+
+    te = Model.new_from_onnx_file(args.text_encoder)
+    unet = Model.new_from_onnx_file(args.unet)
+    vae = Model.new_from_onnx_file(args.vae)
+    tok = AnyTokenizer.load(args.tokenizer) if args.tokenizer else None
+    iface = ImageGenerationInterface(te, unet, vae, tokenizer=tok)
+    img = iface.run(args.prompt, args.negative_prompt,
+                    ImageGenConfig(steps=args.steps, guidance_scale=args.cfg,
+                                   height=args.height, width=args.width,
+                                   seed=args.seed))
+    _write_ppm(args.output, img.pixels)
+    print(f"wrote {args.output} ({img.pixels.shape[1]}x{img.pixels.shape[0]})")
+
+
+def _write_ppm(path: str, pixels) -> None:
+    """Dependency-free image writer (PPM P6)."""
+    h, w, _ = pixels.shape
+    with open(path, "wb") as f:
+        f.write(f"P6\n{w} {h}\n255\n".encode())
+        f.write(pixels.tobytes())
+
+
+def cmd_inspect(args) -> None:
+    from .importers.loaders import identify_and_load
+
+    bundle = identify_and_load(args.model, **_parse_kv(args.config))
+    for name, model in bundle.models.items():
+        g = model.graph
+        census: Dict[str, int] = {}
+        for sop in g.ops:
+            census[sop.op.OP_TYPE] = census.get(sop.op.OP_TYPE, 0) + 1
+        print(json.dumps({
+            "name": name, "ops": len(g.ops),
+            "weights": len(g.store),
+            "weight_bytes": g.store.total_bytes(),
+            "inputs": [g.tensors[t].name for t in g.inputs],
+            "outputs": [g.tensors[t].name for t in g.outputs],
+            "op_census": dict(sorted(census.items(), key=lambda kv: -kv[1])),
+            "interfaces": {k: {kk: vv for kk, vv in v.items()
+                               if isinstance(vv, (str, int, float, bool))}
+                           for k, v in bundle.interfaces.items()},
+        }, indent=2))
+
+
+def cmd_serve(args) -> None:
+    import asyncio
+
+    from .server.main import Server
+
+    print(f"whisper-tensor-tpu server on ws://{args.host}:{args.port}")
+    asyncio.run(Server().run(args.host, args.port))
+
+
+def main(argv=None) -> None:
+    ap = argparse.ArgumentParser("whisper-tensor-tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="LLM text generation")
+    g.add_argument("--model", required=True)
+    g.add_argument("--prompt", required=True)
+    g.add_argument("--loader", default="auto")
+    g.add_argument("--tokenizer")
+    g.add_argument("--max-new-tokens", type=int, default=64)
+    g.add_argument("--max-len", type=int, default=1024)
+    g.add_argument("-c", "--config", action="append", default=[],
+                   help="loader config key=value")
+    g.set_defaults(fn=cmd_generate)
+
+    i = sub.add_parser("image", help="text-to-image generation")
+    i.add_argument("--text-encoder", required=True)
+    i.add_argument("--unet", required=True)
+    i.add_argument("--vae", required=True)
+    i.add_argument("--tokenizer")
+    i.add_argument("--prompt", required=True)
+    i.add_argument("--negative-prompt", default="")
+    i.add_argument("--steps", type=int, default=20)
+    i.add_argument("--cfg", type=float, default=7.5)
+    i.add_argument("--height", type=int, default=512)
+    i.add_argument("--width", type=int, default=512)
+    i.add_argument("--seed", type=int, default=0)
+    i.add_argument("--output", default="out.ppm")
+    i.set_defaults(fn=cmd_image)
+
+    n = sub.add_parser("inspect", help="load a model and print its structure")
+    n.add_argument("--model", required=True)
+    n.add_argument("-c", "--config", action="append", default=[])
+    n.set_defaults(fn=cmd_inspect)
+
+    s = sub.add_parser("serve", help="run the WebSocket server")
+    s.add_argument("--host", default="127.0.0.1")
+    s.add_argument("--port", type=int, default=3000)
+    s.set_defaults(fn=cmd_serve)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

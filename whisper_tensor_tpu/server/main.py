@@ -1,0 +1,199 @@
+"""WebSocket server main: routes protocol messages to ModelServer +
+Scheduler and streams reports back.
+
+Reference equivalent: crates/whisper-tensor-server/src/main.rs:119-466
+(axum HTTP+WS at :3000, per-socket task). Run: python -m
+whisper_tensor_tpu.server.main [--port 3000].
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import queue
+import threading
+from typing import Any, Dict, Optional, Set
+
+import numpy as np
+
+from ..super_graph.graph import ExecutionContext, SuperGraph
+from . import protocol as P
+from .model_server import ModelServer
+from .scheduler import ObserverSettings, Scheduler
+from .ws import WebSocketConnection, serve_websocket
+
+
+class Server:
+    def __init__(self):
+        self.models = ModelServer()
+        self.scheduler = Scheduler()
+        self._conns: Set[WebSocketConnection] = set()
+        self._loop: Optional[asyncio.AbstractEventLoop] = None
+
+    # -- report pump: scheduler queue -> all sockets ----------------------
+    def _start_report_pump(self):
+        def pump():
+            while True:
+                report = self.scheduler.reports.get()
+                if report is None:
+                    return
+                data = json.dumps(_json_safe(report))
+                loop = self._loop
+                if loop is None:
+                    continue
+                for conn in list(self._conns):
+                    asyncio.run_coroutine_threadsafe(conn.send_text(data), loop)
+
+        threading.Thread(target=pump, daemon=True).start()
+
+    # -- message handling ----------------------------------------------------
+    async def handle(self, conn: WebSocketConnection):
+        self._conns.add(conn)
+        try:
+            while True:
+                raw = await conn.recv()
+                if raw is None:
+                    return
+                try:
+                    msg = P.parse_message(raw)
+                    reply = await asyncio.get_event_loop().run_in_executor(
+                        None, self._dispatch, msg)
+                except Exception as e:  # noqa: BLE001
+                    reply = {"type": P.JOB_ERROR, "error": str(e)}
+                if reply is not None:
+                    await conn.send_text(json.dumps(_json_safe(reply)))
+        finally:
+            self._conns.discard(conn)
+
+    def _dispatch(self, msg: Dict[str, Any]) -> Optional[Dict[str, Any]]:
+        t = msg["type"]
+        if t == P.PING:
+            return {"type": P.PONG}
+        if t == P.LIST_LOADERS:
+            from ..importers.loaders import loader_registry
+
+            return {"type": P.LOADERS_REPORT, "loaders": {
+                name: {"description": l.DESCRIPTION,
+                       "config": [f.to_json() for f in l.config_schema()]}
+                for name, l in loader_registry().items()}}
+        if t == P.RUN_LOADER:
+            entries = self.models.run_loader(msg["loader"], msg.get("config", {}))
+            return {"type": P.MODELS_REPORT, "models": self.models.list_models(),
+                    "loaded": [e.id for e in entries]}
+        if t == P.UNLOAD_MODEL:
+            self.models.unload(int(msg["model_id"]))
+            return {"type": P.MODELS_REPORT, "models": self.models.list_models()}
+        if t == P.LIST_MODELS:
+            return {"type": P.MODELS_REPORT, "models": self.models.list_models()}
+        if t == P.GET_MODEL_GRAPH:
+            return {"type": P.MODEL_GRAPH,
+                    "graph": self.models.graph_json(int(msg["model_id"]))}
+        if t == P.GET_STORED_TENSOR:
+            entry = self.models.get(int(msg["model_id"]))
+            arr = entry.model.graph.store.get_numeric(msg["name"]).numpy()
+            if msg.get("abbreviated", True):
+                return {"type": P.STORED_TENSOR, "name": msg["name"],
+                        "tensor": P.AbbreviatedTensor.from_array(arr).__dict__}
+            return {"type": P.STORED_TENSOR, "name": msg["name"],
+                    "tensor": P.encode_tensor(arr)}
+        if t == P.CANCEL_REQUEST:
+            ok = self.scheduler.cancel(int(msg["job"]))
+            return {"type": "cancel_ack", "job": msg["job"], "ok": ok}
+        if t == P.UPDATE_OBSERVER_SETTINGS:
+            ok = self.scheduler.update_settings(int(msg["job"]),
+                                                **msg.get("settings", {}))
+            return {"type": "settings_ack", "job": msg["job"], "ok": ok}
+        if t == P.GENERATE_TEXT:
+            return self._generate_text(msg)
+        if t == P.SUPER_GRAPH_REQUEST:
+            return self._super_graph_request(msg)
+        raise ValueError(f"unknown message type {t!r}")
+
+    def _generate_text(self, msg) -> dict:
+        entry = self.models.get(int(msg["model_id"]))
+        iface_cfg = entry.interfaces.get("text")
+        if iface_cfg is None:
+            raise ValueError("model has no text interface")
+        from ..interfaces.text import TextInferenceInterface
+        from ..tokenizer import AnyTokenizer
+
+        tok_src = msg.get("tokenizer") or entry.tokenizer_source or "bytes"
+        tok = AnyTokenizer.load(tok_src)
+        iface = TextInferenceInterface(entry.model,
+                                       max_len=int(iface_cfg["max_len"]))
+        iface.tokenizer = tok
+        n_new = int(msg.get("max_new_tokens", 32))
+        settings = ObserverSettings(
+            tensor_subscriptions=set(msg.get("tensor_subscriptions", [])))
+
+        def job(obs):
+            text = iface.run_string_in_string_out(msg["prompt"], n_new)
+            return {"text": text}
+
+        job_id = self.scheduler.submit(job, settings)
+        return {"type": P.JOB_ACCEPTED, "job": job_id}
+
+    def _super_graph_request(self, msg) -> dict:
+        graph = SuperGraph.from_json(msg["graph"])
+        def decode_value(v):
+            if isinstance(v, dict) and "data_b64" in v:
+                return P.decode_tensor(v)
+            if isinstance(v, dict):  # tensor map
+                return {k: decode_value(x) for k, x in v.items()}
+            return v
+
+        feeds: Dict[str, Any] = {name: decode_value(v)
+                                 for name, v in msg.get("inputs", {}).items()}
+        models = {e.name: e.model for e in
+                  (self.models.get(int(i)) for i in msg.get("model_ids", []))}
+        backend_mode = msg.get("backend_mode", "oracle")
+        settings = ObserverSettings(
+            tensor_subscriptions=set(msg.get("tensor_subscriptions", [])))
+
+        def job(obs):
+            ctx = ExecutionContext(models=models, backend_mode=backend_mode,
+                                   observer=obs)
+            out = graph.run(ctx, feeds)
+            return {k: (P.encode_tensor(v) if isinstance(v, np.ndarray) else
+                        v if isinstance(v, (str, int, float, bool, list)) else
+                        repr(v))
+                    for k, v in out.items()}
+
+        job_id = self.scheduler.submit(job, settings)
+        return {"type": P.JOB_ACCEPTED, "job": job_id}
+
+    # -- lifecycle ---------------------------------------------------------------
+    async def run(self, host: str = "127.0.0.1", port: int = 3000):
+        self._loop = asyncio.get_event_loop()
+        self._start_report_pump()
+        server = await serve_websocket(self.handle, host, port)
+        async with server:
+            await server.serve_forever()
+
+
+def _json_safe(v):
+    if isinstance(v, dict):
+        return {k: _json_safe(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_json_safe(x) for x in v]
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating,)):
+        return float(v)
+    if isinstance(v, np.ndarray):
+        return P.encode_tensor(v)
+    return v
+
+
+def main():
+    import argparse
+
+    ap = argparse.ArgumentParser("whisper-tensor-tpu server")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=3000)
+    args = ap.parse_args()
+    asyncio.run(Server().run(args.host, args.port))
+
+
+if __name__ == "__main__":
+    main()

@@ -189,6 +189,7 @@ class SymbolicGraph:
                     f"unsupported ONNX op {node.op_type!r} (node {node.name!r})")
             attrs = Attrs(node, base_dir)
             op = cls.from_onnx(node, attrs, opset)
+            op.OP_TYPE = node.op_type  # instance-level: shared classes
             # register subgraph context builder for control-flow ops
             if hasattr(op, "_bind_subgraphs"):
                 op._bind_subgraphs(node, attrs, resolver, store, opsets, base_dir)

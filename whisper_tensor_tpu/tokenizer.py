@@ -27,7 +27,7 @@ class ByteTokenizer:
         return [b + 3 for b in text.encode("utf-8")]
 
     def decode(self, ids: List[int]) -> str:
-        return bytes(max(0, i - 3) for i in ids if i >= 3).decode(
+        return bytes(i - 3 for i in ids if 3 <= i < 259).decode(
             "utf-8", errors="replace")
 
 
