@@ -1,0 +1,77 @@
+"""TTS + multimodal interface tests (dummy ONNX vocoders; text+embedding
+multimodal round trip over the GPT-2 step model)."""
+
+import numpy as np
+import pytest
+
+from whisper_tensor_tpu.dtype import DType
+from whisper_tensor_tpu.importers.onnx_builder import OnnxBuilder
+from whisper_tensor_tpu.model import Model
+
+
+def _dummy_piper_model():
+    """tokens -> repeated upsampled 'audio' (structure-only vocoder)."""
+    b = OnnxBuilder("piper-dummy")
+    b.input("input", DType.I64, [1, "tokens"])
+    b.input("input_lengths", DType.I64, [1])
+    b.input("scales", DType.F32, [3])
+    f = b.cast("input", DType.F32)
+    up = b.node("Unsqueeze", [f, b.const_i64([2])])
+    up = b.node("Expand", [up, b.const_i64([1, 1, 64])])
+    flat = b.reshape(up, [1, -1])
+    scale0 = b.slice_("scales", [0], [1])
+    out = b.mul(flat, scale0)
+    b.node("Identity", [out], outputs=["output"])
+    b.output("output", DType.F32, [1, "samples"])
+    return Model.new_from_onnx(b.build(), name="piper-dummy")
+
+
+def test_piper_tts_interface():
+    from whisper_tensor_tpu.interfaces.tts import (TTSInputConfig,
+                                                   TextToSpeechInterface)
+
+    cfg = TTSInputConfig(engine="piper", sample_rate=16000,
+                         phoneme_id_map={"^": [1], "$": [2], "_": [0],
+                                         "h": [10], "i": [11]})
+    iface = TextToSpeechInterface(_dummy_piper_model(), cfg, mode="oracle")
+    clip = iface.run_text_to_audio("hi")
+    assert clip.sample_rate == 16000
+    assert clip.samples.size > 64
+    assert clip.duration_s > 0
+
+
+def test_kokoro_tts_preprocessing():
+    from whisper_tensor_tpu.phonemization import kokoro_phoneme_ids, phonemize
+
+    ph = phonemize("hello world")
+    assert len(ph) > 3
+    ids = kokoro_phoneme_ids(ph, {c: i + 1 for i, c in enumerate(set(ph))})
+    assert ids[0] == 0 and ids[-1] == 0 and len(ids) > 4
+
+
+def test_multimodal_text_plus_embedding():
+    from whisper_tensor_tpu.importers.recipes.llm.gpt2 import (
+        GPT2Config, build_gpt2_step, random_gpt2_weights)
+    from whisper_tensor_tpu.interfaces.multimodal import \
+        MultimodalLanguageInterface
+    from whisper_tensor_tpu.interfaces.text import TextInferenceInterface
+    from whisper_tensor_tpu.super_graph.links import MultimodalItem
+    from whisper_tensor_tpu.tokenizer import ByteTokenizer
+
+    cfg = GPT2Config(n_layer=1, n_head=2, n_embd=32, vocab_size=300,
+                     n_positions=64)
+    getter = random_gpt2_weights(cfg)
+    model = Model.new_from_onnx(build_gpt2_step(getter, cfg, max_len=64),
+                                name="mm-gpt2")
+    text_iface = TextInferenceInterface(model, max_len=64,
+                                        prompt_buckets=(16, 32))
+    text_iface.tokenizer = ByteTokenizer()
+    mm = MultimodalLanguageInterface(text_iface, embed_weight_name="wte")
+    wte = getter("transformer.wte.weight")
+    items = [MultimodalItem(text="ab"),
+             MultimodalItem(embedding=wte[50])]  # a raw embedding token
+    out = mm.run_items_in_string_out(items, n_new=4)
+    assert isinstance(out, str)
+    # requantization must be exact for text + exact embedding rows
+    fused = mm.embed_items(items)
+    assert fused.shape[1] == 3  # 'a','b' + 1 embedding token
