@@ -101,7 +101,8 @@ def main() -> None:
     model = Model.new_from_onnx(onnx_bytes, name="gpt2-124M")
     iface = TextInferenceInterface(model, max_len=max_len,
                                    cache_dtype=DType.BF16,
-                                   prompt_buckets=(16, 32, 64, 128, 256))
+                                   prompt_buckets=(16, 32, 64, 128, 256),
+                                   quantize=os.environ.get("WT_BENCH_QUANT"))
     t1 = time.time()
     print(f"# build+ingest: {t1 - t0:.1f}s", file=sys.stderr)
 

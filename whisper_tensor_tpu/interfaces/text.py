@@ -40,7 +40,8 @@ class TextInferenceInterface:
     def __init__(self, model: Model, max_len: int,
                  cache_dtype: DType = DType.F32,
                  prompt_buckets: Sequence[int] = DEFAULT_PROMPT_BUCKETS,
-                 tokenizer=None, eos_token_id: Optional[int] = None):
+                 tokenizer=None, eos_token_id: Optional[int] = None,
+                 quantize: Optional[str] = None):
         self.model = model
         self.max_len = max_len
         self.cache_dtype = cache_dtype
@@ -49,7 +50,17 @@ class TextInferenceInterface:
         self.eos_token_id = eos_token_id
         milli, weight_inputs = model.graph.to_milli()
         self.milli = milli
-        self.weight_names = list(weight_inputs)
+        self._quantized = {}
+        if quantize == "int8":
+            from ..milli.transforms import quantize_matmul_weights
+
+            self._quantized = quantize_matmul_weights(
+                milli, list(weight_inputs),
+                lambda n: model.graph.store.get_numeric(n).numpy())
+        elif quantize is not None:
+            raise ValueError(f"unknown quantize mode {quantize!r}")
+        self.weight_names = [n for n in milli.inputs
+                             if n in weight_inputs or n.endswith("::scale")]
         self.input_names = list(milli.inputs)
         self.output_names = list(milli.outputs)
         self.cache_in_names = [n for n in self.input_names if n.startswith("cache_")]
@@ -67,11 +78,17 @@ class TextInferenceInterface:
         if self._weights_dev is None:
             import jax
 
-            self._weights_dev = [
-                jax.device_put(self.model.graph.store.get_numeric(
-                    n, self.cache_dtype if self.cache_dtype.is_float else DType.F32).numpy())
-                for n in self.weight_names
-            ]
+            out = []
+            for n in self.weight_names:
+                if n.endswith("::scale"):
+                    out.append(jax.device_put(self._quantized[n[:-7]][1]))
+                elif n in self._quantized:
+                    out.append(jax.device_put(self._quantized[n][0]))
+                else:
+                    out.append(jax.device_put(self.model.graph.store.get_numeric(
+                        n, self.cache_dtype if self.cache_dtype.is_float
+                        else DType.F32).numpy()))
+            self._weights_dev = out
         return self._weights_dev
 
     def fresh_cache(self, batch: int):
