@@ -23,6 +23,14 @@ TILE_N = 256
 def quantize_int8(w: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Per-output-channel symmetric int8: w (K, N) -> (w_i8 (K,N), scale (N,))."""
     w = np.asarray(w, dtype=np.float32)
+    try:  # native C++ fast path (bit-identical; tested)
+        from ...utils.native import native_quantize_int8
+
+        res = native_quantize_int8(w)
+        if res is not None:
+            return res
+    except ImportError:
+        pass
     amax = np.abs(w).max(axis=0)
     scale = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
     q = np.clip(np.round(w / scale[None, :]), -127, 127).astype(np.int8)
@@ -71,7 +79,7 @@ def int8_matmul(x, w_i8, scale):
         acc = jax.lax.dot_general(
             xb, wb, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
-        o_ref[:] = (acc * s_ref[:].astype(jnp.float32)[None, :]).astype(o_ref.dtype)
+        o_ref[:] = (acc * s_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 
     out = pl.pallas_call(
         kernel,
@@ -79,7 +87,7 @@ def int8_matmul(x, w_i8, scale):
         in_specs=[
             pl.BlockSpec((M, K), lambda j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((K, TILE_N), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N,), lambda j: (j,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_N), lambda j: (0, j), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((M, TILE_N), lambda j: (0, j),
                                memory_space=pltpu.VMEM),
@@ -88,5 +96,5 @@ def int8_matmul(x, w_i8, scale):
             flops=2 * M * K * N,
             bytes_accessed=M * K * 2 + K * N + N * 4 + M * N * 2,
             transcendentals=0),
-    )(x2, w_i8, scale)
+    )(x2, w_i8, scale.reshape(1, N))
     return out.reshape(*lead, N)
