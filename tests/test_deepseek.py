@@ -1,0 +1,75 @@
+"""DeepSeek-V2 recipe (MLA + MoE) vs torch transformers."""
+
+import numpy as np
+import pytest
+
+from whisper_tensor_tpu.dtype import DType
+from whisper_tensor_tpu.importers.recipes.llm.deepseek import (
+    DeepseekConfig, build_deepseek_step)
+from whisper_tensor_tpu.interfaces.text import TextInferenceInterface
+from whisper_tensor_tpu.model import Model
+
+MAXLEN = 32
+
+
+@pytest.fixture(scope="module")
+def tiny_deepseek():
+    import torch
+    from transformers import DeepseekV2Config as HFCfg
+    from transformers import DeepseekV2ForCausalLM
+
+    torch.manual_seed(0)
+    common = dict(
+        num_hidden_layers=3, num_attention_heads=2, hidden_size=32,
+        intermediate_size=48, moe_intermediate_size=16, vocab_size=99,
+        q_lora_rank=None, kv_lora_rank=16, qk_nope_head_dim=8,
+        qk_rope_head_dim=4, v_head_dim=8, n_routed_experts=4,
+        num_experts_per_tok=2, n_shared_experts=1, first_k_dense_replace=1,
+        moe_layer_freq=1, routed_scaling_factor=1.0, norm_topk_prob=False,
+        rms_norm_eps=1e-6, rope_theta=10000.0)
+    hf = DeepseekV2ForCausalLM(HFCfg(
+        attention_dropout=0.0, max_position_embeddings=MAXLEN,
+        attention_bias=False, **common))
+    hf.eval()
+    cfg = DeepseekConfig.from_hf(common)
+    sd = {k: v.float().numpy() for k, v in hf.state_dict().items()}
+    data = build_deepseek_step(lambda n: sd[n], cfg, max_len=MAXLEN)
+    return hf, Model.new_from_onnx(data, name="tiny-deepseek"), cfg
+
+
+def test_logits_match_torch(tiny_deepseek):
+    import torch
+
+    hf, model, cfg = tiny_deepseek
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, cfg.vocab_size, (1, 9)).astype(np.int64)
+    iface = TextInferenceInterface(model, max_len=MAXLEN, prompt_buckets=(16,))
+    lg = iface.logits(ids)
+    with torch.no_grad():
+        tl = hf(torch.from_numpy(ids)).logits.numpy()
+    np.testing.assert_allclose(lg, tl, rtol=3e-3, atol=3e-4)
+
+
+def test_greedy_matches_torch(tiny_deepseek):
+    import torch
+
+    hf, model, cfg = tiny_deepseek
+    rng = np.random.default_rng(1)
+    prompt = rng.integers(0, cfg.vocab_size, (1, 6)).astype(np.int64)
+    iface = TextInferenceInterface(model, max_len=MAXLEN, prompt_buckets=(16,))
+    ours = iface.generate_tokens(prompt, 6)[0]
+    with torch.no_grad():
+        full = hf.generate(torch.from_numpy(prompt), max_new_tokens=6,
+                           do_sample=False, pad_token_id=0)
+    np.testing.assert_array_equal(ours, full[0, 6:].numpy())
+
+
+def test_mla_cache_is_compressed(tiny_deepseek):
+    """The cache must store the latent (kv_lora_rank), not full K/V."""
+    hf, model, cfg = tiny_deepseek
+    info = model.graph.tensors[model.graph.by_name["cache_k_0"]].info
+    dims = [int(d.value()) for d in info.dims()[1:]]
+    assert dims == [1, MAXLEN, cfg.kv_lora_rank]
+    # vs full MHA cache which would be H * (nope+rope) wide per position
+    assert cfg.kv_lora_rank < cfg.num_attention_heads * (
+        cfg.qk_nope_head_dim + cfg.qk_rope_head_dim)

@@ -112,25 +112,27 @@ def flash_attention(q, k, v, scale: float, causal: bool):
         denom = jnp.where(l_ref[:] == 0.0, 1.0, l_ref[:])
         o_ref[0] = (acc_ref[:] / denom).astype(o_ref.dtype)
 
-    out = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, BLOCK_Q, D), lambda bh, qi: (bh, qi, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Skv, D), lambda bh, qi: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Skv, Dv), lambda bh, qi: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, BLOCK_Q, Dv), lambda bh, qi: (bh, qi, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B * H, Sq, Dv), q.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((BLOCK_Q, Dv), jnp.float32),
-            pltpu.VMEM((BLOCK_Q, 1), jnp.float32),
-            pltpu.VMEM((BLOCK_Q, 1), jnp.float32),
-        ],
-    )(q.reshape(B * H, Sq, D), k.reshape(B * H, Skv, D),
-      v.reshape(B * H, Skv, Dv))
+    # Mosaic cannot legalize i64 index-map returns; stay 32-bit in-kernel.
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, BLOCK_Q, D), lambda bh, qi: (bh, qi, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Skv, D), lambda bh, qi: (bh, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Skv, Dv), lambda bh, qi: (bh, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, BLOCK_Q, Dv), lambda bh, qi: (bh, qi, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B * H, Sq, Dv), q.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((BLOCK_Q, Dv), jnp.float32),
+                pltpu.VMEM((BLOCK_Q, 1), jnp.float32),
+                pltpu.VMEM((BLOCK_Q, 1), jnp.float32),
+            ],
+        )(q.reshape(B * H, Sq, D), k.reshape(B * H, Skv, D),
+          v.reshape(B * H, Skv, Dv))
     return out.reshape(B, H, Sq, Dv)

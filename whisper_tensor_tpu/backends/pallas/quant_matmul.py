@@ -81,20 +81,23 @@ def int8_matmul(x, w_i8, scale):
             preferred_element_type=jnp.float32)
         o_ref[:] = (acc * s_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 
-    out = pl.pallas_call(
-        kernel,
-        grid=(N // TILE_N,),
-        in_specs=[
-            pl.BlockSpec((M, K), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, TILE_N), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE_N), lambda j: (0, j), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((M, TILE_N), lambda j: (0, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * M * K * N,
-            bytes_accessed=M * K * 2 + K * N + N * 4 + M * N * 2,
-            transcendentals=0),
-    )(x2, w_i8, scale.reshape(1, N))
+    # Mosaic cannot legalize i64 index-map returns; keep the kernel
+    # region in 32-bit mode even when the session enables x64.
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel,
+            grid=(N // TILE_N,),
+            in_specs=[
+                pl.BlockSpec((M, K), lambda j: (0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, TILE_N), lambda j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TILE_N), lambda j: (0, j), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((M, TILE_N), lambda j: (0, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * M * K * N,
+                bytes_accessed=M * K * 2 + K * N + N * 4 + M * N * 2,
+                transcendentals=0),
+        )(x2, w_i8, scale.reshape(1, N))
     return out.reshape(*lead, N)

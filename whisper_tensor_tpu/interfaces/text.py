@@ -94,9 +94,15 @@ class TextInferenceInterface:
     def fresh_cache(self, batch: int):
         import jax.numpy as jnp
 
-        shape = (batch, self.n_heads, self.max_len, self.head_dim)
-        return [jnp.zeros(shape, dtype=self.cache_dtype.to_jax())
-                for _ in self.cache_in_names]
+        out = []
+        for n in self.cache_in_names:
+            # per-cache declared shapes (heterogeneous for MLA: compressed
+            # latent + rope-key caches have different widths)
+            info = self.model.graph.tensors[self.model.graph.by_name[n]].info
+            dims = tuple(batch if not d.is_known else int(d.value())
+                         for d in info.dims())
+            out.append(jnp.zeros(dims, dtype=self.cache_dtype.to_jax()))
+        return out
 
     def _traced_step(self, batch: int, seq: int):
         """Traceable fn(ids, pos, *caches, *weights) -> (logits, *caches)."""
