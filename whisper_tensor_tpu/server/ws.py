@@ -120,8 +120,21 @@ async def serve_websocket(handler: Callable[[WebSocketConnection], Awaitable[Non
                 headers[k.strip().lower()] = v.strip()
         key = headers.get("sec-websocket-key")
         if key is None or "websocket" not in headers.get("upgrade", "").lower():
-            writer.write(b"HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n"
-                         b"Content-Length: 25\r\n\r\nwhisper-tensor-tpu server")
+            # plain HTTP: serve the web UI
+            import os
+
+            ui = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "webui.html")
+            try:
+                with open(ui, "rb") as f:
+                    body = f.read()
+                ctype = b"text/html; charset=utf-8"
+            except OSError:
+                body = b"whisper-tensor-tpu server"
+                ctype = b"text/plain"
+            writer.write(b"HTTP/1.1 200 OK\r\nContent-Type: " + ctype +
+                         b"\r\nContent-Length: " + str(len(body)).encode() +
+                         b"\r\n\r\n" + body)
             await writer.drain()
             writer.close()
             return
