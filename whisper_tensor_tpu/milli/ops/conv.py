@@ -294,6 +294,41 @@ class ConvWeightGrad(MilliOp):
                 dw[(slice(None), slice(None)) + kpos] += dd
         return [downcast_result(dw, orig)]
 
+    def to_jax(self, inputs, static=None):
+        """dW as a convolution: treat Cin as batch and N as the reduced
+        feature dim; window strides <- dilations, rhs dilation <- strides.
+        Grouped conv falls back to the host oracle (callback)."""
+        import jax
+        import jax.numpy as jnp
+
+        from .shape import _need_static
+
+        if self.groups != 1:
+            raise NotImplementedError("grouped ConvWeightGrad in jit")
+        w_shape = tuple(int(v) for v in _need_static(static, 0, "ConvWeightGrad").reshape(-1))
+        x, g = inputs[1], inputs[2]
+        nsp = x.ndim - 2
+        strides = tuple(self.strides or [1] * nsp)
+        dil = tuple(self.dilations or [1] * nsp)
+        pads = list(self.pads or [0] * (2 * nsp))
+        pad_pairs = tuple((pads[i], pads[i + nsp]) for i in range(nsp))
+        sp = "HWD"[:nsp] if nsp <= 3 else None
+        # lhs x (N,Cin,*s): batch<-Cin ('N' at dim1), feature<-N ('C' at dim0)
+        # rhs g (N,Cout,*o): input-feature<-N ('I' at dim0), output<-Cout ('O' at dim1)
+        # out spec "CN": feature(Cout) first, batch(Cin) second -> (Cout, Cin, *k)
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, g.shape, ("CN" + sp, "IO" + sp, "CN" + sp))
+        acc = jnp.float32 if x.dtype in (jnp.bfloat16, jnp.float16) else None
+        out = jax.lax.conv_general_dilated(
+            x, g, window_strides=dil, padding=pad_pairs,
+            rhs_dilation=strides, dimension_numbers=dn,
+            preferred_element_type=acc).astype(g.dtype)
+        # conv arithmetic can overshoot kernel extent by stride-remainder;
+        # trim to the requested weight shape
+        sl = (slice(None), slice(None)) + tuple(
+            slice(0, w_shape[2 + i]) for i in range(nsp))
+        return [out[sl]]
+
     def infer(self, infos):
         shp = infos[0]
         dt = infos[2].dtype

@@ -126,7 +126,10 @@ class LMTrainer:
             import jax
             from jax.sharding import NamedSharding, PartitionSpec
 
-            data_sh = NamedSharding(self.mesh, PartitionSpec("dp", "sp"))
+            # shard batch on dp; sequence on sp only when it divides evenly
+            sp_size = dict(zip(self.mesh.axis_names, self.mesh.devices.shape)).get("sp", 1)
+            seq_axis = "sp" if ids.shape[1] % max(sp_size, 1) == 0 else None
+            data_sh = NamedSharding(self.mesh, PartitionSpec("dp", seq_axis))
             ids = jax.device_put(ids, data_sh)
             targets = jax.device_put(targets, data_sh)
         return self._step_fn(params, opt_state, ids, targets)
