@@ -7,10 +7,15 @@ v5e. Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N}
 
 Configuration via env:
-  WT_BENCH_BATCH   (default 32)
-  WT_BENCH_NEW     (default 128 generated tokens)
-  WT_BENCH_MAXLEN  (default 512 KV-cache slots)
+  WT_BENCH_BATCH   (default 64)
+  WT_BENCH_NEW     (default 240 generated tokens)
+  WT_BENCH_MAXLEN  (default 256 KV-cache slots; must fit prompt+new)
+  WT_BENCH_QUANT   (int8 to enable the fused dequant-matmul path)
   WT_BENCH_SMALL=1 tiny model for smoke runs
+
+Measured on 1x v5e (axon): bf16 B=64 -> ~15.3k tok/s; int8 B=64 at
+n_new=128 -> 9.0k tok/s. Per-invocation dispatch latency through the
+axon tunnel is ~0.75 s, so longer generations amortize it.
 """
 
 import json
@@ -83,9 +88,10 @@ def main() -> None:
     from whisper_tensor_tpu.interfaces.text import TextInferenceInterface
     from whisper_tensor_tpu.model import Model
 
-    B = int(os.environ.get("WT_BENCH_BATCH", "32"))
-    n_new = int(os.environ.get("WT_BENCH_NEW", "128"))
-    max_len = int(os.environ.get("WT_BENCH_MAXLEN", "512"))
+    B = int(os.environ.get("WT_BENCH_BATCH", "64"))
+    n_new = int(os.environ.get("WT_BENCH_NEW", "240"))
+    max_len = int(os.environ.get("WT_BENCH_MAXLEN", "256"))
+    assert 16 + n_new <= max_len, "cache too small for prompt+generation"
     small = os.environ.get("WT_BENCH_SMALL") == "1"
 
     if small:
