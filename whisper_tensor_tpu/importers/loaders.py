@@ -111,7 +111,7 @@ class TransformersLoader(Loader):
     # model_type -> (recipe builder, config adapter); per-arch recipes as
     # in the reference's transformers dispatch (lib.rs:38-180)
     SUPPORTED = ("gpt2", "llama", "mistral", "qwen2", "qwen3", "gemma",
-                 "gemma2", "phi3")
+                 "gemma2", "gemma3_text", "phi3", "deepseek_v2")
 
     def config_schema(self):
         return super().config_schema() + [
@@ -166,6 +166,24 @@ class TransformersLoader(Loader):
                                     dtype=dtype)
             geometry = dict(n_layers=cfg.num_hidden_layers,
                             n_kv_heads=cfg.num_key_value_heads, head_dim=cfg.hd)
+        elif mt in ("gemma3_text", "gemma3"):
+            from .recipes.llm.gemma3 import Gemma3Config, build_gemma3_step
+
+            cfg = Gemma3Config.from_hf(hf_cfg)
+            data = build_gemma3_step(store.getter(), cfg, max_len=max_len,
+                                     dtype=dtype)
+            geometry = dict(n_layers=cfg.num_hidden_layers,
+                            n_kv_heads=cfg.num_key_value_heads,
+                            head_dim=cfg.head_dim)
+        elif mt == "deepseek_v2":
+            from .recipes.llm.deepseek import (DeepseekConfig,
+                                               build_deepseek_step)
+
+            cfg = DeepseekConfig.from_hf(hf_cfg)
+            data = build_deepseek_step(store.getter(), cfg, max_len=max_len,
+                                       dtype=dtype)
+            geometry = dict(n_layers=cfg.num_hidden_layers, n_kv_heads=1,
+                            head_dim=cfg.kv_lora_rank)
         elif mt == "phi3":
             from .recipes.llm.phi3 import Phi3Config, build_phi3_step
 
