@@ -121,3 +121,51 @@ def test_intermediate_capture_taps():
     comp = compile_milli(g, feeds, capture_labels=["hidden_exp"], use_cache=False)
     out = comp(feeds)
     np.testing.assert_allclose(np.asarray(out["hidden_exp"]), np.exp(feeds["x"]), rtol=1e-6)
+
+
+def test_segmented_fallback_mixes_xla_and_oracle():
+    """A graph with a data-dependent-shape op in the middle runs via the
+    segmented plan (reference v9 hybrid ExecutionPlan): heavy ops jitted,
+    the dynamic island on the oracle, results exact."""
+    from whisper_tensor_tpu.backends.xla.segmented import SegmentedPlan
+    from whisper_tensor_tpu.dtype import DType
+    from whisper_tensor_tpu.milli.ops import (Cast, GatherShape, NonZero,
+                                              Shape)
+
+    g = MilliGraph("mixed")
+    x, w = g.add_input("x"), g.add_input("w")
+    h = g.op1(SimpleUnary("relu"), g.op1(MatMul(), x, w))
+    nz = g.op1(NonZero(), h)
+    cnt = g.op1(GatherShape(1), g.op1(Shape(), nz))
+    cntf = g.op1(Cast(DType.F32), cnt)
+    g.mark_output("scaled", g.op1(SimpleBinary("mul"), h, cntf))
+    feeds = {"x": np.random.default_rng(0).standard_normal((3, 4)).astype(np.float32),
+             "w": np.random.default_rng(1).standard_normal((4, 5)).astype(np.float32)}
+    ref = g.eval(feeds)
+    plan = SegmentedPlan.build(g, feeds)
+    kinds = [k for k, _ in plan.segments]
+    assert "xla" in kinds and "oracle" in kinds
+    out = plan.run(feeds)
+    np.testing.assert_allclose(out["scaled"], ref["scaled"], rtol=1e-6)
+
+
+def test_eval_backend_segmented_route():
+    """EvalBackend xla mode must transparently produce results for graphs
+    the whole-graph compiler rejects."""
+    from whisper_tensor_tpu.dtype import DType as DT
+    from whisper_tensor_tpu.importers.onnx_builder import OnnxBuilder
+    from whisper_tensor_tpu.model import Model
+
+    b = OnnxBuilder("seg")
+    b.input("x", DT.F32, [6])
+    nz = b.node("NonZero", ["x"])
+    shp = b.node("Shape", [nz])
+    cnt = b.node("Gather", [shp, b.const(np.asarray(1, dtype=np.int64))], axis=0)
+    cntf = b.node("Cast", [cnt], to=1)
+    y = b.node("Mul", ["x", cntf], outputs=["y"])
+    b.output("y", DT.F32, [6])
+    m = Model.new_from_onnx(b.build())
+    x = np.asarray([0, 1, 0, 2, 3, 0], dtype=np.float32)
+    ref = m.eval({"x": x}, mode="oracle")["y"]
+    out = m.eval({"x": x}, mode="xla")["y"]
+    np.testing.assert_allclose(out, ref, rtol=1e-6)

@@ -65,8 +65,26 @@ class EvalBackend:
 
                 if not isinstance(e, GraphNotJittable):
                     raise
-                # graph-partition fallback: whole graph on the oracle
+                # graph-partition fallback: jittable segments + oracle ops
+                # (reference v9 hybrid ExecutionPlan pattern)
+                try:
+                    return self._run_segmented(graph, feeds, outer_env)
+                except Exception:
+                    pass  # last resort: whole graph on the oracle
         return self._run_interp(graph, feeds, outer_env)
+
+    def _run_segmented(self, graph: SymbolicGraph, feeds, outer_env):
+        from .xla.segmented import SegmentedPlan
+
+        milli, weight_inputs = self._milli_of(graph)
+        all_feeds = self._resolve_feeds(graph, milli, weight_inputs, feeds,
+                                        outer_env, device_weights=False)
+        key = ("seg", graph.id)
+        plan = self._graph_milli_cache.get(key)
+        if plan is None:
+            plan = SegmentedPlan.build(milli, all_feeds)
+            self._graph_milli_cache[key] = plan
+        return plan.run(all_feeds)
 
     # ------------------------------------------------------------------
     # oracle interpreter (per-op, validating, observable)
@@ -170,35 +188,45 @@ class EvalBackend:
     # ------------------------------------------------------------------
     # XLA whole-graph mode
     # ------------------------------------------------------------------
-    def _run_xla(self, graph: SymbolicGraph, feeds: Dict[str, np.ndarray],
-                 outer_env: Optional[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
-        from .xla.compiler import compile_milli
-
+    def _milli_of(self, graph: SymbolicGraph):
         cached = self._graph_milli_cache.get(graph.id)
         if cached is None:
-            milli, weight_inputs = graph.to_milli()
-            cached = (milli, weight_inputs)
+            cached = graph.to_milli()
             self._graph_milli_cache[graph.id] = cached
-        milli, weight_inputs = cached
+        return cached
 
-        dev_weights = self._weights_device_cache.setdefault(graph.id, {})
+    def _resolve_feeds(self, graph, milli, weight_inputs, feeds, outer_env,
+                       device_weights=True):
         all_feeds: Dict[str, Any] = {}
+        dev_weights = self._weights_device_cache.setdefault(graph.id, {})
         for name in milli.inputs:
             if name in feeds:
                 all_feeds[name] = np.asarray(feeds[name])
             elif name in weight_inputs:
-                if name not in dev_weights:
-                    if self.observer is not None:
-                        self.observer.on_loading_weight(name)
-                    import jax
+                if device_weights:
+                    if name not in dev_weights:
+                        if self.observer is not None:
+                            self.observer.on_loading_weight(name)
+                        import jax
 
-                    host = graph.store.get_numeric(name).numpy()
-                    dev_weights[name] = jax.device_put(host)
-                all_feeds[name] = dev_weights[name]
+                        dev_weights[name] = jax.device_put(
+                            graph.store.get_numeric(name).numpy())
+                    all_feeds[name] = dev_weights[name]
+                else:
+                    all_feeds[name] = graph.store.get_numeric(name).numpy()
             elif outer_env and name in outer_env:
                 all_feeds[name] = np.asarray(outer_env[name])
             else:
                 raise KeyError(f"missing input {name!r}")
+        return all_feeds
+
+    def _run_xla(self, graph: SymbolicGraph, feeds: Dict[str, np.ndarray],
+                 outer_env: Optional[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+        from .xla.compiler import compile_milli
+
+        milli, weight_inputs = self._milli_of(graph)
+        all_feeds = self._resolve_feeds(graph, milli, weight_inputs, feeds,
+                                        outer_env)
         compiled = compile_milli(milli, all_feeds)
         outs = compiled(all_feeds)
         return {k: np.asarray(v) for k, v in outs.items()}
