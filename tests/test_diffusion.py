@@ -38,6 +38,45 @@ class TestClipText:
                                    rtol=2e-3, atol=2e-4)
         assert out["pooled"].shape == (2, 32)
 
+    def test_projection_and_penultimate_vs_transformers(self):
+        """SDXL conditioning path: hidden_states[-2] + pooled projection
+        must match CLIPTextModelWithProjection."""
+        import torch
+        from transformers import CLIPTextConfig as HFCfg
+        from transformers import CLIPTextModelWithProjection
+
+        from whisper_tensor_tpu.importers.recipes.diffusion.clip import (
+            ClipTextConfig, build_clip_text)
+
+        torch.manual_seed(1)
+        hf = CLIPTextModelWithProjection(HFCfg(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=3,
+            num_attention_heads=4, vocab_size=100,
+            max_position_embeddings=16, attention_dropout=0.0,
+            projection_dim=24, hidden_act="gelu", eos_token_id=99))
+        hf.eval()
+        cfg = ClipTextConfig(num_hidden_layers=3, hidden_size=32,
+                             num_attention_heads=4, intermediate_size=64,
+                             vocab_size=100, max_position_embeddings=16,
+                             hidden_act="gelu", projection_dim=24,
+                             eos_token_id=99)
+        sd = {k: v.float().numpy() for k, v in hf.state_dict().items()}
+        data = build_clip_text(lambda n: sd[n], cfg, seq_len=16)
+        model = Model.new_from_onnx(data, name="tiny-clip-proj")
+        rng = np.random.default_rng(3)
+        ids = rng.integers(0, 99, (2, 16)).astype(np.int64)
+        ids[0, 5] = 99   # EOS mid-sequence
+        ids[1, 11] = 99
+        out = model.eval({"input_ids": ids})
+        with torch.no_grad():
+            ref = hf(torch.from_numpy(ids), output_hidden_states=True)
+        np.testing.assert_allclose(out["text_embeds"],
+                                   ref.text_embeds.numpy(),
+                                   rtol=2e-3, atol=2e-4)
+        np.testing.assert_allclose(out["penultimate_hidden_state"],
+                                   ref.hidden_states[-2].numpy(),
+                                   rtol=2e-3, atol=2e-4)
+
 
 @pytest.fixture(scope="module")
 def tiny_unet():
@@ -160,3 +199,98 @@ class TestPipeline:
         assert img.pixels.shape == (128, 128, 3)
         assert img.pixels.dtype == np.uint8
         assert len(progress) == 3
+
+
+class TestSDXL:
+    def _tiny_te(self, hidden, heads, seq, proj, seed):
+        import torch
+        from transformers import CLIPTextConfig as HFCfg
+        from transformers import CLIPTextModelWithProjection
+
+        from whisper_tensor_tpu.importers.recipes.diffusion.clip import (
+            ClipTextConfig, build_clip_text)
+
+        torch.manual_seed(seed)
+        hf = CLIPTextModelWithProjection(HFCfg(
+            hidden_size=hidden, intermediate_size=2 * hidden,
+            num_hidden_layers=2, num_attention_heads=heads, vocab_size=100,
+            max_position_embeddings=seq, projection_dim=proj,
+            hidden_act="gelu"))
+        sd = {k: v.float().numpy() for k, v in hf.state_dict().items()}
+        cfg = ClipTextConfig(num_hidden_layers=2, hidden_size=hidden,
+                             num_attention_heads=heads,
+                             intermediate_size=2 * hidden, vocab_size=100,
+                             max_position_embeddings=seq, hidden_act="gelu",
+                             projection_dim=proj)
+        return Model.new_from_onnx(build_clip_text(lambda n: sd[n], cfg,
+                                                   seq_len=seq))
+
+    def test_sdxl_unet_oracle_vs_xla(self):
+        """SDXL-shaped UNet (3 blocks, per-block transformer depth,
+        head_dim heads, addition embeddings) — backends agree."""
+        from whisper_tensor_tpu.importers.recipes.diffusion.unet import (
+            UNetConfig, build_sd_unet, random_unet_weights)
+
+        cfg = UNetConfig(block_out_channels=(8, 16, 16),
+                         down_has_attn=(False, True, True),
+                         transformer_layers_per_block=(0, 1, 2),
+                         cross_attention_dim=12, head_dim=8, norm_groups=4,
+                         layers_per_block=1, addition_embed=True,
+                         addition_time_embed_dim=8,
+                         projection_class_embeddings_input_dim=16 + 48,
+                         time_embed_dim=16)
+        m = Model.new_from_onnx(build_sd_unet(random_unet_weights(), cfg,
+                                              latent_hw=(16, 16)))
+        rng = np.random.default_rng(0)
+        feeds = {"sample": rng.standard_normal((2, 4, 16, 16)).astype(np.float32),
+                 "timestep": np.asarray(5.0, dtype=np.float32),
+                 "encoder_hidden_states":
+                     rng.standard_normal((2, 8, 12)).astype(np.float32),
+                 "text_embeds": rng.standard_normal((2, 16)).astype(np.float32),
+                 "time_ids": np.tile(np.asarray(
+                     [[128, 128, 0, 0, 128, 128]], np.float32), (2, 1))}
+        ref = m.eval(feeds)["out"]
+        assert ref.shape == (2, 4, 16, 16) and np.isfinite(ref).all()
+        out = m.eval(feeds, mode="xla")["out"]
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-3, atol=1e-4)
+        # micro-conditioning reaches the output
+        o2 = m.eval({**feeds, "time_ids": np.tile(np.asarray(
+            [[64, 64, 0, 0, 64, 64]], np.float32), (2, 1))})["out"]
+        assert np.abs(o2 - ref).max() > 1e-5
+
+    def test_sdxl_pipeline_smoke(self):
+        """Dual text encoders -> concat penultimate + pooled projection ->
+        SDXL UNet with time_ids -> VAE. End to end on the oracle."""
+        from whisper_tensor_tpu.backends.eval_backend import EvalBackend
+        from whisper_tensor_tpu.importers.recipes.diffusion.unet import (
+            UNetConfig, build_sd_unet, random_unet_weights)
+        from whisper_tensor_tpu.importers.recipes.diffusion.vae import (
+            VAEConfig, build_vae_decoder)
+        from whisper_tensor_tpu.interfaces.image_gen import (
+            ImageGenConfig, SDXLImageGenerationInterface)
+
+        te1 = self._tiny_te(hidden=12, heads=2, seq=8, proj=12, seed=0)
+        te2 = self._tiny_te(hidden=16, heads=2, seq=8, proj=16, seed=1)
+        ucfg = UNetConfig(block_out_channels=(8, 16, 16),
+                          down_has_attn=(False, True, True),
+                          transformer_layers_per_block=(0, 1, 1),
+                          cross_attention_dim=12 + 16, head_dim=8,
+                          norm_groups=4, layers_per_block=1,
+                          addition_embed=True, addition_time_embed_dim=8,
+                          projection_class_embeddings_input_dim=16 + 48,
+                          time_embed_dim=16)
+        unet = Model.new_from_onnx(build_sd_unet(random_unet_weights(), ucfg,
+                                                 latent_hw=(16, 16)))
+        vae = Model.new_from_onnx(build_vae_decoder(
+            random_unet_weights(1),
+            VAEConfig(block_out_channels=(8, 8, 16, 16), layers_per_block=1,
+                      norm_groups=4), latent_hw=(16, 16)))
+        iface = SDXLImageGenerationInterface(
+            te1, te2, unet, vae, tokenizer=None, bos_token_id=1,
+            uncond_token_id=2, seq_len=8)
+        iface._backends = {m.id: EvalBackend("oracle")
+                           for m in (te1, te2, unet, vae)}
+        img = iface.run("a tpu", cfg=ImageGenConfig(steps=2, height=128,
+                                                    width=128, seed=1))
+        assert img.pixels.shape == (128, 128, 3)
+        assert img.pixels.dtype == np.uint8

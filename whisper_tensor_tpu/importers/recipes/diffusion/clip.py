@@ -25,7 +25,12 @@ class ClipTextConfig:
     vocab_size: int = 49408
     max_position_embeddings: int = 77
     layer_norm_eps: float = 1e-5
-    hidden_act: str = "quick_gelu"   # sd1.5; sd2 uses gelu
+    hidden_act: str = "quick_gelu"   # sd1.5; sd2/sdxl use gelu
+    projection_dim: Optional[int] = None   # SDXL: pooled @ text_projection
+    # pooled position: first `eos_token_id` occurrence when set, else the
+    # highest-id token (HF legacy eos_token_id==2 behavior; equivalent for
+    # real prompts where EOS is the max vocab id).
+    eos_token_id: Optional[int] = None
 
     @staticmethod
     def from_hf(cfg: dict) -> "ClipTextConfig":
@@ -37,7 +42,10 @@ class ClipTextConfig:
             vocab_size=cfg["vocab_size"],
             max_position_embeddings=cfg.get("max_position_embeddings", 77),
             layer_norm_eps=cfg.get("layer_norm_eps", 1e-5),
-            hidden_act=cfg.get("hidden_act", "quick_gelu"))
+            hidden_act=cfg.get("hidden_act", "quick_gelu"),
+            projection_dim=cfg.get("projection_dim"),
+            eos_token_id=(None if cfg.get("eos_token_id", 2) == 2
+                          else cfg["eos_token_id"]))
 
 
 def build_clip_text(weights: Callable[[str], np.ndarray], cfg: ClipTextConfig,
@@ -67,7 +75,12 @@ def build_clip_text(weights: Callable[[str], np.ndarray], cfg: ClipTextConfig,
         return b.add(b.matmul(xx, b.initializer(name + "_wT", wT(name + ".weight"))),
                      b.initializer(name + "_b", w(name + ".bias")))
 
+    penultimate = None
     for i in range(L):
+        if i == L - 1:
+            # HF hidden_states[-2]: input to the last encoder layer, no
+            # final LN — the SDXL pipeline conditions the UNet on this.
+            penultimate = x
         p = f"{tp}encoder.layers.{i}."
         h = b.layer_norm(x, b.initializer(f"ln1g_{i}", w(p + "layer_norm1.weight")),
                          b.initializer(f"ln1b_{i}", w(p + "layer_norm1.bias")),
@@ -101,8 +114,14 @@ def build_clip_text(weights: Callable[[str], np.ndarray], cfg: ClipTextConfig,
                      epsilon=cfg.layer_norm_eps)
     b.node("Identity", [x], outputs=["last_hidden_state"])
     b.output("last_hidden_state", dtype, ["batch", seq_len, E])
-    # pooled: hidden state at the argmax (EOS) token id position
-    eos_pos = b.node("ArgMax", [ids], axis=1, keepdims=0)           # (B,)
+    # pooled: hidden state at the EOS token position
+    if cfg.eos_token_id is not None:
+        is_eos = b.node("Cast", [b.node("Equal", [
+            ids, b.const(np.asarray(cfg.eos_token_id, dtype=np.int64))])],
+            to=6)  # i32; ArgMax picks the FIRST max -> first EOS
+        eos_pos = b.node("ArgMax", [is_eos], axis=1, keepdims=0)    # (B,)
+    else:
+        eos_pos = b.node("ArgMax", [ids], axis=1, keepdims=0)       # (B,)
     pooled = b.node("GatherElements",
                     [x, b.node("Expand",
                                [b.node("Unsqueeze",
@@ -113,4 +132,11 @@ def build_clip_text(weights: Callable[[str], np.ndarray], cfg: ClipTextConfig,
     pooled = b.node("Squeeze", [pooled, b.const_i64([1])])
     b.node("Identity", [pooled], outputs=["pooled"])
     b.output("pooled", dtype, ["batch", E])
+    b.node("Identity", [penultimate], outputs=["penultimate_hidden_state"])
+    b.output("penultimate_hidden_state", dtype, ["batch", seq_len, E])
+    if cfg.projection_dim:
+        te = b.matmul(pooled,
+                      b.initializer("text_proj_wT", wT("text_projection.weight")))
+        b.node("Identity", [te], outputs=["text_embeds"])
+        b.output("text_embeds", dtype, ["batch", cfg.projection_dim])
     return b.build(storage or WeightStorage.embed())

@@ -28,10 +28,28 @@ class UNetConfig:
     block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
     layers_per_block: int = 2
     cross_attention_dim: int = 768
-    attention_head_dim: int = 8          # SD1.5: heads count (dim/heads varies)
+    attention_head_dim: int = 8          # heads count (int) or per-block tuple
+    head_dim: Optional[int] = None       # SDXL style: fixed per-head width
     norm_groups: int = 32
     down_has_attn: Tuple[bool, ...] = (True, True, True, False)
+    transformer_layers_per_block: Tuple[int, ...] = (1, 1, 1, 1)
     sample_size: int = 64
+    # SDXL addition embeddings (pooled text + time ids)
+    addition_embed: bool = False
+    addition_time_embed_dim: int = 256
+    projection_class_embeddings_input_dim: int = 2816
+    time_embed_dim: int = 1280
+
+    def heads_for(self, c: int, block_idx: int) -> int:
+        if self.head_dim:
+            return c // self.head_dim
+        if isinstance(self.attention_head_dim, (tuple, list)):
+            return int(self.attention_head_dim[block_idx])
+        return int(self.attention_head_dim)
+
+    def tf_layers(self, block_idx: int) -> int:
+        t = self.transformer_layers_per_block
+        return int(t[block_idx]) if isinstance(t, (tuple, list)) else int(t)
 
     @staticmethod
     def sd15() -> "UNetConfig":
@@ -39,8 +57,15 @@ class UNetConfig:
 
     @staticmethod
     def sd21() -> "UNetConfig":
-        return UNetConfig(cross_attention_dim=1024,
-                          attention_head_dim=(5, 10, 20, 20))  # type: ignore
+        return UNetConfig(cross_attention_dim=1024, head_dim=64)
+
+    @staticmethod
+    def sdxl() -> "UNetConfig":
+        return UNetConfig(block_out_channels=(320, 640, 1280),
+                          down_has_attn=(False, True, True),
+                          transformer_layers_per_block=(0, 2, 10),
+                          cross_attention_dim=2048, head_dim=64,
+                          addition_embed=True, time_embed_dim=1280)
 
 
 def timestep_embedding_table(dim: int, max_period: float = 10000.0):
@@ -95,7 +120,8 @@ class _UNetBuilder:
         b = self.b
         h = self.group_norm(x, name + ".norm1", cin)
         h = self.conv(self.silu(h), name + ".conv1", cin, cout)
-        t = self.linear(self.silu(temb), name + ".time_emb_proj", 1280, cout)
+        t = self.linear(self.silu(temb), name + ".time_emb_proj",
+                        self.cfg.time_embed_dim, cout)
         # temb (B, cout) -> (B, cout, 1, 1)
         t = b.reshape(t, [0, cout, 1, 1])
         h = b.add(h, t)
@@ -154,18 +180,18 @@ class _UNetBuilder:
         h = self.linear(h, name + ".ff.net.2", 4 * c, c)
         return b.add(x_seq, h)
 
-    def spatial_transformer(self, x, ctx, name, c, hw):
+    def spatial_transformer(self, x, ctx, name, c, hw, heads, n_blocks=1):
         """Transformer2DModel: GN -> 1x1 conv proj_in -> blocks -> proj_out."""
         b = self.b
-        heads = self.cfg.attention_head_dim if isinstance(
-            self.cfg.attention_head_dim, int) else 8
         resid = x
         h = self.group_norm(x, name + ".norm", c)
         h = self.conv(h, name + ".proj_in", c, c, k=1, pad=0)
         # (B, c, H, W) -> (B, HW, c)
         h = b.transpose(b.reshape(h, [0, c, -1]), [0, 2, 1])
-        h = self.transformer_block(h, ctx, name + ".transformer_blocks.0",
-                                   c, heads)
+        for j in range(n_blocks):
+            h = self.transformer_block(h, ctx,
+                                       name + f".transformer_blocks.{j}",
+                                       c, heads)
         h = b.reshape(b.transpose(h, [0, 2, 1]), [0, c, hw[0], hw[1]])
         h = self.conv(h, name + ".proj_out", c, c, k=1, pad=0)
         return b.add(h, resid)
@@ -187,15 +213,37 @@ def build_sd_unet(weights: Callable[[str, Tuple[int, ...]], np.ndarray],
     ctx = b.input("encoder_hidden_states", dtype,
                   [B, "tokens", cfg.cross_attention_dim])
 
-    # time embedding: sinusoidal(320) -> linear(1280) -> silu -> linear(1280)
+    # time embedding: sinusoidal(ch0) -> linear -> silu -> linear
+    TED = cfg.time_embed_dim
     freqs = b.initializer("time_freqs", timestep_embedding_table(ch[0]).astype(np.float32))
     targ = b.mul(b.node("Unsqueeze", [tstep, b.const_i64([0])]), freqs)
     emb = b.node("Concat", [b.node("Cos", [targ]), b.node("Sin", [targ])], axis=-1)
-    emb = b.node("Unsqueeze", [emb, b.const_i64([0])])  # (1, 320)
+    emb = b.node("Unsqueeze", [emb, b.const_i64([0])])  # (1, ch0)
     if dtype is not DType.F32:
         emb = b.cast(emb, dtype)
-    temb = ub.linear(emb, "time_embedding.linear_1", ch[0], 1280)
-    temb = ub.linear(ub.silu(temb), "time_embedding.linear_2", 1280, 1280)
+    temb = ub.linear(emb, "time_embedding.linear_1", ch[0], TED)
+    temb = ub.linear(ub.silu(temb), "time_embedding.linear_2", TED, TED)
+    if cfg.addition_embed:
+        # SDXL: pooled text embeds (B, Ctx_pooled) + time_ids (B, 6)
+        pooled_dim = (cfg.projection_class_embeddings_input_dim
+                      - 6 * cfg.addition_time_embed_dim)
+        text_embeds = b.input("text_embeds", dtype, [B, pooled_dim])
+        time_ids = b.input("time_ids", DType.F32, [B, 6])
+        afreqs = b.initializer(
+            "add_time_freqs",
+            timestep_embedding_table(cfg.addition_time_embed_dim).astype(np.float32))
+        tia = b.node("Unsqueeze", [time_ids, b.const_i64([2])])   # (B,6,1)
+        ang = b.mul(tia, afreqs)                                   # (B,6,half)
+        sins = b.node("Concat", [b.node("Cos", [ang]), b.node("Sin", [ang])],
+                      axis=-1)                                     # (B,6,dim)
+        sins = b.reshape(sins, [0, 6 * cfg.addition_time_embed_dim])
+        if dtype is not DType.F32:
+            sins = b.cast(sins, dtype)
+        add_in = b.node("Concat", [text_embeds, sins], axis=-1)
+        aemb = ub.linear(add_in, "add_embedding.linear_1",
+                         cfg.projection_class_embeddings_input_dim, TED)
+        aemb = ub.linear(ub.silu(aemb), "add_embedding.linear_2", TED, TED)
+        temb = b.add(temb, aemb)
 
     x = ub.conv(sample, "conv_in", cfg.in_channels, ch[0])
 
@@ -209,7 +257,8 @@ def build_sd_unet(weights: Callable[[str, Tuple[int, ...]], np.ndarray],
             x = ub.resnet(x, temb, name, cin if li == 0 else cout, cout)
             if cfg.down_has_attn[bi]:
                 x = ub.spatial_transformer(
-                    x, ctx, f"down_blocks.{bi}.attentions.{li}", cout, hw)
+                    x, ctx, f"down_blocks.{bi}.attentions.{li}", cout, hw,
+                    cfg.heads_for(cout, bi), cfg.tf_layers(bi))
             skips.append((x, cout))
         if bi < len(ch) - 1:
             x = ub.conv(x, f"down_blocks.{bi}.downsamplers.0.conv",
@@ -219,7 +268,9 @@ def build_sd_unet(weights: Callable[[str, Tuple[int, ...]], np.ndarray],
 
     # mid
     x = ub.resnet(x, temb, "mid_block.resnets.0", ch[-1], ch[-1])
-    x = ub.spatial_transformer(x, ctx, "mid_block.attentions.0", ch[-1], hw)
+    x = ub.spatial_transformer(x, ctx, "mid_block.attentions.0", ch[-1], hw,
+                               cfg.heads_for(ch[-1], len(ch) - 1),
+                               max(cfg.tf_layers(len(ch) - 1), 1))
     x = ub.resnet(x, temb, "mid_block.resnets.1", ch[-1], ch[-1])
 
     # up blocks (reverse channels, layers_per_block+1 resnets, skip concats)
@@ -232,9 +283,11 @@ def build_sd_unet(weights: Callable[[str, Tuple[int, ...]], np.ndarray],
             name = f"up_blocks.{bi}.resnets.{li}"
             x = ub.resnet(x, temb, name, cur_c + skip_c, cout)
             cur_c = cout
-            if cfg.down_has_attn[len(ch) - 1 - bi]:
+            down_bi = len(ch) - 1 - bi
+            if cfg.down_has_attn[down_bi]:
                 x = ub.spatial_transformer(
-                    x, ctx, f"up_blocks.{bi}.attentions.{li}", cout, hw)
+                    x, ctx, f"up_blocks.{bi}.attentions.{li}", cout, hw,
+                    cfg.heads_for(cout, down_bi), cfg.tf_layers(down_bi))
         if bi < len(rev) - 1:
             # upsample: nearest x2 + conv
             x = b.node("Resize",

@@ -108,15 +108,20 @@ class ImageGenerationInterface:
         return np.asarray(self._run(self.text_encoder,
                                     {"input_ids": ids})["last_hidden_state"])
 
+    def _encode_cfg(self, prompt: str, negative_prompt: str,
+                    cfg: "ImageGenConfig"):
+        """Returns (encoder_hidden_states batch-2, extra unet feeds)."""
+        cond = self._text_embed(self.encode_prompt(prompt))
+        uncond = self._text_embed(self.encode_prompt(negative_prompt))
+        return np.concatenate([uncond, cond], axis=0), {}
+
     # ------------------------------------------------------------------
     def run(self, prompt: str, negative_prompt: str = "",
             cfg: Optional[ImageGenConfig] = None,
             observer=None) -> Image:
         cfg = cfg or ImageGenConfig()
         h8, w8 = cfg.height // 8, cfg.width // 8
-        cond = self._text_embed(self.encode_prompt(prompt))
-        uncond = self._text_embed(self.encode_prompt(negative_prompt))
-        ctx = np.concatenate([uncond, cond], axis=0)
+        ctx, extra_feeds = self._encode_cfg(prompt, negative_prompt, cfg)
 
         sched = (euler_discrete_schedule(cfg.steps) if cfg.schedule == "euler"
                  else rectified_flow_schedule(cfg.steps))
@@ -139,7 +144,7 @@ class ImageGenerationInterface:
             out = np.asarray(self._run(self.unet, {
                 "sample": sample,
                 "timestep": np.asarray(t, dtype=np.float32),
-                "encoder_hidden_states": ctx})["out"])
+                "encoder_hidden_states": ctx, **extra_feeds})["out"])
             eps_u, eps_c = out[0:1], out[1:2]
             eps = eps_u + cfg.guidance_scale * (eps_c - eps_u)
             if cfg.schedule == "euler":
@@ -156,3 +161,37 @@ class ImageGenerationInterface:
         img = np.asarray(self._run(self.vae, {"latents": latents})["image"])
         pixels = np.clip((img[0].transpose(1, 2, 0) + 1) / 2, 0, 1)
         return Image((pixels * 255).round().astype(np.uint8))
+
+
+class SDXLImageGenerationInterface(ImageGenerationInterface):
+    """Dual text-encoder CFG pipeline (SDXL family).
+
+    Reference equivalent: the dual-encoder branch of
+    ImageGenerationInterface (src/interfaces.rs:327-2780). Conditioning:
+    per-encoder penultimate hidden states concatenated on the channel
+    dim (CLIP-L 768 + OpenCLIP-bigG 1280 = 2048), pooled projection
+    from encoder 2 as `text_embeds`, and the 6-value micro-conditioning
+    `time_ids` (orig_size, crop_topleft, target_size).
+    """
+
+    def __init__(self, text_encoder: Model, text_encoder_2: Model,
+                 unet: Model, vae: Model, tokenizer=None, **kw):
+        super().__init__(text_encoder, unet, vae, tokenizer=tokenizer, **kw)
+        self.text_encoder_2 = text_encoder_2
+
+    def _encode_one(self, ids: np.ndarray):
+        o1 = self._run(self.text_encoder, {"input_ids": ids})
+        o2 = self._run(self.text_encoder_2, {"input_ids": ids})
+        emb = np.concatenate(
+            [np.asarray(o1["penultimate_hidden_state"]),
+             np.asarray(o2["penultimate_hidden_state"])], axis=-1)
+        return emb, np.asarray(o2["text_embeds"])
+
+    def _encode_cfg(self, prompt, negative_prompt, cfg):
+        c, pc = self._encode_one(self.encode_prompt(prompt))
+        u, pu = self._encode_one(self.encode_prompt(negative_prompt))
+        tid = np.asarray([[cfg.height, cfg.width, 0, 0,
+                           cfg.height, cfg.width]], dtype=np.float32)
+        return (np.concatenate([u, c], axis=0),
+                {"text_embeds": np.concatenate([pu, pc], axis=0),
+                 "time_ids": np.concatenate([tid, tid], axis=0)})
