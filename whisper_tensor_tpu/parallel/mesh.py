@@ -21,15 +21,20 @@ import numpy as np
 AXES = ("dp", "sp", "tp")
 
 
-def make_mesh(dp: int = 1, sp: int = 1, tp: int = 1, devices=None):
-    """Build a Mesh with the standard (dp, sp, tp) axes."""
+def make_mesh(dp: int = 1, sp: int = 1, tp: int = 1, ep: int = 1,
+              devices=None):
+    """Build a Mesh with the standard (dp, sp, tp) axes, plus an `ep`
+    axis when expert parallelism is requested (ep > 1)."""
     import jax
     from jax.sharding import Mesh
 
     devices = devices if devices is not None else jax.devices()
-    n = dp * sp * tp
+    n = dp * sp * tp * ep
     if len(devices) < n:
         raise ValueError(f"need {n} devices, have {len(devices)}")
+    if ep > 1:
+        arr = np.asarray(devices[:n]).reshape(dp, sp, tp, ep)
+        return Mesh(arr, ("dp", "sp", "tp", "ep"))
     arr = np.asarray(devices[:n]).reshape(dp, sp, tp)
     return Mesh(arr, ("dp", "sp", "tp"))
 
