@@ -1,0 +1,185 @@
+"""Piper/Kokoro TTS loaders: on-disk layout detection (reference
+crates/whisper-tensor-import/src/models/speech/{piper,kokoro}.rs), loader
+priority over the raw ONNX loader, end-to-end synthesis through the TTS
+interface and the CLI, WAV IO round trip."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from whisper_tensor_tpu.dtype import DType
+from whisper_tensor_tpu.importers.onnx_builder import OnnxBuilder
+
+
+def _tiny_piper_onnx() -> bytes:
+    """Piper I/O contract: input (1,T) i64, input_lengths (1,) i64,
+    scales (3,) f32 -> output (1,1,samples)."""
+    rng = np.random.default_rng(0)
+    b = OnnxBuilder("piper_tiny", opset=23)
+    ids = b.input("input", DType.I64, [1, "T"])
+    lens = b.input("input_lengths", DType.I64, [1])
+    scales = b.input("scales", DType.F32, [3])
+    emb = b.gather(b.initializer(
+        "emb", rng.standard_normal((64, 8)).astype(np.float32)), ids)
+    ls = b.slice_(scales, [1], [2], axes=[0])              # length_scale
+    emb = b.mul(emb, b.node("Unsqueeze", [ls, b.const_i64([0])]))
+    lf = b.node("Cast", [lens], to=1)
+    emb = b.mul(emb, b.reshape(b.node("Div", [lf, b.node("Max", [lf])]),
+                               [1, 1, 1]))
+    up = b.matmul(emb, b.initializer(
+        "up", (rng.standard_normal((8, 50)) / 8).astype(np.float32)))
+    audio = b.node("Tanh", [b.reshape(up, [1, 1, -1])], outputs=["output"])
+    b.output("output", DType.F32, [1, 1, "samples"])
+    return b.build()
+
+
+def _write_piper_voice(d, name="en_US-test-low"):
+    onnx_path = os.path.join(d, f"{name}.onnx")
+    with open(onnx_path, "wb") as f:
+        f.write(_tiny_piper_onnx())
+    pmap = {" ": [3], "a": [4], "b": [5], "t": [6], "p": [7], "u": [8],
+            "^": [1], "$": [2], "_": [0]}
+    with open(onnx_path + ".json", "w") as f:
+        json.dump({"audio": {"sample_rate": 22050},
+                   "num_speakers": 1,
+                   "espeak": {"voice": "en-us"},
+                   "inference": {"noise_scale": 0.5, "length_scale": 1.5,
+                                 "noise_w": 0.7},
+                   "phoneme_id_map": pmap}, f)
+    return onnx_path
+
+
+def _tiny_kokoro_onnx() -> bytes:
+    """Kokoro contract: tokens (1,T) i64, style (1,256) f32, speed () f32
+    -> audio (samples,)."""
+    rng = np.random.default_rng(1)
+    b = OnnxBuilder("kokoro_tiny", opset=23)
+    ids = b.input("tokens", DType.I64, [1, "T"])
+    style = b.input("style", DType.F32, [1, 256])
+    speed = b.input("speed", DType.F32, [])
+    emb = b.gather(b.initializer(
+        "emb", rng.standard_normal((64, 16)).astype(np.float32)), ids)
+    sproj = b.matmul(style, b.initializer(
+        "sp", (rng.standard_normal((256, 16)) / 16).astype(np.float32)))
+    h = b.mul(b.add(emb, b.node("Unsqueeze", [sproj, b.const_i64([0])])),
+              speed)
+    up = b.matmul(h, b.initializer(
+        "up", (rng.standard_normal((16, 40)) / 16).astype(np.float32)))
+    b.node("Tanh", [b.reshape(up, [-1])], outputs=["audio"])
+    b.output("audio", DType.F32, ["samples"])
+    return b.build()
+
+
+def _write_kokoro_dir(d):
+    os.makedirs(os.path.join(d, "onnx"))
+    os.makedirs(os.path.join(d, "voices"))
+    with open(os.path.join(d, "onnx", "model_q8.onnx"), "wb") as f:
+        f.write(_tiny_kokoro_onnx())
+    vocab = {c: i for i, c in enumerate("_^$ abtpu")}
+    with open(os.path.join(d, "tokenizer.json"), "w") as f:
+        json.dump({"model": {"vocab": vocab}}, f)
+    rng = np.random.default_rng(2)
+    for name in ("af_bella", "am_adam"):
+        rng.standard_normal((510, 256)).astype("<f4").tofile(
+            os.path.join(d, "voices", f"{name}.bin"))
+    return d
+
+
+class TestPiper:
+    def test_identify_and_load(self, tmp_path):
+        from whisper_tensor_tpu.importers.loaders import (identify_and_load,
+                                                          loader_registry)
+
+        onnx_path = _write_piper_voice(str(tmp_path))
+        # auto must pick piper (PRIORITY) even though OnnxLoader matches too
+        assert loader_registry()["onnx"].can_load(onnx_path)
+        bundle = identify_and_load(onnx_path)
+        assert bundle.meta["architecture"] == "piper-vits"
+        tts = bundle.interfaces["tts"]
+        assert tts["engine"] == "piper"
+        assert tts["sample_rate"] == 22050
+        assert tts["length_scale"] == 1.5
+        assert tts["phoneme_id_map"]["a"] == [4]
+
+    def test_dir_detection_and_synthesis(self, tmp_path):
+        from whisper_tensor_tpu.importers.loaders import identify_and_load
+        from whisper_tensor_tpu.interfaces.tts import TextToSpeechInterface
+
+        _write_piper_voice(str(tmp_path))
+        bundle = identify_and_load(str(tmp_path))      # directory form
+        iface = TextToSpeechInterface.from_bundle(bundle, mode="oracle")
+        clip = iface.run_text_to_audio("ab at")
+        assert clip.sample_rate == 22050
+        assert clip.samples.ndim == 1 and clip.samples.size > 0
+        assert np.isfinite(clip.samples).all()
+        assert np.abs(clip.samples).max() <= 1.0   # tanh head
+
+
+class TestKokoro:
+    def test_load_and_voices(self, tmp_path):
+        from whisper_tensor_tpu.importers.loaders import identify_and_load
+
+        d = _write_kokoro_dir(str(tmp_path))
+        bundle = identify_and_load(d)
+        assert bundle.meta["architecture"] == "kokoro"
+        ve = bundle.meta["voice_embeddings"]
+        assert sorted(ve) == ["af_bella", "am_adam"]
+        assert ve["af_bella"].shape == (510, 256)
+        assert bundle.interfaces["tts"]["vocab"]["a"] == 4
+
+    def test_synthesis_per_voice(self, tmp_path):
+        from whisper_tensor_tpu.importers.loaders import identify_and_load
+        from whisper_tensor_tpu.interfaces.tts import TextToSpeechInterface
+
+        d = _write_kokoro_dir(str(tmp_path))
+        bundle = identify_and_load(d)
+        iface = TextToSpeechInterface.from_bundle(bundle, mode="oracle")
+        assert iface.voice_names == ["af_bella", "am_adam"]
+        a = iface.run_text_to_audio("ab", voice=0)
+        b_ = iface.run_text_to_audio("ab", voice=1)
+        assert a.sample_rate == 24000
+        assert np.isfinite(a.samples).all()
+        # different voices -> different audio
+        assert not np.array_equal(a.samples, b_.samples)
+
+    def test_missing_variant_error(self, tmp_path):
+        from whisper_tensor_tpu.importers.loaders import identify_and_load
+
+        d = _write_kokoro_dir(str(tmp_path))
+        with pytest.raises(ValueError, match="variant"):
+            identify_and_load(d, variant="nope")
+
+
+class TestCliAndWav:
+    def test_wav_round_trip(self, tmp_path):
+        from whisper_tensor_tpu.utils.audio import read_wav, write_wav
+
+        s = np.sin(np.linspace(0, 40 * np.pi, 2000)).astype(np.float32) * 0.7
+        p = str(tmp_path / "t.wav")
+        write_wav(p, s, 22050)
+        s2, sr = read_wav(p)
+        assert sr == 22050
+        np.testing.assert_allclose(s2, s, atol=2.0 / 32768)
+
+    def test_cli_tts_end_to_end(self, tmp_path, capsys):
+        from whisper_tensor_tpu.cli import main
+        from whisper_tensor_tpu.utils.audio import read_wav
+
+        _write_piper_voice(str(tmp_path))
+        out = str(tmp_path / "speech.wav")
+        main(["tts", "--model", str(tmp_path), "--text", "tab up",
+              "--output", out, "--mode", "oracle"])
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["output"] == out and rep["samples"] > 0
+        samples, sr = read_wav(out)
+        assert sr == 22050 and samples.size == rep["samples"]
+
+    def test_cli_tts_bad_voice(self, tmp_path):
+        from whisper_tensor_tpu.cli import main
+
+        d = _write_kokoro_dir(str(tmp_path))
+        with pytest.raises(SystemExit, match="unknown voice"):
+            main(["tts", "--model", d, "--text", "ab", "--voice", "zz",
+                  "--output", str(tmp_path / "x.wav"), "--mode", "oracle"])

@@ -118,6 +118,54 @@ def cmd_inspect(args) -> None:
         }, indent=2))
 
 
+def cmd_tts(args) -> None:
+    from .importers.loaders import identify_and_load
+    from .interfaces.tts import TextToSpeechInterface
+    from .utils.audio import write_wav
+
+    bundle = identify_and_load(args.model, **_parse_kv(args.config))
+    if "tts" not in bundle.interfaces:
+        raise SystemExit(f"{args.model} does not expose a TTS interface "
+                         f"(got: {sorted(bundle.interfaces) or 'none'})")
+    iface = TextToSpeechInterface.from_bundle(bundle, mode=args.mode)
+    voice = 0
+    if args.voice and iface.voice_names:
+        if args.voice not in iface.voice_names:
+            raise SystemExit(f"unknown voice {args.voice!r}; available: "
+                             f"{iface.voice_names}")
+        voice = iface.voice_names.index(args.voice)
+    clip = iface.run_text_to_audio(args.text, voice=voice)
+    write_wav(args.output, clip.samples, clip.sample_rate)
+    print(json.dumps({"output": args.output, "samples": len(clip.samples),
+                      "sample_rate": clip.sample_rate,
+                      "seconds": round(len(clip.samples)
+                                       / clip.sample_rate, 3)}))
+
+
+def cmd_stt(args) -> None:
+    from .interfaces.stt import SpeechToTextInterface
+    from .model import Model
+    from .super_graph.links import AudioClip
+    from .utils.audio import read_wav
+
+    samples, sr = read_wav(args.audio)
+    enc = Model.new_from_onnx_file(args.encoder)
+    dec = Model.new_from_onnx_file(args.decoder)
+    tok = None
+    if args.tokenizer:
+        from .tokenizer import AnyTokenizer
+        tok = AnyTokenizer.load(args.tokenizer)
+    sot = [int(x) for x in args.sot.split(",")] if args.sot else None
+    iface = SpeechToTextInterface(enc, dec, tokenizer=tok,
+                                  sot_sequence=sot, eot_token=args.eot)
+    clip = AudioClip(samples, sr)
+    if tok is not None:
+        print(iface.run_audio_in_text_out(clip, max_new=args.max_tokens))
+    else:
+        print(json.dumps(iface.transcribe_tokens(clip,
+                                                 max_new=args.max_tokens)))
+
+
 def cmd_serve(args) -> None:
     import asyncio
 
@@ -161,6 +209,27 @@ def main(argv=None) -> None:
     n.add_argument("--model", required=True)
     n.add_argument("-c", "--config", action="append", default=[])
     n.set_defaults(fn=cmd_inspect)
+
+    t = sub.add_parser("tts", help="text-to-speech (piper/kokoro voice)")
+    t.add_argument("--model", required=True,
+                   help="piper .onnx(+.onnx.json) or kokoro dir")
+    t.add_argument("--text", required=True)
+    t.add_argument("--voice", help="kokoro voice name (see voices/)")
+    t.add_argument("--output", default="out.wav")
+    t.add_argument("--mode", default="xla", choices=["xla", "oracle"])
+    t.add_argument("-c", "--config", action="append", default=[])
+    t.set_defaults(fn=cmd_tts)
+
+    st = sub.add_parser("stt", help="speech-to-text (whisper)")
+    st.add_argument("--encoder", required=True)
+    st.add_argument("--decoder", required=True)
+    st.add_argument("--audio", required=True, help="WAV file")
+    st.add_argument("--tokenizer")
+    st.add_argument("--max-tokens", type=int, default=128)
+    st.add_argument("--sot", help="comma-separated start-of-transcript ids "
+                                  "(default: whisper 50258)")
+    st.add_argument("--eot", type=int, default=50257)
+    st.set_defaults(fn=cmd_stt)
 
     s = sub.add_parser("serve", help="run the WebSocket server")
     s.add_argument("--host", default="127.0.0.1")

@@ -262,6 +262,109 @@ class Rwkv7Loader(Loader):
                             meta={"architecture": "rwkv7"})
 
 
+def _find_piper_pair(path: str):
+    """Resolve (onnx_path, config_path) for a piper voice.
+
+    Reference: load_piper / find_piper_config (crates/whisper-tensor-
+    import/src/models/speech/piper.rs:13-47,95-130) — config is the
+    sibling `<model>.onnx.json` (or `<model>.json`)."""
+    if os.path.isfile(path) and path.endswith(".onnx"):
+        for cand in (path + ".json", path[:-5] + ".json"):
+            if os.path.exists(cand):
+                return path, cand
+        return None
+    if os.path.isdir(path):
+        for f in sorted(os.listdir(path)):
+            if f.endswith(".onnx"):
+                pair = _find_piper_pair(os.path.join(path, f))
+                if pair:
+                    return pair
+    return None
+
+
+@register_loader
+class PiperLoader(Loader):
+    NAME = "piper"
+    DESCRIPTION = "Piper VITS TTS voice (.onnx + .onnx.json config)"
+    PRIORITY = 10   # must beat the raw OnnxLoader in auto-detection
+
+    def can_load(self, path: str) -> bool:
+        return _find_piper_pair(path) is not None
+
+    def load(self, config):
+        import json
+
+        onnx_path, cfg_path = _find_piper_pair(config["path"])
+        with open(cfg_path) as f:
+            pcfg = json.load(f)
+        model = Model.new_from_onnx_file(onnx_path)
+        name = model.name
+        tts = {"model": name, "engine": "piper",
+               "sample_rate": int(pcfg.get("audio", {}).get("sample_rate",
+                                                            22050)),
+               "language": pcfg.get("espeak", {}).get("voice", "en-us"),
+               "phoneme_id_map": pcfg.get("phoneme_id_map"),
+               "num_speakers": int(pcfg.get("num_speakers", 1)),
+               "noise_scale": float(pcfg.get("inference", {})
+                                    .get("noise_scale", 0.667)),
+               "length_scale": float(pcfg.get("inference", {})
+                                     .get("length_scale", 1.0)),
+               "noise_w": float(pcfg.get("inference", {})
+                                .get("noise_w", 0.8))}
+        return LoadedBundle(models={name: model},
+                            interfaces={"tts": tts},
+                            meta={"architecture": "piper-vits"})
+
+
+@register_loader
+class KokoroLoader(Loader):
+    NAME = "kokoro"
+    DESCRIPTION = "Kokoro TTS dir (onnx/<variant>.onnx + tokenizer.json + voices/*.bin)"
+    PRIORITY = 10
+
+    def can_load(self, path: str) -> bool:
+        return (os.path.isdir(path)
+                and os.path.isdir(os.path.join(path, "onnx"))
+                and os.path.exists(os.path.join(path, "tokenizer.json"))
+                and os.path.isdir(os.path.join(path, "voices")))
+
+    def load(self, config):
+        """Reference: load_kokoro / load_kokoro_voices (crates/whisper-
+        tensor-import/src/models/speech/kokoro.rs:14-49,141-176)."""
+        import json
+
+        import numpy as np
+
+        d = config["path"]
+        variant = config.get("variant")
+        onnx_dir = os.path.join(d, "onnx")
+        cands = sorted(f for f in os.listdir(onnx_dir) if f.endswith(".onnx"))
+        if variant:
+            fname = f"{variant}.onnx"
+            if fname not in cands:
+                raise ValueError(f"kokoro variant {variant!r} not in {cands}")
+        else:
+            fname = cands[0]
+        model = Model.new_from_onnx_file(os.path.join(onnx_dir, fname))
+        name = model.name
+        with open(os.path.join(d, "tokenizer.json")) as f:
+            tok = json.load(f)
+        vocab = tok.get("model", {}).get("vocab", {})
+        voices = {}
+        vdir = os.path.join(d, "voices")
+        for f_ in sorted(os.listdir(vdir)):
+            if f_.endswith(".bin"):
+                raw = np.fromfile(os.path.join(vdir, f_), dtype="<f4")
+                voices[f_[:-4]] = raw.reshape(-1, 256)   # (len, 256) style rows
+        tts = {"model": name, "engine": "kokoro", "sample_rate": 24000,
+               "vocab": vocab, "voices": sorted(voices)}
+        return LoadedBundle(models={name: model},
+                            interfaces={"tts": tts},
+                            tokenizer_source=os.path.join(d, "tokenizer.json"),
+                            meta={"architecture": "kokoro",
+                                  "voice_embeddings": voices})
+
+
 @register_loader
 class AutoLoader(Loader):
     NAME = "auto"
@@ -272,9 +375,10 @@ class AutoLoader(Loader):
 
     def load(self, config):
         path = config["path"]
-        for name, loader in _LOADERS.items():
-            if name == "auto":
-                continue
+        ranked = sorted((item for item in _LOADERS.items()
+                         if item[0] != "auto"),
+                        key=lambda kv: -getattr(kv[1], "PRIORITY", 0))
+        for name, loader in ranked:
             if loader.can_load(path):
                 return loader.load(config)
         raise ValueError(f"cannot identify model format at {path!r}")

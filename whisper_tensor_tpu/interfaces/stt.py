@@ -19,13 +19,25 @@ from ..utils.audio import log_mel_spectrogram, resample
 
 class SpeechToTextInterface:
     def __init__(self, encoder: Model, decoder_step: Model,
-                 tokenizer=None, max_len: int = 448,
+                 tokenizer=None, max_len: Optional[int] = None,
                  n_mels: int = 80, n_frames: int = 3000,
                  sot_sequence: Optional[List[int]] = None,
                  eot_token: int = 50257):
         self.encoder = encoder
         self.decoder = decoder_step
         self.tokenizer = tokenizer
+        # default: read the KV-cache length baked into the decoder graph
+        # (declared shape of the cache_k_0 input) so callers can't feed
+        # caches of the wrong length
+        if max_len is None:
+            max_len = 448
+            graph = getattr(decoder_step, "graph", None)
+            if graph is not None:
+                for t in graph.inputs:
+                    ti = graph.tensors[t]
+                    if ti.name == "cache_k_0" and ti.info.shape[2].is_known:
+                        max_len = int(ti.info.shape[2].value())
+                        break
         self.max_len = max_len
         self.n_mels = n_mels
         self.n_frames = n_frames

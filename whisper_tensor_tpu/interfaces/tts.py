@@ -45,8 +45,30 @@ class TextToSpeechInterface:
     def __init__(self, model: Model, config: TTSInputConfig, mode: str = "xla"):
         self.model = model
         self.config = config
+        self.voice_names: list = []
         self._backend = None
         self._mode = mode
+
+    @classmethod
+    def from_bundle(cls, bundle, mode: str = "xla") -> "TextToSpeechInterface":
+        """Build from a loader bundle (importers.loaders piper/kokoro)."""
+        spec = bundle.interfaces["tts"]
+        model = bundle.models[spec["model"]]
+        cfg = TTSInputConfig(
+            engine=spec["engine"],
+            language=spec.get("language", "en-us"),
+            sample_rate=spec.get("sample_rate", 22050),
+            phoneme_id_map=spec.get("phoneme_id_map"),
+            vocab=spec.get("vocab"),
+            noise_scale=spec.get("noise_scale", 0.667),
+            length_scale=spec.get("length_scale", 1.0),
+            noise_w=spec.get("noise_w", 0.8))
+        iface = cls(model, cfg, mode=mode)
+        ve = bundle.meta.get("voice_embeddings")
+        if ve:
+            iface.voice_names = sorted(ve)
+            cfg.voice_embeddings = np.stack([ve[n] for n in iface.voice_names])
+        return iface
 
     def _run(self, feeds):
         from ..backends.eval_backend import EvalBackend
