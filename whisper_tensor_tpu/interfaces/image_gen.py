@@ -115,6 +115,10 @@ class ImageGenerationInterface:
         uncond = self._text_embed(self.encode_prompt(negative_prompt))
         return np.concatenate([uncond, cond], axis=0), {}
 
+    def _unet_feeds(self, sample, t, ctx, extra):
+        return {"sample": sample, "timestep": np.asarray(t, dtype=np.float32),
+                "encoder_hidden_states": ctx, **extra}
+
     # ------------------------------------------------------------------
     def run(self, prompt: str, negative_prompt: str = "",
             cfg: Optional[ImageGenConfig] = None,
@@ -141,10 +145,8 @@ class ImageGenerationInterface:
             else:
                 scaled = latents
             sample = np.concatenate([scaled, scaled], axis=0).astype(np.float32)
-            out = np.asarray(self._run(self.unet, {
-                "sample": sample,
-                "timestep": np.asarray(t, dtype=np.float32),
-                "encoder_hidden_states": ctx, **extra_feeds})["out"])
+            out = np.asarray(self._run(self.unet, self._unet_feeds(
+                sample, t, ctx, extra_feeds))["out"])
             eps_u, eps_c = out[0:1], out[1:2]
             eps = eps_u + cfg.guidance_scale * (eps_c - eps_u)
             if cfg.schedule == "euler":
@@ -195,3 +197,64 @@ class SDXLImageGenerationInterface(ImageGenerationInterface):
         return (np.concatenate([u, c], axis=0),
                 {"text_embeds": np.concatenate([pu, pc], axis=0),
                  "time_ids": np.concatenate([tid, tid], axis=0)})
+
+
+class SD3ImageGenerationInterface(ImageGenerationInterface):
+    """Triple text-encoder rectified-flow pipeline (SD3/SD3.5 family).
+
+    Reference equivalent: the SD3 branch of ImageGenerationInterface
+    (src/interfaces.rs:327-2780; compute_flux_schedule :2002).
+    Conditioning per the SD3 paper: CLIP-L and CLIP-G penultimate
+    hidden states concatenated channel-wise, zero-padded to the T5
+    width, then T5 embeddings appended along the sequence; pooled
+    conditioning is the concatenated CLIP projections. T5 is optional
+    (dropped -> zeros, as the upstream pipeline allows).
+    """
+
+    def __init__(self, clip_l: Model, clip_g: Model, mmdit: Model,
+                 vae: Model, t5: Optional[Model] = None, tokenizer=None,
+                 t5_tokenizer=None, joint_dim: int = 4096,
+                 t5_seq_len: int = 0, **kw):
+        kw.setdefault("latent_channels", 16)
+        super().__init__(clip_l, mmdit, vae, tokenizer=tokenizer, **kw)
+        self.clip_g = clip_g
+        self.t5 = t5
+        self.t5_tokenizer = t5_tokenizer
+        self.joint_dim = joint_dim
+        self.t5_seq_len = t5_seq_len
+
+    def _encode_one(self, text: str):
+        ids = self.encode_prompt(text)
+        o1 = self._run(self.text_encoder, {"input_ids": ids})
+        o2 = self._run(self.clip_g, {"input_ids": ids})
+        clip_emb = np.concatenate(
+            [np.asarray(o1["penultimate_hidden_state"]),
+             np.asarray(o2["penultimate_hidden_state"])], axis=-1)
+        pooled = np.concatenate([np.asarray(o1["text_embeds"]),
+                                 np.asarray(o2["text_embeds"])], axis=-1)
+        pad = self.joint_dim - clip_emb.shape[-1]
+        emb = np.pad(clip_emb, ((0, 0), (0, 0), (0, pad))).astype(np.float32)
+        if self.t5 is not None:
+            tt = self.t5_tokenizer or self.tokenizer
+            t5_ids = [tid for tid in (tt.encode(text) if tt else [])]
+            L = self.t5_seq_len or len(t5_ids) or 1
+            t5_ids = (t5_ids[:L] + [0] * (L - len(t5_ids)))
+            t5_out = self._run(self.t5, {
+                "input_ids": np.asarray(t5_ids, dtype=np.int64)[None]})
+            key = ("last_hidden_state" if "last_hidden_state" in t5_out
+                   else "encoder_hidden_states")
+            emb = np.concatenate([emb, np.asarray(t5_out[key],
+                                                  dtype=np.float32)], axis=1)
+        return emb, pooled
+
+    def _encode_cfg(self, prompt, negative_prompt, cfg):
+        c, pc = self._encode_one(prompt)
+        u, pu = self._encode_one(negative_prompt)
+        return (np.concatenate([u, c], axis=0),
+                {"pooled_projections": np.concatenate([pu, pc], axis=0)})
+
+    def _unet_feeds(self, sample, t, ctx, extra):
+        B = sample.shape[0]
+        return {"hidden_states": sample,
+                "timestep": np.full((B,), t, dtype=np.float32),
+                "encoder_hidden_states": ctx, **extra}
