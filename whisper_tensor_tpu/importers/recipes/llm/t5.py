@@ -83,7 +83,10 @@ def rel_bias_table(emb: np.ndarray, q_len: int, k_len: int, bidirectional: bool,
 
 def build_t5_encoder(weights: Callable[[str], np.ndarray], cfg: T5Config,
                      seq_len: int, dtype: DType = DType.F32,
-                     storage: Optional[WeightStorage] = None) -> bytes:
+                     storage: Optional[WeightStorage] = None,
+                     with_cross: bool = True) -> bytes:
+    """with_cross=False: encoder-only (no decoder cross-K/V heads) — the
+    form SD3/Flux use T5 in (pure text conditioning)."""
     E, H, DK = cfg.d_model, cfg.num_heads, cfg.d_kv
     np_dt = dtype.to_numpy()
 
@@ -136,7 +139,7 @@ def build_t5_encoder(weights: Callable[[str], np.ndarray], cfg: T5Config,
     b.node("Identity", [x], outputs=["encoder_states"])
     b.output("encoder_states", dtype, ["batch", seq_len, E])
     # cross K/V per decoder layer
-    for i in range(cfg.num_decoder_layers):
+    for i in range(cfg.num_decoder_layers if with_cross else 0):
         cp = f"decoder.block.{i}.layer.1.EncDecAttention."
         k = b.matmul(x, b.initializer(cp + "k_T", wT(cp + "k.weight")))
         v = b.matmul(x, b.initializer(cp + "v_T", wT(cp + "v.weight")))

@@ -258,3 +258,63 @@ class SD3ImageGenerationInterface(ImageGenerationInterface):
         return {"hidden_states": sample,
                 "timestep": np.full((B,), t, dtype=np.float32),
                 "encoder_hidden_states": ctx, **extra}
+
+
+class FluxImageGenerationInterface(ImageGenerationInterface):
+    """Flux (dev/schnell) rectified-flow pipeline — guidance-distilled, so
+    there is NO CFG pair: one sample per step, guidance passed as a model
+    input (flux-dev) or omitted (schnell).
+
+    Reference equivalent: the flux branch of ImageGenerationInterface
+    (src/interfaces.rs:327-2780; compute_flux_schedule :2002).
+    Conditioning: CLIP-L pooled output + T5 sequence embeddings.
+    """
+
+    def __init__(self, clip: Model, t5: Model, transformer: Model,
+                 vae: Model, tokenizer=None, t5_tokenizer=None,
+                 t5_seq_len: int = 512, guidance_embeds: bool = True, **kw):
+        kw.setdefault("latent_channels", 16)
+        super().__init__(clip, transformer, vae, tokenizer=tokenizer, **kw)
+        self.t5 = t5
+        self.t5_tokenizer = t5_tokenizer
+        self.t5_seq_len = t5_seq_len
+        self.guidance_embeds = guidance_embeds
+
+    def _encode(self, text: str):
+        pooled = np.asarray(self._run(self.text_encoder, {
+            "input_ids": self.encode_prompt(text)})["pooled"])
+        tt = self.t5_tokenizer or self.tokenizer
+        ids = list(tt.encode(text))[: self.t5_seq_len] if tt else []
+        ids = ids + [0] * (self.t5_seq_len - len(ids))
+        t5_out = self._run(self.t5, {
+            "input_ids": np.asarray(ids, dtype=np.int64)[None]})
+        key = ("encoder_states" if "encoder_states" in t5_out
+               else "last_hidden_state")
+        return np.asarray(t5_out[key], dtype=np.float32), pooled
+
+    def run(self, prompt: str, negative_prompt: str = "",
+            cfg: Optional[ImageGenConfig] = None, observer=None) -> Image:
+        cfg = cfg or ImageGenConfig(schedule="rectified_flow")
+        h8, w8 = cfg.height // 8, cfg.width // 8
+        ctx, pooled = self._encode(prompt)
+        sched = rectified_flow_schedule(cfg.steps)
+        sigmas, timesteps = sched["sigmas"], sched["timesteps"]
+        rng = np.random.default_rng(cfg.seed)
+        latents = rng.standard_normal(
+            (1, self.latent_channels, h8, w8)).astype(np.float32)
+        for i in range(cfg.steps):
+            sig = float(sigmas[i])
+            feeds = {"hidden_states": latents,
+                     "timestep": np.asarray([sig], np.float32),
+                     "pooled_projections": pooled,
+                     "encoder_hidden_states": ctx}
+            if self.guidance_embeds:
+                feeds["guidance"] = np.asarray([cfg.guidance_scale],
+                                               np.float32)
+            v = np.asarray(self._run(self.unet, feeds)["out"])
+            latents = latents + (float(sigmas[i + 1]) - sig) * v
+            if observer is not None:
+                observer.on_progress(self, (i + 1) / cfg.steps)
+        img = np.asarray(self._run(self.vae, {"latents": latents})["image"])
+        pixels = np.clip((img[0].transpose(1, 2, 0) + 1) / 2, 0, 1)
+        return Image((pixels * 255).round().astype(np.uint8))
