@@ -183,3 +183,139 @@ class TestCliAndWav:
         with pytest.raises(SystemExit, match="unknown voice"):
             main(["tts", "--model", d, "--text", "ab", "--voice", "zz",
                   "--output", str(tmp_path / "x.wav"), "--mode", "oracle"])
+
+
+def _write_f5_dir(d):
+    """Synthetic 3-stage F5 set honoring the real I/O contract:
+    preprocess(audio, text_ids, max_duration) -> 7 tensors;
+    transformer(noise, rope_*, cat_*, qk_rotated_empty, time_step) ->
+    denoised; decode(denoised, ref_signal_len) -> output_audio."""
+    rng = np.random.default_rng(7)
+    T, MEL = 12, 6    # frames, mel bins
+
+    b = OnnxBuilder("F5_Preprocess", opset=23)
+    audio = b.input("audio", DType.F32, [1, 1, "samples"])
+    ids = b.input("text_ids", DType.I32, [1, "L"])
+    b.input("max_duration", DType.I64, [])
+    emb = b.gather(b.initializer(
+        "emb", rng.standard_normal((64, MEL)).astype(np.float32)),
+        b.node("Cast", [ids], to=7))
+    mean_emb = b.node("ReduceMean", [emb, b.const_i64([1])], keepdims=1)
+    base = b.node("Expand", [mean_emb, b.const_i64([1, T, MEL])])
+    amp = b.node("ReduceMean", [b.node("Abs", [audio]),
+                                b.const_i64([2])], keepdims=0)   # (1,1)
+    cat = b.add(base, b.node("Unsqueeze", [amp, b.const_i64([2])]))
+    b.node("Identity", [cat], outputs=["cat_mel_text"])
+    b.node("Mul", [cat, b.const(np.asarray(0.5, np.float32))],
+           outputs=["cat_mel_text_drop"])
+    b.node("Identity", [b.const(
+        rng.standard_normal((1, T, MEL)).astype(np.float32))],
+        outputs=["noise"])
+    b.node("Identity", [b.const(np.cos(
+        np.arange(T * 4, dtype=np.float32)).reshape(1, T, 4))],
+        outputs=["rope_cos"])
+    b.node("Identity", [b.const(np.sin(
+        np.arange(T * 4, dtype=np.float32)).reshape(1, T, 4))],
+        outputs=["rope_sin"])
+    b.node("Identity", [b.const(np.zeros((1, T, 4), np.float32))],
+           outputs=["qk_rotated_empty"])
+    b.node("Identity", [b.const(np.asarray(T // 2, np.int64))],
+           outputs=["ref_signal_len"])
+    for name, shp, dt in [("cat_mel_text", [1, T, MEL], DType.F32),
+                          ("cat_mel_text_drop", [1, T, MEL], DType.F32),
+                          ("noise", [1, T, MEL], DType.F32),
+                          ("rope_cos", [1, T, 4], DType.F32),
+                          ("rope_sin", [1, T, 4], DType.F32),
+                          ("qk_rotated_empty", [1, T, 4], DType.F32),
+                          ("ref_signal_len", [], DType.I64)]:
+        b.output(name, dt, shp)
+    pre = b.build()
+
+    b2 = OnnxBuilder("F5_Transformer", opset=23)
+    noise = b2.input("noise", DType.F32, [1, T, MEL])
+    b2.input("rope_cos", DType.F32, [1, T, 4])
+    b2.input("rope_sin", DType.F32, [1, T, 4])
+    cat = b2.input("cat_mel_text", DType.F32, [1, T, MEL])
+    b2.input("cat_mel_text_drop", DType.F32, [1, T, MEL])
+    b2.input("qk_rotated_empty", DType.F32, [1, T, 4])
+    tstep = b2.input("time_step", DType.I32, [])
+    tf = b2.node("Cast", [tstep], to=1)
+    # pull noise toward a target derived from the conditioning + step
+    target = b2.mul(cat, b2.add(b2.mul(tf, b2.const(
+        np.asarray(0.01, np.float32))), b2.const(np.asarray(1.0, np.float32))))
+    b2.node("Identity", [b2.add(b2.mul(noise, b2.const(
+        np.asarray(0.2, np.float32))), target)], outputs=["denoised"])
+    b2.output("denoised", DType.F32, [1, T, MEL])
+    trans = b2.build()
+
+    b3 = OnnxBuilder("F5_Decode", opset=23)
+    den = b3.input("denoised", DType.F32, [1, T, MEL])
+    b3.input("ref_signal_len", DType.I64, [])
+    up = b3.matmul(den, b3.initializer(
+        "voc", (rng.standard_normal((MEL, 25)) / MEL).astype(np.float32)))
+    b3.node("Tanh", [b3.reshape(up, [1, -1])], outputs=["output_audio"])
+    b3.output("output_audio", DType.F32, [1, "samples"])
+    dec = b3.build()
+
+    for name, data in [("F5_Preprocess.onnx", pre),
+                       ("F5_Transformer.onnx", trans),
+                       ("F5_Decode.onnx", dec)]:
+        with open(os.path.join(d, name), "wb") as f:
+            f.write(data)
+    with open(os.path.join(d, "vocab.txt"), "w") as f:
+        f.write("\n".join(list("_ abtpuhelow")) + "\n")
+    return d
+
+
+class TestF5:
+    def test_load_and_synthesize(self, tmp_path):
+        from whisper_tensor_tpu.importers.loaders import identify_and_load
+        from whisper_tensor_tpu.interfaces.tts import (F5Synthesizer,
+                                                       TextToSpeechInterface)
+        from whisper_tensor_tpu.super_graph.links import AudioClip
+
+        d = _write_f5_dir(str(tmp_path))
+        bundle = identify_and_load(d)
+        assert bundle.meta["architecture"] == "f5-tts"
+        assert bundle.interfaces["tts"]["vocab"]["a"] == 2
+        iface = TextToSpeechInterface.from_bundle(bundle, mode="oracle")
+        assert isinstance(iface, F5Synthesizer)
+        ref = AudioClip(np.sin(np.linspace(0, 20, 400)).astype(np.float32),
+                        24000)
+        progress = []
+
+        class Obs:
+            def on_progress(self, node, f):
+                progress.append(f)
+
+        clip = iface.run_text_to_audio("hello", ref_audio=ref, observer=Obs())
+        assert clip.sample_rate == 24000
+        assert clip.samples.size > 0 and np.isfinite(clip.samples).all()
+        assert len(progress) == bundle.interfaces["tts"]["nfe_steps"]
+        # the ODE converges toward the conditioning: with 32 Euler steps of
+        # the contraction the result must differ from the initial noise
+        with pytest.raises(ValueError, match="reference"):
+            iface.run_text_to_audio("hello")
+
+    def test_cli_f5_requires_ref_audio(self, tmp_path):
+        from whisper_tensor_tpu.cli import main
+
+        d = _write_f5_dir(str(tmp_path))
+        with pytest.raises(SystemExit, match="ref-audio"):
+            main(["tts", "--model", d, "--text", "hi",
+                  "--output", str(tmp_path / "o.wav"), "--mode", "oracle"])
+
+    def test_cli_f5_end_to_end(self, tmp_path, capsys):
+        from whisper_tensor_tpu.cli import main
+        from whisper_tensor_tpu.utils.audio import read_wav, write_wav
+
+        d = _write_f5_dir(str(tmp_path))
+        ref = str(tmp_path / "ref.wav")
+        write_wav(ref, np.sin(np.linspace(0, 20, 400)).astype(np.float32),
+                  24000)
+        out = str(tmp_path / "f5.wav")
+        main(["tts", "--model", d, "--text", "hello tpu", "--ref-audio", ref,
+              "--output", out, "--mode", "oracle"])
+        rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        samples, sr = read_wav(out)
+        assert sr == 24000 and samples.size == rep["samples"] > 0

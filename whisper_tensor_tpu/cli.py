@@ -128,13 +128,24 @@ def cmd_tts(args) -> None:
         raise SystemExit(f"{args.model} does not expose a TTS interface "
                          f"(got: {sorted(bundle.interfaces) or 'none'})")
     iface = TextToSpeechInterface.from_bundle(bundle, mode=args.mode)
-    voice = 0
-    if args.voice and iface.voice_names:
-        if args.voice not in iface.voice_names:
-            raise SystemExit(f"unknown voice {args.voice!r}; available: "
-                             f"{iface.voice_names}")
-        voice = iface.voice_names.index(args.voice)
-    clip = iface.run_text_to_audio(args.text, voice=voice)
+    from .interfaces.tts import F5Synthesizer
+
+    if isinstance(iface, F5Synthesizer):
+        if not args.ref_audio:
+            raise SystemExit("F5-TTS needs --ref-audio <voice prompt .wav>")
+        from .super_graph.links import AudioClip
+        from .utils.audio import read_wav
+        samples, sr = read_wav(args.ref_audio)
+        clip = iface.run_text_to_audio(args.text,
+                                       ref_audio=AudioClip(samples, sr))
+    else:
+        voice = 0
+        if args.voice and iface.voice_names:
+            if args.voice not in iface.voice_names:
+                raise SystemExit(f"unknown voice {args.voice!r}; available: "
+                                 f"{iface.voice_names}")
+            voice = iface.voice_names.index(args.voice)
+        clip = iface.run_text_to_audio(args.text, voice=voice)
     write_wav(args.output, clip.samples, clip.sample_rate)
     print(json.dumps({"output": args.output, "samples": len(clip.samples),
                       "sample_rate": clip.sample_rate,
@@ -215,6 +226,7 @@ def main(argv=None) -> None:
                    help="piper .onnx(+.onnx.json) or kokoro dir")
     t.add_argument("--text", required=True)
     t.add_argument("--voice", help="kokoro voice name (see voices/)")
+    t.add_argument("--ref-audio", help="f5: reference voice-prompt WAV")
     t.add_argument("--output", default="out.wav")
     t.add_argument("--mode", default="xla", choices=["xla", "oracle"])
     t.add_argument("-c", "--config", action="append", default=[])

@@ -366,6 +366,42 @@ class KokoroLoader(Loader):
 
 
 @register_loader
+class F5TtsLoader(Loader):
+    NAME = "f5"
+    DESCRIPTION = ("F5-TTS dir (F5_Preprocess.onnx + F5_Transformer.onnx + "
+                   "F5_Decode.onnx + vocab.txt)")
+    PRIORITY = 10
+    PARTS = ("F5_Preprocess.onnx", "F5_Transformer.onnx", "F5_Decode.onnx")
+
+    def can_load(self, path: str) -> bool:
+        return (os.path.isdir(path)
+                and all(os.path.exists(os.path.join(path, p))
+                        for p in self.PARTS)
+                and os.path.exists(os.path.join(path, "vocab.txt")))
+
+    def load(self, config):
+        """Reference: load_f5_tts (crates/whisper-tensor-import/src/models/
+        speech/f5_tts.rs:23-87): 3 ONNX stages + newline vocab, NFE=32,
+        24 kHz output."""
+        d = config["path"]
+        models = {}
+        names = {}
+        for part, key in zip(self.PARTS,
+                             ("preprocess", "transformer", "decode")):
+            m = Model.new_from_onnx_file(os.path.join(d, part))
+            models[m.name] = m
+            names[key] = m.name
+        with open(os.path.join(d, "vocab.txt"), encoding="utf-8") as f:
+            vocab = {line.rstrip("\n"): i
+                     for i, line in enumerate(f) if line.rstrip("\n")}
+        tts = {"engine": "f5", "sample_rate": 24000,
+               "nfe_steps": int(config.get("nfe_steps", 32)),
+               "vocab": vocab, **names}
+        return LoadedBundle(models=models, interfaces={"tts": tts},
+                            meta={"architecture": "f5-tts"})
+
+
+@register_loader
 class AutoLoader(Loader):
     NAME = "auto"
     DESCRIPTION = "Probe the path and delegate to the right loader"

@@ -50,9 +50,17 @@ class TextToSpeechInterface:
         self._mode = mode
 
     @classmethod
-    def from_bundle(cls, bundle, mode: str = "xla") -> "TextToSpeechInterface":
-        """Build from a loader bundle (importers.loaders piper/kokoro)."""
+    def from_bundle(cls, bundle, mode: str = "xla"):
+        """Build from a loader bundle (importers.loaders piper/kokoro/f5).
+        Returns an F5Synthesizer for the f5 engine (3-model pipeline)."""
         spec = bundle.interfaces["tts"]
+        if spec["engine"] == "f5":
+            return F5Synthesizer(
+                bundle.models[spec["preprocess"]],
+                bundle.models[spec["transformer"]],
+                bundle.models[spec["decode"]],
+                vocab=spec["vocab"], nfe_steps=spec.get("nfe_steps", 32),
+                sample_rate=spec.get("sample_rate", 24000), mode=mode)
         model = bundle.models[spec["model"]]
         cfg = TTSInputConfig(
             engine=spec["engine"],
@@ -106,3 +114,69 @@ class TextToSpeechInterface:
         key = "audio" if "audio" in out else "output"
         samples = np.asarray(out[key], dtype=np.float32).reshape(-1)
         return AudioClip(samples, cfg.sample_rate)
+
+
+class F5Synthesizer:
+    """F5-TTS: 3-model ONNX pipeline + NFE-step ODE denoising loop.
+
+    Reference equivalent: load_f5_tts / build_f5_supergraph /
+    build_f5_denoising_loop (crates/whisper-tensor-import/src/models/
+    speech/f5_tts.rs:23-380). Per step the transformer predicts the
+    denoised signal and the Euler update is
+    noise <- (1 - dt) * noise + dt * denoised with dt = 1/NFE.
+    """
+
+    def __init__(self, preprocess: Model, transformer: Model, decode: Model,
+                 vocab: Dict[str, int], nfe_steps: int = 32,
+                 sample_rate: int = 24000, mode: str = "xla"):
+        self.preprocess = preprocess
+        self.transformer = transformer
+        self.decode = decode
+        self.vocab = vocab
+        self.nfe_steps = nfe_steps
+        self.sample_rate = sample_rate
+        self._mode = mode
+        self._backends: Dict[int, Any] = {}
+
+    def _run(self, model: Model, feeds):
+        from ..backends.eval_backend import EvalBackend
+
+        be = self._backends.get(model.id)
+        if be is None:
+            be = EvalBackend(self._mode)
+            self._backends[model.id] = be
+        return be.run(model.graph, feeds)
+
+    def text_ids(self, text: str) -> np.ndarray:
+        return np.asarray([[self.vocab.get(c, 0) for c in text]],
+                          dtype=np.int32)
+
+    def run_text_to_audio(self, text: str, ref_audio: AudioClip = None,
+                          max_duration: int = 0, observer=None) -> AudioClip:
+        if ref_audio is None:
+            raise ValueError("F5 needs a reference AudioClip (voice prompt)")
+        audio = np.asarray(ref_audio.samples, dtype=np.float32).reshape(1, 1, -1)
+        pre = self._run(self.preprocess, {
+            "audio": audio,
+            "text_ids": self.text_ids(text),
+            "max_duration": np.asarray(max_duration, dtype=np.int64)})
+        noise = np.asarray(pre["noise"], dtype=np.float32)
+        dt = 1.0 / self.nfe_steps
+        for i in range(self.nfe_steps):
+            out = self._run(self.transformer, {
+                "noise": noise.astype(np.float32),
+                "rope_cos": pre["rope_cos"],
+                "rope_sin": pre["rope_sin"],
+                "cat_mel_text": pre["cat_mel_text"],
+                "cat_mel_text_drop": pre["cat_mel_text_drop"],
+                "qk_rotated_empty": pre["qk_rotated_empty"],
+                "time_step": np.asarray(i, dtype=np.int32)})
+            denoised = np.asarray(out["denoised"], dtype=np.float32)
+            noise = (1.0 - dt) * noise + dt * denoised
+            if observer is not None:
+                observer.on_progress(self, (i + 1) / self.nfe_steps)
+        dec = self._run(self.decode, {
+            "denoised": noise,
+            "ref_signal_len": pre["ref_signal_len"]})
+        samples = np.asarray(dec["output_audio"], dtype=np.float32).reshape(-1)
+        return AudioClip(samples, self.sample_rate)
