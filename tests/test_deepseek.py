@@ -73,3 +73,51 @@ def test_mla_cache_is_compressed(tiny_deepseek):
     # vs full MHA cache which would be H * (nope+rope) wide per position
     assert cfg.kv_lora_rank < cfg.num_attention_heads * (
         cfg.qk_nope_head_dim + cfg.qk_rope_head_dim)
+
+
+def test_absorbed_decode_matches_naive(tiny_deepseek):
+    """absorb=True (MQA in latent space) must produce the same logits as
+    the naive kv_b re-expansion — and therefore match torch too."""
+    hf, naive_model, cfg = tiny_deepseek
+    import torch
+
+    sd = {k: v.float().numpy() for k, v in hf.state_dict().items()}
+    data = build_deepseek_step(lambda n: sd[n], cfg, max_len=MAXLEN,
+                               absorb=True)
+    absorbed = Model.new_from_onnx(data, name="tiny-deepseek-absorbed")
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 99, (2, 9)).astype(np.int64)
+
+    def run(model):
+        iface = TextInferenceInterface(model, max_len=MAXLEN,
+                                       prompt_buckets=(16,))
+        step = iface._traced_step(2, 16)
+        caches = iface.fresh_cache(2)
+        pad = np.zeros((2, 16), dtype=np.int64)
+        pad[:, :9] = ids
+        logits, _ = step(pad, np.asarray(0, dtype=np.int64), caches,
+                         iface._weights())
+        return np.asarray(logits)[:, :9]
+
+    la = run(absorbed)
+    ln = run(naive_model)
+    np.testing.assert_allclose(la, ln, rtol=2e-4, atol=2e-5)
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids)).logits.numpy()
+    np.testing.assert_allclose(la, ref, rtol=2e-3, atol=2e-4)
+
+
+def test_absorbed_cache_geometry(tiny_deepseek):
+    """The absorbed graph must keep the compressed cache: no H-expanded
+    K/V tensors as cache I/O."""
+    hf, _, cfg = tiny_deepseek
+    sd = {k: v.float().numpy() for k, v in hf.state_dict().items()}
+    data = build_deepseek_step(lambda n: sd[n], cfg, max_len=MAXLEN,
+                               absorb=True)
+    m = Model.new_from_onnx(data)
+    for t in m.graph.inputs:
+        ti = m.graph.tensors[t]
+        if ti.name.startswith("cache_k_"):
+            assert int(ti.info.shape[1].value()) == 1      # single kv head
+            assert int(ti.info.shape[3].value()) == cfg.kv_lora_rank

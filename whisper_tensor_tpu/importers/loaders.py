@@ -180,8 +180,11 @@ class TransformersLoader(Loader):
                                                build_deepseek_step)
 
             cfg = DeepseekConfig.from_hf(hf_cfg)
+            # absorbed-MLA decode by default (identical math, MQA-speed)
             data = build_deepseek_step(store.getter(), cfg, max_len=max_len,
-                                       dtype=dtype)
+                                       dtype=dtype,
+                                       absorb=bool(config.get("absorb_mla",
+                                                              True)))
             geometry = dict(n_layers=cfg.num_hidden_layers, n_kv_heads=1,
                             head_dim=cfg.kv_lora_rank)
         elif mt == "phi3":

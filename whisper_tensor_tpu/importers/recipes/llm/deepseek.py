@@ -66,7 +66,16 @@ class DeepseekConfig:
 def build_deepseek_step(weights: Callable[[str], np.ndarray],
                         cfg: DeepseekConfig, max_len: int,
                         dtype: DType = DType.F32,
-                        storage: Optional[WeightStorage] = None) -> bytes:
+                        storage: Optional[WeightStorage] = None,
+                        absorb: bool = False) -> bytes:
+    """absorb=True: absorbed-MLA decode — kv_b_proj is split host-side
+    into per-head W_uk/W_uv and folded into the query/output sides, so
+    attention runs as MQA directly against the compressed latent cache
+    (scores over [q@W_uk ; q_pe] x [latent ; rope-key], values = the
+    latent itself). Identical math to the naive expansion (DeepSeek-V2
+    paper §MLA), but per-step HBM traffic drops from
+    H*(NOPE+VD)*MAX re-expanded floats to (KVL+ROPE)*MAX: the cache is
+    read once, not expanded H-fold. The TPU-native decode path."""
     E = cfg.hidden_size
     H = cfg.num_attention_heads
     NOPE, ROPE, VD = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim, cfg.v_head_dim
@@ -151,18 +160,30 @@ def build_deepseek_step(weights: Callable[[str], np.ndarray],
                       outputs=[f"new_cache_v_{i}"])
         cache_outs.append((n_lat, n_pe))
 
-        # expand all cached latents to per-head keys/values
-        lat_all = b.node("Squeeze", [n_lat, b.const_i64([1])])        # (B,MAX,KVL)
-        kv = b.matmul(lat_all, b.initializer(f"kv_b_{i}", wT(ap + "kv_b_proj.weight")))
-        kv = b.transpose(b.reshape(kv, [0, 0, H, NOPE + VD]), [0, 2, 1, 3])
-        k_nope = b.slice_(kv, [0], [NOPE], axes=[3])                  # (B,H,MAX,NOPE)
-        v_all = b.slice_(kv, [NOPE], [NOPE + VD], axes=[3])           # (B,H,MAX,VD)
-        pe_all = b.node("Expand", [n_pe, b.const_i64([1, H, 1, 1])])  # (B,H,MAX,ROPE)
-        k_all = b.concat([k_nope, pe_all], axis=3)
-        q_full = b.concat([q_nope, q_pe], axis=3)
-
-        att = b.attention(q_full, k_all, v_all, mask=mask,
-                          scale=1.0 / float(np.sqrt(QD)))
+        if absorb:
+            # MQA in latent space: fold W_uk into q, W_uv onto the output
+            kv_b = w(ap + "kv_b_proj.weight").reshape(H, NOPE + VD, KVL)
+            w_uk = np.ascontiguousarray(kv_b[:, :NOPE, :])   # (H,NOPE,KVL)
+            w_uv = np.ascontiguousarray(
+                kv_b[:, NOPE:, :].transpose(0, 2, 1))        # (H,KVL,VD)
+            q_lat = b.matmul(q_nope, b.initializer(f"w_uk_{i}", w_uk))
+            q_cat = b.concat([q_lat, q_pe], axis=3)          # (B,H,S,KVL+ROPE)
+            k_cat = b.concat([n_lat, n_pe], axis=3)          # (B,1,MAX,KVL+ROPE)
+            att = b.attention(q_cat, k_cat, n_lat, mask=mask,
+                              scale=1.0 / float(np.sqrt(QD)))  # (B,H,S,KVL)
+            att = b.matmul(att, b.initializer(f"w_uv_{i}", w_uv))
+        else:
+            # expand all cached latents to per-head keys/values
+            lat_all = b.node("Squeeze", [n_lat, b.const_i64([1])])    # (B,MAX,KVL)
+            kv = b.matmul(lat_all, b.initializer(f"kv_b_{i}", wT(ap + "kv_b_proj.weight")))
+            kv = b.transpose(b.reshape(kv, [0, 0, H, NOPE + VD]), [0, 2, 1, 3])
+            k_nope = b.slice_(kv, [0], [NOPE], axes=[3])              # (B,H,MAX,NOPE)
+            v_all = b.slice_(kv, [NOPE], [NOPE + VD], axes=[3])       # (B,H,MAX,VD)
+            pe_all = b.node("Expand", [n_pe, b.const_i64([1, H, 1, 1])])
+            k_all = b.concat([k_nope, pe_all], axis=3)
+            q_full = b.concat([q_nope, q_pe], axis=3)
+            att = b.attention(q_full, k_all, v_all, mask=mask,
+                              scale=1.0 / float(np.sqrt(QD)))
         att = b.reshape(b.transpose(att, [0, 2, 1, 3]), [0, 0, H * VD])
         att = b.matmul(att, b.initializer(f"wo_{i}", wT(ap + "o_proj.weight")))
         x = b.add(x, att)
