@@ -121,3 +121,65 @@ def test_absorbed_cache_geometry(tiny_deepseek):
         if ti.name.startswith("cache_k_"):
             assert int(ti.info.shape[1].value()) == 1      # single kv head
             assert int(ti.info.shape[3].value()) == cfg.kv_lora_rank
+
+
+class TestDeepseekV3:
+    @pytest.fixture(scope="class")
+    def tiny_v3(self):
+        import torch
+        from transformers import DeepseekV3Config as HFCfg
+        from transformers import DeepseekV3ForCausalLM
+
+        torch.manual_seed(1)
+        common = dict(
+            num_hidden_layers=3, num_attention_heads=2, hidden_size=32,
+            intermediate_size=48, moe_intermediate_size=16, vocab_size=99,
+            q_lora_rank=24, kv_lora_rank=16, qk_nope_head_dim=8,
+            qk_rope_head_dim=4, v_head_dim=8, n_routed_experts=8,
+            num_experts_per_tok=3, n_shared_experts=1,
+            first_k_dense_replace=1, moe_layer_freq=1,
+            routed_scaling_factor=2.5, norm_topk_prob=True,
+            n_group=4, topk_group=2, rms_norm_eps=1e-6, rope_theta=10000.0)
+        hf = DeepseekV3ForCausalLM(HFCfg(
+            attention_dropout=0.0, max_position_embeddings=MAXLEN,
+            attention_bias=False, rope_scaling=None, **common))
+        hf.eval()
+        cfg = DeepseekConfig.from_hf(common)
+        cfg.scoring_func = "sigmoid"
+        cfg.topk_method = "noaux_tc"
+        sd = {k: v.float().numpy() for k, v in hf.state_dict().items()}
+        data = build_deepseek_step(lambda n: sd[n], cfg, max_len=MAXLEN,
+                                   absorb=True)
+        return hf, Model.new_from_onnx(data, name="tiny-deepseek-v3")
+
+    def test_logits_match_torch(self, tiny_v3):
+        import torch
+
+        hf, model = tiny_v3
+        rng = np.random.default_rng(5)
+        ids = rng.integers(0, 99, (2, 11)).astype(np.int64)
+        iface = TextInferenceInterface(model, max_len=MAXLEN,
+                                       prompt_buckets=(16,))
+        step = iface._traced_step(2, 16)
+        pad = np.zeros((2, 16), dtype=np.int64)
+        pad[:, :11] = ids
+        logits, _ = step(pad, np.asarray(0, dtype=np.int64),
+                         iface.fresh_cache(2), iface._weights())
+        with torch.no_grad():
+            ref = hf(torch.from_numpy(ids)).logits.numpy()
+        np.testing.assert_allclose(np.asarray(logits)[:, :11], ref,
+                                   rtol=2e-3, atol=2e-4)
+
+    def test_greedy_matches_torch(self, tiny_v3):
+        import torch
+
+        hf, model = tiny_v3
+        rng = np.random.default_rng(6)
+        prompt = rng.integers(0, 99, (1, 7)).astype(np.int64)
+        iface = TextInferenceInterface(model, max_len=MAXLEN,
+                                       prompt_buckets=(8, 16))
+        toks = np.asarray(iface.generate_tokens(prompt, 8))[0]
+        with torch.no_grad():
+            ref = hf.generate(torch.from_numpy(prompt), max_new_tokens=8,
+                              do_sample=False)[0, 7:].numpy()
+        np.testing.assert_array_equal(toks, ref)

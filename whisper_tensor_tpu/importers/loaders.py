@@ -111,7 +111,8 @@ class TransformersLoader(Loader):
     # model_type -> (recipe builder, config adapter); per-arch recipes as
     # in the reference's transformers dispatch (lib.rs:38-180)
     SUPPORTED = ("gpt2", "llama", "mistral", "qwen2", "qwen3", "gemma",
-                 "gemma2", "gemma3_text", "phi3", "deepseek_v2")
+                 "gemma2", "gemma3_text", "phi3", "deepseek_v2",
+                 "deepseek_v3")
 
     def config_schema(self):
         return super().config_schema() + [
@@ -175,11 +176,14 @@ class TransformersLoader(Loader):
             geometry = dict(n_layers=cfg.num_hidden_layers,
                             n_kv_heads=cfg.num_key_value_heads,
                             head_dim=cfg.head_dim)
-        elif mt == "deepseek_v2":
+        elif mt in ("deepseek_v2", "deepseek_v3"):
             from .recipes.llm.deepseek import (DeepseekConfig,
                                                build_deepseek_step)
 
             cfg = DeepseekConfig.from_hf(hf_cfg)
+            if mt == "deepseek_v3":
+                cfg.scoring_func = "sigmoid"
+                cfg.topk_method = "noaux_tc"
             # absorbed-MLA decode by default (identical math, MQA-speed)
             data = build_deepseek_step(store.getter(), cfg, max_len=max_len,
                                        dtype=dtype,

@@ -52,6 +52,12 @@ class DeepseekConfig:
     routed_scaling_factor: float = 1.0
     norm_topk_prob: bool = False
     tie_word_embeddings: bool = False
+    # V3 (noaux_tc) routing: sigmoid scores + correction bias chooses
+    # experts group-wise; weights come from the raw sigmoid scores.
+    scoring_func: str = "softmax"        # softmax (V2) | sigmoid (V3)
+    topk_method: str = "greedy"          # greedy (V2) | noaux_tc (V3)
+    n_group: int = 1
+    topk_group: int = 1
 
     @staticmethod
     def from_hf(cfg: dict) -> "DeepseekConfig":
@@ -200,23 +206,62 @@ def build_deepseek_step(weights: Callable[[str], np.ndarray],
                             b.initializer(f"{tag}_d", wT(prefix + "down_proj.weight")))
 
         if cfg.is_moe_layer(i):
-            # router: softmax scores, top-k mask, optional prob norm, scale
             logits = b.matmul(h2, b.initializer(
                 f"router_{i}", wT(p + "mlp.gate.weight")))
-            scores = b.softmax(logits, axis=-1)                       # (B,S,NE)
-            topv, _ = b.node("TopK", [scores,
-                                      b.const_i64([cfg.num_experts_per_tok])],
-                             n_outputs=2, axis=-1)
-            kth = b.slice_(topv, [cfg.num_experts_per_tok - 1],
-                           [cfg.num_experts_per_tok], axes=[2])
-            sel = b.node("GreaterOrEqual", [scores, kth])
-            wts = b.node("Where", [sel, scores,
-                                   b.node("CastLike",
-                                          [b.const(np.asarray(0.0, dtype=np.float32)),
-                                           scores])])
-            if cfg.norm_topk_prob:
-                den = b.node("ReduceSum", [wts, b.const_i64([-1])], keepdims=1)
-                wts = b.node("Div", [wts, den])
+            zero = lambda like: b.node("CastLike", [
+                b.const(np.asarray(0.0, dtype=np.float32)), like])
+            NE, K = cfg.n_routed_experts, cfg.num_experts_per_tok
+            if cfg.scoring_func == "sigmoid":
+                # V3 noaux_tc (HF DeepseekV3TopkRouter): sigmoid scores;
+                # selection uses scores + e_score_correction_bias,
+                # group-wise (sum of top-2 per group -> keep topk_group
+                # groups), but the combine WEIGHTS are the raw scores.
+                scores = b.node("Sigmoid", [logits])                  # (B,S,NE)
+                bias = b.initializer(
+                    f"router_bias_{i}",
+                    w(p + "mlp.gate.e_score_correction_bias"))
+                sfc = b.add(scores, bias)
+                G = cfg.n_group
+                gview = b.reshape(sfc, [0, 0, G, NE // G])
+                g2, _ = b.node("TopK", [gview, b.const_i64([2])],
+                               n_outputs=2, axis=-1)
+                gscore = b.node("ReduceSum", [g2, b.const_i64([-1])],
+                                keepdims=0)                           # (B,S,G)
+                gtop, _ = b.node("TopK", [gscore,
+                                          b.const_i64([cfg.topk_group])],
+                                 n_outputs=2, axis=-1)
+                gkth = b.slice_(gtop, [cfg.topk_group - 1],
+                                [cfg.topk_group], axes=[2])
+                gmask = b.node("GreaterOrEqual", [gscore, gkth])      # (B,S,G)
+                gmask = b.node("Expand", [
+                    b.node("Unsqueeze", [gmask, b.const_i64([3])]),
+                    b.const_i64([1, 1, G, NE // G])])
+                gmask = b.reshape(gmask, [0, 0, NE])
+                masked = b.node("Where", [gmask, sfc, zero(sfc)])
+                topv, _ = b.node("TopK", [masked, b.const_i64([K])],
+                                 n_outputs=2, axis=-1)
+                kth = b.slice_(topv, [K - 1], [K], axes=[2])
+                sel = b.node("And", [b.node("GreaterOrEqual",
+                                            [masked, kth]), gmask])
+                wts = b.node("Where", [sel, scores, zero(scores)])
+                if cfg.norm_topk_prob:
+                    den = b.node("ReduceSum", [wts, b.const_i64([-1])],
+                                 keepdims=1)
+                    den = b.add(den, b.node("CastLike", [
+                        b.const(np.asarray(1e-20, dtype=np.float32)), den]))
+                    wts = b.node("Div", [wts, den])
+            else:
+                # V2: softmax scores, plain top-k mask, optional prob norm
+                scores = b.softmax(logits, axis=-1)                   # (B,S,NE)
+                topv, _ = b.node("TopK", [scores, b.const_i64([K])],
+                                 n_outputs=2, axis=-1)
+                kth = b.slice_(topv, [K - 1], [K], axes=[2])
+                sel = b.node("GreaterOrEqual", [scores, kth])
+                wts = b.node("Where", [sel, scores, zero(scores)])
+                if cfg.norm_topk_prob:
+                    den = b.node("ReduceSum", [wts, b.const_i64([-1])],
+                                 keepdims=1)
+                    wts = b.node("Div", [wts, den])
             if cfg.routed_scaling_factor != 1.0:
                 sf = b.const(np.asarray(cfg.routed_scaling_factor, dtype=np.float32))
                 wts = b.mul(wts, b.node("CastLike", [sf, wts]))
