@@ -71,19 +71,39 @@ def cmd_generate(args) -> None:
 def cmd_image(args) -> None:
     import numpy as np
 
-    from .interfaces.image_gen import ImageGenConfig, ImageGenerationInterface
+    from .interfaces.image_gen import (ImageGenConfig,
+                                       ImageGenerationInterface,
+                                       image_interface_from_bundle)
     from .model import Model
     from .tokenizer import AnyTokenizer
 
-    te = Model.new_from_onnx_file(args.text_encoder)
-    unet = Model.new_from_onnx_file(args.unet)
-    vae = Model.new_from_onnx_file(args.vae)
-    tok = AnyTokenizer.load(args.tokenizer) if args.tokenizer else None
-    iface = ImageGenerationInterface(te, unet, vae, tokenizer=tok)
+    if args.model:
+        from .importers.loaders import identify_and_load
+
+        bundle = identify_and_load(args.model, height=args.height,
+                                   width=args.width,
+                                   **_parse_kv(args.config))
+        if "image" not in bundle.interfaces:
+            raise SystemExit(f"{args.model} is not an image pipeline "
+                             f"(got: {sorted(bundle.interfaces) or 'none'})")
+        iface = image_interface_from_bundle(bundle)
+        schedule = ("rectified_flow"
+                    if bundle.interfaces["image"]["pipeline"] in
+                    ("sd3", "flux") else "euler")
+    else:
+        if not (args.text_encoder and args.unet and args.vae):
+            raise SystemExit("need --model <diffusers dir> OR all of "
+                             "--text-encoder/--unet/--vae")
+        te = Model.new_from_onnx_file(args.text_encoder)
+        unet = Model.new_from_onnx_file(args.unet)
+        vae = Model.new_from_onnx_file(args.vae)
+        tok = AnyTokenizer.load(args.tokenizer) if args.tokenizer else None
+        iface = ImageGenerationInterface(te, unet, vae, tokenizer=tok)
+        schedule = "euler"
     img = iface.run(args.prompt, args.negative_prompt,
                     ImageGenConfig(steps=args.steps, guidance_scale=args.cfg,
                                    height=args.height, width=args.width,
-                                   seed=args.seed))
+                                   seed=args.seed, schedule=schedule))
     _write_ppm(args.output, img.pixels)
     print(f"wrote {args.output} ({img.pixels.shape[1]}x{img.pixels.shape[0]})")
 
@@ -202,9 +222,12 @@ def main(argv=None) -> None:
     g.set_defaults(fn=cmd_generate)
 
     i = sub.add_parser("image", help="text-to-image generation")
-    i.add_argument("--text-encoder", required=True)
-    i.add_argument("--unet", required=True)
-    i.add_argument("--vae", required=True)
+    i.add_argument("--model", help="diffusers pipeline dir "
+                                   "(sd/sdxl/sd3/flux; model_index.json)")
+    i.add_argument("-c", "--config", action="append", default=[])
+    i.add_argument("--text-encoder")
+    i.add_argument("--unet")
+    i.add_argument("--vae")
     i.add_argument("--tokenizer")
     i.add_argument("--prompt", required=True)
     i.add_argument("--negative-prompt", default="")

@@ -373,6 +373,161 @@ class KokoroLoader(Loader):
 
 
 @register_loader
+class DiffusersPipelineLoader(Loader):
+    """Diffusers pipeline directory (model_index.json): SD1.5/SD2, SDXL,
+    SD3/SD3.5, Flux. Reference equivalent: the sd15/sd2/sd_xl/sd35/flux
+    loaders (crates/whisper-tensor-import/src/loaders/ + models/
+    diffusion/) — here all components build from diffusers-layout
+    safetensors via the matching recipes."""
+
+    NAME = "diffusers"
+    DESCRIPTION = "Diffusers pipeline dir (model_index.json)"
+    PRIORITY = 10
+
+    def config_schema(self):
+        return super().config_schema() + [
+            ConfigField("height", ConfigFieldType.INT, "image height"),
+            ConfigField("width", ConfigFieldType.INT, "image width"),
+            ConfigField("dtype", ConfigFieldType.ENUM, "compute dtype",
+                        default="bf16", choices=["f32", "bf16", "f16"]),
+            ConfigField("t5_seq_len", ConfigFieldType.INT,
+                        "T5 context tokens (sd3/flux)", default=77),
+        ]
+
+    def can_load(self, path: str) -> bool:
+        return os.path.isdir(path) and os.path.exists(
+            os.path.join(path, "model_index.json"))
+
+    def load(self, config):
+        import json as _json
+
+        from .safetensors_io import SafetensorsStore
+
+        d = config["path"]
+        with open(os.path.join(d, "model_index.json")) as f:
+            idx = _json.load(f)
+        cls = idx.get("_class_name", "")
+        kind = ("flux" if "Flux" in cls else
+                "sd3" if "StableDiffusion3" in cls else
+                "sdxl" if "XL" in cls else "sd")
+        dtype = {"f32": DType.F32, "bf16": DType.BF16,
+                 "f16": DType.F16}[config.get("dtype", "bf16")]
+
+        def sub_cfg(sub):
+            with open(os.path.join(d, sub, "config.json")) as f:
+                return _json.load(f)
+
+        def getter(sub):
+            store = SafetensorsStore.from_dir(os.path.join(d, sub))
+            return lambda name, shape=None: store.load(name)
+
+        models: Dict[str, Model] = {}
+        spec: Dict[str, Any] = {"pipeline": kind}
+
+        def add(key, data, name):
+            m = Model.new_from_onnx(data, name=name)
+            models[name] = m
+            spec[key] = name
+
+        def clip(sub):
+            from .recipes.diffusion.clip import (ClipTextConfig,
+                                                 build_clip_text)
+
+            cj = sub_cfg(sub)
+            ccfg = ClipTextConfig.from_hf(cj)
+            if sub == "text_encoder":
+                spec["bos_token_id"] = cj.get("bos_token_id", 49406)
+                spec["eos_token_id"] = cj.get("eos_token_id", 49407)
+                spec["seq_len"] = min(ccfg.max_position_embeddings, 77)
+            # HF CLIP configs carry projection_dim even when the
+            # checkpoint has no text_projection weight
+            if "CLIPTextModelWithProjection" not in (
+                    cj.get("architectures") or []):
+                ccfg.projection_dim = None
+            add(sub, build_clip_text(getter(sub), ccfg,
+                                     seq_len=min(
+                                         ccfg.max_position_embeddings, 77),
+                                     dtype=dtype), f"{kind}-{sub}")
+            return ccfg
+
+        vcfg_json = sub_cfg("vae")
+        from .recipes.diffusion.vae import VAEConfig, build_vae_decoder
+
+        vcfg = VAEConfig.from_hf(vcfg_json)
+        t5_len = int(config.get("t5_seq_len", 77))
+
+        if kind in ("sd", "sdxl"):
+            from .recipes.diffusion.unet import UNetConfig, build_sd_unet
+
+            ucfg = UNetConfig.from_hf(sub_cfg("unet"))
+            h = int(config.get("height", ucfg.sample_size * 8))
+            w_ = int(config.get("width", ucfg.sample_size * 8))
+            clip("text_encoder")
+            if kind == "sdxl":
+                clip("text_encoder_2")
+            add("unet", build_sd_unet(getter("unet"), ucfg, batch=2,
+                                      latent_hw=(h // 8, w_ // 8),
+                                      dtype=dtype), f"{kind}-unet")
+            # scheduler prediction type (SD2-768 is v_prediction)
+            sp = os.path.join(d, "scheduler", "scheduler_config.json")
+            if os.path.exists(sp):
+                with open(sp) as f:
+                    spec["prediction_type"] = _json.load(f).get(
+                        "prediction_type", "epsilon")
+        elif kind == "sd3":
+            from .recipes.diffusion.mmdit import SD3Config, build_sd3_mmdit
+
+            mcfg = SD3Config.from_hf(sub_cfg("transformer"))
+            h = int(config.get("height", mcfg.sample_size * 8))
+            w_ = int(config.get("width", mcfg.sample_size * 8))
+            clip("text_encoder")
+            clip("text_encoder_2")
+            has_t5 = os.path.isdir(os.path.join(d, "text_encoder_3"))
+            ctx = 77 + (t5_len if has_t5 else 0)
+            if has_t5:
+                from .recipes.llm.t5 import T5Config, build_t5_encoder
+
+                tcfg = T5Config.from_hf(sub_cfg("text_encoder_3"))
+                add("text_encoder_3",
+                    build_t5_encoder(getter("text_encoder_3"), tcfg,
+                                     seq_len=t5_len, dtype=dtype,
+                                     with_cross=False), "sd3-t5")
+            add("transformer", build_sd3_mmdit(
+                getter("transformer"), mcfg, batch=2, context_len=ctx,
+                latent_hw=(h // 8, w_ // 8), dtype=dtype), "sd3-mmdit")
+            spec["joint_dim"] = mcfg.joint_attention_dim
+            spec["t5_seq_len"] = t5_len
+        else:  # flux
+            from .recipes.diffusion.flux import FluxConfig, build_flux
+            from .recipes.llm.t5 import T5Config, build_t5_encoder
+
+            fcfg = FluxConfig.from_hf(sub_cfg("transformer"))
+            h = int(config.get("height", 1024))
+            w_ = int(config.get("width", 1024))
+            clip("text_encoder")
+            tcfg = T5Config.from_hf(sub_cfg("text_encoder_2"))
+            add("text_encoder_2",
+                build_t5_encoder(getter("text_encoder_2"), tcfg,
+                                 seq_len=t5_len, dtype=dtype,
+                                 with_cross=False), "flux-t5")
+            add("transformer", build_flux(
+                getter("transformer"), fcfg, batch=1, context_len=t5_len,
+                latent_hw=(h // 8, w_ // 8), dtype=dtype), "flux-transformer")
+            spec["guidance_embeds"] = fcfg.guidance_embeds
+            spec["t5_seq_len"] = t5_len
+        add("vae", build_vae_decoder(getter("vae"), vcfg,
+                                     latent_hw=(h // 8, w_ // 8),
+                                     dtype=dtype), f"{kind}-vae")
+        spec["height"], spec["width"] = h, w_
+        spec["latent_channels"] = vcfg.latent_channels
+        tok = os.path.join(d, "tokenizer", "tokenizer.json")
+        return LoadedBundle(models=models, interfaces={"image": spec},
+                            tokenizer_source=(tok if os.path.exists(tok)
+                                              else None),
+                            meta={"architecture": f"diffusers-{kind}"})
+
+
+@register_loader
 class F5TtsLoader(Loader):
     NAME = "f5"
     DESCRIPTION = ("F5-TTS dir (F5_Preprocess.onnx + F5_Transformer.onnx + "

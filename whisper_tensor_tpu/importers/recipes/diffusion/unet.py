@@ -52,6 +52,38 @@ class UNetConfig:
         return int(t[block_idx]) if isinstance(t, (tuple, list)) else int(t)
 
     @staticmethod
+    def from_hf(cfg: dict) -> "UNetConfig":
+        """Adapter for a diffusers UNet2DConditionModel config.json.
+        Note the upstream naming bug: `attention_head_dim` in those
+        configs is actually the per-block HEAD COUNT."""
+        down = tuple(cfg.get("down_block_types",
+                             ("CrossAttnDownBlock2D",) * 3 + ("DownBlock2D",)))
+        ahd = cfg.get("attention_head_dim", 8)
+        boc = tuple(cfg.get("block_out_channels", (320, 640, 1280, 1280)))
+        return UNetConfig(
+            in_channels=cfg.get("in_channels", 4),
+            out_channels=cfg.get("out_channels", 4),
+            block_out_channels=boc,
+            layers_per_block=cfg.get("layers_per_block", 2),
+            cross_attention_dim=cfg.get("cross_attention_dim", 768),
+            attention_head_dim=(tuple(ahd) if isinstance(ahd, (list, tuple))
+                                else int(ahd)),
+            norm_groups=cfg.get("norm_num_groups", 32),
+            down_has_attn=tuple("CrossAttn" in t for t in down),
+            transformer_layers_per_block=tuple(
+                t if isinstance(t, int) else int(t) for t in
+                (cfg["transformer_layers_per_block"]
+                 if isinstance(cfg.get("transformer_layers_per_block"),
+                               (list, tuple))
+                 else [cfg.get("transformer_layers_per_block", 1)] * len(boc))),
+            sample_size=cfg.get("sample_size", 64),
+            addition_embed=cfg.get("addition_embed_type") == "text_time",
+            addition_time_embed_dim=cfg.get("addition_time_embed_dim", 256),
+            projection_class_embeddings_input_dim=cfg.get(
+                "projection_class_embeddings_input_dim", 2816),
+            time_embed_dim=boc[0] * 4)
+
+    @staticmethod
     def sd15() -> "UNetConfig":
         return UNetConfig()
 

@@ -24,6 +24,20 @@ class VAEConfig:
     layers_per_block: int = 2
     norm_groups: int = 32
     scaling_factor: float = 0.18215
+    shift_factor: float = 0.0            # SD3/Flux VAEs
+
+    @staticmethod
+    def from_hf(cfg: dict) -> "VAEConfig":
+        """Adapter for a diffusers AutoencoderKL config.json."""
+        return VAEConfig(
+            latent_channels=cfg.get("latent_channels", 4),
+            out_channels=cfg.get("out_channels", 3),
+            block_out_channels=tuple(cfg.get("block_out_channels",
+                                             (128, 256, 512, 512))),
+            layers_per_block=cfg.get("layers_per_block", 2),
+            norm_groups=cfg.get("norm_num_groups", 32),
+            scaling_factor=cfg.get("scaling_factor", 0.18215),
+            shift_factor=cfg.get("shift_factor") or 0.0)
 
 
 def build_vae_decoder(weights: Callable[[str, Tuple[int, ...]], np.ndarray],

@@ -324,3 +324,47 @@ class FluxImageGenerationInterface(ImageGenerationInterface):
         img = np.asarray(self._run(self.vae, {"latents": latents})["image"])
         pixels = np.clip((img[0].transpose(1, 2, 0) + 1) / 2, 0, 1)
         return Image((pixels * 255).round().astype(np.uint8))
+
+
+def image_interface_from_bundle(bundle, mode: str = "xla"):
+    """Build the right pipeline interface from a DiffusersPipelineLoader
+    bundle (importers.loaders): SD/SD2 -> ImageGenerationInterface,
+    SDXL/SD3/Flux -> their subclasses."""
+    spec = bundle.interfaces["image"]
+    m = bundle.models
+    tok = None
+    if bundle.tokenizer_source:
+        from ..tokenizer import AnyTokenizer
+        tok = AnyTokenizer.load(bundle.tokenizer_source)
+    kind = spec["pipeline"]
+    common = dict(tokenizer=tok, latent_channels=spec["latent_channels"],
+                  bos_token_id=spec.get("bos_token_id", 49406),
+                  uncond_token_id=spec.get("eos_token_id", 49407),
+                  seq_len=spec.get("seq_len", 77))
+    if kind == "sd":
+        iface = ImageGenerationInterface(
+            m[spec["text_encoder"]], m[spec["unet"]], m[spec["vae"]],
+            prediction_type=spec.get("prediction_type", "epsilon"), **common)
+    elif kind == "sdxl":
+        iface = SDXLImageGenerationInterface(
+            m[spec["text_encoder"]], m[spec["text_encoder_2"]],
+            m[spec["unet"]], m[spec["vae"]], **common)
+    elif kind == "sd3":
+        iface = SD3ImageGenerationInterface(
+            m[spec["text_encoder"]], m[spec["text_encoder_2"]],
+            m[spec["transformer"]], m[spec["vae"]],
+            t5=m.get(spec.get("text_encoder_3")),
+            joint_dim=spec["joint_dim"], t5_seq_len=spec.get("t5_seq_len", 0),
+            **common)
+    elif kind == "flux":
+        iface = FluxImageGenerationInterface(
+            m[spec["text_encoder"]], m[spec["text_encoder_2"]],
+            m[spec["transformer"]], m[spec["vae"]],
+            t5_seq_len=spec.get("t5_seq_len", 77),
+            guidance_embeds=spec.get("guidance_embeds", True), **common)
+    else:
+        raise ValueError(kind)
+    if mode != "xla":
+        from ..backends.eval_backend import EvalBackend
+        iface._backends = {mm.id: EvalBackend(mode) for mm in m.values()}
+    return iface
