@@ -75,3 +75,63 @@ def test_multimodal_text_plus_embedding():
     # requantization must be exact for text + exact embedding rows
     fused = mm.embed_items(items)
     assert fused.shape[1] == 3  # 'a','b' + 1 embedding token
+
+
+class TestSampling:
+    """Sampling inside the jitted decode scan (temperature/top-k/top-p)."""
+
+    @pytest.fixture(scope="class")
+    def iface(self):
+        from whisper_tensor_tpu.importers.recipes.llm.gpt2 import (
+            GPT2Config, build_gpt2_step, random_gpt2_weights)
+        from whisper_tensor_tpu.interfaces.text import TextInferenceInterface
+        from whisper_tensor_tpu.model import Model
+
+        cfg = GPT2Config(n_layer=2, n_head=2, n_embd=32, vocab_size=97,
+                         n_positions=64)
+        m = Model.new_from_onnx(build_gpt2_step(random_gpt2_weights(cfg),
+                                                cfg, max_len=64))
+        return TextInferenceInterface(m, max_len=64, prompt_buckets=(8, 16))
+
+    def _prompt(self):
+        return np.random.default_rng(0).integers(0, 97, (2, 6)).astype(np.int64)
+
+    def test_seeded_sampling_is_reproducible(self, iface):
+        from whisper_tensor_tpu.interfaces.text import SamplingParams
+
+        p = self._prompt()
+        sp = SamplingParams(temperature=1.0, seed=7)
+        a = iface.generate_tokens(p, 12, sampling=sp)
+        b = iface.generate_tokens(p, 12, sampling=sp)
+        np.testing.assert_array_equal(a, b)
+        c = iface.generate_tokens(p, 12,
+                                  sampling=SamplingParams(temperature=1.0,
+                                                          seed=8))
+        assert not np.array_equal(a, c)
+
+    def test_top_k_1_equals_greedy(self, iface):
+        from whisper_tensor_tpu.interfaces.text import SamplingParams
+
+        p = self._prompt()
+        greedy = iface.generate_tokens(p, 10)
+        k1 = iface.generate_tokens(p, 10, sampling=SamplingParams(
+            temperature=1.0, top_k=1, seed=3))
+        np.testing.assert_array_equal(greedy, k1)
+
+    def test_tiny_top_p_equals_greedy(self, iface):
+        from whisper_tensor_tpu.interfaces.text import SamplingParams
+
+        p = self._prompt()
+        greedy = iface.generate_tokens(p, 10)
+        tp = iface.generate_tokens(p, 10, sampling=SamplingParams(
+            temperature=1.0, top_p=1e-6, seed=5))
+        np.testing.assert_array_equal(greedy, tp)
+
+    def test_high_temperature_diversifies(self, iface):
+        from whisper_tensor_tpu.interfaces.text import SamplingParams
+
+        p = self._prompt()
+        greedy = iface.generate_tokens(p, 16)
+        hot = iface.generate_tokens(p, 16, sampling=SamplingParams(
+            temperature=5.0, seed=11))
+        assert not np.array_equal(greedy, hot)

@@ -14,12 +14,47 @@ invocations regardless of token count.
 from __future__ import annotations
 
 import functools
+from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
 from ..dtype import DType
 from ..model import Model
+
+
+@dataclass(frozen=True)
+class SamplingParams:
+    """Sampling for the jitted decode loop (reference: the scheduler's
+    live generation settings, src/scheduler.rs). temperature==0 means
+    greedy. top_k/top_p restrict the candidate set before the
+    categorical draw; all of it runs inside the compiled scan."""
+
+    temperature: float = 1.0
+    top_k: int = 0            # 0 = disabled
+    top_p: float = 1.0        # 1.0 = disabled
+    seed: int = 0
+
+
+def _pick_token(logits, key, sp: Optional[SamplingParams]):
+    """(B, V) logits -> (B,) token ids, inside jit."""
+    import jax
+    import jax.numpy as jnp
+
+    if sp is None or sp.temperature <= 0.0:
+        return jnp.argmax(logits, axis=-1)
+    lg = logits.astype(jnp.float32) / sp.temperature
+    if sp.top_k:
+        kth = jax.lax.top_k(lg, sp.top_k)[0][..., -1:]
+        lg = jnp.where(lg < kth, -jnp.inf, lg)
+    if sp.top_p < 1.0:
+        srt = jnp.sort(lg, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(srt, axis=-1)
+        keep = (jnp.cumsum(probs, axis=-1) - probs) <= sp.top_p
+        thresh = jnp.min(jnp.where(keep, srt, jnp.inf), axis=-1,
+                         keepdims=True)
+        lg = jnp.where(lg < thresh, -jnp.inf, lg)
+    return jax.random.categorical(key, lg, axis=-1)
 
 DEFAULT_PROMPT_BUCKETS = (16, 32, 64, 128, 256, 512, 1024)
 
@@ -126,34 +161,34 @@ class TextInferenceInterface:
 
         return step
 
-    def _program(self, batch: int, prompt_bucket: int, n_new: int):
+    def _program(self, batch: int, prompt_bucket: int, n_new: int,
+                 sampling: Optional[SamplingParams] = None):
         import jax
         import jax.numpy as jnp
 
-        key = (batch, prompt_bucket, n_new)
+        key = (batch, prompt_bucket, n_new, sampling)
         if key in self._programs:
             return self._programs[key]
         step = self._traced_step(batch, prompt_bucket)
+        sp = sampling
 
-        n_weights = len(self.weight_names)
-        n_caches = len(self.cache_in_names)
-
-        def full(ids_padded, prompt_len, caches, weights):
+        def full(ids_padded, prompt_len, caches, weights, rng_key):
             # prefill at bucket length
             logits, caches = step(ids_padded, jnp.asarray(0, dtype=jnp.int64),
                                   caches, weights)
             last = logits[:, prompt_len - 1, :]
-            first_tok = jnp.argmax(last, axis=-1)
+            first_tok = _pick_token(last, jax.random.fold_in(rng_key, 0), sp)
 
-            def body(carry, _):
+            def body(carry, i):
                 cur, pos, caches = carry
                 lg, caches = step(cur[:, None], pos, caches, weights)
-                nxt = jnp.argmax(lg[:, -1, :], axis=-1)
+                nxt = _pick_token(lg[:, -1, :],
+                                  jax.random.fold_in(rng_key, i + 1), sp)
                 return (nxt, pos + 1, caches), cur
 
             (final_tok, _, caches), toks = jax.lax.scan(
                 body, (first_tok, prompt_len.astype(jnp.int64), caches),
-                None, length=n_new)
+                jnp.arange(n_new))
             # toks: (n_new, B) of emitted tokens (first is first_tok)
             return jnp.swapaxes(toks, 0, 1), caches
 
@@ -164,8 +199,13 @@ class TextInferenceInterface:
 
     # ------------------------------------------------------------------
     def generate_tokens(self, prompt_ids: np.ndarray, n_new: int,
-                        caches=None) -> np.ndarray:
-        """prompt_ids: (B, L) int64, same L per row. Returns (B, n_new)."""
+                        caches=None,
+                        sampling: Optional[SamplingParams] = None
+                        ) -> np.ndarray:
+        """prompt_ids: (B, L) int64, same L per row. Returns (B, n_new).
+        sampling=None -> greedy; else temperature/top-k/top-p categorical
+        draws inside the compiled scan (seeded, reproducible)."""
+        import jax
         import jax.numpy as jnp
 
         prompt_ids = np.asarray(prompt_ids, dtype=np.int64)
@@ -178,9 +218,10 @@ class TextInferenceInterface:
         weights = self._weights()
         if caches is None:
             caches = self.fresh_cache(B)
-        prog = self._program(B, Sb, n_new)
+        prog = self._program(B, Sb, n_new, sampling)
+        rng = jax.random.PRNGKey(sampling.seed if sampling else 0)
         toks, _ = prog(jnp.asarray(padded), jnp.asarray(L, dtype=jnp.int64),
-                       caches, weights)
+                       caches, weights, rng)
         return np.asarray(toks)
 
     def logits(self, prompt_ids: np.ndarray) -> np.ndarray:
@@ -202,11 +243,13 @@ class TextInferenceInterface:
         return np.asarray(out)[:, :L, :]
 
     # ------------------------------------------------------------------
-    def run_string_in_string_out(self, text: str, n_new: int = 32) -> str:
+    def run_string_in_string_out(self, text: str, n_new: int = 32,
+                                 sampling: Optional[SamplingParams] = None
+                                 ) -> str:
         if self.tokenizer is None:
             raise ValueError("no tokenizer configured")
         ids = np.asarray(self.tokenizer.encode(text), dtype=np.int64)[None]
-        toks = self.generate_tokens(ids, n_new)[0]
+        toks = self.generate_tokens(ids, n_new, sampling=sampling)[0]
         if self.eos_token_id is not None:
             eos = np.nonzero(toks == self.eos_token_id)[0]
             if eos.size:

@@ -123,11 +123,21 @@ class Server:
                                        max_len=int(iface_cfg["max_len"]))
         iface.tokenizer = tok
         n_new = int(msg.get("max_new_tokens", 32))
+        sampling = None
+        if float(msg.get("temperature", 0.0)) > 0.0:
+            from ..interfaces.text import SamplingParams
+
+            sampling = SamplingParams(
+                temperature=float(msg.get("temperature", 1.0)),
+                top_k=int(msg.get("top_k", 0)),
+                top_p=float(msg.get("top_p", 1.0)),
+                seed=int(msg.get("seed", 0)))
         settings = ObserverSettings(
             tensor_subscriptions=set(msg.get("tensor_subscriptions", [])))
 
         def job(obs):
-            text = iface.run_string_in_string_out(msg["prompt"], n_new)
+            text = iface.run_string_in_string_out(msg["prompt"], n_new,
+                                                  sampling=sampling)
             return {"text": text}
 
         job_id = self.scheduler.submit(job, settings)
