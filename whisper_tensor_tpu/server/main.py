@@ -105,6 +105,8 @@ class Server:
             return {"type": "settings_ack", "job": msg["job"], "ok": ok}
         if t == P.GENERATE_TEXT:
             return self._generate_text(msg)
+        if t == P.GENERATE_IMAGE:
+            return self._generate_image(msg)
         if t == P.SUPER_GRAPH_REQUEST:
             return self._super_graph_request(msg)
         raise ValueError(f"unknown message type {t!r}")
@@ -139,6 +141,45 @@ class Server:
             text = iface.run_string_in_string_out(msg["prompt"], n_new,
                                                   sampling=sampling)
             return {"text": text}
+
+        job_id = self.scheduler.submit(job, settings)
+        return {"type": P.JOB_ACCEPTED, "job": job_id}
+
+    def _generate_image(self, msg) -> dict:
+        """Run an image pipeline bundle (diffusers loader). Returns the
+        job id; the result carries raw RGB bytes + dims (canvas-ready)."""
+        import base64
+
+        from ..interfaces.image_gen import (ImageGenConfig,
+                                            image_interface_from_bundle)
+
+        bid = msg.get("bundle_id")
+        if bid is None:
+            entry = self.models.get(int(msg["model_id"]))
+            bid = entry.meta.get("bundle_id")
+        bundle = self.models.bundle(int(bid))
+        if "image" not in bundle.interfaces:
+            raise ValueError("bundle has no image interface")
+        iface = image_interface_from_bundle(bundle)
+        spec = bundle.interfaces["image"]
+        cfg = ImageGenConfig(
+            steps=int(msg.get("steps", 20)),
+            guidance_scale=float(msg.get("guidance_scale", 7.5)),
+            height=int(msg.get("height", spec.get("height", 512))),
+            width=int(msg.get("width", spec.get("width", 512))),
+            schedule=("rectified_flow" if spec["pipeline"] in ("sd3", "flux")
+                      else "euler"),
+            seed=int(msg.get("seed", 0)))
+        settings = ObserverSettings(report_progress=True)
+
+        def job(obs):
+            img = iface.run(msg.get("prompt", ""),
+                            msg.get("negative_prompt", ""), cfg,
+                            observer=obs)
+            return {"width": img.pixels.shape[1],
+                    "height": img.pixels.shape[0],
+                    "rgb_b64": base64.b64encode(
+                        img.pixels.tobytes()).decode()}
 
         job_id = self.scheduler.submit(job, settings)
         return {"type": P.JOB_ACCEPTED, "job": job_id}

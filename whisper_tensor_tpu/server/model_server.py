@@ -28,7 +28,9 @@ class LoadedModelEntry:
 class ModelServer:
     def __init__(self):
         self._models: Dict[int, LoadedModelEntry] = {}
+        self._bundles: Dict[int, LoadedBundle] = {}
         self._next = itertools.count(1)
+        self._next_bundle = itertools.count(1)
         self._lock = threading.Lock()
 
     def run_loader(self, loader_name: str, config: Dict[str, Any]) -> List[LoadedModelEntry]:
@@ -38,6 +40,9 @@ class ModelServer:
         bundle: LoadedBundle = reg[loader_name].load(config)
         out = []
         with self._lock:
+            bid = next(self._next_bundle)
+            self._bundles[bid] = bundle
+            bundle.meta["bundle_id"] = bid
             for name, model in bundle.models.items():
                 mid = next(self._next)
                 entry = LoadedModelEntry(mid, name, model, bundle.interfaces,
@@ -49,6 +54,12 @@ class ModelServer:
     def unload(self, model_id: int) -> bool:
         with self._lock:
             return self._models.pop(model_id, None) is not None
+
+    def bundle(self, bundle_id: int) -> LoadedBundle:
+        b = self._bundles.get(bundle_id)
+        if b is None:
+            raise KeyError(f"no bundle {bundle_id}")
+        return b
 
     def get(self, model_id: int) -> LoadedModelEntry:
         entry = self._models.get(model_id)

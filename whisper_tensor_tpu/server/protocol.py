@@ -92,6 +92,7 @@ PING = "ping"
 
 # server -> client types
 MODELS_REPORT = "models_report"
+GENERATE_IMAGE = "generate_image"
 LOADERS_REPORT = "loaders_report"
 MODEL_GRAPH = "model_graph"
 STORED_TENSOR = "stored_tensor"
