@@ -142,3 +142,119 @@ class TestDiffusersLoader:
         assert cfg.addition_embed
         sd = UNetConfig.from_hf(UNET_SD)
         assert sd.heads_for(16, 0) == 2 and not sd.addition_embed
+
+
+def _save_t5(d, seed=0, d_model=16):
+    from transformers import T5Config as HFT5
+    from transformers import T5EncoderModel
+
+    torch.manual_seed(seed)
+    hf = T5EncoderModel(HFT5(vocab_size=64, d_model=d_model, d_kv=8,
+                             d_ff=2 * d_model, num_layers=1, num_heads=2))
+    hf.save_pretrained(d, safe_serialization=True)
+
+
+MMDIT_CFG = {"num_layers": 2, "num_attention_heads": 2,
+             "attention_head_dim": 8, "in_channels": 4, "out_channels": 4,
+             "patch_size": 2, "sample_size": 16, "pos_embed_max_size": 16,
+             "joint_attention_dim": 32, "pooled_projection_dim": 28}
+FLUX_CFG = {"num_layers": 1, "num_single_layers": 2,
+            "num_attention_heads": 2, "attention_head_dim": 8,
+            "in_channels": 16, "joint_attention_dim": 16,
+            "pooled_projection_dim": 12, "guidance_embeds": True,
+            "axes_dims_rope": [2, 4, 2]}
+VAE16 = dict(VAE_CFG)
+
+
+def _write_sd3_pipeline(d):
+    from whisper_tensor_tpu.importers.recipes.diffusion.mmdit import (
+        SD3Config, build_sd3_mmdit, random_sd3_weights)
+    from whisper_tensor_tpu.importers.recipes.diffusion.unet import \
+        random_unet_weights
+    from whisper_tensor_tpu.importers.recipes.diffusion.vae import (
+        VAEConfig, build_vae_decoder)
+
+    with open(os.path.join(d, "model_index.json"), "w") as f:
+        json.dump({"_class_name": "StableDiffusion3Pipeline"}, f)
+    _save_clip(os.path.join(d, "text_encoder"), with_projection=True, seed=0)
+    _save_clip(os.path.join(d, "text_encoder_2"), with_projection=True,
+               hidden=16, proj=16, seed=1)
+    # T5 width must equal the MMDiT joint dim (as in real SD3)
+    _save_t5(os.path.join(d, "text_encoder_3"), seed=2, d_model=32)
+    mcfg = SD3Config.from_hf(MMDIT_CFG)
+    base = random_sd3_weights(3)(mcfg)
+    rec = {}
+
+    def getter(name, shape=None):
+        rec[name] = np.ascontiguousarray(base(name), dtype=np.float32)
+        return rec[name]
+
+    build_sd3_mmdit(getter, mcfg, batch=2, context_len=77 + 6,
+                    latent_hw=(16, 16))
+    _write_component(d, "transformer", MMDIT_CFG, rec)
+    vw = _recorded_weights(build_vae_decoder, VAEConfig.from_hf(VAE16),
+                           latent_hw=(16, 16))
+    _write_component(d, "vae", VAE16, vw)
+    return d
+
+
+def _write_flux_pipeline(d):
+    from whisper_tensor_tpu.importers.recipes.diffusion.flux import (
+        FluxConfig, build_flux, random_flux_weights)
+    from whisper_tensor_tpu.importers.recipes.diffusion.vae import (
+        VAEConfig, build_vae_decoder)
+
+    with open(os.path.join(d, "model_index.json"), "w") as f:
+        json.dump({"_class_name": "FluxPipeline"}, f)
+    _save_clip(os.path.join(d, "text_encoder"), with_projection=False, seed=0)
+    _save_t5(os.path.join(d, "text_encoder_2"), seed=1)
+    fcfg = FluxConfig.from_hf(FLUX_CFG)
+    base = random_flux_weights(4)(fcfg)
+    rec = {}
+
+    def getter(name, shape=None):
+        rec[name] = np.ascontiguousarray(base(name), dtype=np.float32)
+        return rec[name]
+
+    build_flux(getter, fcfg, batch=1, context_len=6, latent_hw=(16, 16))
+    _write_component(d, "transformer", FLUX_CFG, rec)
+    vw = _recorded_weights(build_vae_decoder, VAEConfig.from_hf(VAE16),
+                           latent_hw=(16, 16))
+    _write_component(d, "vae", VAE16, vw)
+    return d
+
+
+class TestDiffusersLoaderSD3Flux:
+    def test_sd3_dir_loads_and_generates(self, tmp_path):
+        from whisper_tensor_tpu.importers.loaders import identify_and_load
+        from whisper_tensor_tpu.interfaces.image_gen import (
+            ImageGenConfig, SD3ImageGenerationInterface,
+            image_interface_from_bundle)
+
+        d = _write_sd3_pipeline(str(tmp_path))
+        bundle = identify_and_load(d, dtype="f32", t5_seq_len=6)
+        assert bundle.meta["architecture"] == "diffusers-sd3"
+        iface = image_interface_from_bundle(bundle, mode="oracle")
+        assert isinstance(iface, SD3ImageGenerationInterface)
+        assert iface.t5 is not None
+        img = iface.run("a tpu", cfg=ImageGenConfig(
+            steps=2, height=128, width=128, schedule="rectified_flow",
+            seed=3))
+        assert img.pixels.shape == (128, 128, 3)
+
+    def test_flux_dir_loads_and_generates(self, tmp_path):
+        from whisper_tensor_tpu.importers.loaders import identify_and_load
+        from whisper_tensor_tpu.interfaces.image_gen import (
+            FluxImageGenerationInterface, ImageGenConfig,
+            image_interface_from_bundle)
+
+        d = _write_flux_pipeline(str(tmp_path))
+        bundle = identify_and_load(d, dtype="f32", t5_seq_len=6,
+                                   height=128, width=128)
+        assert bundle.meta["architecture"] == "diffusers-flux"
+        iface = image_interface_from_bundle(bundle, mode="oracle")
+        assert isinstance(iface, FluxImageGenerationInterface)
+        img = iface.run("a tpu", cfg=ImageGenConfig(
+            steps=2, height=128, width=128, schedule="rectified_flow",
+            guidance_scale=3.5, seed=5))
+        assert img.pixels.shape == (128, 128, 3)

@@ -483,7 +483,7 @@ class DiffusersPipelineLoader(Loader):
             clip("text_encoder")
             clip("text_encoder_2")
             has_t5 = os.path.isdir(os.path.join(d, "text_encoder_3"))
-            ctx = 77 + (t5_len if has_t5 else 0)
+            ctx = spec["seq_len"] + (t5_len if has_t5 else 0)
             if has_t5:
                 from .recipes.llm.t5 import T5Config, build_t5_encoder
 

@@ -248,7 +248,7 @@ class SD3ImageGenerationInterface(ImageGenerationInterface):
             t5_out = self._run(self.t5, {
                 "input_ids": np.asarray(t5_ids, dtype=np.int64)[None]})
             key = ("last_hidden_state" if "last_hidden_state" in t5_out
-                   else "encoder_hidden_states")
+                   else "encoder_states")
             emb = np.concatenate([emb, np.asarray(t5_out[key],
                                                   dtype=np.float32)], axis=1)
         return emb, pooled
