@@ -1,0 +1,213 @@
+"""LDM single-file checkpoint support: golden name-mapping pairs (the
+canonical LDM<->diffusers correspondence), shape-probed config detection,
+and an end-to-end load that must generate the SAME image as the direct
+diffusers-layout build of identical weights."""
+
+import os
+
+import numpy as np
+import pytest
+import torch
+from safetensors.numpy import save_file
+
+from whisper_tensor_tpu.importers.ldm import (unet_diffusers_to_ldm,
+                                              vae_decoder_diffusers_to_ldm)
+
+SD15_ATTN = (True, True, True, False)
+
+
+class TestGoldenMappings:
+    """Hand-checked pairs from the canonical conversion table (SD1.5
+    geometry: 4 blocks, layers_per_block=2)."""
+
+    @pytest.mark.parametrize("diff,ldm", [
+        ("time_embedding.linear_1.weight", "time_embed.0.weight"),
+        ("time_embedding.linear_2.bias", "time_embed.2.bias"),
+        ("conv_in.weight", "input_blocks.0.0.weight"),
+        ("conv_norm_out.weight", "out.0.weight"),
+        ("conv_out.bias", "out.2.bias"),
+        ("down_blocks.0.resnets.0.conv1.weight",
+         "input_blocks.1.0.in_layers.2.weight"),
+        ("down_blocks.0.resnets.0.norm1.weight",
+         "input_blocks.1.0.in_layers.0.weight"),
+        ("down_blocks.0.resnets.1.time_emb_proj.weight",
+         "input_blocks.2.0.emb_layers.1.weight"),
+        ("down_blocks.0.resnets.1.norm2.bias",
+         "input_blocks.2.0.out_layers.0.bias"),
+        ("down_blocks.0.resnets.1.conv2.weight",
+         "input_blocks.2.0.out_layers.3.weight"),
+        ("down_blocks.1.resnets.0.conv_shortcut.weight",
+         "input_blocks.4.0.skip_connection.weight"),
+        ("down_blocks.0.downsamplers.0.conv.weight",
+         "input_blocks.3.0.op.weight"),
+        ("down_blocks.1.downsamplers.0.conv.weight",
+         "input_blocks.6.0.op.weight"),
+        ("down_blocks.1.attentions.0.proj_in.weight",
+         "input_blocks.4.1.proj_in.weight"),
+        ("down_blocks.2.attentions.1.transformer_blocks.0.attn2.to_k.weight",
+         "input_blocks.8.1.transformer_blocks.0.attn2.to_k.weight"),
+        ("mid_block.resnets.0.conv1.weight",
+         "middle_block.0.in_layers.2.weight"),
+        ("mid_block.attentions.0.proj_out.weight",
+         "middle_block.1.proj_out.weight"),
+        ("mid_block.resnets.1.norm1.weight",
+         "middle_block.2.in_layers.0.weight"),
+        ("up_blocks.0.resnets.0.conv1.weight",
+         "output_blocks.0.0.in_layers.2.weight"),
+        ("up_blocks.0.resnets.2.conv2.weight",
+         "output_blocks.2.0.out_layers.3.weight"),
+        ("up_blocks.1.attentions.1.transformer_blocks.0.ff.net.0.proj.weight",
+         "output_blocks.4.1.transformer_blocks.0.ff.net.0.proj.weight"),
+        # up block 0 (deepest, no attention in SD1.5) upsampler -> module 1
+        ("up_blocks.0.upsamplers.0.conv.weight",
+         "output_blocks.2.1.conv.weight"),
+        # up block 2 (has attention) upsampler -> module 2
+        ("up_blocks.2.upsamplers.0.conv.weight",
+         "output_blocks.8.2.conv.weight"),
+    ])
+    def test_unet_pairs(self, diff, ldm):
+        assert unet_diffusers_to_ldm(diff, 2, SD15_ATTN) == ldm
+
+    @pytest.mark.parametrize("diff,ldm", [
+        ("decoder.conv_in.weight", "decoder.conv_in.weight"),
+        ("decoder.conv_norm_out.weight", "decoder.norm_out.weight"),
+        ("decoder.mid_block.resnets.0.conv1.weight",
+         "decoder.mid.block_1.conv1.weight"),
+        ("decoder.mid_block.attentions.0.group_norm.weight",
+         "decoder.mid.attn_1.norm.weight"),
+        ("decoder.mid_block.attentions.0.to_q.weight",
+         "decoder.mid.attn_1.q.weight"),
+        ("decoder.mid_block.attentions.0.to_out.0.weight",
+         "decoder.mid.attn_1.proj_out.weight"),
+        # diffusers up_blocks run high->low LDM index
+        ("decoder.up_blocks.0.resnets.0.conv1.weight",
+         "decoder.up.3.block.0.conv1.weight"),
+        ("decoder.up_blocks.3.resnets.1.conv_shortcut.weight",
+         "decoder.up.0.block.1.nin_shortcut.weight"),
+        ("decoder.up_blocks.1.upsamplers.0.conv.weight",
+         "decoder.up.2.upsample.conv.weight"),
+        ("post_quant_conv.weight", "post_quant_conv.weight"),
+    ])
+    def test_vae_pairs(self, diff, ldm):
+        assert vae_decoder_diffusers_to_ldm(diff, 4) == ldm
+
+
+def _write_ldm_checkpoint(path):
+    """Synthesize a tiny SD1.5-shaped LDM checkpoint: record the
+    diffusers-named weights the recipes request, store them under the
+    translated LDM keys (VAE attention as 1x1 convs, as LDM does)."""
+    from transformers import CLIPTextConfig as HFCfg
+    from transformers import CLIPTextModel
+
+    from whisper_tensor_tpu.importers.ldm import (CLIP_PREFIX, UNET_PREFIX,
+                                                  VAE_PREFIX)
+    from whisper_tensor_tpu.importers.recipes.diffusion.unet import (
+        UNetConfig, build_sd_unet, random_unet_weights)
+    from whisper_tensor_tpu.importers.recipes.diffusion.vae import (
+        VAEConfig, build_vae_decoder)
+
+    # cross_attention_dim equals the CLIP hidden size; head count is a
+    # reshape convention that cannot be inferred from weights — the
+    # detector assumes SD1.x's 8 heads, so the fixture uses 8 too
+    # norm_groups likewise: real SD uses 32; the detector picks the
+    # largest power-of-two divisor, which for these channels is 8
+    ucfg = UNetConfig(block_out_channels=(8, 16, 16, 16), layers_per_block=2,
+                      cross_attention_dim=64, attention_head_dim=8,
+                      norm_groups=8, time_embed_dim=32)
+    vcfg = VAEConfig(latent_channels=4, block_out_channels=(8, 8, 16, 16),
+                     layers_per_block=1, norm_groups=4)
+    # NOTE: the VAE loader infers 32-if-divisible else 4 — chans of 8/16
+    # give 4, matching this fixture
+    sd = {}
+    base = random_unet_weights(0)
+
+    def u_get(name, shape=None):
+        arr = np.ascontiguousarray(base(name, shape), dtype=np.float32)
+        sd[UNET_PREFIX + unet_diffusers_to_ldm(
+            name, ucfg.layers_per_block, ucfg.down_has_attn)] = arr
+        return arr
+
+    def v_get(name, shape=None):
+        arr = np.ascontiguousarray(base("V" + name, shape),
+                                   dtype=np.float32)
+        key = VAE_PREFIX + vae_decoder_diffusers_to_ldm(name, 4)
+        if "attentions" in name and name.endswith(".weight") and arr.ndim == 2:
+            sd[key] = arr[:, :, None, None]     # LDM stores 1x1 convs
+        else:
+            sd[key] = arr
+        return arr
+
+    build_sd_unet(u_get, ucfg, batch=2, latent_hw=(16, 16))
+    build_vae_decoder(v_get, vcfg, latent_hw=(16, 16))
+
+    torch.manual_seed(0)
+    hf = CLIPTextModel(HFCfg(hidden_size=64, intermediate_size=128,
+                             num_hidden_layers=1, num_attention_heads=1,
+                             vocab_size=100, max_position_embeddings=8,
+                             bos_token_id=1, eos_token_id=2))
+    for k, v in hf.state_dict().items():
+        sd[CLIP_PREFIX + k] = v.float().numpy()
+    save_file(sd, path)
+    return ucfg, vcfg, base, hf
+
+
+def test_ldm_checkpoint_loads_and_matches_direct_build(tmp_path):
+    from whisper_tensor_tpu.importers.loaders import identify_and_load
+    from whisper_tensor_tpu.importers.recipes.diffusion.clip import (
+        ClipTextConfig, build_clip_text)
+    from whisper_tensor_tpu.importers.recipes.diffusion.unet import \
+        build_sd_unet
+    from whisper_tensor_tpu.importers.recipes.diffusion.vae import \
+        build_vae_decoder
+    from whisper_tensor_tpu.interfaces.image_gen import (
+        ImageGenConfig, ImageGenerationInterface, image_interface_from_bundle)
+    from whisper_tensor_tpu.model import Model
+
+    ckpt = str(tmp_path / "sd-tiny.safetensors")
+    ucfg, vcfg, base, hf = _write_ldm_checkpoint(ckpt)
+
+    bundle = identify_and_load(ckpt, dtype="f32", height=128, width=128)
+    assert bundle.meta["architecture"] == "ldm-sd"
+    iface = image_interface_from_bundle(bundle, mode="oracle")
+    cfgd = ImageGenConfig(steps=2, height=128, width=128, seed=6)
+    img = iface.run("a tpu", cfg=cfgd)
+
+    # direct diffusers-layout build with the SAME weights must agree
+    hsd = {k: v.float().numpy() for k, v in hf.state_dict().items()}
+    te = Model.new_from_onnx(build_clip_text(
+        lambda n: hsd[n],
+        ClipTextConfig(num_hidden_layers=1, hidden_size=64,
+                       num_attention_heads=1, intermediate_size=128,
+                       vocab_size=100, max_position_embeddings=8),
+        seq_len=8))
+    unet = Model.new_from_onnx(build_sd_unet(base, ucfg, batch=2,
+                                             latent_hw=(16, 16)))
+    vae = Model.new_from_onnx(build_vae_decoder(
+        lambda n, s=None: base("V" + n, s), vcfg, latent_hw=(16, 16)))
+    ref = ImageGenerationInterface(te, unet, vae, tokenizer=None,
+                                   bos_token_id=98, uncond_token_id=99,
+                                   seq_len=8)
+    from whisper_tensor_tpu.backends.eval_backend import EvalBackend
+
+    ref._backends = {m.id: EvalBackend("oracle") for m in (te, unet, vae)}
+    ref_img = ref.run("a tpu", cfg=cfgd)
+    np.testing.assert_array_equal(img.pixels, ref_img.pixels)
+
+
+def test_detect_unet_config(tmp_path):
+    from whisper_tensor_tpu.importers.ldm import (UNET_PREFIX,
+                                                  detect_unet_config)
+    from whisper_tensor_tpu.importers.safetensors_io import SafetensorsStore
+
+    ckpt = str(tmp_path / "sd-tiny.safetensors")
+    ucfg, _, _, _ = _write_ldm_checkpoint(ckpt)
+    store = SafetensorsStore([ckpt])
+    det = detect_unet_config(lambda k: (UNET_PREFIX + k) in store,
+                             lambda k: store.load(UNET_PREFIX + k).shape)
+    assert det.block_out_channels == ucfg.block_out_channels
+    assert det.layers_per_block == ucfg.layers_per_block
+    assert det.cross_attention_dim == ucfg.cross_attention_dim
+    assert det.down_has_attn == ucfg.down_has_attn
+    assert det.time_embed_dim == 32
+    assert det.norm_groups == 8
+    assert not det.addition_embed

@@ -528,6 +528,128 @@ class DiffusersPipelineLoader(Loader):
 
 
 @register_loader
+class LdmCheckpointLoader(Loader):
+    """Original LDM/CompVis single-file SD checkpoint
+    (model.diffusion_model.* / first_stage_model.* / cond_stage_model.*).
+    Reference equivalent: sd15.rs/sd2.rs shape-probing loaders."""
+
+    NAME = "ldm"
+    DESCRIPTION = "Single-file SD checkpoint (LDM naming, .safetensors)"
+    PRIORITY = 11   # a .safetensors file is ambiguous; probe keys first
+
+    def can_load(self, path: str) -> bool:
+        if not (os.path.isfile(path) and path.endswith(".safetensors")):
+            return False
+        from .safetensors_io import SafetensorsStore
+
+        try:
+            store = SafetensorsStore([path])
+        except Exception:  # noqa: BLE001
+            return False
+        return any(n.startswith("model.diffusion_model.")
+                   for n in store.names())
+
+    def config_schema(self):
+        return super().config_schema() + [
+            ConfigField("height", ConfigFieldType.INT, "image height"),
+            ConfigField("width", ConfigFieldType.INT, "image width"),
+            ConfigField("dtype", ConfigFieldType.ENUM, "compute dtype",
+                        default="bf16", choices=["f32", "bf16", "f16"]),
+            ConfigField("prediction_type", ConfigFieldType.ENUM,
+                        "scheduler prediction (SD2-768: v_prediction)",
+                        default="epsilon",
+                        choices=["epsilon", "v_prediction"]),
+        ]
+
+    def load(self, config):
+        from .ldm import (CLIP_PREFIX, UNET_PREFIX, VAE_PREFIX, LdmWeights,
+                          detect_unet_config)
+        from .recipes.diffusion.clip import ClipTextConfig, build_clip_text
+        from .recipes.diffusion.unet import build_sd_unet
+        from .recipes.diffusion.vae import VAEConfig, build_vae_decoder
+        from .safetensors_io import SafetensorsStore
+
+        path = config["path"]
+        store = SafetensorsStore([path])
+        dtype = {"f32": DType.F32, "bf16": DType.BF16,
+                 "f16": DType.F16}[config.get("dtype", "bf16")]
+        lw = LdmWeights(store.load, lambda k: k in store)
+        ucfg = detect_unet_config(
+            lambda k: (UNET_PREFIX + k) in store,
+            lambda k: store.load(UNET_PREFIX + k).shape)
+        if ucfg.addition_embed:
+            raise ValueError(
+                "SDXL single-file checkpoints (conditioner.*) are not "
+                "supported yet — use the diffusers directory form")
+        if not any(n.startswith(CLIP_PREFIX) for n in store.names()):
+            raise ValueError("checkpoint has no cond_stage_model CLIP "
+                             "(SD2 open-clip conditioners not supported)")
+
+        h = int(config.get("height", 512))
+        w_ = int(config.get("width", 512))
+        # CLIP config by shape probing
+        tok = store.load(CLIP_PREFIX
+                         + "text_model.embeddings.token_embedding.weight")
+        n_layers = 0
+        while (CLIP_PREFIX + f"text_model.encoder.layers.{n_layers}."
+               "layer_norm1.weight") in store:
+            n_layers += 1
+        ccfg = ClipTextConfig(
+            num_hidden_layers=n_layers, hidden_size=tok.shape[1],
+            num_attention_heads=max(tok.shape[1] // 64, 1),
+            intermediate_size=store.load(
+                CLIP_PREFIX + "text_model.encoder.layers.0.mlp.fc1.weight"
+            ).shape[0],
+            vocab_size=tok.shape[0],
+            max_position_embeddings=store.load(
+                CLIP_PREFIX + "text_model.embeddings.position_embedding"
+                ".weight").shape[0])
+        # VAE decoder config by shape probing
+        lat = store.load(VAE_PREFIX + "post_quant_conv.weight").shape[0]
+        boc = []
+        k = 0
+        while (VAE_PREFIX + f"decoder.up.{k}.block.0.conv1.weight") in store:
+            boc.append(store.load(
+                VAE_PREFIX + f"decoder.up.{k}.block.0.conv1.weight").shape[0])
+            k += 1
+        vlpb = 0
+        while (VAE_PREFIX + f"decoder.up.0.block.{vlpb}.conv1.weight") in store:
+            vlpb += 1
+        groups = 32 if all(c % 32 == 0 for c in boc) else 4
+        vcfg = VAEConfig(latent_channels=lat,
+                         block_out_channels=tuple(boc),
+                         layers_per_block=max(vlpb - 1, 1), norm_groups=groups)
+
+        models: Dict[str, Model] = {}
+        spec: Dict[str, Any] = {
+            "pipeline": "sd", "height": h, "width": w_,
+            "latent_channels": lat,
+            "seq_len": min(ccfg.max_position_embeddings, 77),
+            # CLIP convention: the two top vocab slots are BOS/EOS
+            # (49406/49407 for the real 49408-token vocab)
+            "bos_token_id": ccfg.vocab_size - 2,
+            "eos_token_id": ccfg.vocab_size - 1,
+            "prediction_type": config.get("prediction_type", "epsilon")}
+
+        def add(key, data, name):
+            m = Model.new_from_onnx(data, name=name)
+            models[name] = m
+            spec[key] = name
+
+        add("text_encoder", build_clip_text(lw.clip_getter(), ccfg,
+                                            seq_len=spec["seq_len"],
+                                            dtype=dtype), "ldm-clip")
+        add("unet", build_sd_unet(lw.unet_getter(ucfg), ucfg, batch=2,
+                                  latent_hw=(h // 8, w_ // 8),
+                                  dtype=dtype), "ldm-unet")
+        add("vae", build_vae_decoder(lw.vae_getter(len(boc)), vcfg,
+                                     latent_hw=(h // 8, w_ // 8),
+                                     dtype=dtype), "ldm-vae")
+        return LoadedBundle(models=models, interfaces={"image": spec},
+                            meta={"architecture": "ldm-sd"})
+
+
+@register_loader
 class F5TtsLoader(Loader):
     NAME = "f5"
     DESCRIPTION = ("F5-TTS dir (F5_Preprocess.onnx + F5_Transformer.onnx + "
