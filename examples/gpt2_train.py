@@ -22,6 +22,11 @@ def main():
     ap.add_argument("--steps", type=int, default=40)
     ap.add_argument("--mesh", default="")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 compute, f32 master weights")
+    ap.add_argument("--grad-clip", type=float, default=None)
+    ap.add_argument("--accum", type=int, default=1,
+                    help="gradient accumulation microsteps")
     args = ap.parse_args()
 
     if args.cpu:
@@ -49,7 +54,11 @@ def main():
         mesh = make_mesh(**{k: int(v) for k, v in spec.items()})
         print("mesh:", mesh)
 
-    trainer = LMTrainer(model, optimizer="adamw", lr=3e-3, mesh=mesh)
+    from whisper_tensor_tpu.dtype import DType
+
+    trainer = LMTrainer(model, optimizer="adamw", lr=3e-3, mesh=mesh,
+                        compute_dtype=DType.BF16 if args.bf16 else None,
+                        grad_clip=args.grad_clip, accum_steps=args.accum)
     params = trainer.init_params()
     opt_state = trainer.init_opt_state(params)
 

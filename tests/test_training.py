@@ -95,3 +95,73 @@ def test_sharded_train_matches_single_device():
     mesh = make_mesh(dp=2, sp=2, tp=2)
     sharded = run(mesh)
     np.testing.assert_allclose(sharded, single, rtol=2e-4, atol=1e-5)
+
+
+class TestTrainerOptions:
+    def _setup(self, **kw):
+        from whisper_tensor_tpu.importers.recipes.llm.gpt2 import (
+            GPT2Config, build_gpt2_train, random_gpt2_weights)
+        from whisper_tensor_tpu.model import Model
+        from whisper_tensor_tpu.training.trainer import LMTrainer
+
+        cfg = GPT2Config(n_layer=1, n_head=2, n_embd=32, vocab_size=64,
+                         n_positions=32)
+        m = Model.new_from_onnx(build_gpt2_train(random_gpt2_weights(cfg),
+                                                 cfg))
+        tr = LMTrainer(m, optimizer="adamw", lr=1e-2, **kw)
+        p = tr.init_params()
+        s = tr.init_opt_state(p)
+        rng = np.random.default_rng(0)
+        ids = rng.integers(0, 64, (4, 17))
+        return tr, p, s, ids[:, :-1], ids[:, 1:]
+
+    def test_grad_clip_trains(self):
+        tr, p, s, x, y = self._setup(grad_clip=0.5)
+        losses = []
+        for _ in range(4):
+            p, s, loss = tr.train_step(p, s, x, y)
+            losses.append(float(np.asarray(loss)))
+        assert losses[-1] < losses[0]
+
+    def test_mixed_precision_bf16_compute(self):
+        from whisper_tensor_tpu.dtype import DType
+
+        tr, p, s, x, y = self._setup(compute_dtype=DType.BF16)
+        # master weights stay f32
+        assert all(np.asarray(v).dtype == np.float32 for v in p.values()
+                   if np.asarray(v).dtype.kind == "f")
+        losses = []
+        for _ in range(6):
+            p, s, loss = tr.train_step(p, s, x, y)
+            losses.append(float(np.asarray(loss)))
+        assert all(np.asarray(v).dtype == np.float32 for v in p.values()
+                   if np.asarray(v).dtype.kind == "f")
+        assert losses[-1] < losses[0]
+
+    def test_gradient_accumulation_matches_big_batch(self):
+        """2 accumulation microsteps over half-batches == one full-batch
+        step (SGD: exact up to fp noise)."""
+        tr_a, pa, sa, x, y = self._setup()   # geometry source
+        from whisper_tensor_tpu.importers.recipes.llm.gpt2 import (
+            GPT2Config, build_gpt2_train, random_gpt2_weights)
+        from whisper_tensor_tpu.model import Model
+        from whisper_tensor_tpu.training.trainer import LMTrainer
+
+        cfg = GPT2Config(n_layer=1, n_head=2, n_embd=32, vocab_size=64,
+                         n_positions=32)
+        data = build_gpt2_train(random_gpt2_weights(cfg), cfg)
+
+        big = LMTrainer(Model.new_from_onnx(data), optimizer="sgd", lr=1e-2)
+        pb = big.init_params()
+        sb = big.init_opt_state(pb)
+        pb, sb, _ = big.train_step(pb, sb, x, y)
+
+        acc = LMTrainer(Model.new_from_onnx(data), optimizer="sgd", lr=1e-2,
+                        accum_steps=2)
+        pc = acc.init_params()
+        sc = acc.init_opt_state(pc)
+        pc, sc, _ = acc.train_step(pc, sc, x[:2], y[:2])
+        pc, sc, _ = acc.train_step(pc, sc, x[2:], y[2:])
+        for k in pb:
+            np.testing.assert_allclose(np.asarray(pb[k]), np.asarray(pc[k]),
+                                       rtol=1e-5, atol=1e-6, err_msg=k)

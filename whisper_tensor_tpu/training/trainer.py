@@ -26,7 +26,16 @@ class LMTrainer:
 
     def __init__(self, model: Model, optimizer: str = "adamw",
                  lr: float = 3e-4, weight_decay: float = 0.01,
-                 mesh=None, rules=None, param_dtype: DType = DType.F32):
+                 mesh=None, rules=None, param_dtype: DType = DType.F32,
+                 grad_clip: Optional[float] = None,
+                 compute_dtype: Optional[DType] = None,
+                 accum_steps: int = 1):
+        """grad_clip: global-norm clipping before the optimizer.
+        compute_dtype: mixed precision — params stay in param_dtype
+        (f32 master weights) and are cast per-step for the forward/
+        backward; grads come back in compute dtype and update the f32
+        masters (the standard TPU bf16-compute recipe).
+        accum_steps: gradient accumulation via optax.MultiSteps."""
         from ..backends.xla.compiler import _trace_graph, ensure_x64
 
         ensure_x64()
@@ -39,6 +48,7 @@ class LMTrainer:
         self._order = list(milli.inputs)
         self.mesh = mesh
         self.param_dtype = param_dtype
+        self.compute_dtype = compute_dtype
         self.lr = lr
 
         import optax
@@ -53,6 +63,11 @@ class LMTrainer:
             self.tx = optax.sgd(lr, momentum=0.9)
         else:
             raise ValueError(optimizer)
+        if grad_clip:
+            self.tx = optax.chain(optax.clip_by_global_norm(grad_clip),
+                                  self.tx)
+        if accum_steps > 1:
+            self.tx = optax.MultiSteps(self.tx, accum_steps)
 
         if mesh is not None:
             from ..parallel.mesh import GPT2_RULES, weight_shardings
@@ -84,6 +99,13 @@ class LMTrainer:
 
     # ------------------------------------------------------------------
     def _forward(self, params: Dict[str, Any], ids):
+        if self.compute_dtype is not None:
+            import jax
+
+            cdt = self.compute_dtype.to_jax()
+            params = {k: (v.astype(cdt) if jax.numpy.issubdtype(
+                v.dtype, jax.numpy.floating) else v)
+                for k, v in params.items()}
         by_name = dict(params)
         by_name["input_ids"] = ids
         args = [by_name[n] for n in self._order]
