@@ -252,3 +252,81 @@ _VG = rng.standard_normal((2, 1, 6, 8)).astype(np.float32)
 add("attention_gqa", "Attention", {"q": _Q, "k": _KG, "v": _VG},
     torch.nn.functional.scaled_dot_product_attention(
         t(_Q), t(_KG), t(_VG), enable_gqa=True).numpy(), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# RotaryEmbedding (interleaved + halves + explicit positions)
+# ---------------------------------------------------------------------------
+def _rope_ref(x, cos, sin, pos=None, interleaved=False):
+    B, H, S, D = x.shape
+    c = cos[pos] if pos is not None else cos[:S]
+    s = sin[pos] if pos is not None else sin[:S]
+    while c.ndim < 3:
+        c, s = c[None], s[None]
+    c = c[:, None]
+    s = s[:, None]
+    out = x.astype(np.float64).copy()
+    if interleaved:
+        x1, x2 = x[..., 0::2].astype(np.float64), x[..., 1::2].astype(np.float64)
+        out[..., 0::2] = x1 * c - x2 * s
+        out[..., 1::2] = x2 * c + x1 * s
+    else:
+        half = D // 2
+        x1, x2 = x[..., :half].astype(np.float64), x[..., half:].astype(np.float64)
+        out[..., :half] = x1 * c - x2 * s
+        out[..., half:] = x2 * c + x1 * s
+    return out.astype(np.float32)
+
+
+_RX = rng.standard_normal((2, 2, 4, 8)).astype(np.float32)
+_ang = np.arange(6)[:, None] * (0.5 ** np.arange(4))[None]
+_RC = np.cos(_ang).astype(np.float32)
+_RS = np.sin(_ang).astype(np.float32)
+add("rotary_halves", "RotaryEmbedding",
+    {"x": _RX, "cos": _RC, "sin": _RS},
+    _rope_ref(_RX, _RC, _RS, interleaved=False))
+add("rotary_interleaved", "RotaryEmbedding",
+    {"x": _RX, "cos": _RC, "sin": _RS},
+    _rope_ref(_RX, _RC, _RS, interleaved=True),
+    attrs={"interleaved": 1})
+_POS = np.asarray([3, 1, 4, 0], dtype=np.int64)
+add("rotary_positions", "RotaryEmbedding",
+    {"x": _RX, "cos": _RC, "sin": _RS, "pos": _POS},
+    _rope_ref(_RX, _RC, _RS, pos=_POS, interleaved=True),
+    attrs={"interleaved": 1})
+
+# Attention variants: GQA + additive mask + softcap
+_Q4 = rng.standard_normal((1, 4, 3, 8)).astype(np.float32)
+_K1 = rng.standard_normal((1, 1, 5, 8)).astype(np.float32)
+_V1 = rng.standard_normal((1, 1, 5, 8)).astype(np.float32)
+
+
+def _attn_ref(q, k, v, mask=None, scale=None, softcap=0.0):
+    Hq, Hkv = q.shape[1], k.shape[1]
+    k = np.repeat(k, Hq // Hkv, axis=1)
+    v = np.repeat(v, Hq // Hkv, axis=1)
+    s = np.einsum("bhqd,bhkd->bhqk", q.astype(np.float64), k.astype(np.float64))
+    s *= (scale if scale is not None else q.shape[-1] ** -0.5)
+    if softcap:
+        s = softcap * np.tanh(s / softcap)
+    if mask is not None:
+        s = s + mask
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p /= p.sum(-1, keepdims=True)
+    return np.einsum("bhqk,bhkd->bhqd", p, v.astype(np.float64)).astype(np.float32)
+
+
+add("attention_gqa_h4kv1", "Attention", {"q": _Q4, "k": _K1, "v": _V1},
+    _attn_ref(_Q4, _K1, _V1), rtol=2e-3, atol=1e-5)
+_MASK = np.where(rng.uniform(size=(1, 1, 3, 5)) > 0.4, 0.0,
+                 -1e9).astype(np.float32)
+add("attention_gqa_h4kv1_mask", "Attention",
+    {"q": _Q4, "k": _K1, "v": _V1, "mask": _MASK},
+    _attn_ref(_Q4, _K1, _V1, mask=_MASK), rtol=2e-3, atol=1e-5)
+add("attention_softcap", "Attention", {"q": _Q4, "k": _K1, "v": _V1},
+    _attn_ref(_Q4, _K1, _V1, softcap=5.0), attrs={"softcap": 5.0},
+    rtol=2e-3, atol=1e-5)
+
+# Dropout: inference mode is identity (single output)
+_DX = rng.standard_normal((3, 4)).astype(np.float32)
+add("dropout_inference", "Dropout", {"x": _DX}, _DX)

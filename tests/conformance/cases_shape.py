@@ -255,3 +255,51 @@ add("einsum_batch", "Einsum", {"a": _X, "b": _X},
     np.einsum("bij,bkj->bik", _X, _X), attrs={"equation": "bij,bkj->bik"})
 add("einsum_trace_sum", "Einsum", {"a": _EA},
     np.einsum("ij->j", _EA), attrs={"equation": "ij->j"})
+
+
+# ---------------------------------------------------------------------------
+# remaining reduce family + axes-as-input form
+# ---------------------------------------------------------------------------
+_R = rng.standard_normal((2, 3, 4)).astype(np.float32)
+add("reduce_l1", "ReduceL1", {"x": _R},
+    np.abs(_R).sum(axis=1, keepdims=True), attrs={"axes": [1]})
+add("reduce_l2", "ReduceL2", {"x": _R},
+    np.sqrt((_R ** 2).sum(axis=(0, 2), keepdims=True)),
+    attrs={"axes": [0, 2]})
+add("reduce_l2_axes_input", "ReduceL2",
+    {"x": _R, "axes": np.asarray([2], dtype=np.int64)},
+    np.sqrt((_R ** 2).sum(axis=2, keepdims=True)))
+add("reduce_mean_noop_empty_axes", "ReduceMean",
+    {"x": _R, "axes": np.zeros(0, dtype=np.int64)},
+    _R, attrs={"noop_with_empty_axes": 1})
+add("reduce_max_keepdims0", "ReduceMax", {"x": _R},
+    _R.max(axis=2), attrs={"axes": [2], "keepdims": 0})
+add("reduce_prod_all", "ReduceProd",
+    {"x": (_R[:1, :2, :2] * 0.5)},
+    np.prod(_R[:1, :2, :2] * 0.5).reshape(1, 1, 1))
+
+# Max/Min variadic (3 inputs) + int
+_M1 = rng.standard_normal((2, 3)).astype(np.float32)
+_M2 = rng.standard_normal((2, 3)).astype(np.float32)
+_M3 = rng.standard_normal((3,)).astype(np.float32)
+add("max_variadic3", "Max", {"a": _M1, "b": _M2, "c": _M3},
+    np.maximum(np.maximum(_M1, _M2), _M3))
+add("min_variadic3", "Min", {"a": _M1, "b": _M2, "c": _M3},
+    np.minimum(np.minimum(_M1, _M2), _M3))
+
+# Cast lattice: f32 <-> bf16/f16/i32/u8/bool round trips
+import ml_dtypes as _mld
+
+_CF = np.asarray([[-1.6, -0.4, 0.0, 0.5, 1.5, 300.7]], dtype=np.float32)
+add("cast2_f32_bf16", "Cast", {"x": _CF}, _CF.astype(_mld.bfloat16),
+    attrs={"to": 16})
+add("cast2_f32_f16", "Cast", {"x": _CF}, _CF.astype(np.float16),
+    attrs={"to": 10})
+add("cast2_f32_i32_trunc", "Cast", {"x": _CF},
+    _CF.astype(np.int32), attrs={"to": 6})
+add("cast2_i32_bool", "Cast", {"x": np.asarray([0, 1, -2], dtype=np.int32)},
+    np.asarray([False, True, True]), attrs={"to": 9})
+add("cast2_bool_f32", "Cast", {"x": np.asarray([True, False])},
+    np.asarray([1.0, 0.0], dtype=np.float32), attrs={"to": 1})
+add("cast2_u8_f32", "Cast", {"x": np.asarray([0, 255, 7], dtype=np.uint8)},
+    np.asarray([0.0, 255.0, 7.0], dtype=np.float32), attrs={"to": 1})
