@@ -61,3 +61,32 @@ def test_int8_matmul_fallback_math():
     out = np.asarray(int8_matmul(jnp.asarray(x), jnp.asarray(q), jnp.asarray(s)))
     ref = x @ (q.astype(np.float32) * s[None, :])
     np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_flash_padded_head_dim_interpret():
+    """SD head dims (40/80) route through zero-padding: interpret-mode
+    kernel output must match the plain XLA attention."""
+    import jax
+    import jax.numpy as jnp
+    import ml_dtypes
+
+    from whisper_tensor_tpu.backends.pallas.attention import flash_attention
+
+    rng = np.random.default_rng(0)
+    for D in (40, 80):
+        q = rng.standard_normal((1, 2, 256, D)).astype(ml_dtypes.bfloat16)
+        k = rng.standard_normal((1, 2, 256, D)).astype(ml_dtypes.bfloat16)
+        v = rng.standard_normal((1, 2, 256, D)).astype(ml_dtypes.bfloat16)
+        scale = D ** -0.5
+        Dp = 64 if D < 64 else 128
+        pad = [(0, 0)] * 3 + [(0, Dp - D)]
+        out = flash_attention(jnp.pad(q, pad), jnp.pad(k, pad),
+                              jnp.pad(v, pad), scale=scale, causal=False,
+                              interpret=True)[..., :D]
+        qf, kf, vf = (np.asarray(a).astype(np.float32) for a in (q, k, v))
+        s = np.einsum("bhqd,bhkd->bhqk", qf, kf) * scale
+        p = np.exp(s - s.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        ref = np.einsum("bhqk,bhkd->bhqd", p, vf)
+        np.testing.assert_allclose(np.asarray(out).astype(np.float32), ref,
+                                   rtol=2e-2, atol=2e-2)

@@ -37,8 +37,14 @@ def flash_attention_usable(q, k, v, mask, softcap: float) -> bool:
     Hkv, Skv = k.shape[1], k.shape[2]
     if Hq != Hkv:  # GQA handled by caller reshape; keep kernel simple for now
         return False
+    if v.shape[-1] != D:
+        return False   # padding dispatch assumes Dv == D (see caller)
     if D % 128 != 0 and D not in (64,):
-        return False
+        # the caller CAN zero-pad odd head dims (WT_PALLAS_ATTENTION_PAD=1)
+        # but measured on v5e the padded kernel loses to XLA's fused
+        # attention at SD shapes (15.8 vs 27.6 step/s) — default off
+        if os.environ.get("WT_PALLAS_ATTENTION_PAD", "0") != "1":
+            return False
     if Sq < BLOCK_Q or Skv < BLOCK_K or Sq % BLOCK_Q or Skv % BLOCK_K:
         return False
     # bf16 only: the in-kernel MXU matmul uses default precision, which

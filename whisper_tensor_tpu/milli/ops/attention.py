@@ -88,7 +88,19 @@ class AttentionMilli(MilliOp):
         from ...backends.pallas.attention import flash_attention_usable, flash_attention
 
         if flash_attention_usable(q, k, v, mask, self.softcap):
-            return [flash_attention(q, k, v, scale=scale, causal=self.is_causal)]
+            # head dims the kernel can't tile (SD UNet: 40/80/160) are
+            # zero-padded to the next lane multiple: zero q/k columns add
+            # nothing to the scores and padded v columns are sliced away
+            Dp = D if (D % 128 == 0 or D == 64) else (
+                64 if D < 64 else ((D + 127) // 128) * 128)
+            if Dp == D:
+                return [flash_attention(q, k, v, scale=scale,
+                                        causal=self.is_causal)]
+            pad = [(0, 0)] * 3 + [(0, Dp - D)]
+            out = flash_attention(jnp.pad(q, pad), jnp.pad(k, pad),
+                                  jnp.pad(v, pad), scale=scale,
+                                  causal=self.is_causal)
+            return [out[..., :D]]
 
         rep = Hq // Hkv
         kf, vf = k, v
