@@ -111,3 +111,59 @@ def test_safetensors_round_trip(tmp_path):
         hf.lm_head.weight = torch.nn.Parameter(emb.clone())
         tl = hf(torch.from_numpy(ids)).logits.numpy()
     np.testing.assert_allclose(lg, tl, rtol=2e-3, atol=2e-4)
+
+
+class TestMixtral:
+    """Mixtral sparse MoE (softmax -> top-k -> renormalize) vs torch."""
+
+    @pytest.fixture(scope="class")
+    def tiny_mixtral(self):
+        import torch
+        from transformers import MixtralConfig as HFCfg
+        from transformers import MixtralForCausalLM
+
+        torch.manual_seed(0)
+        common = dict(num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, hidden_size=32,
+                      intermediate_size=48, vocab_size=99,
+                      max_position_embeddings=64, rms_norm_eps=1e-6,
+                      rope_theta=10000.0, num_local_experts=4,
+                      num_experts_per_tok=2, tie_word_embeddings=False)
+        hf = MixtralForCausalLM(HFCfg(attention_dropout=0.0, **common))
+        hf.eval()
+        cfg = LlamaConfig.from_hf({**common, "model_type": "mixtral"})
+        sd = {k: v.float().numpy() for k, v in hf.state_dict().items()}
+        data = build_llama_step(lambda n: sd[n], cfg, max_len=32)
+        return hf, Model.new_from_onnx(data, name="tiny-mixtral")
+
+    def test_logits_match_torch(self, tiny_mixtral):
+        import torch
+
+        hf, model = tiny_mixtral
+        rng = np.random.default_rng(1)
+        ids = rng.integers(0, 99, (2, 10)).astype(np.int64)
+        iface = TextInferenceInterface(model, max_len=32,
+                                       prompt_buckets=(16,))
+        step = iface._traced_step(2, 16)
+        pad = np.zeros((2, 16), dtype=np.int64)
+        pad[:, :10] = ids
+        logits, _ = step(pad, np.asarray(0, dtype=np.int64),
+                         iface.fresh_cache(2), iface._weights())
+        with torch.no_grad():
+            ref = hf(torch.from_numpy(ids)).logits.numpy()
+        np.testing.assert_allclose(np.asarray(logits)[:, :10], ref,
+                                   rtol=2e-3, atol=2e-4)
+
+    def test_greedy_matches_torch(self, tiny_mixtral):
+        import torch
+
+        hf, model = tiny_mixtral
+        rng = np.random.default_rng(2)
+        prompt = rng.integers(0, 99, (1, 6)).astype(np.int64)
+        iface = TextInferenceInterface(model, max_len=32,
+                                       prompt_buckets=(8, 16))
+        toks = np.asarray(iface.generate_tokens(prompt, 8))[0]
+        with torch.no_grad():
+            ref = hf.generate(torch.from_numpy(prompt), max_new_tokens=8,
+                              do_sample=False)[0, 6:].numpy()
+        np.testing.assert_array_equal(toks, ref)

@@ -32,6 +32,9 @@ class LlamaConfig:
     attention_bias: bool = False       # qwen2: True
     head_dim: Optional[int] = None
     model_type: str = "llama"
+    # Mixtral sparse MoE (block_sparse_moe): 0 = dense MLP
+    num_local_experts: int = 0
+    num_experts_per_tok: int = 2
 
     @staticmethod
     def from_hf(cfg: dict) -> "LlamaConfig":
@@ -51,6 +54,8 @@ class LlamaConfig:
                                    cfg.get("model_type") == "qwen2"),
             head_dim=cfg.get("head_dim"),
             model_type=cfg.get("model_type", "llama"),
+            num_local_experts=cfg.get("num_local_experts", 0),
+            num_experts_per_tok=cfg.get("num_experts_per_tok", 2),
         )
 
     @property
@@ -152,11 +157,42 @@ def build_llama_step(weights: Callable[[str], np.ndarray], cfg: LlamaConfig,
 
         h2 = b.rms_norm(x, b.initializer(
             f"post_norm_{i}", w(p + "post_attention_layernorm.weight")), epsilon=eps)
-        gate = b.matmul(h2, b.initializer(f"w_gate_{i}", wT(p + "mlp.gate_proj.weight")))
-        up = b.matmul(h2, b.initializer(f"w_up_{i}", wT(p + "mlp.up_proj.weight")))
-        silu = b.mul(gate, b.node("Sigmoid", [gate]))
-        mlp = b.matmul(b.mul(silu, up),
-                       b.initializer(f"w_down_{i}", wT(p + "mlp.down_proj.weight")))
+        if cfg.num_local_experts:
+            # Mixtral block_sparse_moe (HF MixtralSparseMoeBlock):
+            # softmax over ALL experts, top-k mask, renormalize over
+            # the selected set; dense token-dropless evaluation.
+            K = cfg.num_experts_per_tok
+            logits = b.matmul(h2, b.initializer(
+                f"router_{i}", wT(p + "block_sparse_moe.gate.weight")))
+            scores = b.softmax(logits, axis=-1)
+            topv, _ = b.node("TopK", [scores, b.const_i64([K])],
+                             n_outputs=2, axis=-1)
+            kth = b.slice_(topv, [K - 1], [K], axes=[2])
+            sel = b.node("GreaterOrEqual", [scores, kth])
+            zero = b.node("CastLike", [b.const(np.asarray(0.0, np.float32)),
+                                       scores])
+            wts = b.node("Where", [sel, scores, zero])
+            den = b.node("ReduceSum", [wts, b.const_i64([-1])], keepdims=1)
+            wts = b.node("Div", [wts, den])
+            acc = None
+            for j in range(cfg.num_local_experts):
+                ep = p + f"block_sparse_moe.experts.{j}."
+                eg = b.matmul(h2, b.initializer(f"e{i}_{j}_w1",
+                                                wT(ep + "w1.weight")))
+                eu = b.matmul(h2, b.initializer(f"e{i}_{j}_w3",
+                                                wT(ep + "w3.weight")))
+                eact = b.mul(b.mul(eg, b.node("Sigmoid", [eg])), eu)
+                eo = b.matmul(eact, b.initializer(f"e{i}_{j}_w2",
+                                                  wT(ep + "w2.weight")))
+                term = b.mul(eo, b.slice_(wts, [j], [j + 1], axes=[2]))
+                acc = term if acc is None else b.add(acc, term)
+            mlp = acc
+        else:
+            gate = b.matmul(h2, b.initializer(f"w_gate_{i}", wT(p + "mlp.gate_proj.weight")))
+            up = b.matmul(h2, b.initializer(f"w_up_{i}", wT(p + "mlp.up_proj.weight")))
+            silu = b.mul(gate, b.node("Sigmoid", [gate]))
+            mlp = b.matmul(b.mul(silu, up),
+                           b.initializer(f"w_down_{i}", wT(p + "mlp.down_proj.weight")))
         x = b.add(x, mlp)
 
     xf = b.rms_norm(x, b.initializer("final_norm", w("model.norm.weight")),
