@@ -167,3 +167,73 @@ class TestMixtral:
             ref = hf.generate(torch.from_numpy(prompt), max_new_tokens=8,
                               do_sample=False)[0, 6:].numpy()
         np.testing.assert_array_equal(toks, ref)
+
+
+class TestQwen3:
+    """Qwen3 dense (per-head QK RMS norm) and Qwen3-MoE vs torch."""
+
+    def _check(self, hf, model, seed):
+        import torch
+
+        rng = np.random.default_rng(seed)
+        ids = rng.integers(0, 99, (2, 9)).astype(np.int64)
+        iface = TextInferenceInterface(model, max_len=32, prompt_buckets=(16,))
+        step = iface._traced_step(2, 16)
+        pad = np.zeros((2, 16), dtype=np.int64)
+        pad[:, :9] = ids
+        logits, _ = step(pad, np.asarray(0, dtype=np.int64),
+                         iface.fresh_cache(2), iface._weights())
+        with torch.no_grad():
+            ref = hf(torch.from_numpy(ids)).logits.numpy()
+        np.testing.assert_allclose(np.asarray(logits)[:, :9], ref,
+                                   rtol=2e-3, atol=2e-4)
+        prompt = ids[:1, :5]
+        toks = np.asarray(iface.generate_tokens(prompt, 6))[0]
+        with torch.no_grad():
+            g = hf.generate(torch.from_numpy(prompt), max_new_tokens=6,
+                            do_sample=False)[0, 5:].numpy()
+        np.testing.assert_array_equal(toks, g)
+
+    def test_qwen3_dense(self):
+        import torch
+        from transformers import Qwen3Config as HFCfg
+        from transformers import Qwen3ForCausalLM
+
+        torch.manual_seed(3)
+        common = dict(num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, hidden_size=32,
+                      intermediate_size=48, vocab_size=99, head_dim=8,
+                      max_position_embeddings=64, rms_norm_eps=1e-6,
+                      rope_theta=10000.0, tie_word_embeddings=False)
+        hf = Qwen3ForCausalLM(HFCfg(attention_dropout=0.0, **common))
+        hf.eval()
+        cfg = LlamaConfig.from_hf({**common, "model_type": "qwen3"})
+        assert cfg.qk_norm
+        sd = {k: v.float().numpy() for k, v in hf.state_dict().items()}
+        m = Model.new_from_onnx(build_llama_step(lambda n: sd[n], cfg,
+                                                 max_len=32))
+        self._check(hf, m, 4)
+
+    def test_qwen3_moe(self):
+        import torch
+        from transformers import Qwen3MoeConfig as HFCfg
+        from transformers import Qwen3MoeForCausalLM
+
+        torch.manual_seed(5)
+        common = dict(num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, hidden_size=32,
+                      intermediate_size=48, moe_intermediate_size=16,
+                      vocab_size=99, head_dim=8,
+                      max_position_embeddings=64, rms_norm_eps=1e-6,
+                      rope_theta=10000.0, num_experts=4,
+                      num_experts_per_tok=2, norm_topk_prob=True,
+                      decoder_sparse_step=1, mlp_only_layers=[],
+                      tie_word_embeddings=False)
+        hf = Qwen3MoeForCausalLM(HFCfg(attention_dropout=0.0, **common))
+        hf.eval()
+        cfg = LlamaConfig.from_hf({**common, "model_type": "qwen3_moe"})
+        assert cfg.qk_norm and cfg.moe_style == "qwen3"
+        sd = {k: v.float().numpy() for k, v in hf.state_dict().items()}
+        m = Model.new_from_onnx(build_llama_step(lambda n: sd[n], cfg,
+                                                 max_len=32))
+        self._check(hf, m, 6)

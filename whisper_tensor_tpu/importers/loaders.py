@@ -111,8 +111,8 @@ class TransformersLoader(Loader):
     # model_type -> (recipe builder, config adapter); per-arch recipes as
     # in the reference's transformers dispatch (lib.rs:38-180)
     SUPPORTED = ("gpt2", "llama", "mistral", "mixtral", "qwen2", "qwen3",
-                 "gemma", "gemma2", "gemma3_text", "phi3", "deepseek_v2",
-                 "deepseek_v3")
+                 "qwen3_moe", "gemma", "gemma2", "gemma3_text", "phi3",
+                 "deepseek_v2", "deepseek_v3")
 
     def config_schema(self):
         return super().config_schema() + [
@@ -146,7 +146,8 @@ class TransformersLoader(Loader):
                                    dtype=dtype)
             geometry = dict(n_layers=cfg.n_layer, n_kv_heads=cfg.n_head,
                             head_dim=cfg.n_embd // cfg.n_head)
-        elif mt in ("llama", "mistral", "mixtral", "qwen2", "qwen3"):
+        elif mt in ("llama", "mistral", "mixtral", "qwen2", "qwen3",
+                    "qwen3_moe"):
             from .recipes.llm.llama import LlamaConfig, build_llama_step
 
             cfg = LlamaConfig.from_hf(hf_cfg)

@@ -35,6 +35,10 @@ class LlamaConfig:
     # Mixtral sparse MoE (block_sparse_moe): 0 = dense MLP
     num_local_experts: int = 0
     num_experts_per_tok: int = 2
+    # qwen3: per-head RMS norm on q/k before rope; qwen3_moe experts
+    qk_norm: bool = False
+    moe_style: str = "mixtral"         # weight naming: mixtral | qwen3
+    norm_topk_prob: bool = True
 
     @staticmethod
     def from_hf(cfg: dict) -> "LlamaConfig":
@@ -54,8 +58,13 @@ class LlamaConfig:
                                    cfg.get("model_type") == "qwen2"),
             head_dim=cfg.get("head_dim"),
             model_type=cfg.get("model_type", "llama"),
-            num_local_experts=cfg.get("num_local_experts", 0),
+            num_local_experts=cfg.get("num_local_experts",
+                                      cfg.get("num_experts", 0)),
             num_experts_per_tok=cfg.get("num_experts_per_tok", 2),
+            qk_norm=cfg.get("model_type", "") in ("qwen3", "qwen3_moe"),
+            moe_style=("qwen3" if cfg.get("model_type", "") == "qwen3_moe"
+                       else "mixtral"),
+            norm_topk_prob=cfg.get("norm_topk_prob", True),
         )
 
     @property
@@ -141,8 +150,15 @@ def build_llama_step(weights: Callable[[str], np.ndarray], cfg: LlamaConfig,
         def heads(tns, nh):
             return b.transpose(b.reshape(tns, [0, 0, nh, D]), [0, 2, 1, 3])
 
-        qh = b.rotary(heads(q, Hq), cos, sin, position_ids=abs_pos)
-        kh = b.rotary(heads(k, Hkv), cos, sin, position_ids=abs_pos)
+        qh, kh = heads(q, Hq), heads(k, Hkv)
+        if cfg.qk_norm:
+            # qwen3: per-head RMS norm on q/k BEFORE rope
+            qh = b.rms_norm(qh, b.initializer(
+                f"qn_{i}", w(p + "self_attn.q_norm.weight")), epsilon=eps)
+            kh = b.rms_norm(kh, b.initializer(
+                f"kn_{i}", w(p + "self_attn.k_norm.weight")), epsilon=eps)
+        qh = b.rotary(qh, cos, sin, position_ids=abs_pos)
+        kh = b.rotary(kh, cos, sin, position_ids=abs_pos)
         vh = heads(v, Hkv)
         ck, cv = cache_ins[i]
         nk = b.node("CacheWrite", [ck, kh, pos], axis=2, domain="wt",
@@ -158,12 +174,14 @@ def build_llama_step(weights: Callable[[str], np.ndarray], cfg: LlamaConfig,
         h2 = b.rms_norm(x, b.initializer(
             f"post_norm_{i}", w(p + "post_attention_layernorm.weight")), epsilon=eps)
         if cfg.num_local_experts:
-            # Mixtral block_sparse_moe (HF MixtralSparseMoeBlock):
-            # softmax over ALL experts, top-k mask, renormalize over
-            # the selected set; dense token-dropless evaluation.
+            # Mixtral block_sparse_moe / Qwen3-MoE mlp (same math: softmax
+            # over ALL experts, top-k mask, renormalize over the selected
+            # set when norm_topk_prob); dense token-dropless evaluation.
             K = cfg.num_experts_per_tok
+            moe_p = ("mlp." if cfg.moe_style == "qwen3"
+                     else "block_sparse_moe.")
             logits = b.matmul(h2, b.initializer(
-                f"router_{i}", wT(p + "block_sparse_moe.gate.weight")))
+                f"router_{i}", wT(p + moe_p + "gate.weight")))
             scores = b.softmax(logits, axis=-1)
             topv, _ = b.node("TopK", [scores, b.const_i64([K])],
                              n_outputs=2, axis=-1)
@@ -172,18 +190,22 @@ def build_llama_step(weights: Callable[[str], np.ndarray], cfg: LlamaConfig,
             zero = b.node("CastLike", [b.const(np.asarray(0.0, np.float32)),
                                        scores])
             wts = b.node("Where", [sel, scores, zero])
-            den = b.node("ReduceSum", [wts, b.const_i64([-1])], keepdims=1)
-            wts = b.node("Div", [wts, den])
+            if cfg.norm_topk_prob:
+                den = b.node("ReduceSum", [wts, b.const_i64([-1])],
+                             keepdims=1)
+                wts = b.node("Div", [wts, den])
+            names = (("gate_proj", "up_proj", "down_proj")
+                     if cfg.moe_style == "qwen3" else ("w1", "w3", "w2"))
             acc = None
             for j in range(cfg.num_local_experts):
-                ep = p + f"block_sparse_moe.experts.{j}."
+                ep = p + moe_p + f"experts.{j}."
                 eg = b.matmul(h2, b.initializer(f"e{i}_{j}_w1",
-                                                wT(ep + "w1.weight")))
+                                                wT(ep + names[0] + ".weight")))
                 eu = b.matmul(h2, b.initializer(f"e{i}_{j}_w3",
-                                                wT(ep + "w3.weight")))
+                                                wT(ep + names[1] + ".weight")))
                 eact = b.mul(b.mul(eg, b.node("Sigmoid", [eg])), eu)
                 eo = b.matmul(eact, b.initializer(f"e{i}_{j}_w2",
-                                                  wT(ep + "w2.weight")))
+                                                  wT(ep + names[2] + ".weight")))
                 term = b.mul(eo, b.slice_(wts, [j], [j + 1], axes=[2]))
                 acc = term if acc is None else b.add(acc, term)
             mlp = acc
