@@ -113,3 +113,35 @@ def test_mel_frontend_shapes():
     clip = AudioClip(np.sin(np.linspace(0, 100, 8000)).astype(np.float32), 8000)
     mel = iface.mel_from_audio(clip)
     assert mel.shape == (1, 80, 3000)
+
+
+def test_whisper_loader_dispatch(tmp_path):
+    """HF whisper checkpoint dir -> identify_and_load -> STT interface
+    transcribes end to end."""
+    import torch
+    from transformers import WhisperConfig as HFW
+    from transformers import WhisperForConditionalGeneration
+
+    from whisper_tensor_tpu.importers.loaders import identify_and_load
+    from whisper_tensor_tpu.interfaces.stt import SpeechToTextInterface
+    from whisper_tensor_tpu.super_graph.links import AudioClip
+
+    torch.manual_seed(0)
+    hf = WhisperForConditionalGeneration(HFW(
+        vocab_size=64, d_model=16, encoder_layers=1, decoder_layers=1,
+        encoder_attention_heads=2, decoder_attention_heads=2,
+        encoder_ffn_dim=32, decoder_ffn_dim=32, num_mel_bins=80,
+        max_source_positions=1500, max_target_positions=32,
+        decoder_start_token_id=1, pad_token_id=0, eos_token_id=2))
+    hf.save_pretrained(str(tmp_path), safe_serialization=True)
+    bundle = identify_and_load(str(tmp_path), dtype="f32")
+    assert bundle.meta["model_type"] == "whisper"
+    spec = bundle.interfaces["stt"]
+    assert spec["sot"] == 1 and spec["eot"] == 2 and spec["max_len"] == 32
+    iface = SpeechToTextInterface.from_bundle(bundle)
+    assert iface.max_len == 32 and iface.sot_sequence == [1]
+    t = np.linspace(0, 1, 16000)
+    clip = AudioClip((0.3 * np.sin(2 * np.pi * 440 * t)).astype(np.float32),
+                     16000)
+    toks = iface.transcribe_tokens(clip, max_new=5)
+    assert all(0 <= t_ < 64 for t_ in toks)

@@ -180,15 +180,27 @@ def cmd_stt(args) -> None:
     from .utils.audio import read_wav
 
     samples, sr = read_wav(args.audio)
-    enc = Model.new_from_onnx_file(args.encoder)
-    dec = Model.new_from_onnx_file(args.decoder)
     tok = None
     if args.tokenizer:
         from .tokenizer import AnyTokenizer
         tok = AnyTokenizer.load(args.tokenizer)
-    sot = [int(x) for x in args.sot.split(",")] if args.sot else None
-    iface = SpeechToTextInterface(enc, dec, tokenizer=tok,
-                                  sot_sequence=sot, eot_token=args.eot)
+    if args.model:
+        from .importers.loaders import identify_and_load
+
+        bundle = identify_and_load(args.model, **_parse_kv(args.config))
+        if "stt" not in bundle.interfaces:
+            raise SystemExit(f"{args.model} has no STT interface")
+        iface = SpeechToTextInterface.from_bundle(bundle, tokenizer=tok)
+        tok = iface.tokenizer
+    else:
+        if not (args.encoder and args.decoder):
+            raise SystemExit("need --model <whisper dir> OR --encoder + "
+                             "--decoder")
+        enc = Model.new_from_onnx_file(args.encoder)
+        dec = Model.new_from_onnx_file(args.decoder)
+        sot = [int(x) for x in args.sot.split(",")] if args.sot else None
+        iface = SpeechToTextInterface(enc, dec, tokenizer=tok,
+                                      sot_sequence=sot, eot_token=args.eot)
     clip = AudioClip(samples, sr)
     if tok is not None:
         print(iface.run_audio_in_text_out(clip, max_new=args.max_tokens))
@@ -256,8 +268,10 @@ def main(argv=None) -> None:
     t.set_defaults(fn=cmd_tts)
 
     st = sub.add_parser("stt", help="speech-to-text (whisper)")
-    st.add_argument("--encoder", required=True)
-    st.add_argument("--decoder", required=True)
+    st.add_argument("--model", help="HF whisper checkpoint dir")
+    st.add_argument("-c", "--config", action="append", default=[])
+    st.add_argument("--encoder")
+    st.add_argument("--decoder")
     st.add_argument("--audio", required=True, help="WAV file")
     st.add_argument("--tokenizer")
     st.add_argument("--max-tokens", type=int, default=128)

@@ -112,7 +112,7 @@ class TransformersLoader(Loader):
     # in the reference's transformers dispatch (lib.rs:38-180)
     SUPPORTED = ("gpt2", "llama", "mistral", "mixtral", "qwen2", "qwen3",
                  "qwen3_moe", "gemma", "gemma2", "gemma3_text", "phi3",
-                 "deepseek_v2", "deepseek_v3")
+                 "deepseek_v2", "deepseek_v3", "whisper")
 
     def config_schema(self):
         return super().config_schema() + [
@@ -192,6 +192,32 @@ class TransformersLoader(Loader):
                                                               True)))
             geometry = dict(n_layers=cfg.num_hidden_layers, n_kv_heads=1,
                             head_dim=cfg.kv_lora_rank)
+        elif mt == "whisper":
+            from .recipes.speech.whisper import (WhisperConfig,
+                                                 build_whisper_decoder_step,
+                                                 build_whisper_encoder)
+
+            cfg = WhisperConfig.from_hf(hf_cfg)
+            dec_len = min(max_len, cfg.max_target_positions)
+            enc = Model.new_from_onnx(
+                build_whisper_encoder(store.getter(), cfg, dtype=dtype),
+                name="whisper-encoder")
+            dec = Model.new_from_onnx(
+                build_whisper_decoder_step(store.getter(), cfg,
+                                           max_len=dec_len, dtype=dtype),
+                name="whisper-decoder")
+            tok = d if os.path.exists(os.path.join(d, "tokenizer.json")) \
+                else None
+            return LoadedBundle(
+                models={"whisper-encoder": enc, "whisper-decoder": dec},
+                interfaces={"stt": {
+                    "encoder": "whisper-encoder",
+                    "decoder": "whisper-decoder",
+                    "n_mels": cfg.num_mel_bins, "max_len": dec_len,
+                    "sot": hf_cfg.get("decoder_start_token_id", 50258),
+                    "eot": hf_cfg.get("eos_token_id", 50257)}},
+                tokenizer_source=tok,
+                meta={"model_type": "whisper", "dtype": dtype.name})
         elif mt == "phi3":
             from .recipes.llm.phi3 import Phi3Config, build_phi3_step
 

@@ -105,3 +105,18 @@ class SpeechToTextInterface:
         if self.tokenizer is None:
             raise ValueError("no tokenizer configured")
         return self.tokenizer.decode(toks)
+
+    @classmethod
+    def from_bundle(cls, bundle, tokenizer=None) -> "SpeechToTextInterface":
+        """Build from a transformers-loader whisper bundle."""
+        spec = bundle.interfaces["stt"]
+        tok = tokenizer
+        if tok is None and bundle.tokenizer_source:
+            from ..tokenizer import AnyTokenizer
+
+            tok = AnyTokenizer.load(bundle.tokenizer_source)
+        return cls(bundle.models[spec["encoder"]],
+                   bundle.models[spec["decoder"]], tokenizer=tok,
+                   max_len=spec.get("max_len"), n_mels=spec.get("n_mels", 80),
+                   sot_sequence=[spec.get("sot", 50258)],
+                   eot_token=spec.get("eot", 50257))
