@@ -190,3 +190,63 @@ class TestLoaders:
         names = [f.name for f in schema]
         assert "path" in names and "dtype" in names
         assert all(f.to_json() for f in schema)
+
+
+def test_gguf_phi3_adapter(tmp_path):
+    """Phi3 GGUF (fused attn_qkv / ffn_up=gate_up) loads and matches torch."""
+    import torch
+    from transformers import Phi3Config as HFCfg
+    from transformers import Phi3ForCausalLM
+
+    from whisper_tensor_tpu.importers.gguf import write_gguf
+    from whisper_tensor_tpu.importers.loaders import identify_and_load
+
+    torch.manual_seed(0)
+    E, Hq, Hkv, D, I, V, L = 32, 4, 2, 8, 48, 64, 2
+    hf = Phi3ForCausalLM(HFCfg(
+        num_hidden_layers=L, num_attention_heads=Hq, num_key_value_heads=Hkv,
+        hidden_size=E, intermediate_size=I, vocab_size=V,
+        max_position_embeddings=64, rms_norm_eps=1e-5, rope_theta=10000.0,
+        attention_dropout=0.0, tie_word_embeddings=False,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2))
+    hf.eval()
+    sd = {k: v.float().numpy() for k, v in hf.state_dict().items()}
+    tensors = {"token_embd.weight": sd["model.embed_tokens.weight"],
+               "output_norm.weight": sd["model.norm.weight"],
+               "output.weight": sd["lm_head.weight"]}
+    for i in range(L):
+        hp, gp = f"model.layers.{i}.", f"blk.{i}."
+        tensors[gp + "attn_qkv.weight"] = sd[hp + "self_attn.qkv_proj.weight"]
+        tensors[gp + "attn_output.weight"] = sd[hp + "self_attn.o_proj.weight"]
+        tensors[gp + "ffn_up.weight"] = sd[hp + "mlp.gate_up_proj.weight"]
+        tensors[gp + "ffn_down.weight"] = sd[hp + "mlp.down_proj.weight"]
+        tensors[gp + "attn_norm.weight"] = sd[hp + "input_layernorm.weight"]
+        tensors[gp + "ffn_norm.weight"] = sd[
+            hp + "post_attention_layernorm.weight"]
+    meta = {"general.architecture": "phi3", "general.name": "tiny-phi3",
+            "phi3.block_count": L, "phi3.embedding_length": E,
+            "phi3.attention.head_count": Hq,
+            "phi3.attention.head_count_kv": Hkv,
+            "phi3.feed_forward_length": I, "phi3.context_length": 64,
+            "phi3.vocab_size": V,
+            "phi3.attention.layer_norm_rms_epsilon": 1e-5,
+            "phi3.rope.freq_base": 10000.0}
+    path = str(tmp_path / "tiny-phi3.gguf")
+    write_gguf(path, meta, tensors)
+    bundle = identify_and_load(path, max_len=32, dtype="f32")
+    (name, model), = bundle.models.items()
+    assert bundle.meta["architecture"] == "phi3"
+    iface = TextInferenceInterface(model, max_len=32, prompt_buckets=(16,))
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, V, (2, 9)).astype(np.int64)
+    step = iface._traced_step(2, 16)
+    pad = np.zeros((2, 16), dtype=np.int64)
+    pad[:, :9] = ids
+    logits, _ = step(pad, np.asarray(0, dtype=np.int64),
+                     iface.fresh_cache(2), iface._weights())
+    import torch as _t
+
+    with _t.no_grad():
+        ref = hf(_t.from_numpy(ids)).logits.numpy()
+    np.testing.assert_allclose(np.asarray(logits)[:, :9], ref,
+                               rtol=3e-3, atol=3e-4)

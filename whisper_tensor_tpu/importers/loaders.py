@@ -257,10 +257,12 @@ class GgufLoader(Loader):
 
         g = GGUFFile(config["path"])
         arch = g.architecture
-        if arch not in ("llama", "qwen2", "qwen3", "mistral"):
+        if arch not in ("llama", "qwen2", "qwen3", "mistral", "phi3"):
             raise ValueError(f"gguf architecture {arch!r} not supported yet")
         max_len = int(config.get("max_len", 1024))
-        data, geometry = build_from_gguf(g, max_len=max_len)
+        dtype = {"f32": DType.F32, "bf16": DType.BF16,
+                 "f16": DType.F16}[config.get("dtype", "bf16")]
+        data, geometry = build_from_gguf(g, max_len=max_len, dtype=dtype)
         name = g.metadata.get("general.name", os.path.basename(config["path"]))
         model = Model.new_from_onnx(data, name=name)
         return LoadedBundle(models={name: model},

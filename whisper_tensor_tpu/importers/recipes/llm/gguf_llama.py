@@ -75,9 +75,50 @@ def config_from_gguf(g) -> LlamaConfig:
     )
 
 
+_PHI3_LAYER_MAP = {
+    "self_attn.qkv_proj.weight": "attn_qkv.weight",
+    "self_attn.o_proj.weight": "attn_output.weight",
+    "mlp.gate_up_proj.weight": "ffn_up.weight",     # gguf fuses gate+up
+    "mlp.down_proj.weight": "ffn_down.weight",
+    "input_layernorm.weight": "attn_norm.weight",
+    "post_attention_layernorm.weight": "ffn_norm.weight",
+}
+
+
+def _gguf_name_phi3(hf_name: str) -> str:
+    if hf_name in _NAME_MAP:
+        return _NAME_MAP[hf_name]
+    if hf_name.startswith("model.layers."):
+        rest = hf_name[len("model.layers."):]
+        idx, leaf = rest.split(".", 1)
+        return f"blk.{idx}.{_PHI3_LAYER_MAP[leaf]}"
+    raise KeyError(hf_name)
+
+
 def build_from_gguf(g, max_len: int, dtype: DType = DType.BF16
                     ) -> Tuple[bytes, Dict]:
     cfg = config_from_gguf(g)
+    if g.architecture == "phi3":
+        from .phi3 import Phi3Config, build_phi3_step
+
+        cfg = Phi3Config(**{**cfg.__dict__, "model_type": "phi3",
+                            "attention_bias": False})
+
+        def getter3(hf_name: str) -> np.ndarray:
+            if hf_name == "lm_head.weight" and cfg.tie_word_embeddings:
+                hf_name = "model.embed_tokens.weight"
+            t = g.load(_gguf_name_phi3(hf_name))
+            from ....tensor import PackedTensor
+
+            if isinstance(t, PackedTensor):
+                return t.dequantize(DType.F32).numpy()
+            arr = t.numpy()
+            return arr.astype(np.float32) if arr.dtype.kind == "f" else arr
+
+        data = build_phi3_step(getter3, cfg, max_len=max_len, dtype=dtype)
+        return data, dict(n_layers=cfg.num_hidden_layers,
+                          n_kv_heads=cfg.num_key_value_heads,
+                          head_dim=cfg.hd)
 
     def getter(hf_name: str) -> np.ndarray:
         if hf_name == "lm_head.weight" and cfg.tie_word_embeddings:
