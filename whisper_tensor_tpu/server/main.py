@@ -29,6 +29,9 @@ class Server:
         self.scheduler = Scheduler()
         self._conns: Set[WebSocketConnection] = set()
         self._loop: Optional[asyncio.AbstractEventLoop] = None
+        # per-model text interfaces: compiled decode programs are cached
+        # inside, so repeat generates (and compile_model warmup) stay hot
+        self._text_ifaces: dict = {}
 
     # -- report pump: scheduler queue -> all sockets ----------------------
     def _start_report_pump(self):
@@ -103,6 +106,34 @@ class Server:
             ok = self.scheduler.update_settings(int(msg["job"]),
                                                 **msg.get("settings", {}))
             return {"type": "settings_ack", "job": msg["job"], "ok": ok}
+        if t == P.COMPILE_MODEL:
+            # pre-trace + jit-compile the decode program so the first
+            # generate call is warm (reference: CompileModel message)
+            entry = self.models.get(int(msg["model_id"]))
+            iface_cfg = entry.interfaces.get("text")
+            if iface_cfg is None:
+                raise ValueError("model has no text interface to compile")
+            import time as _time
+            t0 = _time.time()
+            iface = self._text_iface(entry)
+            B = int(msg.get("batch", 1))
+            n_new = int(msg.get("max_new_tokens", 32))
+            import numpy as _np
+            iface.generate_tokens(_np.zeros((B, 8), dtype=_np.int64), n_new)
+            entry.meta["compiled"] = True
+            return {"type": P.MODEL_COMPILED, "model_id": msg["model_id"],
+                    "seconds": round(_time.time() - t0, 2)}
+        if t == P.GET_TOKENIZER:
+            entry = self.models.get(int(msg["model_id"]))
+            src = entry.tokenizer_source
+            if not src:
+                raise ValueError("model has no tokenizer source")
+            import os as _os
+            path = (src if _os.path.isfile(src)
+                    else _os.path.join(src, "tokenizer.json"))
+            with open(path, encoding="utf-8") as f:
+                return {"type": P.TOKENIZER_FILE,
+                        "model_id": msg["model_id"], "json": f.read()}
         if t == P.GENERATE_TEXT:
             return self._generate_text(msg)
         if t == P.GENERATE_IMAGE:
@@ -111,18 +142,27 @@ class Server:
             return self._super_graph_request(msg)
         raise ValueError(f"unknown message type {t!r}")
 
+    def _text_iface(self, entry):
+        iface = self._text_ifaces.get(entry.id)
+        if iface is None:
+            from ..interfaces.text import TextInferenceInterface
+
+            cfg = entry.interfaces["text"]
+            iface = TextInferenceInterface(entry.model,
+                                           max_len=int(cfg["max_len"]))
+            self._text_ifaces[entry.id] = iface
+        return iface
+
     def _generate_text(self, msg) -> dict:
         entry = self.models.get(int(msg["model_id"]))
         iface_cfg = entry.interfaces.get("text")
         if iface_cfg is None:
             raise ValueError("model has no text interface")
-        from ..interfaces.text import TextInferenceInterface
         from ..tokenizer import AnyTokenizer
 
         tok_src = msg.get("tokenizer") or entry.tokenizer_source or "bytes"
         tok = AnyTokenizer.load(tok_src)
-        iface = TextInferenceInterface(entry.model,
-                                       max_len=int(iface_cfg["max_len"]))
+        iface = self._text_iface(entry)
         iface.tokenizer = tok
         n_new = int(msg.get("max_new_tokens", 32))
         sampling = None

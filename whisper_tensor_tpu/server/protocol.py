@@ -89,6 +89,8 @@ CANCEL_REQUEST = "cancel_request"
 GENERATE_TEXT = "generate_text"
 UPDATE_OBSERVER_SETTINGS = "update_observer_settings"
 PING = "ping"
+COMPILE_MODEL = "compile_model"
+GET_TOKENIZER = "get_tokenizer"
 
 # server -> client types
 MODELS_REPORT = "models_report"
@@ -103,6 +105,8 @@ PROGRESS = "progress"
 JOB_RESULT = "job_result"
 JOB_ERROR = "job_error"
 PONG = "pong"
+MODEL_COMPILED = "model_compiled"
+TOKENIZER_FILE = "tokenizer_file"
 
 
 def message(msg_type: str, **payload) -> str:
