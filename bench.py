@@ -11,14 +11,20 @@ Configuration via env:
   WT_BENCH_NEW     (default 240 generated tokens)
   WT_BENCH_MAXLEN  (default 256 KV-cache slots; must fit prompt+new)
   WT_BENCH_QUANT   (int8 to enable the fused dequant-matmul path)
+  WT_BENCH_CACHE   (default f8: KV cache stored as float8_e4m3, the
+                    standard serving configuration — halves the HBM
+                    cache traffic that bounds large-batch decode;
+                    bf16 for the full-precision cache)
   WT_BENCH_SMALL=1 tiny model for smoke runs
 
-Measured on 1x v5e (axon): bf16 B=512 -> 55.2k tok/s (11x baseline);
-B=256 -> 45.1k; B=64 -> 14.6k; int8 B=64 n_new=128 -> 9.0k. Decode is
-HBM-bound on KV-cache reads (~13 MB/step per 64 rows) while the 250 MB
-weight read amortizes across the batch, so throughput scales with B up
-to the ~61k tok/s bandwidth ceiling; B=1024 exceeds HBM. The ~0.75 s
-axon dispatch latency also favors big batches.
+Measured on 1x v5e (axon): fp8-KV B=512 -> 70.3k tok/s (14.1x
+baseline, the default); fp8-KV B=1024 -> 72.1k; bf16-KV B=512 -> 55.2k
+(11.0x); B=256 -> 45.1k; B=64 -> 14.6k; int8 weights B=64 n_new=128 ->
+9.0k. Decode is HBM-bound on KV-cache reads while the 250 MB weight
+read amortizes across the batch — so throughput scales with B, and
+halving cache bytes (bf16 -> f8_e4m3) buys +27%. bf16-KV B=1024
+exceeds HBM; fp8 fits. The ~0.75 s axon dispatch latency also favors
+big batches.
 """
 
 import json
@@ -108,8 +114,10 @@ def main() -> None:
     onnx_bytes = build_gpt2_step(random_gpt2_weights(cfg), cfg,
                                  max_len=max_len, dtype=DType.BF16)
     model = Model.new_from_onnx(onnx_bytes, name="gpt2-124M")
+    cache_dtype = (DType.BF16 if os.environ.get("WT_BENCH_CACHE") == "bf16"
+                   else DType.F8E4M3)
     iface = TextInferenceInterface(model, max_len=max_len,
-                                   cache_dtype=DType.BF16,
+                                   cache_dtype=cache_dtype,
                                    prompt_buckets=(16, 32, 64, 128, 256),
                                    quantize=os.environ.get("WT_BENCH_QUANT"))
     t1 = time.time()

@@ -117,3 +117,31 @@ def test_kv_cache_decode_consistent_with_full_forward(tiny_gpt2):
                             jnp.asarray(t, dtype=jnp.int64), caches, w)
         np.testing.assert_allclose(np.asarray(lg)[0, 0], full[0, t],
                                    rtol=2e-3, atol=1e-4)
+
+
+def test_fp8_kv_cache_decode():
+    """float8_e4m3 KV cache: the decode program runs with fp8 cache
+    buffers (CacheWrite casts on store, attention computes in f32) and
+    greedy tokens stay close to the f32-cache reference."""
+    from whisper_tensor_tpu.dtype import DType
+
+    from whisper_tensor_tpu.importers.recipes.llm.gpt2 import \
+        random_gpt2_weights
+
+    cfg = GPT2Config(n_layer=2, n_head=2, n_embd=32, vocab_size=97,
+                     n_positions=64)
+    m = Model.new_from_onnx(build_gpt2_step(random_gpt2_weights(cfg), cfg,
+                                            max_len=64))
+    prompt = np.random.default_rng(0).integers(0, 97, (2, 6)).astype(np.int64)
+    ref = TextInferenceInterface(m, max_len=64, prompt_buckets=(8,),
+                                 cache_dtype=DType.F32
+                                 ).generate_tokens(prompt, 12)
+    f8_iface = TextInferenceInterface(m, max_len=64, prompt_buckets=(8,),
+                                      cache_dtype=DType.F8E4M3)
+    f8 = f8_iface.generate_tokens(prompt, 12)
+    # the cache buffers really are fp8
+    c = f8_iface.fresh_cache(1)[0]
+    assert "float8_e4m3" in str(np.asarray(c).dtype)
+    # greedy agreement on a tiny model (fp8 rounding may diverge late;
+    # require the first steps to match)
+    np.testing.assert_array_equal(np.asarray(f8)[:, :4], np.asarray(ref)[:, :4])
