@@ -145,11 +145,13 @@ class Server:
     def _text_iface(self, entry):
         iface = self._text_ifaces.get(entry.id)
         if iface is None:
+            from ..dtype import DType
             from ..interfaces.text import TextInferenceInterface
 
             cfg = entry.interfaces["text"]
             iface = TextInferenceInterface(entry.model,
-                                           max_len=int(cfg["max_len"]))
+                                           max_len=int(cfg["max_len"]),
+                                           cache_dtype=DType.BF16)
             self._text_ifaces[entry.id] = iface
         return iface
 
