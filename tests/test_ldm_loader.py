@@ -211,3 +211,155 @@ def test_detect_unet_config(tmp_path):
     assert det.time_embed_dim == 32
     assert det.norm_groups == 8
     assert not det.addition_embed
+
+
+def _hf_to_openclip_sd(hf_sd, prefix):
+    """Inverse mapping: HF CLIPTextModel state dict -> open_clip names."""
+    out = {}
+    L = max(int(k.split(".")[3]) for k in hf_sd
+            if k.startswith("text_model.encoder.layers.")) + 1
+    out[prefix + "token_embedding.weight"] = hf_sd[
+        "text_model.embeddings.token_embedding.weight"]
+    out[prefix + "positional_embedding"] = hf_sd[
+        "text_model.embeddings.position_embedding.weight"]
+    out[prefix + "ln_final.weight"] = hf_sd["text_model.final_layer_norm.weight"]
+    out[prefix + "ln_final.bias"] = hf_sd["text_model.final_layer_norm.bias"]
+    for i in range(L):
+        hp = f"text_model.encoder.layers.{i}."
+        op = prefix + f"transformer.resblocks.{i}."
+        out[op + "attn.in_proj_weight"] = np.concatenate(
+            [hf_sd[hp + f"self_attn.{x}_proj.weight"] for x in "qkv"], axis=0)
+        out[op + "attn.in_proj_bias"] = np.concatenate(
+            [hf_sd[hp + f"self_attn.{x}_proj.bias"] for x in "qkv"], axis=0)
+        out[op + "attn.out_proj.weight"] = hf_sd[hp + "self_attn.out_proj.weight"]
+        out[op + "attn.out_proj.bias"] = hf_sd[hp + "self_attn.out_proj.bias"]
+        out[op + "ln_1.weight"] = hf_sd[hp + "layer_norm1.weight"]
+        out[op + "ln_1.bias"] = hf_sd[hp + "layer_norm1.bias"]
+        out[op + "ln_2.weight"] = hf_sd[hp + "layer_norm2.weight"]
+        out[op + "ln_2.bias"] = hf_sd[hp + "layer_norm2.bias"]
+        out[op + "mlp.c_fc.weight"] = hf_sd[hp + "mlp.fc1.weight"]
+        out[op + "mlp.c_fc.bias"] = hf_sd[hp + "mlp.fc1.bias"]
+        out[op + "mlp.c_proj.weight"] = hf_sd[hp + "mlp.fc2.weight"]
+        out[op + "mlp.c_proj.bias"] = hf_sd[hp + "mlp.fc2.bias"]
+    return out
+
+
+def test_openclip_mapping_matches_transformers():
+    """HF weights -> open_clip names -> openclip_getter -> recipe must
+    reproduce the transformers forward exactly (incl. fused qkv split
+    and transposed text_projection)."""
+    from transformers import CLIPTextConfig as HFCfg
+    from transformers import CLIPTextModelWithProjection
+
+    from whisper_tensor_tpu.importers.ldm import (detect_openclip_config,
+                                                  openclip_getter)
+    from whisper_tensor_tpu.importers.recipes.diffusion.clip import \
+        build_clip_text
+    from whisper_tensor_tpu.model import Model
+
+    torch.manual_seed(2)
+    hf = CLIPTextModelWithProjection(HFCfg(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=1, vocab_size=100, max_position_embeddings=8,
+        projection_dim=24, hidden_act="gelu", eos_token_id=2))
+    hf.eval()
+    hf_sd = {k: v.float().numpy() for k, v in hf.state_dict().items()}
+    oc = _hf_to_openclip_sd(hf_sd, "model.")
+    oc["model.text_projection"] = np.ascontiguousarray(
+        hf_sd["text_projection.weight"].T)
+
+    has = lambda k: k in oc  # noqa: E731
+    cfg = detect_openclip_config(oc.__getitem__, has, "model.")
+    cfg.eos_token_id = None
+    data = build_clip_text(openclip_getter(oc.__getitem__, "model."), cfg,
+                           seq_len=8)
+    m = Model.new_from_onnx(data)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 100, (2, 8)).astype(np.int64)
+    out = m.eval({"input_ids": ids})
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids))
+    np.testing.assert_allclose(out["last_hidden_state"],
+                               ref.last_hidden_state.numpy(),
+                               rtol=2e-3, atol=2e-4)
+
+
+def _write_sdxl_ldm_checkpoint(path):
+    """Tiny SDXL-shaped single-file checkpoint: label_emb UNet +
+    conditioner.embedders.{0: CLIP-L HF naming, 1: open_clip bigG}."""
+    from transformers import CLIPTextConfig as HFCfg
+    from transformers import CLIPTextModel, CLIPTextModelWithProjection
+
+    from whisper_tensor_tpu.importers.ldm import (UNET_PREFIX, VAE_PREFIX,
+                                                  unet_diffusers_to_ldm,
+                                                  vae_decoder_diffusers_to_ldm)
+    from whisper_tensor_tpu.importers.recipes.diffusion.unet import (
+        UNetConfig, build_sd_unet, random_unet_weights)
+    from whisper_tensor_tpu.importers.recipes.diffusion.vae import (
+        VAEConfig, build_vae_decoder)
+
+    ucfg = UNetConfig(block_out_channels=(8, 16, 16),
+                      down_has_attn=(False, True, True),
+                      transformer_layers_per_block=(0, 1, 1),
+                      cross_attention_dim=12 + 16, attention_head_dim=2,
+                      norm_groups=8, layers_per_block=2,
+                      addition_embed=True, addition_time_embed_dim=8,
+                      projection_class_embeddings_input_dim=16 + 48,
+                      time_embed_dim=32)
+    vcfg = VAEConfig(latent_channels=4, block_out_channels=(8, 8, 16, 16),
+                     layers_per_block=1, norm_groups=4)
+    sd = {}
+    base = random_unet_weights(3)
+
+    def u_get(name, shape=None):
+        arr = np.ascontiguousarray(base(name, shape), dtype=np.float32)
+        sd[UNET_PREFIX + unet_diffusers_to_ldm(
+            name, ucfg.layers_per_block, ucfg.down_has_attn)] = arr
+        return arr
+
+    def v_get(name, shape=None):
+        arr = np.ascontiguousarray(base("V" + name, shape), dtype=np.float32)
+        key = VAE_PREFIX + vae_decoder_diffusers_to_ldm(name, 4)
+        sd[key] = (arr[:, :, None, None]
+                   if ("attentions" in name and name.endswith(".weight")
+                       and arr.ndim == 2) else arr)
+        return arr
+
+    build_sd_unet(u_get, ucfg, batch=2, latent_hw=(16, 16))
+    build_vae_decoder(v_get, vcfg, latent_hw=(16, 16))
+
+    torch.manual_seed(4)
+    te1 = CLIPTextModel(HFCfg(hidden_size=12, intermediate_size=24,
+                              num_hidden_layers=1, num_attention_heads=2,
+                              vocab_size=100, max_position_embeddings=8,
+                              hidden_act="gelu"))
+    for k, v in te1.state_dict().items():
+        sd["conditioner.embedders.0.transformer." + k] = v.float().numpy()
+    # bigG convention: projection_dim == hidden_size, heads = E // 64
+    te2 = CLIPTextModelWithProjection(HFCfg(
+        hidden_size=16, intermediate_size=32, num_hidden_layers=2,
+        num_attention_heads=1, vocab_size=100, max_position_embeddings=8,
+        projection_dim=16, hidden_act="gelu"))
+    t2sd = {k: v.float().numpy() for k, v in te2.state_dict().items()}
+    sd.update(_hf_to_openclip_sd(t2sd, "conditioner.embedders.1.model."))
+    sd["conditioner.embedders.1.model.text_projection"] = \
+        np.ascontiguousarray(t2sd["text_projection.weight"].T)
+    save_file(sd, path)
+
+
+def test_sdxl_single_file_loads_and_generates(tmp_path):
+    from whisper_tensor_tpu.importers.loaders import identify_and_load
+    from whisper_tensor_tpu.interfaces.image_gen import (
+        ImageGenConfig, SDXLImageGenerationInterface,
+        image_interface_from_bundle)
+
+    ckpt = str(tmp_path / "sdxl-tiny.safetensors")
+    _write_sdxl_ldm_checkpoint(ckpt)
+    bundle = identify_and_load(ckpt, dtype="f32", height=128, width=128)
+    assert bundle.meta["architecture"] == "ldm-sdxl"
+    iface = image_interface_from_bundle(bundle, mode="oracle")
+    assert isinstance(iface, SDXLImageGenerationInterface)
+    img = iface.run("a tpu", cfg=ImageGenConfig(steps=2, height=128,
+                                                width=128, seed=8))
+    assert img.pixels.shape == (128, 128, 3)
+    assert img.pixels.dtype == np.uint8

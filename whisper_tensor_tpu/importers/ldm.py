@@ -142,8 +142,15 @@ def detect_unet_config(has_key: Callable[[str], bool],
 
     conv_in = shape_of("input_blocks.0.0.weight")
     model_ch, in_ch = conv_in[0], conv_in[1]
-    ctx = shape_of(
-        "input_blocks.1.1.transformer_blocks.0.attn2.to_k.weight")[1]
+    # first attention block may not be in the first down block (SDXL)
+    ctx = None
+    for i in range(1, 13):
+        key = f"input_blocks.{i}.1.transformer_blocks.0.attn2.to_k.weight"
+        if has_key(key):
+            ctx = shape_of(key)[1]
+            break
+    if ctx is None:
+        raise ValueError("no cross-attention blocks found in UNet")
     # layers_per_block: resnet entries before the first downsampler
     lpb = 0
     idx = 1
@@ -215,7 +222,82 @@ class LdmWeights:
             return arr
         return get
 
-    def clip_getter(self):
+    def clip_getter(self, prefix: str = CLIP_PREFIX):
         def get(name):
-            return self.load(CLIP_PREFIX + name)
+            return self.load(prefix + name)
         return get
+
+
+# ---------------------------------------------------------------------------
+# open_clip text towers (SD2 cond_stage_model.model.*, SDXL
+# conditioner.embedders.1.model.*): HF CLIPTextModel name translation.
+# Reference equivalent: sd2.rs / sd_xl.rs conditioner handling.
+# ---------------------------------------------------------------------------
+
+_OPENCLIP_TOP = {
+    "text_model.embeddings.token_embedding.weight": "token_embedding.weight",
+    "text_model.embeddings.position_embedding.weight": "positional_embedding",
+    "text_model.final_layer_norm.weight": "ln_final.weight",
+    "text_model.final_layer_norm.bias": "ln_final.bias",
+}
+_OPENCLIP_LEAF = {
+    "self_attn.out_proj.weight": "attn.out_proj.weight",
+    "self_attn.out_proj.bias": "attn.out_proj.bias",
+    "layer_norm1.weight": "ln_1.weight", "layer_norm1.bias": "ln_1.bias",
+    "layer_norm2.weight": "ln_2.weight", "layer_norm2.bias": "ln_2.bias",
+    "mlp.fc1.weight": "mlp.c_fc.weight", "mlp.fc1.bias": "mlp.c_fc.bias",
+    "mlp.fc2.weight": "mlp.c_proj.weight", "mlp.fc2.bias": "mlp.c_proj.bias",
+}
+
+
+def openclip_getter(load: Callable[[str], np.ndarray], prefix: str):
+    """Weight getter speaking HF CLIPTextModel names over an open_clip
+    state dict at `prefix` (e.g. 'cond_stage_model.model.' or
+    'conditioner.embedders.1.model.'). Handles the fused in_proj qkv,
+    ln_1/ln_2/c_fc/c_proj renames, and the transposed text_projection."""
+
+    def get(name: str) -> np.ndarray:
+        if name in _OPENCLIP_TOP:
+            return load(prefix + _OPENCLIP_TOP[name])
+        if name in ("text_projection", "text_projection.weight"):
+            # open_clip stores (width, proj) used as x @ W; HF Linear
+            # weight is (proj, width)
+            return np.ascontiguousarray(load(prefix + "text_projection").T)
+        m = re.match(r"text_model\.encoder\.layers\.(\d+)\.(.+)", name)
+        if m:
+            i, leaf = int(m.group(1)), m.group(2)
+            blk = f"transformer.resblocks.{i}."
+            if leaf in _OPENCLIP_LEAF:
+                return load(prefix + blk + _OPENCLIP_LEAF[leaf])
+            qkv = re.match(r"self_attn\.([qkv])_proj\.(weight|bias)", leaf)
+            if qkv:
+                fused = load(prefix + blk + "attn.in_proj_" + qkv.group(2))
+                E = fused.shape[0] // 3
+                part = {"q": 0, "k": 1, "v": 2}[qkv.group(1)]
+                return fused[part * E:(part + 1) * E]
+        raise KeyError(f"no open_clip mapping for {name!r}")
+
+    return get
+
+
+def detect_openclip_config(load, has, prefix: str, drop_last: bool = False):
+    """Shape-probe an open_clip text tower -> ClipTextConfig. drop_last
+    builds only L-1 blocks so last_hidden_state == SD2's 'penultimate'
+    conditioning (ln_final applied after stopping one block early)."""
+    from .recipes.diffusion.clip import ClipTextConfig
+
+    tok = load(prefix + "token_embedding.weight")
+    n = 0
+    while has(prefix + f"transformer.resblocks.{n}.ln_1.weight"):
+        n += 1
+    E = tok.shape[1]
+    return ClipTextConfig(
+        num_hidden_layers=n - 1 if drop_last else n,
+        hidden_size=E, num_attention_heads=max(E // 64, 1),
+        intermediate_size=load(
+            prefix + "transformer.resblocks.0.mlp.c_fc.weight").shape[0],
+        vocab_size=tok.shape[0],
+        max_position_embeddings=load(prefix + "positional_embedding").shape[0],
+        hidden_act="gelu",
+        projection_dim=(load(prefix + "text_projection").shape[1]
+                        if has(prefix + "text_projection") else None))

@@ -592,7 +592,8 @@ class LdmCheckpointLoader(Loader):
 
     def load(self, config):
         from .ldm import (CLIP_PREFIX, UNET_PREFIX, VAE_PREFIX, LdmWeights,
-                          detect_unet_config)
+                          detect_openclip_config, detect_unet_config,
+                          openclip_getter)
         from .recipes.diffusion.clip import ClipTextConfig, build_clip_text
         from .recipes.diffusion.unet import build_sd_unet
         from .recipes.diffusion.vae import VAEConfig, build_vae_decoder
@@ -603,36 +604,60 @@ class LdmCheckpointLoader(Loader):
         dtype = {"f32": DType.F32, "bf16": DType.BF16,
                  "f16": DType.F16}[config.get("dtype", "bf16")]
         lw = LdmWeights(store.load, lambda k: k in store)
+        has = lambda k: k in store  # noqa: E731
         ucfg = detect_unet_config(
             lambda k: (UNET_PREFIX + k) in store,
             lambda k: store.load(UNET_PREFIX + k).shape)
-        if ucfg.addition_embed:
-            raise ValueError(
-                "SDXL single-file checkpoints (conditioner.*) are not "
-                "supported yet — use the diffusers directory form")
-        if not any(n.startswith(CLIP_PREFIX) for n in store.names()):
-            raise ValueError("checkpoint has no cond_stage_model CLIP "
-                             "(SD2 open-clip conditioners not supported)")
+        sdxl = ucfg.addition_embed
 
-        h = int(config.get("height", 512))
-        w_ = int(config.get("width", 512))
-        # CLIP config by shape probing
-        tok = store.load(CLIP_PREFIX
-                         + "text_model.embeddings.token_embedding.weight")
-        n_layers = 0
-        while (CLIP_PREFIX + f"text_model.encoder.layers.{n_layers}."
-               "layer_norm1.weight") in store:
-            n_layers += 1
-        ccfg = ClipTextConfig(
-            num_hidden_layers=n_layers, hidden_size=tok.shape[1],
-            num_attention_heads=max(tok.shape[1] // 64, 1),
-            intermediate_size=store.load(
-                CLIP_PREFIX + "text_model.encoder.layers.0.mlp.fc1.weight"
-            ).shape[0],
-            vocab_size=tok.shape[0],
-            max_position_embeddings=store.load(
-                CLIP_PREFIX + "text_model.embeddings.position_embedding"
-                ".weight").shape[0])
+        def probe_hf_clip(prefix):
+            tok = store.load(prefix
+                             + "text_model.embeddings.token_embedding.weight")
+            n_layers = 0
+            while (prefix + f"text_model.encoder.layers.{n_layers}."
+                   "layer_norm1.weight") in store:
+                n_layers += 1
+            return ClipTextConfig(
+                num_hidden_layers=n_layers, hidden_size=tok.shape[1],
+                num_attention_heads=max(tok.shape[1] // 64, 1),
+                intermediate_size=store.load(
+                    prefix + "text_model.encoder.layers.0.mlp.fc1.weight"
+                ).shape[0],
+                vocab_size=tok.shape[0],
+                max_position_embeddings=store.load(
+                    prefix + "text_model.embeddings.position_embedding"
+                    ".weight").shape[0])
+
+        if sdxl:
+            # conditioner.embedders.0 = CLIP-L (HF naming),
+            # conditioner.embedders.1 = OpenCLIP bigG (+text_projection)
+            te1_prefix = "conditioner.embedders.0.transformer."
+            te2_prefix = "conditioner.embedders.1.model."
+            if not any(n.startswith(te1_prefix) for n in store.names()):
+                raise ValueError("SDXL checkpoint missing "
+                                 "conditioner.embedders.0")
+            ccfg = probe_hf_clip(te1_prefix)
+            ccfg2 = detect_openclip_config(store.load, has, te2_prefix)
+            # label_emb input = pooled(te2 projection) + 6 micro-cond
+            # sinusoids; solve for the sinusoid width (256 on real SDXL)
+            ucfg.addition_time_embed_dim = (
+                ucfg.projection_class_embeddings_input_dim
+                - ccfg2.projection_dim) // 6
+        elif any(n.startswith("cond_stage_model.model.")
+                 for n in store.names()):
+            # SD2: open_clip ViT-H tower; conditioning = 'penultimate'
+            # (stop one block early, then ln_final) -> build L-1 blocks
+            ccfg = detect_openclip_config(store.load, has,
+                                          "cond_stage_model.model.",
+                                          drop_last=True)
+            ccfg.projection_dim = None
+        elif any(n.startswith(CLIP_PREFIX) for n in store.names()):
+            ccfg = probe_hf_clip(CLIP_PREFIX)
+        else:
+            raise ValueError("checkpoint has no recognizable text encoder")
+
+        h = int(config.get("height", 1024 if sdxl else 512))
+        w_ = int(config.get("width", 1024 if sdxl else 512))
         # VAE decoder config by shape probing
         lat = store.load(VAE_PREFIX + "post_quant_conv.weight").shape[0]
         boc = []
@@ -651,8 +676,8 @@ class LdmCheckpointLoader(Loader):
 
         models: Dict[str, Model] = {}
         spec: Dict[str, Any] = {
-            "pipeline": "sd", "height": h, "width": w_,
-            "latent_channels": lat,
+            "pipeline": "sdxl" if sdxl else "sd",
+            "height": h, "width": w_, "latent_channels": lat,
             "seq_len": min(ccfg.max_position_embeddings, 77),
             # CLIP convention: the two top vocab slots are BOS/EOS
             # (49406/49407 for the real 49408-token vocab)
@@ -665,9 +690,26 @@ class LdmCheckpointLoader(Loader):
             models[name] = m
             spec[key] = name
 
-        add("text_encoder", build_clip_text(lw.clip_getter(), ccfg,
-                                            seq_len=spec["seq_len"],
-                                            dtype=dtype), "ldm-clip")
+        if sdxl:
+            add("text_encoder",
+                build_clip_text(lw.clip_getter(te1_prefix), ccfg,
+                                seq_len=spec["seq_len"], dtype=dtype),
+                "ldm-clip-l")
+            add("text_encoder_2",
+                build_clip_text(openclip_getter(store.load, te2_prefix),
+                                ccfg2, seq_len=spec["seq_len"], dtype=dtype),
+                "ldm-clip-g")
+        elif any(n.startswith("cond_stage_model.model.")
+                 for n in store.names()):
+            add("text_encoder",
+                build_clip_text(openclip_getter(store.load,
+                                                "cond_stage_model.model."),
+                                ccfg, seq_len=spec["seq_len"], dtype=dtype),
+                "ldm-openclip")
+        else:
+            add("text_encoder", build_clip_text(lw.clip_getter(), ccfg,
+                                                seq_len=spec["seq_len"],
+                                                dtype=dtype), "ldm-clip")
         add("unet", build_sd_unet(lw.unet_getter(ucfg), ucfg, batch=2,
                                   latent_hw=(h // 8, w_ // 8),
                                   dtype=dtype), "ldm-unet")
@@ -675,7 +717,8 @@ class LdmCheckpointLoader(Loader):
                                      latent_hw=(h // 8, w_ // 8),
                                      dtype=dtype), "ldm-vae")
         return LoadedBundle(models=models, interfaces={"image": spec},
-                            meta={"architecture": "ldm-sd"})
+                            meta={"architecture":
+                                  "ldm-sdxl" if sdxl else "ldm-sd"})
 
 
 @register_loader

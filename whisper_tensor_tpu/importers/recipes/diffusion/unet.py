@@ -42,7 +42,7 @@ class UNetConfig:
 
     def heads_for(self, c: int, block_idx: int) -> int:
         if self.head_dim:
-            return c // self.head_dim
+            return max(c // self.head_dim, 1)
         if isinstance(self.attention_head_dim, (tuple, list)):
             return int(self.attention_head_dim[block_idx])
         return int(self.attention_head_dim)
