@@ -112,3 +112,75 @@ def test_capacity_helper():
     c = moe_capacity(1024, 64, 6, 1.25)
     assert c >= 1024 * 6 * 1.25 / 64
     assert c % 8 == 0
+
+
+class TestLoadBalanceLoss:
+    def test_uniform_router_is_optimal(self):
+        import jax.numpy as jnp
+
+        from whisper_tensor_tpu.parallel.moe import load_balance_loss
+
+        T, E, k = 64, 8, 2
+        uniform = jnp.zeros((T, E))
+        assert float(load_balance_loss(uniform, k)) == pytest.approx(1.0,
+                                                                     abs=1e-5)
+        # a router collapsed onto one expert is heavily penalized
+        collapsed = jnp.zeros((T, E)).at[:, 0].set(20.0)
+        assert float(load_balance_loss(collapsed, k)) > 2.0
+
+    def test_training_rebalances_experts(self):
+        """Minimizing the aux loss spreads a collapsed router back out."""
+        import jax
+        import jax.numpy as jnp
+
+        from whisper_tensor_tpu.parallel.moe import load_balance_loss
+
+        rng = np.random.default_rng(0)
+        T, D, E = 64, 8, 4
+        x = jnp.asarray(rng.standard_normal((T, D)).astype(np.float32))
+        w = jnp.asarray((rng.standard_normal((E, D)) * 0.01
+                         ).astype(np.float32)).at[0].add(3.0)  # collapsed
+
+        def loss(w):
+            return load_balance_loss(x @ w.T, k=1)
+
+        l0 = float(loss(w))
+        g = jax.grad(loss)
+        for _ in range(50):
+            w = w - 0.5 * g(w)
+        l1 = float(loss(w))
+        assert l1 < l0 and l1 < 1.5
+
+    def test_moe_ffn_with_aux_trains_ep_sharded(self):
+        """The training form runs jit+grad with EP-sharded experts."""
+        import jax
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs 4 devices")
+        from whisper_tensor_tpu.parallel.mesh import make_mesh
+        from whisper_tensor_tpu.parallel.moe import (moe_ffn_with_aux,
+                                                     shard_moe_params)
+
+        rng = np.random.default_rng(1)
+        E, D, F, T = 4, 8, 8, 32
+        p = {"router_w": rng.standard_normal((E, D)).astype(np.float32),
+             "w_gate": rng.standard_normal((E, D, F)).astype(np.float32) / 4,
+             "w_up": rng.standard_normal((E, D, F)).astype(np.float32) / 4,
+             "w_down": rng.standard_normal((E, F, D)).astype(np.float32) / 4}
+        mesh = make_mesh(ep=4)
+        sp = shard_moe_params(p, mesh)
+        x = rng.standard_normal((T, D)).astype(np.float32)
+        y = rng.standard_normal((T, D)).astype(np.float32)
+
+        @jax.jit
+        def loss(params, x, y):
+            out, aux = moe_ffn_with_aux(
+                x, params["router_w"], params["w_gate"], params["w_up"],
+                params["w_down"], k=2, capacity=T)
+            return ((out - y) ** 2).mean() + aux
+
+        grads = jax.jit(jax.grad(loss))(sp, x, y)
+        l0 = float(loss(sp, x, y))
+        stepped = jax.tree.map(lambda p_, g_: p_ - 0.05 * g_, sp, grads)
+        l1 = float(loss(stepped, x, y))
+        assert np.isfinite(l1) and l1 < l0

@@ -115,3 +115,38 @@ def shard_moe_params(params: Dict, mesh) -> Dict:
         spec = tuple(a if a in avail else None for a in specs[name])
         out[name] = jax.device_put(v, NamedSharding(mesh, PartitionSpec(*spec)))
     return out
+
+
+def load_balance_loss(logits, k: int):
+    """Switch-Transformer auxiliary load-balance loss: E * sum_e f_e * P_e
+    where f_e = fraction of tokens whose top-k picks expert e and
+    P_e = mean router probability of e. Equals 1.0 under a perfectly
+    uniform router; differentiable through P (f uses a stop-gradient
+    one-hot count, as in the paper)."""
+    import jax
+    import jax.numpy as jnp
+
+    T, E = logits.shape
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    _, topi = jax.lax.top_k(probs, k)
+    counts = jax.lax.stop_gradient(
+        jax.nn.one_hot(topi, E, dtype=jnp.float32).sum(axis=(0, 1)))
+    f = counts / (T * k)
+    P = probs.mean(axis=0)
+    return E * jnp.sum(f * P)
+
+
+def moe_ffn_with_aux(x, router_w, w_gate, w_up, w_down, k: int,
+                     capacity=None, capacity_factor: float = 1.25,
+                     norm_topk: bool = True, scale: float = 1.0,
+                     aux_weight: float = 0.01):
+    """moe_ffn plus the weighted auxiliary loss — the training form.
+    Returns (output, aux_loss)."""
+    import jax.numpy as jnp
+
+    logits = jnp.einsum("td,ed->te", x.astype(jnp.float32),
+                        router_w.astype(jnp.float32))
+    out = moe_ffn(x, router_w, w_gate, w_up, w_down, k=k, capacity=capacity,
+                  capacity_factor=capacity_factor, norm_topk=norm_topk,
+                  scale=scale)
+    return out, aux_weight * load_balance_loss(logits, k)
