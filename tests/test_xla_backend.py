@@ -169,3 +169,74 @@ def test_eval_backend_segmented_route():
     ref = m.eval({"x": x}, mode="oracle")["y"]
     out = m.eval({"x": x}, mode="xla")["y"]
     np.testing.assert_allclose(out, ref, rtol=1e-6)
+
+
+def test_callback_guard_on_non_cpu_platform(monkeypatch):
+    """On platforms without pure_callback (the axon TPU plugin), a
+    callback-needing op must fail at COMPILE time with GraphNotJittable
+    so EvalBackend's segmented plan takes over — never at runtime on
+    hardware (reference contract: per-op fallback never fails at
+    runtime, src/numeric_tensor.rs:844-880)."""
+    import os
+
+    from whisper_tensor_tpu.backends.xla import compiler as xc
+    from whisper_tensor_tpu.dtype import DType as DT
+    from whisper_tensor_tpu.importers.onnx_builder import OnnxBuilder
+    from whisper_tensor_tpu.milli.ops.conv import ConvWeightGrad
+    from whisper_tensor_tpu.model import Model
+
+    monkeypatch.delenv("WT_TPU_CALLBACK", raising=False)
+    monkeypatch.setattr(xc, "_callbacks_supported", lambda: False)
+
+    # 1) whole-graph compile refuses eagerly (grouped ConvWeightGrad has
+    #    no jax rule -> needs the callback)
+    g = MilliGraph()
+    ws, x, gr = g.add_input("ws"), g.add_input("x"), g.add_input("g")
+    g.mark_output("dw", g.op1(ConvWeightGrad(strides=[1, 1], groups=3),
+                              ws, x, gr))
+    feeds = {"ws": np.asarray([3, 1, 3, 3], dtype=np.int64),
+             "x": np.random.randn(1, 3, 8, 8).astype(np.float32),
+             "g": np.random.randn(1, 3, 6, 6).astype(np.float32)}
+    with pytest.raises(GraphNotJittable):
+        compile_milli(g, feeds, static_inputs={"ws": feeds["ws"]},
+                      use_cache=False)
+
+    # 2) EvalBackend xla mode transparently succeeds via the segmented plan
+    b = OnnxBuilder("cbguard")
+    b.input("x", DT.F32, [4, 6])
+    h = b.node("Relu", ["x"])
+    nz = b.node("NonZero", [h])
+    shp = b.node("Shape", [nz])
+    cnt = b.node("Gather", [shp, b.const(np.asarray(1, dtype=np.int64))], axis=0)
+    cntf = b.node("Cast", [cnt], to=1)
+    b.node("Mul", [h, cntf], outputs=["y"])
+    b.output("y", DT.F32, [4, 6])
+    m = Model.new_from_onnx(b.build())
+    xin = np.random.default_rng(0).standard_normal((4, 6)).astype(np.float32)
+    ref = m.eval({"x": xin}, mode="oracle")["y"]
+    out = m.eval({"x": xin}, mode="xla")["y"]
+    np.testing.assert_allclose(out, ref, rtol=1e-6)
+
+
+@pytest.mark.skipif(not __import__("os").environ.get("WT_TPU_TESTS"),
+                    reason="real-chip test (WT_TPU_TESTS=1)")
+def test_tpu_callback_graph_runs_segmented():
+    """On the real chip a callback-needing graph must route through the
+    segmented plan (pure_callback is unsupported on axon)."""
+    from whisper_tensor_tpu.dtype import DType as DT
+    from whisper_tensor_tpu.importers.onnx_builder import OnnxBuilder
+    from whisper_tensor_tpu.model import Model
+
+    b = OnnxBuilder("tpuseg")
+    b.input("x", DT.F32, [8])
+    nz = b.node("NonZero", ["x"])
+    shp = b.node("Shape", [nz])
+    cnt = b.node("Gather", [shp, b.const(np.asarray(1, dtype=np.int64))], axis=0)
+    cntf = b.node("Cast", [cnt], to=1)
+    b.node("Mul", ["x", cntf], outputs=["y"])
+    b.output("y", DT.F32, [8])
+    m = Model.new_from_onnx(b.build())
+    xin = np.asarray([0, 1, 0, 2, 3, 0, 4, 0], dtype=np.float32)
+    ref = m.eval({"x": xin}, mode="oracle")["y"]
+    out = m.eval({"x": xin}, mode="xla")["y"]
+    np.testing.assert_allclose(out, ref, rtol=1e-6)

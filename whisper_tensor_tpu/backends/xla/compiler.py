@@ -153,10 +153,37 @@ def _trace_graph(graph: MilliGraph, input_avals: Dict[str, Tuple[Tuple[int, ...]
     return fn
 
 
+def _callbacks_supported() -> bool:
+    """pure_callback works on the CPU platform but NOT on the axon TPU
+    plugin (no host-callback transport) — and even where TPU callbacks
+    exist, a per-step host round-trip inside a compiled program is the
+    wrong design. On non-CPU platforms we refuse at COMPILE time so the
+    segmented graph-partition fallback (backends/xla/segmented.py) takes
+    over; the reference's per-op-fallback contract never fails at
+    runtime either (src/numeric_tensor.rs:844-880). Override with
+    WT_TPU_CALLBACK=1 on platforms known to support it."""
+    import os
+
+    import jax
+
+    if os.environ.get("WT_TPU_CALLBACK") == "1":
+        return True
+    try:
+        return jax.default_backend() == "cpu"
+    except Exception:
+        return True
+
+
 def _callback_fallback(node: MilliNode, ins: List[Any], in_statics: List[Optional[np.ndarray]]):
     """Run this op on host via pure_callback (needs static output shapes)."""
     import jax
     import jax.numpy as jnp
+
+    if not _callbacks_supported():
+        raise GraphNotJittable(
+            f"op {node.op.KIND}: needs the host-callback fallback, which is "
+            f"unavailable on platform {jax.default_backend()!r}; the graph "
+            f"must run through the segmented plan")
 
     infos: List[TensorInfo] = []
     for x, s in zip(ins, in_statics):

@@ -63,7 +63,9 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
     for b in buckets:
         if n <= b:
             return b
-    return buckets[-1]
+    raise ValueError(
+        f"prompt length {n} exceeds the largest prompt bucket "
+        f"{buckets[-1]}; pass larger prompt_buckets / max_len")
 
 
 class TextInferenceInterface:
@@ -76,11 +78,24 @@ class TextInferenceInterface:
                  cache_dtype: DType = DType.F32,
                  prompt_buckets: Sequence[int] = DEFAULT_PROMPT_BUCKETS,
                  tokenizer=None, eos_token_id: Optional[int] = None,
-                 quantize: Optional[str] = None):
+                 quantize: Optional[str] = None,
+                 weight_dtype: Optional[DType] = None):
         self.model = model
         self.max_len = max_len
         self.cache_dtype = cache_dtype
+        # KV-cache storage dtype is independent of the packed-weight
+        # dequantization target: a sub-byte cache (f8) must never drag
+        # the weights down to unscaled fp8.
+        if weight_dtype is None:
+            weight_dtype = (cache_dtype if cache_dtype in
+                            (DType.F32, DType.F16, DType.BF16)
+                            else DType.BF16)
+        self.weight_dtype = weight_dtype
         self.prompt_buckets = [b for b in prompt_buckets if b <= max_len]
+        if not self.prompt_buckets:
+            raise ValueError(
+                f"no prompt bucket <= max_len={max_len} "
+                f"(buckets={list(prompt_buckets)})")
         self.tokenizer = tokenizer
         self.eos_token_id = eos_token_id
         milli, weight_inputs = model.graph.to_milli()
@@ -121,8 +136,7 @@ class TextInferenceInterface:
                     out.append(jax.device_put(self._quantized[n][0]))
                 else:
                     out.append(jax.device_put(self.model.graph.store.get_numeric(
-                        n, self.cache_dtype if self.cache_dtype.is_float
-                        else DType.F32).numpy()))
+                        n, self.weight_dtype).numpy()))
             self._weights_dev = out
         return self._weights_dev
 

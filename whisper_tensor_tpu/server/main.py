@@ -185,7 +185,7 @@ class Server:
             return {"text": text}
 
         job_id = self.scheduler.submit(job, settings)
-        return {"type": P.JOB_ACCEPTED, "job": job_id}
+        return None  # job_accepted is emitted via the report pump (FIFO with reports)
 
     def _generate_image(self, msg) -> dict:
         """Run an image pipeline bundle (diffusers loader). Returns the
@@ -224,7 +224,7 @@ class Server:
                         img.pixels.tobytes()).decode()}
 
         job_id = self.scheduler.submit(job, settings)
-        return {"type": P.JOB_ACCEPTED, "job": job_id}
+        return None  # job_accepted is emitted via the report pump (FIFO with reports)
 
     def _super_graph_request(self, msg) -> dict:
         graph = SuperGraph.from_json(msg["graph"])
@@ -253,7 +253,7 @@ class Server:
                     for k, v in out.items()}
 
         job_id = self.scheduler.submit(job, settings)
-        return {"type": P.JOB_ACCEPTED, "job": job_id}
+        return None  # job_accepted is emitted via the report pump (FIFO with reports)
 
     # -- lifecycle ---------------------------------------------------------------
     async def run(self, host: str = "127.0.0.1", port: int = 3000):

@@ -22,8 +22,8 @@ import numpy as np
 
 from ..milli.ir import EvalCancelled
 from ..super_graph.graph import ExecutionContext, SuperObserver
-from .protocol import (JOB_ERROR, JOB_RESULT, NODE_EXECUTED, PROGRESS,
-                       TENSOR_ASSIGNED, AbbreviatedTensor)
+from .protocol import (JOB_ACCEPTED, JOB_ERROR, JOB_RESULT, NODE_EXECUTED,
+                       PROGRESS, TENSOR_ASSIGNED, AbbreviatedTensor)
 
 
 @dataclass
@@ -92,6 +92,9 @@ class Scheduler:
         job = Job(next(self._next), fn, settings or ObserverSettings())
         self._cancel_registry[job.id] = job.cancel
         self._settings_registry[job.id] = job.settings
+        # acceptance rides the same FIFO as the job's own reports, so
+        # clients always see job_accepted before any node_executed/...
+        self.reports.put({"type": JOB_ACCEPTED, "job": job.id})
         self._jobs.put(job)
         return job.id
 
