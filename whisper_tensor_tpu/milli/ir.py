@@ -258,6 +258,8 @@ class MilliGraph:
         for name, tid in self.inputs.items():
             if name in input_infos:
                 infos[tid] = input_infos[name]
+                if self.tensors[tid].info is None:
+                    self.tensors[tid].info = input_infos[name]
         for node in self.nodes:
             ins = [infos.get(i) if i is not None else None for i in node.inputs]
             outs: Optional[List[TensorInfo]] = None

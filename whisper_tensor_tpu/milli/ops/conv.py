@@ -303,10 +303,33 @@ class ConvWeightGrad(MilliOp):
 
         from .shape import _need_static
 
-        if self.groups != 1:
-            raise NotImplementedError("grouped ConvWeightGrad in jit")
         w_shape = tuple(int(v) for v in _need_static(static, 0, "ConvWeightGrad").reshape(-1))
         x, g = inputs[1], inputs[2]
+        if self.groups != 1:
+            # grouped dW via the VJP of the forward conv — XLA lowers
+            # this to one transposed conv with batch_group_count=groups
+            # (no host round-trip; replaces the former callback fallback)
+            nsp_ = x.ndim - 2
+            strides_ = tuple(self.strides or [1] * nsp_)
+            dil_ = tuple(self.dilations or [1] * nsp_)
+            pads_ = list(self.pads or [0] * (2 * nsp_))
+            pad_pairs_ = tuple((pads_[i], pads_[i + nsp_]) for i in range(nsp_))
+            sp_ = "HWD"[:nsp_]
+            dn_ = jax.lax.conv_dimension_numbers(
+                x.shape, w_shape, ("NC" + sp_, "OI" + sp_, "NC" + sp_))
+            acc_ = (jnp.float32 if x.dtype in (jnp.bfloat16, jnp.float16)
+                    else None)
+
+            def fwd(w):
+                return jax.lax.conv_general_dilated(
+                    x, w, window_strides=strides_, padding=pad_pairs_,
+                    rhs_dilation=dil_, dimension_numbers=dn_,
+                    feature_group_count=self.groups,
+                    preferred_element_type=acc_)
+
+            _, vjp = jax.vjp(fwd, jnp.zeros(w_shape, x.dtype))
+            dw, = vjp(g.astype(acc_ or g.dtype))
+            return [dw.astype(g.dtype)]
         nsp = x.ndim - 2
         strides = tuple(self.strides or [1] * nsp)
         dil = tuple(self.dilations or [1] * nsp)

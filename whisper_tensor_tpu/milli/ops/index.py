@@ -150,15 +150,19 @@ class GatherElements(MilliOp):
         return [TensorInfo.minimal(data.dtype)]
 
     def backward(self, b, node, out_grads):
-        """last-axis rule: grad_data = sum_K onehot(idx) * g — the shape
-        cross-entropy lowering needs (idx dim K along the gathered axis)."""
+        """grad_data = sum_K onehot(idx) * g along the gathered axis.
+        Non-last axes transpose the axis to the end, apply the last-axis
+        rule, and transpose back (needs rank info)."""
         g = out_grads[0]
         if g is None:
             return [None, None]
         info = b.tensors[node.inputs[0]].info
         rank = info.rank if info is not None else None
-        if not (self.axis == -1 or (rank is not None and self.axis == rank - 1)):
-            raise NotImplementedError("GatherElements backward: axis != -1")
+        last = self.axis == -1 or (rank is not None
+                                   and self.axis % rank == rank - 1)
+        if not last and rank is None:
+            raise NotImplementedError(
+                "GatherElements backward: non-last axis without rank info")
         from .misc import OneHotMilli
         from .shape import GatherShape, Shape, Transpose, Unsqueeze
 
@@ -166,16 +170,28 @@ class GatherElements(MilliOp):
         data, idx = node.inputs
         from .basic import CastLike, Constant, SimpleBinary
 
-        shp = b.op1(Shape(start=-1), data, phase=P)                   # [V]
-        depth = b.op1(GatherShape(0), shp, phase=P)
+        if last:
+            depth_src, g_in, idx_in = data, g, idx
+            shp = b.op1(Shape(start=-1), data, phase=P)               # [V]
+            depth = b.op1(GatherShape(0), shp, phase=P)
+        else:
+            ax = self.axis % rank
+            perm = [i for i in range(rank) if i != ax] + [ax]
+            inv = [int(i) for i in np.argsort(perm)]
+            g_in = b.op1(Transpose(perm=perm), g, phase=P)
+            idx_in = b.op1(Transpose(perm=perm), idx, phase=P)
+            shp = b.op1(Shape(), data, phase=P)
+            depth = b.op1(GatherShape(ax), shp, phase=P)
         vals = b.op1(Constant(np.asarray([0.0, 1.0], dtype=np.float32)), phase=P)
         valsc = b.op1(CastLike(), vals, g, phase=P)
-        hot = b.op1(OneHotMilli(axis=-1), idx, depth, valsc, phase=P)  # (...,K,V)
-        gk = b.op1(Unsqueeze(axes=[-1]), g, phase=P)                   # (...,K,1)
+        hot = b.op1(OneHotMilli(axis=-1), idx_in, depth, valsc, phase=P)  # (...,K,V)
+        gk = b.op1(Unsqueeze(axes=[-1]), g_in, phase=P)                   # (...,K,1)
         contrib = b.op1(SimpleBinary("mul"), hot, gk, phase=P)
         from .reduce import Reduce
 
         gd = b.op1(Reduce("sum", axes=[-2], keepdims=False), contrib, phase=P)
+        if not last:
+            gd = b.op1(Transpose(perm=inv), gd, phase=P)
         return [gd, None]
 
 
@@ -205,15 +221,25 @@ class GatherND(MilliOp):
         return [out]
 
     def to_jax(self, inputs, static=None):
+        import jax
         import jax.numpy as jnp
 
         data, idx = inputs
-        if self.batch_dims != 0:
-            raise NotImplementedError("GatherND batch_dims>0 in jit")
+        bd = self.batch_dims
         k = idx.shape[-1]
-        flat_idx = idx.reshape(-1, k)
+        if bd == 0:
+            flat_idx = idx.reshape(-1, k)
+            out = data[tuple(flat_idx.T)]
+            return [out.reshape(idx.shape[:-1] + data.shape[k:])]
+        # batched gather: prepend broadcast batch-coordinate columns so
+        # the whole thing is one static advanced-index (no host loop)
+        coords = [jnp.broadcast_to(
+            jax.lax.broadcasted_iota(idx.dtype, idx.shape[:-1] + (1,), i),
+            idx.shape[:-1] + (1,)) for i in range(bd)]
+        full_idx = jnp.concatenate(coords + [idx], axis=-1)  # (..., bd+k)
+        flat_idx = full_idx.reshape(-1, bd + k)
         out = data[tuple(flat_idx.T)]
-        return [out.reshape(idx.shape[:-1] + data.shape[k:])]
+        return [out.reshape(idx.shape[:-1] + data.shape[bd + k:])]
 
     def infer(self, infos):
         data, idx = infos

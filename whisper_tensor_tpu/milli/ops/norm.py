@@ -78,9 +78,66 @@ class LayerNormMilli(MilliOp):
         return [i.forget_value()]
 
     def backward(self, b, node, out_grads):
-        # symbolic LN backward via recompute (reference per-op backward);
-        # training recipes use jax.grad over the XLA path instead.
-        raise NotImplementedError("LayerNorm backward: use training path")
+        """Recompute-based LN backward:
+          x̂ = (x-μ)·inv,  ĝ = g·γ
+          dx = inv·(ĝ − mean(ĝ) − x̂·mean(ĝ·x̂))   over normalized axes
+          dγ = Σ_batch g·x̂,   dβ = Σ_batch g
+        Needs the input rank (to span axis..rank); stats recomputed in
+        the graph (cheap — XLA fuses them with the forward's)."""
+        g = out_grads[0]
+        if g is None:
+            return [None] * len(node.inputs)
+        from .basic import Constant, SimpleBinary, SimpleUnary
+        from .reduce import Reduce
+
+        x, scale = node.inputs[0], node.inputs[1]
+        has_bias = len(node.inputs) > 2 and node.inputs[2] is not None
+        info = b.tensors[x].info
+        rank = info.rank if info is not None else None
+        if rank is None:
+            raise NotImplementedError("LayerNorm backward: unknown rank")
+        ax = self.axis % rank
+        norm_axes = list(range(ax, rank))
+        batch_axes = list(range(0, ax))
+        P = Phase.BACKWARD
+
+        def bop(mode, *ins):
+            return b.op1(SimpleBinary(mode), *ins, phase=P)
+
+        mean = b.op1(Reduce("mean", norm_axes, keepdims=True), x, phase=P)
+        d = bop("sub", x, mean)
+        var = b.op1(Reduce("mean", norm_axes, keepdims=True),
+                    bop("mul", d, d), phase=P)
+        eps = b.op1(Constant(np.asarray(self.epsilon, dtype=np.float32)),
+                    phase=P)
+        from .basic import CastLike
+
+        epsc = b.op1(CastLike(), eps, var, phase=P)
+        inv = bop("div",
+                  b.op1(CastLike(), b.op1(Constant(
+                      np.asarray(1.0, dtype=np.float32)), phase=P), var,
+                      phase=P),
+                  b.op1(SimpleUnary("sqrt"), bop("add", var, epsc), phase=P))
+        xhat = bop("mul", d, inv)
+        ghat = bop("mul", g, scale)
+        m1 = b.op1(Reduce("mean", norm_axes, keepdims=True), ghat, phase=P)
+        m2 = b.op1(Reduce("mean", norm_axes, keepdims=True),
+                   bop("mul", ghat, xhat), phase=P)
+        dx = bop("mul", inv, bop("sub", bop("sub", ghat, m1),
+                                 bop("mul", xhat, m2)))
+        gx = bop("mul", g, xhat)
+        if batch_axes:
+            dscale = b.op1(Reduce("sum", batch_axes, keepdims=False), gx,
+                           phase=P)
+            dbias = (b.op1(Reduce("sum", batch_axes, keepdims=False), g,
+                           phase=P) if has_bias else None)
+        else:
+            dscale = gx
+            dbias = g if has_bias else None
+        out = [dx, dscale]
+        if len(node.inputs) > 2:
+            out.append(dbias)
+        return out
 
 
 @dataclass

@@ -148,10 +148,16 @@ class Reduce(MilliOp):
             y = node.outputs[0]
             yk, gk = y, g
             if not self.keepdims and self.axes:
-                if not all(a < 0 for a in self.axes):
-                    raise NotImplementedError("Reduce max/min backward: "
-                                              "positive axes w/o keepdims")
-                ax = sorted(self.axes)
+                if all(a < 0 for a in self.axes):
+                    ax = sorted(self.axes)
+                else:
+                    info = b.tensors[x].info
+                    rank = (info.rank if info is not None
+                            and info.rank is not None else None)
+                    if rank is None:
+                        raise NotImplementedError(
+                            "Reduce max/min backward without rank info")
+                    ax = list(self._axes(rank))
                 yk = b.op1(Unsqueeze(axes=ax), y, phase=P)
                 gk = b.op1(Unsqueeze(axes=ax), g, phase=P)
             mask = b.op1(SimpleBinary("eq"), x, yk, phase=P)

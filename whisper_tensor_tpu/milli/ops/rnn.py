@@ -88,8 +88,8 @@ class LstmMilli(MilliOp):
         W = inputs[1].astype(jnp.float32)
         R = inputs[2].astype(jnp.float32)
         Bi = inputs[3].astype(jnp.float32) if len(inputs) > 3 and inputs[3] is not None else None
-        if len(inputs) > 4 and inputs[4] is not None:
-            raise NotImplementedError("LSTM sequence_lens in jit")
+        seq_lens = (inputs[4].astype(jnp.int64)
+                    if len(inputs) > 4 and inputs[4] is not None else None)
         H = self.hidden_size
         S, Bn, I = X.shape
         nd = W.shape[0]
@@ -103,9 +103,12 @@ class LstmMilli(MilliOp):
             Wd, Rd = W[d], R[d]
             bias = (Bi[d][:4 * H] + Bi[d][4 * H:]) if Bi is not None else jnp.zeros(4 * H, jnp.float32)
             xseq = jnp.flip(X, axis=0) if rev else X
+            tseq = (jnp.flip(jnp.arange(S), axis=0) if rev
+                    else jnp.arange(S))
 
-            def step(carry, x):
+            def step(carry, xt):
                 h, c = carry
+                x, t = xt
                 g = x @ Wd.T + h @ Rd.T + bias
                 i = jax.nn.sigmoid(g[:, 0:H])
                 o = jax.nn.sigmoid(g[:, H:2 * H])
@@ -113,9 +116,18 @@ class LstmMilli(MilliOp):
                 cc = jnp.tanh(g[:, 3 * H:4 * H])
                 c2 = f * c + i * cc
                 h2 = o * jnp.tanh(c2)
-                return (h2, c2), h2
+                if seq_lens is not None:
+                    # rows past their sequence length freeze state and
+                    # emit zeros (matches the oracle / ONNX semantics)
+                    active = (t < seq_lens)[:, None]
+                    h2 = jnp.where(active, h2, h)
+                    c2 = jnp.where(active, c2, c)
+                    y = jnp.where(active, h2, 0.0)
+                else:
+                    y = h2
+                return (h2, c2), y
 
-            (hT, cT), ys = jax.lax.scan(step, (h0[d], c0[d]), xseq)
+            (hT, cT), ys = jax.lax.scan(step, (h0[d], c0[d]), (xseq, tseq))
             if rev:
                 ys = jnp.flip(ys, axis=0)
             outs.append(ys)

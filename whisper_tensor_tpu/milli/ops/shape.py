@@ -483,9 +483,48 @@ class Slice(MilliOp):
         return [TensorInfo.minimal(data.dtype)]
 
     def backward(self, b, node, out_grads):
-        # grad = pad the slice gradient back into a zero tensor; implemented
-        # via Pad when steps are unit. Dynamic general case deferred.
-        raise NotImplementedError("Slice backward (use Pad-based rule)")
+        """grad_data = Pad(grad, zeros back to the input shape). Needs
+        build-time starts/ends/axes/steps (Constant producers or NUMERIC
+        infos) and a concrete input shape; unit steps only."""
+        g = out_grads[0]
+        if g is None:
+            return [None] * len(node.inputs)
+
+        def _static(tid):
+            if tid is None:
+                return None
+            info = b.tensors[tid].info
+            if info is not None and info.level is Level.NUMERIC:
+                return np.asarray(info.value)
+            for n in b.nodes:
+                if tid in n.outputs and getattr(n.op, "KIND", None) == "Constant":
+                    return np.asarray(n.op.value)
+            raise NotImplementedError("Slice backward: dynamic start/end")
+
+        data = node.inputs[0]
+        dinfo = b.tensors[data].info
+        cs = dinfo.concrete_shape() if dinfo is not None else None
+        if cs is None:
+            raise NotImplementedError("Slice backward: unknown input shape")
+        starts = _static(node.inputs[1])
+        ends = _static(node.inputs[2])
+        axes = _static(node.inputs[3]) if len(node.inputs) > 3 else None
+        steps = _static(node.inputs[4]) if len(node.inputs) > 4 else None
+        if steps is not None and any(int(s) != 1 for s in np.asarray(steps).reshape(-1)):
+            raise NotImplementedError("Slice backward: non-unit steps")
+        idx = self._indexer(cs, starts, ends, axes, steps)
+        begin, end_pad = [], []
+        for d, sl in zip(cs, idx):
+            lo, hi, _ = sl.indices(d)
+            begin.append(lo)
+            end_pad.append(d - max(hi, lo))
+        from .basic import Constant
+
+        P = Phase.BACKWARD
+        pads = b.op1(Constant(np.asarray(begin + end_pad, dtype=np.int64)),
+                     phase=P)
+        gd = b.op1(Pad(mode="constant"), g, pads, phase=P)
+        return [gd] + [None] * (len(node.inputs) - 1)
 
 
 @dataclass
@@ -701,7 +740,11 @@ class Pad(MilliOp):
             axes = _need_static(static, 3, "Pad")
         pp = self._pairs(data.ndim, pads, axes)
         if any(p < 0 or q < 0 for p, q in pp):
-            raise NotImplementedError("negative pads in jit")
+            # negative pads crop first (static amounts -> static slices)
+            idx = tuple(slice(max(0, -p), (d + min(0, q)) if q < 0 else None)
+                        for (p, q), d in zip(pp, data.shape))
+            data = data[idx]
+            pp = [(max(0, p), max(0, q)) for p, q in pp]
         if self.mode == "constant":
             cv = 0
             if len(inputs) > 2 and inputs[2] is not None:
