@@ -2,7 +2,8 @@
 
 from .basic import (Cast, CastLike, ClampMin, Constant, ConstantOfShape,
                     MatMul, Pow, SimpleBinary, SimpleUnary, Where)
-from .conv import (Conv, ConvBiasGrad, ConvInputGrad, ConvWeightGrad, Resize)
+from .conv import (Conv, ConvBiasGrad, ConvInputGrad, ConvWeightGrad, Pool,
+                   Resize)
 from .index import (Gather, GatherElements, GatherGrad, GatherND, Range,
                     ScatterND)
 from .misc import EyeLikeMilli, OneHotMilli, TileMilli, TriluMilli

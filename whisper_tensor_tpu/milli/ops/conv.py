@@ -631,3 +631,137 @@ class ConvTransposeMilli(MilliOp):
         if x.rank is not None:
             return [TensorInfo.ranked(x.dtype, x.rank)]
         return [TensorInfo.minimal(x.dtype)]
+
+
+@dataclass
+class Pool(MilliOp):
+    """MaxPool / AveragePool (+ Global* when kernel is None).
+
+    Reference seam: the ONNX pooling family from the official node-test
+    corpus (tests/onnx_testing.rs registers them); TPU lowering uses
+    jax.lax.reduce_window, which XLA maps onto the vector units.
+    Semantics follow ONNX/torch: ceil_mode windows must start inside
+    the (left-padded) input; avg denominators honor count_include_pad
+    (padding from ceil extension never counts).
+    """
+
+    mode: str = "max"                        # max | avg
+    kernel: Optional[List[int]] = None       # None = global (all spatial)
+    strides: Optional[List[int]] = None
+    pads: Optional[List[int]] = None         # [b..., e...]
+    dilations: Optional[List[int]] = None    # max only (ONNX)
+    ceil_mode: bool = False
+    count_include_pad: bool = False
+    KIND = "Pool"
+
+    def _geometry(self, ishape):
+        nsp = len(ishape) - 2
+        k = list(self.kernel) if self.kernel else list(ishape[2:])
+        s = list(self.strides or [1] * nsp)
+        d = list(self.dilations or [1] * nsp)
+        pads = list(self.pads or [0] * (2 * nsp))
+        pb, pe = pads[:nsp], pads[nsp:]
+        osp, pe_ext = [], []
+        for i in range(nsp):
+            eff = (k[i] - 1) * d[i] + 1
+            num = ishape[2 + i] + pb[i] + pe[i] - eff
+            o = (-(-num // s[i]) if self.ceil_mode else num // s[i]) + 1
+            if self.ceil_mode and (o - 1) * s[i] >= ishape[2 + i] + pb[i]:
+                o -= 1
+            osp.append(o)
+            # extend end padding so every window slice exists
+            pe_ext.append(max(pe[i], (o - 1) * s[i] + eff
+                              - ishape[2 + i] - pb[i]))
+        return k, s, d, pb, pe, pe_ext, osp
+
+    def eval(self, inputs):
+        x = inputs[0]
+        nsp = x.ndim - 2
+        k, s, d, pb, pe, pe_ext, osp = self._geometry(x.shape)
+        xc, orig = upcast_for_compute(x)
+        if self.mode == "max":
+            fill = (np.array(-np.inf, dtype=xc.dtype) if xc.dtype.kind == "f"
+                    else np.iinfo(xc.dtype).min)
+        else:
+            fill = 0
+        xp = np.pad(xc, [(0, 0), (0, 0)] + [(pb[i], pe_ext[i])
+                                            for i in range(nsp)],
+                    constant_values=fill)
+        out = None
+        for kpos in itertools.product(*[range(ki) for ki in k]):
+            sl = tuple(slice(kpos[i] * d[i],
+                             kpos[i] * d[i] + s[i] * (osp[i] - 1) + 1, s[i])
+                       for i in range(nsp))
+            w = xp[(slice(None), slice(None)) + sl]
+            if out is None:
+                out = w.copy()
+            elif self.mode == "max":
+                out = np.maximum(out, w)
+            else:
+                out = out + w
+        if self.mode == "avg":
+            out = out / self._denom(x.shape, np)
+        return [downcast_result(out.astype(xc.dtype, copy=False), orig)]
+
+    def _denom(self, ishape, xp_mod):
+        """per-window element count (f32): ones over the input, 1-padded
+        in the declared pads iff count_include_pad, always 0-padded in
+        the ceil extension."""
+        nsp = len(ishape) - 2
+        k, s, d, pb, pe, pe_ext, osp = self._geometry(ishape)
+        ones = np.ones(ishape[2:], dtype=np.float32)
+        inc = 1.0 if self.count_include_pad else 0.0
+        cnt = np.pad(ones, [(pb[i], pe[i]) for i in range(nsp)],
+                     constant_values=inc)
+        cnt = np.pad(cnt, [(0, pe_ext[i] - pe[i]) for i in range(nsp)],
+                     constant_values=0.0)
+        den = None
+        for kpos in itertools.product(*[range(ki) for ki in k]):
+            sl = tuple(slice(kpos[i] * d[i],
+                             kpos[i] * d[i] + s[i] * (osp[i] - 1) + 1, s[i])
+                       for i in range(nsp))
+            w = cnt[sl]
+            den = w.copy() if den is None else den + w
+        den = den[(None, None)]
+        return xp_mod.asarray(den) if xp_mod is not np else den
+
+    def to_jax(self, inputs, static=None):
+        import jax
+        import jax.numpy as jnp
+
+        x = inputs[0]
+        nsp = x.ndim - 2
+        k, s, d, pb, pe, pe_ext, osp = self._geometry(x.shape)
+        pad_pairs = [(0, 0), (0, 0)] + [(pb[i], pe_ext[i])
+                                        for i in range(nsp)]
+        dims = (1, 1, *k)
+        strides = (1, 1, *s)
+        dil = (1, 1, *d)
+        if self.mode == "max":
+            if x.dtype.kind == "f" if hasattr(x.dtype, "kind") else \
+                    jnp.issubdtype(x.dtype, jnp.floating):
+                init = -jnp.inf
+            else:
+                init = jnp.iinfo(x.dtype).min
+            out = jax.lax.reduce_window(
+                x, jnp.asarray(init, x.dtype), jax.lax.max, dims, strides,
+                pad_pairs, window_dilation=dil)
+            return [out]
+        acc = x.astype(jnp.float32) if x.dtype != jnp.float64 else x
+        ssum = jax.lax.reduce_window(
+            acc, jnp.asarray(0, acc.dtype), jax.lax.add, dims, strides,
+            pad_pairs, window_dilation=dil)
+        out = ssum / jnp.asarray(self._denom(x.shape, np), acc.dtype)
+        return [out.astype(x.dtype)]
+
+    def infer(self, infos):
+        i = infos[0]
+        if i.level is Level.NUMERIC:
+            return [TensorInfo.numeric(self.eval([i.value])[0])]
+        cs = i.concrete_shape()
+        if cs is not None:
+            _, _, _, _, _, _, osp = self._geometry(cs)
+            return [TensorInfo.shaped(i.dtype, list(cs[:2]) + osp)]
+        if i.rank is not None:
+            return [TensorInfo.ranked(i.dtype, i.rank)]
+        return [TensorInfo.minimal(i.dtype)]

@@ -326,3 +326,68 @@ class Range(MilliOp):
         if all(i.level is Level.NUMERIC for i in infos):
             return [TensorInfo.numeric(self.eval([i.value for i in infos])[0])]
         return [TensorInfo.ranked(infos[0].dtype, 1)]
+
+
+@dataclass
+class ScatterElementsMilli(MilliOp):
+    """ONNX ScatterElements: the inverse of GatherElements — write
+    `updates` into `data` at per-element positions `idx` along `axis`,
+    with optional add/mul/max/min reduction."""
+
+    axis: int = 0
+    reduction: str = "none"  # none | add | mul | max | min
+    KIND = "ScatterElements"
+
+    def eval(self, inputs):
+        data, idx, upd = inputs
+        ax = self.axis % data.ndim
+        idx = idx.astype(np.int64)
+        idx = np.where(idx < 0, idx + data.shape[ax], idx)
+        out = data.copy()
+        if self.reduction == "none":
+            np.put_along_axis(out, idx, upd, axis=ax)
+            return [out]
+        grids = list(np.indices(idx.shape))
+        grids[ax] = idx
+        fi = tuple(g.reshape(-1) for g in grids)
+        uf = upd.reshape(-1)
+        if self.reduction == "add":
+            np.add.at(out, fi, uf)
+        elif self.reduction == "mul":
+            np.multiply.at(out, fi, uf)
+        elif self.reduction == "max":
+            np.maximum.at(out, fi, uf)
+        elif self.reduction == "min":
+            np.minimum.at(out, fi, uf)
+        else:
+            raise NotImplementedError(self.reduction)
+        return [out]
+
+    def to_jax(self, inputs, static=None):
+        import jax
+        import jax.numpy as jnp
+
+        data, idx, upd = inputs
+        ax = self.axis % data.ndim
+        idx = jnp.where(idx < 0, idx + data.shape[ax], idx)
+        grids = [jax.lax.broadcasted_iota(idx.dtype, idx.shape, i)
+                 for i in range(data.ndim)]
+        grids[ax] = idx
+        at = data.at[tuple(grids)]
+        if self.reduction == "none":
+            return [at.set(upd)]
+        if self.reduction == "add":
+            return [at.add(upd)]
+        if self.reduction == "mul":
+            return [at.multiply(upd)]
+        if self.reduction == "max":
+            return [at.max(upd)]
+        if self.reduction == "min":
+            return [at.min(upd)]
+        raise NotImplementedError(self.reduction)
+
+    def infer(self, infos):
+        data = infos[0]
+        if all(i.level is Level.NUMERIC for i in infos):
+            return [TensorInfo.numeric(self.eval([i.value for i in infos])[0])]
+        return [data.forget_value()]

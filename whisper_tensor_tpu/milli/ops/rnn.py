@@ -159,3 +159,256 @@ class LstmMilli(MilliOp):
                     TensorInfo.shaped(x.dtype, [ScalarInfo.of(nd), Bn, ScalarInfo.of(H)]),
                     TensorInfo.shaped(x.dtype, [ScalarInfo.of(nd), Bn, ScalarInfo.of(H)])]
         return [TensorInfo.minimal(x.dtype)] * 3
+
+
+@dataclass
+class GruMilli(MilliOp):
+    """ONNX GRU (zrh gate order, linear_before_reset attr).
+    inputs: X(S,B,I), W(nd,3H,I), R(nd,3H,H)[, B(nd,6H), seq_lens(B),
+    initial_h(nd,B,H)].  outputs: Y(S,nd,B,H), Y_h(nd,B,H)."""
+
+    hidden_size: int = 0
+    direction: str = "forward"
+    linear_before_reset: bool = False
+    KIND = "Gru"
+    N_OUTPUTS = 2
+
+    def _cell_np(self, x, h, Wd, Rd, wb, rb):
+        H = self.hidden_size
+        gx = x @ Wd.T + wb
+        gh = h @ Rd.T + rb
+        z = _sig(gx[:, 0:H] + gh[:, 0:H])
+        r = _sig(gx[:, H:2 * H] + gh[:, H:2 * H])
+        if self.linear_before_reset:
+            hh = np.tanh(gx[:, 2 * H:] + r * gh[:, 2 * H:])
+        else:
+            hh = np.tanh(gx[:, 2 * H:] + (r * h) @ Rd[2 * H:].T
+                         + rb[2 * H:])
+        return (1 - z) * hh + z * h
+
+    def eval(self, inputs):
+        X = inputs[0].astype(np.float32)
+        W = inputs[1].astype(np.float32)
+        R = inputs[2].astype(np.float32)
+        Bi = (inputs[3].astype(np.float32)
+              if len(inputs) > 3 and inputs[3] is not None else None)
+        seq_lens = (inputs[4] if len(inputs) > 4 and inputs[4] is not None
+                    else None)
+        H = self.hidden_size
+        S, Bn, I = X.shape
+        nd = W.shape[0]
+        h0 = (inputs[5].astype(np.float32)
+              if len(inputs) > 5 and inputs[5] is not None
+              else np.zeros((nd, Bn, H), np.float32))
+        Y = np.zeros((S, nd, Bn, H), np.float32)
+        Yh = np.zeros((nd, Bn, H), np.float32)
+        for d in range(nd):
+            rev = (self.direction == "reverse") or (d == 1)
+            wb = Bi[d][:3 * H] if Bi is not None else np.zeros(3 * H, np.float32)
+            rb = Bi[d][3 * H:] if Bi is not None else np.zeros(3 * H, np.float32)
+            h = h0[d].copy()
+            order = range(S - 1, -1, -1) if rev else range(S)
+            for t in order:
+                # note: non-linear_before_reset applies rb[2H:] inside
+                # the reset product, so pass gh without it there
+                if self.linear_before_reset:
+                    h_new = self._cell_np(X[t], h, W[d], R[d], wb, rb)
+                else:
+                    gx = X[t] @ W[d].T + wb
+                    gh2 = h @ R[d][:2 * H].T + rb[:2 * H]
+                    z = _sig(gx[:, 0:H] + gh2[:, 0:H])
+                    r = _sig(gx[:, H:2 * H] + gh2[:, H:2 * H])
+                    hh = np.tanh(gx[:, 2 * H:]
+                                 + (r * h) @ R[d][2 * H:].T + rb[2 * H:])
+                    h_new = (1 - z) * hh + z * h
+                if seq_lens is not None:
+                    active = (t < np.asarray(seq_lens).astype(np.int64))[:, None]
+                    h_new = np.where(active, h_new, h)
+                    Y[t, d] = np.where(active, h_new, 0.0)
+                else:
+                    Y[t, d] = h_new
+                h = h_new
+            Yh[d] = h
+        dt = inputs[0].dtype
+        return [Y.astype(dt), Yh.astype(dt)]
+
+    def to_jax(self, inputs, static=None):
+        import jax
+        import jax.numpy as jnp
+
+        X = inputs[0].astype(jnp.float32)
+        W = inputs[1].astype(jnp.float32)
+        R = inputs[2].astype(jnp.float32)
+        Bi = (inputs[3].astype(jnp.float32)
+              if len(inputs) > 3 and inputs[3] is not None else None)
+        seq_lens = (inputs[4].astype(jnp.int64)
+                    if len(inputs) > 4 and inputs[4] is not None else None)
+        H = self.hidden_size
+        S, Bn, I = X.shape
+        nd = W.shape[0]
+        h0 = (inputs[5].astype(jnp.float32)
+              if len(inputs) > 5 and inputs[5] is not None
+              else jnp.zeros((nd, Bn, H), jnp.float32))
+        outs, hs = [], []
+        for d in range(nd):
+            rev = (self.direction == "reverse") or (d == 1)
+            Wd, Rd = W[d], R[d]
+            wb = Bi[d][:3 * H] if Bi is not None else jnp.zeros(3 * H, jnp.float32)
+            rb = Bi[d][3 * H:] if Bi is not None else jnp.zeros(3 * H, jnp.float32)
+            xseq = jnp.flip(X, axis=0) if rev else X
+            tseq = jnp.flip(jnp.arange(S), axis=0) if rev else jnp.arange(S)
+
+            def step(h, xt, Wd=Wd, Rd=Rd, wb=wb, rb=rb):
+                x, t = xt
+                gx = x @ Wd.T + wb
+                z = jax.nn.sigmoid(gx[:, 0:H] + h @ Rd[0:H].T + rb[0:H])
+                r = jax.nn.sigmoid(gx[:, H:2 * H] + h @ Rd[H:2 * H].T
+                                   + rb[H:2 * H])
+                if self.linear_before_reset:
+                    hh = jnp.tanh(gx[:, 2 * H:]
+                                  + r * (h @ Rd[2 * H:].T + rb[2 * H:]))
+                else:
+                    hh = jnp.tanh(gx[:, 2 * H:]
+                                  + (r * h) @ Rd[2 * H:].T + rb[2 * H:])
+                h2 = (1 - z) * hh + z * h
+                if seq_lens is not None:
+                    active = (t < seq_lens)[:, None]
+                    h2 = jnp.where(active, h2, h)
+                    y = jnp.where(active, h2, 0.0)
+                else:
+                    y = h2
+                return h2, y
+
+            hT, ys = jax.lax.scan(step, h0[d], (xseq, tseq))
+            if rev:
+                ys = jnp.flip(ys, axis=0)
+            outs.append(ys)
+            hs.append(hT)
+        dt = inputs[0].dtype
+        return [jnp.stack(outs, axis=1).astype(dt),
+                jnp.stack(hs, axis=0).astype(dt)]
+
+    def infer(self, infos):
+        x = infos[0]
+        dx = x.dims()
+        nd = 2 if self.direction == "bidirectional" else 1
+        H = self.hidden_size
+        if dx is not None:
+            from ...scalar_info import ScalarInfo
+
+            S, Bn = dx[0], dx[1]
+            return [TensorInfo.shaped(x.dtype, [S, ScalarInfo.of(nd), Bn,
+                                                ScalarInfo.of(H)]),
+                    TensorInfo.shaped(x.dtype, [ScalarInfo.of(nd), Bn,
+                                                ScalarInfo.of(H)])]
+        return [TensorInfo.minimal(x.dtype)] * 2
+
+
+@dataclass
+class RnnMilli(MilliOp):
+    """ONNX vanilla RNN: h' = act(W x + R h + Wb + Rb)."""
+
+    hidden_size: int = 0
+    direction: str = "forward"
+    activation: str = "tanh"   # tanh | relu
+    KIND = "Rnn"
+    N_OUTPUTS = 2
+
+    def _act_np(self, v):
+        return np.tanh(v) if self.activation == "tanh" else np.maximum(v, 0)
+
+    def eval(self, inputs):
+        X = inputs[0].astype(np.float32)
+        W = inputs[1].astype(np.float32)
+        R = inputs[2].astype(np.float32)
+        Bi = (inputs[3].astype(np.float32)
+              if len(inputs) > 3 and inputs[3] is not None else None)
+        seq_lens = (inputs[4] if len(inputs) > 4 and inputs[4] is not None
+                    else None)
+        H = self.hidden_size
+        S, Bn, I = X.shape
+        nd = W.shape[0]
+        h0 = (inputs[5].astype(np.float32)
+              if len(inputs) > 5 and inputs[5] is not None
+              else np.zeros((nd, Bn, H), np.float32))
+        Y = np.zeros((S, nd, Bn, H), np.float32)
+        Yh = np.zeros((nd, Bn, H), np.float32)
+        for d in range(nd):
+            rev = (self.direction == "reverse") or (d == 1)
+            bias = (Bi[d][:H] + Bi[d][H:]) if Bi is not None else np.zeros(H, np.float32)
+            h = h0[d].copy()
+            order = range(S - 1, -1, -1) if rev else range(S)
+            for t in order:
+                h_new = self._act_np(X[t] @ W[d].T + h @ R[d].T + bias)
+                if seq_lens is not None:
+                    active = (t < np.asarray(seq_lens).astype(np.int64))[:, None]
+                    h_new = np.where(active, h_new, h)
+                    Y[t, d] = np.where(active, h_new, 0.0)
+                else:
+                    Y[t, d] = h_new
+                h = h_new
+            Yh[d] = h
+        dt = inputs[0].dtype
+        return [Y.astype(dt), Yh.astype(dt)]
+
+    def to_jax(self, inputs, static=None):
+        import jax
+        import jax.numpy as jnp
+
+        X = inputs[0].astype(jnp.float32)
+        W = inputs[1].astype(jnp.float32)
+        R = inputs[2].astype(jnp.float32)
+        Bi = (inputs[3].astype(jnp.float32)
+              if len(inputs) > 3 and inputs[3] is not None else None)
+        seq_lens = (inputs[4].astype(jnp.int64)
+                    if len(inputs) > 4 and inputs[4] is not None else None)
+        H = self.hidden_size
+        S, Bn, I = X.shape
+        nd = W.shape[0]
+        h0 = (inputs[5].astype(jnp.float32)
+              if len(inputs) > 5 and inputs[5] is not None
+              else jnp.zeros((nd, Bn, H), jnp.float32))
+        act = jnp.tanh if self.activation == "tanh" else jax.nn.relu
+        outs, hs = [], []
+        for d in range(nd):
+            rev = (self.direction == "reverse") or (d == 1)
+            Wd, Rd = W[d], R[d]
+            bias = ((Bi[d][:H] + Bi[d][H:]) if Bi is not None
+                    else jnp.zeros(H, jnp.float32))
+            xseq = jnp.flip(X, axis=0) if rev else X
+            tseq = jnp.flip(jnp.arange(S), axis=0) if rev else jnp.arange(S)
+
+            def step(h, xt, Wd=Wd, Rd=Rd, bias=bias):
+                x, t = xt
+                h2 = act(x @ Wd.T + h @ Rd.T + bias)
+                if seq_lens is not None:
+                    active = (t < seq_lens)[:, None]
+                    h2 = jnp.where(active, h2, h)
+                    y = jnp.where(active, h2, 0.0)
+                else:
+                    y = h2
+                return h2, y
+
+            hT, ys = jax.lax.scan(step, h0[d], (xseq, tseq))
+            if rev:
+                ys = jnp.flip(ys, axis=0)
+            outs.append(ys)
+            hs.append(hT)
+        dt = inputs[0].dtype
+        return [jnp.stack(outs, axis=1).astype(dt),
+                jnp.stack(hs, axis=0).astype(dt)]
+
+    def infer(self, infos):
+        x = infos[0]
+        dx = x.dims()
+        nd = 2 if self.direction == "bidirectional" else 1
+        H = self.hidden_size
+        if dx is not None:
+            from ...scalar_info import ScalarInfo
+
+            S, Bn = dx[0], dx[1]
+            return [TensorInfo.shaped(x.dtype, [S, ScalarInfo.of(nd), Bn,
+                                                ScalarInfo.of(H)]),
+                    TensorInfo.shaped(x.dtype, [ScalarInfo.of(nd), Bn,
+                                                ScalarInfo.of(H)])]
+        return [TensorInfo.minimal(x.dtype)] * 2

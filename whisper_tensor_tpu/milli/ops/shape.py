@@ -605,13 +605,16 @@ class GatherShape(MilliOp):
     KIND = "GatherShape"
 
     def eval(self, inputs):
-        return [np.asarray(inputs[0].reshape(-1)[self.index:self.index + 1], dtype=np.int64)]
+        v = inputs[0].reshape(-1)
+        i = self.index % v.size
+        return [np.asarray(v[i:i + 1], dtype=np.int64)]
 
     def to_jax(self, inputs, static=None):
-        v = _need_static(static, 0, "GatherShape")
+        v = _need_static(static, 0, "GatherShape").reshape(-1)
         import jax.numpy as jnp
 
-        return [jnp.asarray(v.reshape(-1)[self.index:self.index + 1].astype(np.int64))]
+        i = self.index % v.size
+        return [jnp.asarray(v[i:i + 1].astype(np.int64))]
 
     def infer(self, infos):
         i = infos[0]

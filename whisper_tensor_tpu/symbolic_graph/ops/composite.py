@@ -185,3 +185,51 @@ class CacheWrite(Operation):
 
         return [ctx.emit1(DynUpdateSliceMilli(self.axis),
                           inputs[0], inputs[1], inputs[2])]
+
+
+@register("GRU")
+@dataclass
+class GRU(Operation):
+    hidden_size: int = 0
+    direction: str = "forward"
+    linear_before_reset: bool = False
+
+    @classmethod
+    def from_onnx(cls, node, attrs, opset):
+        acts = attrs.strings("activations", None)
+        if acts and [a.lower() for a in acts[:2]] != ["sigmoid", "tanh"]:
+            raise NotImplementedError(f"GRU custom activations {acts}")
+        return cls(attrs.i("hidden_size", 0), attrs.s("direction", "forward"),
+                   bool(attrs.i("linear_before_reset", 0)))
+
+    def lower(self, ctx, inputs, n_outputs):
+        from ...milli.ops.rnn import GruMilli
+
+        outs = ctx.emit(GruMilli(self.hidden_size, self.direction,
+                                 self.linear_before_reset), *inputs,
+                        n_outputs=2)
+        return outs[:n_outputs] if n_outputs < 2 else outs
+
+
+@register("RNN")
+@dataclass
+class RNN(Operation):
+    hidden_size: int = 0
+    direction: str = "forward"
+    activation: str = "tanh"
+
+    @classmethod
+    def from_onnx(cls, node, attrs, opset):
+        acts = attrs.strings("activations", None)
+        act = (acts[0].lower() if acts else "tanh")
+        if act not in ("tanh", "relu"):
+            raise NotImplementedError(f"RNN activation {act}")
+        return cls(attrs.i("hidden_size", 0), attrs.s("direction", "forward"),
+                   act)
+
+    def lower(self, ctx, inputs, n_outputs):
+        from ...milli.ops.rnn import RnnMilli
+
+        outs = ctx.emit(RnnMilli(self.hidden_size, self.direction,
+                                 self.activation), *inputs, n_outputs=2)
+        return outs[:n_outputs] if n_outputs < 2 else outs

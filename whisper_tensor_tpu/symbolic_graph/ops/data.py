@@ -473,3 +473,47 @@ class ResizeOp(Operation):
         return [ctx.emit1(Resize(self.mode, self.coord_mode, self.nearest_mode,
                                  self.cubic_a, self.exclude_outside, self.axes),
                           *inputs)]
+
+
+@register("ScatterElements", "Scatter")
+@dataclass
+class ScatterElements(Operation):
+    """ONNX ScatterElements (and the deprecated opset-9 Scatter alias)."""
+
+    axis: int = 0
+    reduction: str = "none"
+
+    @classmethod
+    def from_onnx(cls, node, attrs, opset):
+        return cls(attrs.i("axis", 0), attrs.s("reduction", "none"))
+
+    def lower(self, ctx, inputs, n_outputs):
+        from ...milli.ops.index import ScatterElementsMilli
+
+        return [ctx.emit1(ScatterElementsMilli(self.axis, self.reduction),
+                          inputs[0], inputs[1], inputs[2])]
+
+
+@register("Hardmax")
+@dataclass
+class Hardmax(Operation):
+    """onehot(argmax(x, axis)) with ties going to the first index."""
+
+    axis: int = -1
+
+    @classmethod
+    def from_onnx(cls, node, attrs, opset):
+        return cls(attrs.i("axis", -1))
+
+    def lower(self, ctx, inputs, n_outputs):
+        from ...milli.ops import CastLike, Constant, GatherShape, Shape
+        from ...milli.ops.misc import OneHotMilli
+        from ...milli.ops.reduce import ArgMinMax
+
+        x = inputs[0]
+        am = ctx.emit1(ArgMinMax("max", axis=self.axis, keepdims=False), x)
+        shp = ctx.emit1(Shape(), x)
+        depth = ctx.emit1(GatherShape(self.axis), shp)
+        vals = ctx.emit1(Constant(np.asarray([0.0, 1.0], dtype=np.float32)))
+        valsc = ctx.emit1(CastLike(), vals, x)
+        return [ctx.emit1(OneHotMilli(axis=self.axis), am, depth, valsc)]

@@ -350,3 +350,70 @@ class Identity(Operation):
     def lower(self, ctx, inputs, n_outputs):
         # emit a no-op CastLike-free pass-through: reuse input id directly
         return [inputs[0]]
+
+
+@register("Celu")
+@dataclass
+class Celu(Operation):
+    """max(0,x) + min(0, alpha*(exp(x/alpha)-1))"""
+
+    alpha: float = 1.0
+
+    @classmethod
+    def from_onnx(cls, node, attrs, opset):
+        return cls(attrs.f("alpha", 1.0))
+
+    def lower(self, ctx, inputs, n_outputs):
+        x = inputs[0]
+        zero = ctx.const_like(0.0, x)
+        one = ctx.const_like(1.0, x)
+        a = ctx.const_like(self.alpha, x)
+        em1 = ctx.emit1(SimpleBinary("sub"), ctx.emit1(
+            SimpleUnary("exp"), ctx.emit1(SimpleBinary("div"), x, a)), one)
+        neg = ctx.emit1(SimpleBinary("min"), zero,
+                        ctx.emit1(SimpleBinary("mul"), a, em1))
+        pos = ctx.emit1(SimpleBinary("max"), zero, x)
+        return [ctx.emit1(SimpleBinary("add"), pos, neg)]
+
+
+@register("Shrink")
+@dataclass
+class Shrink(Operation):
+    """x < -lambd -> x+bias; x > lambd -> x-bias; else 0."""
+
+    bias: float = 0.0
+    lambd: float = 0.5
+
+    @classmethod
+    def from_onnx(cls, node, attrs, opset):
+        return cls(attrs.f("bias", 0.0), attrs.f("lambd", 0.5))
+
+    def lower(self, ctx, inputs, n_outputs):
+        x = inputs[0]
+        zero = ctx.const_like(0.0, x)
+        lam = ctx.const_like(self.lambd, x)
+        nlam = ctx.const_like(-self.lambd, x)
+        bias = ctx.const_like(self.bias, x)
+        lo = ctx.emit1(SimpleBinary("lt"), x, nlam)
+        hi = ctx.emit1(SimpleBinary("gt"), x, lam)
+        xp = ctx.emit1(SimpleBinary("add"), x, bias)
+        xm = ctx.emit1(SimpleBinary("sub"), x, bias)
+        inner = ctx.emit1(Where(), hi, xm, zero)
+        return [ctx.emit1(Where(), lo, xp, inner)]
+
+
+@register("ThresholdedRelu")
+@dataclass
+class ThresholdedRelu(Operation):
+    alpha: float = 1.0
+
+    @classmethod
+    def from_onnx(cls, node, attrs, opset):
+        return cls(attrs.f("alpha", 1.0))
+
+    def lower(self, ctx, inputs, n_outputs):
+        x = inputs[0]
+        zero = ctx.const_like(0.0, x)
+        a = ctx.const_like(self.alpha, x)
+        mask = ctx.emit1(SimpleBinary("gt"), x, a)
+        return [ctx.emit1(Where(), mask, x, zero)]

@@ -147,3 +147,67 @@ class Einsum(Operation):
         from ...milli.ops.einsum import EinsumMilli
 
         return [ctx.emit1(EinsumMilli(self.equation), *inputs)]
+
+
+@register("MaxPool", "AveragePool", "GlobalMaxPool", "GlobalAveragePool",
+          "LpPool")
+@dataclass
+class PoolOp(Operation):
+    """ONNX pooling family -> milli Pool (lax.reduce_window on TPU).
+    Reference seam: the pooling node tests of the official corpus
+    (tests/onnx_testing.rs)."""
+
+    mode: str = "max"
+    kernel_shape: Optional[List[int]] = None
+    strides: Optional[List[int]] = None
+    pads: Optional[List[int]] = None
+    dilations: Optional[List[int]] = None
+    ceil_mode: bool = False
+    count_include_pad: bool = False
+    p: int = 2
+    auto_pad: str = "NOTSET"
+
+    @classmethod
+    def from_onnx(cls, node, attrs, opset):
+        mode = {"MaxPool": "max", "AveragePool": "avg",
+                "GlobalMaxPool": "max", "GlobalAveragePool": "avg",
+                "LpPool": "lp"}[node.op_type]
+        is_global = node.op_type.startswith("Global")
+        return cls(mode,
+                   None if is_global else attrs.ints("kernel_shape", None),
+                   attrs.ints("strides", None), attrs.ints("pads", None),
+                   attrs.ints("dilations", None),
+                   bool(attrs.i("ceil_mode", 0)),
+                   bool(attrs.i("count_include_pad", 0)),
+                   attrs.i("p", 2), attrs.s("auto_pad", "NOTSET"))
+
+    def lower(self, ctx, inputs, n_outputs):
+        from ...milli.ops import Pool, Pow, SimpleBinary, SimpleUnary
+
+        if self.auto_pad not in ("", "NOTSET", "VALID"):
+            raise NotImplementedError(f"Pool auto_pad={self.auto_pad}")
+        if n_outputs > 1:
+            raise NotImplementedError("MaxPool Indices output")
+        x = inputs[0]
+        if self.mode == "lp":
+            # LpPool(p) = (sum |x|^p)^(1/p) = (avg*count)^(1/p); use
+            # count_include_pad avg then scale by window size
+            if self.p != 2:
+                ax = ctx.emit1(SimpleUnary("abs"), x)
+                pc = ctx.const_like(float(self.p), x)
+                xpow = ctx.emit1(Pow(), ax, pc)
+            else:
+                xpow = ctx.emit1(SimpleBinary("mul"), x, x)
+            avg = ctx.emit1(Pool("avg", self.kernel_shape, self.strides,
+                                 self.pads, None, self.ceil_mode,
+                                 count_include_pad=True), xpow)
+            n = 1
+            for kk in (self.kernel_shape or []):
+                n *= kk
+            ssum = ctx.emit1(SimpleBinary("mul"), avg,
+                             ctx.const_like(float(n), avg))
+            inv = ctx.const_like(1.0 / float(self.p), ssum)
+            return [ctx.emit1(Pow(), ssum, inv)]
+        return [ctx.emit1(Pool(self.mode, self.kernel_shape, self.strides,
+                               self.pads, self.dilations, self.ceil_mode,
+                               self.count_include_pad), x)]
