@@ -65,6 +65,19 @@ class Case:
         return Model.new_from_onnx(b.build(), name=self.name)
 
 
+def _is_float(dt: np.dtype) -> bool:
+    """True for numpy AND ml_dtypes floats (bf16/f8 have kind 'V')."""
+    if dt.kind in "fc":
+        return True
+    try:
+        import ml_dtypes
+
+        ml_dtypes.finfo(dt)
+        return True
+    except Exception:
+        return False
+
+
 def check_case(case: Case, mode: str) -> None:
     model = case.build_model()
     feeds = {n: v for n, v in case.inputs.items()
@@ -77,7 +90,7 @@ def check_case(case: Case, mode: str) -> None:
             f"{case.name}: shape {got.shape} != {expected.shape}"
         if expected.dtype == np.dtype(object):
             assert list(got.reshape(-1)) == list(expected.reshape(-1))
-        elif expected.dtype.kind in "fc" or got.dtype.kind == "f":
+        elif _is_float(expected.dtype) or _is_float(got.dtype):
             np.testing.assert_allclose(
                 got.astype(np.float64), expected.astype(np.float64),
                 rtol=case.rtol, atol=case.atol, err_msg=case.name,

@@ -122,11 +122,28 @@ class Variadic(Operation):
 
 
 @register("Clip")
+@dataclass
 class Clip(Operation):
-    """Clip-11+: min/max as optional inputs."""
+    """Clip-11+: min/max as optional inputs; Clip-6: min/max attributes."""
+
+    min_attr: Optional[float] = None
+    max_attr: Optional[float] = None
+
+    @classmethod
+    def from_onnx(cls, node, attrs, opset):
+        return cls(attrs.f("min", None), attrs.f("max", None))
 
     def lower(self, ctx, inputs, n_outputs):
         x = inputs[0]
+        if len(inputs) == 1 and (self.min_attr is not None
+                                 or self.max_attr is not None):
+            if self.min_attr is not None:
+                x = ctx.emit1(SimpleBinary("max"), x,
+                              ctx.const_like(self.min_attr, x))
+            if self.max_attr is not None:
+                x = ctx.emit1(SimpleBinary("min"), x,
+                              ctx.const_like(self.max_attr, x))
+            return [x]
         if len(inputs) > 1 and inputs[1] is not None:
             x = ctx.emit1(SimpleBinary("max"), x, inputs[1])
         if len(inputs) > 2 and inputs[2] is not None:
