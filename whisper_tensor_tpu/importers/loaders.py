@@ -218,6 +218,78 @@ class TransformersLoader(Loader):
                     "eot": hf_cfg.get("eos_token_id", 50257)}},
                 tokenizer_source=tok,
                 meta={"model_type": "whisper", "dtype": dtype.name})
+        elif mt == "llava":
+            # LLaVA-style multimodal checkpoint: language_model.* +
+            # vision_tower.* + multi_modal_projector.* in one dir
+            # (reference seam: MultimodalLanguageInterface,
+            # src/interfaces.rs:185-327)
+            from .recipes.llm.llama import LlamaConfig, build_llama_step
+            from .recipes.vision import ClipVisionConfig, build_clip_vision
+
+            text_cfg = hf_cfg["text_config"]
+            if text_cfg.get("model_type", "llama") not in (
+                    "llama", "mistral", "qwen2"):
+                raise ValueError(
+                    f"llava text model {text_cfg.get('model_type')!r} "
+                    "not supported")
+
+            def lm_getter(name):
+                # classic layout: language_model.model.* / language_model.lm_head.*
+                # 4.52+ layout:   model.language_model.* / lm_head.*
+                cands = [f"language_model.{name}"]
+                if name.startswith("model."):
+                    cands.append("model.language_model."
+                                 + name[len("model."):])
+                else:
+                    cands.append(name)
+                for cand in cands:
+                    if cand in store:
+                        return store.load(cand)
+                if name == "lm_head.weight":
+                    return lm_getter("model.embed_tokens.weight")
+                return store.load(cands[0])
+
+            cfg = LlamaConfig.from_hf(text_cfg)
+            data = build_llama_step(lm_getter, cfg, max_len=max_len,
+                                    dtype=dtype)
+            geometry = dict(n_layers=cfg.num_hidden_layers,
+                            n_kv_heads=cfg.num_key_value_heads,
+                            head_dim=cfg.hd)
+            vcfg = ClipVisionConfig.from_hf(hf_cfg["vision_config"])
+            vcfg.select_layer = int(hf_cfg.get("vision_feature_layer", -2))
+
+            def vt_getter(name):
+                for cand in (f"vision_tower.{name}",
+                             f"model.vision_tower.{name}"):
+                    if cand in store:
+                        return store.load(cand)
+                return store.load(name)
+
+            def proj_getter(name):
+                for cand in (f"multi_modal_projector.{name}",
+                             f"model.multi_modal_projector.{name}"):
+                    if cand in store:
+                        return store.load(cand)
+                return store.load(name)
+
+            vdata = build_clip_vision(vt_getter, vcfg, dtype=dtype,
+                                      projector=proj_getter)
+            name = (hf_cfg.get("_name_or_path")
+                    or os.path.basename(os.path.normpath(d)))
+            text_model = Model.new_from_onnx(data, name=name)
+            vis_model = Model.new_from_onnx(vdata, name=name + "-vision")
+            tok = d if os.path.exists(os.path.join(d, "tokenizer.json")) \
+                else None
+            return LoadedBundle(
+                models={name: text_model, name + "-vision": vis_model},
+                interfaces={"text": {"model": name, "max_len": max_len,
+                                     **geometry},
+                            "multimodal": {"model": name,
+                                           "vision": name + "-vision",
+                                           "embed_weight": "embed_tokens",
+                                           "image_size": vcfg.image_size}},
+                tokenizer_source=tok,
+                meta={"model_type": mt, "dtype": dtype.name})
         elif mt == "phi3":
             from .recipes.llm.phi3 import Phi3Config, build_phi3_step
 

@@ -211,6 +211,53 @@ class TextInferenceInterface:
         self._programs[key] = jitted
         return jitted
 
+    def _decode_program(self, batch: int, n_new: int,
+                        sampling: Optional[SamplingParams] = None):
+        """Decode-only program: continue from existing caches (the
+        multimodal inputs_embeds prefill hands off here)."""
+        import jax
+        import jax.numpy as jnp
+
+        key = ("decode", batch, n_new, sampling)
+        if key in self._programs:
+            return self._programs[key]
+        step = self._traced_step(batch, 1)
+        sp = sampling
+
+        def dec(first_tok, pos, caches, weights, rng_key):
+            def body(carry, i):
+                cur, p, caches = carry
+                lg, caches = step(cur[:, None], p, caches, weights)
+                nxt = _pick_token(lg[:, -1, :],
+                                  jax.random.fold_in(rng_key, i + 1), sp)
+                return (nxt, p + 1, caches), cur
+
+            (_, _, caches), toks = jax.lax.scan(
+                body, (first_tok, pos.astype(jnp.int64), caches),
+                jnp.arange(n_new))
+            return jnp.swapaxes(toks, 0, 1), caches
+
+        jitted = jax.jit(dec, donate_argnums=(2,))
+        self._programs[key] = jitted
+        return jitted
+
+    def decode_tokens(self, first_tok: np.ndarray, pos: int, caches,
+                      n_new: int,
+                      sampling: Optional[SamplingParams] = None
+                      ) -> np.ndarray:
+        """Continue generation from caches: emits n_new tokens starting
+        with first_tok (which is included in the output)."""
+        import jax
+        import jax.numpy as jnp
+
+        first_tok = np.asarray(first_tok, dtype=np.int64).reshape(-1)
+        prog = self._decode_program(first_tok.shape[0], n_new, sampling)
+        rng = jax.random.PRNGKey(sampling.seed if sampling else 0)
+        toks, _ = prog(jnp.asarray(first_tok),
+                       jnp.asarray(pos, dtype=jnp.int64), caches,
+                       self._weights(), rng)
+        return np.asarray(toks)
+
     # ------------------------------------------------------------------
     def generate_tokens(self, prompt_ids: np.ndarray, n_new: int,
                         caches=None,
