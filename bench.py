@@ -94,9 +94,85 @@ def bench_sd15_unet() -> None:
     }))
 
 
+def bench_serving() -> None:
+    """Continuous-batching serving throughput: N concurrent clients with
+    ragged prompts through the slot scheduler vs the same-B offline run.
+    Target (VERDICT r1 #6): serving >= 70% of offline tok/s."""
+    import numpy as np
+
+    from whisper_tensor_tpu.dtype import DType
+    from whisper_tensor_tpu.importers.recipes.llm.gpt2 import (
+        GPT2Config, build_gpt2_step, random_gpt2_weights)
+    from whisper_tensor_tpu.interfaces.text import TextInferenceInterface
+    from whisper_tensor_tpu.model import Model
+    from whisper_tensor_tpu.server.batching import ContinuousBatcher
+
+    N = int(os.environ.get("WT_BENCH_CLIENTS", "64"))
+    n_new = int(os.environ.get("WT_BENCH_NEW", "192"))
+    max_len = 256
+    cfg = GPT2Config(n_layer=12, n_head=12, n_embd=768, vocab_size=50257,
+                     n_positions=1024)
+    wg = random_gpt2_weights(cfg)
+    t0 = time.time()
+    m_off = Model.new_from_onnx(build_gpt2_step(wg, cfg, max_len=max_len,
+                                                dtype=DType.BF16))
+    m_srv = Model.new_from_onnx(build_gpt2_step(wg, cfg, max_len=max_len,
+                                                dtype=DType.BF16,
+                                                pos_per_row=True))
+    print(f"# build: {time.time() - t0:.1f}s", file=sys.stderr)
+    rng = np.random.default_rng(0)
+
+    # offline reference at B=N
+    off = TextInferenceInterface(m_off, max_len=max_len,
+                                 cache_dtype=DType.BF16,
+                                 prompt_buckets=(32,))
+    prompt = rng.integers(0, cfg.vocab_size, (N, 24)).astype(np.int64)
+    off.generate_tokens(prompt, n_new)  # warmup/compile
+    t1 = time.time()
+    off.generate_tokens(prompt, n_new)
+    off_tok_s = N * n_new / (time.time() - t1)
+    print(f"# offline B={N}: {off_tok_s:.0f} tok/s", file=sys.stderr)
+
+    # serving: `waves` x N clients through N slots — requests admit as
+    # slots free, so prefills interleave with other rows' decode chunks
+    # (the steady-state continuous-batching regime)
+    waves = int(os.environ.get("WT_BENCH_WAVES", "3"))
+    srv = ContinuousBatcher(m_srv, max_len=max_len, max_batch=N,
+                            chunk=int(os.environ.get("WT_BENCH_CHUNK", "32")),
+                            cache_dtype=DType.BF16,
+                            prompt_buckets=(32,)).start()
+    prompts = [rng.integers(0, cfg.vocab_size,
+                            (int(rng.integers(8, 32)),)).astype(np.int64)
+               for _ in range(waves * N)]
+    # warmup round (compiles prefill + chunk programs)
+    futs = [srv.submit(p, 8) for p in prompts[:2]]
+    for f in futs:
+        f.result(timeout=1200)
+    t2 = time.time()
+    futs = [srv.submit(p, n_new) for p in prompts]
+    total = sum(len(f.result(timeout=2400)) for f in futs)
+    dt = time.time() - t2
+    srv.stop()
+    srv_tok_s = total / dt
+    ratio = srv_tok_s / off_tok_s
+    print(f"# serving N={N}: {srv_tok_s:.0f} tok/s "
+          f"({ratio:.2f}x of offline)", file=sys.stderr)
+    print(json.dumps({
+        "metric": "gpt2_124m_serving_throughput",
+        "value": round(srv_tok_s, 1),
+        "unit": "tok/s",
+        "vs_baseline": round(srv_tok_s / BASELINE_TOK_S, 3),
+        "offline_same_batch": round(off_tok_s, 1),
+        "serving_vs_offline": round(ratio, 3),
+    }))
+
+
 def main() -> None:
     if os.environ.get("WT_BENCH_TARGET") == "sd15":
         bench_sd15_unet()
+        return
+    if os.environ.get("WT_BENCH_TARGET") == "serving":
+        bench_serving()
         return
     from whisper_tensor_tpu.dtype import DType
     from whisper_tensor_tpu.importers.recipes.llm.gpt2 import (

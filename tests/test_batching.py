@@ -1,0 +1,246 @@
+"""Continuous batching: concurrent ragged requests through one batched
+decode program must reproduce the sequential per-request generations.
+
+Reference serving seam: crates/whisper-tensor-server/src/scheduler.rs
+:424-717 (there, requests serialize; here they share slots — the
+outputs must be identical either way).
+"""
+
+import numpy as np
+import pytest
+
+from whisper_tensor_tpu.dtype import DType
+from whisper_tensor_tpu.importers.recipes.llm.gpt2 import (
+    GPT2Config, build_gpt2_step, random_gpt2_weights)
+from whisper_tensor_tpu.interfaces.text import TextInferenceInterface
+from whisper_tensor_tpu.model import Model
+from whisper_tensor_tpu.server.batching import ContinuousBatcher
+
+rng = np.random.default_rng(5)
+
+
+def _models(max_len=64):
+    cfg = GPT2Config(n_layer=2, n_head=2, n_embd=32, vocab_size=211,
+                     n_positions=max_len)
+    wg = random_gpt2_weights(cfg)
+    m_scalar = Model.new_from_onnx(
+        build_gpt2_step(wg, cfg, max_len=max_len, dtype=DType.F32))
+    m_ragged = Model.new_from_onnx(
+        build_gpt2_step(wg, cfg, max_len=max_len, dtype=DType.F32,
+                        pos_per_row=True))
+    return cfg, m_scalar, m_ragged
+
+
+def test_concurrent_requests_match_sequential():
+    cfg, m_scalar, m_ragged = _models()
+    ref_iface = TextInferenceInterface(m_scalar, max_len=64,
+                                       prompt_buckets=(16, 32))
+    batcher = ContinuousBatcher(m_ragged, max_len=64, max_batch=4, chunk=4,
+                                cache_dtype=DType.F32,
+                                prompt_buckets=(16, 32)).start()
+    try:
+        prompts = [rng.integers(0, cfg.vocab_size, (n,)).astype(np.int64)
+                   for n in (3, 7, 12, 5, 9, 2)]
+        n_news = [6, 11, 4, 9, 7, 13]
+        futures = [batcher.submit(p, n) for p, n in zip(prompts, n_news)]
+        outs = [f.result(timeout=120) for f in futures]
+        for p, n, out in zip(prompts, n_news, outs):
+            ref = ref_iface.generate_tokens(p[None], n)[0]
+            np.testing.assert_array_equal(out, ref)
+            assert out.shape == (n,)
+    finally:
+        batcher.stop()
+
+
+def test_streaming_callback_and_slot_reuse():
+    cfg, _, m_ragged = _models()
+    batcher = ContinuousBatcher(m_ragged, max_len=64, max_batch=2, chunk=3,
+                                cache_dtype=DType.F32,
+                                prompt_buckets=(16,)).start()
+    try:
+        streamed = {}
+
+        def make_cb(k):
+            streamed[k] = []
+            return lambda t: streamed[k].append(t)
+
+        futs = []
+        # 5 requests through 2 slots forces reuse
+        for k in range(5):
+            p = rng.integers(0, cfg.vocab_size, (4 + k,)).astype(np.int64)
+            futs.append((k, p, batcher.submit(p, 5, on_token=make_cb(k))))
+        for k, p, f in futs:
+            out = f.result(timeout=120)
+            assert out.shape == (5,)
+            assert streamed[k][:5] == list(out)
+    finally:
+        batcher.stop()
+
+
+def test_eos_terminates_early():
+    cfg, m_scalar, m_ragged = _models()
+    ref_iface = TextInferenceInterface(m_scalar, max_len=64,
+                                       prompt_buckets=(16,))
+    p = rng.integers(0, cfg.vocab_size, (6,)).astype(np.int64)
+    ref = ref_iface.generate_tokens(p[None], 20)[0]
+    eos = int(ref[4])  # force EOS at the 5th generated token
+    batcher = ContinuousBatcher(m_ragged, max_len=64, max_batch=2, chunk=4,
+                                cache_dtype=DType.F32, prompt_buckets=(16,),
+                                eos_token_id=eos).start()
+    try:
+        out = batcher.submit(p, 20).result(timeout=120)
+        assert len(out) <= 20
+        assert eos in list(out)
+        idx = list(out).index(eos)
+        np.testing.assert_array_equal(out[:idx + 1], ref[:idx + 1])
+    finally:
+        batcher.stop()
+
+
+
+
+def _llama_models(max_len):
+    import torch
+    from transformers import LlamaConfig as HFCfg, LlamaForCausalLM
+
+    from whisper_tensor_tpu.importers.recipes.llm.llama import (
+        LlamaConfig, build_llama_step, hf_weight_getter)
+
+    torch.manual_seed(7)
+    common = dict(num_hidden_layers=2, num_attention_heads=4,
+                  num_key_value_heads=2, hidden_size=32,
+                  intermediate_size=48, vocab_size=131,
+                  max_position_embeddings=64, attention_dropout=0.0)
+    hf = LlamaForCausalLM(HFCfg(rope_theta=10000.0, **common))
+    hf.eval()
+    cfg = LlamaConfig.from_hf({**common, "model_type": "llama",
+                               "rope_theta": 10000.0, "rms_norm_eps": 1e-6})
+    wg = hf_weight_getter(hf)
+    m0 = Model.new_from_onnx(build_llama_step(wg, cfg, max_len=max_len,
+                                              dtype=DType.F32))
+    mr = Model.new_from_onnx(build_llama_step(wg, cfg, max_len=max_len,
+                                              dtype=DType.F32,
+                                              pos_per_row=True))
+    return m0, mr
+
+
+def test_llama_ragged_pos_matches_scalar():
+    from whisper_tensor_tpu.backends.eval_backend import EvalBackend
+
+    m0, mr = _llama_models(32)
+    B = 3
+    caches = {}
+    for i in range(2):
+        for kv in "kv":
+            caches[f"cache_{kv}_{i}"] = (rng.standard_normal(
+                (B, 2, 32, 8)) * 0.1).astype(np.float32)
+    ids = rng.integers(0, 131, (B, 1)).astype(np.int64)
+    posv = np.asarray([1, 6, 13], np.int64)
+    o = EvalBackend("xla").run(mr.graph, {"input_ids": ids, "pos": posv,
+                                          **caches})
+    for bi in range(B):
+        cb = {k: v[bi:bi + 1] for k, v in caches.items()}
+        ob = EvalBackend("xla").run(m0.graph, {
+            "input_ids": ids[bi:bi + 1], "pos": np.asarray(posv[bi]), **cb})
+        np.testing.assert_allclose(np.asarray(o["logits"])[bi],
+                                   np.asarray(ob["logits"])[0],
+                                   rtol=1e-5, atol=1e-6)
+        for k in ob:
+            if k.startswith("new_cache"):
+                # rotary broadcast order differs between B=1 and B=3
+                # programs -> 1-ulp reassociation
+                np.testing.assert_allclose(np.asarray(o[k])[bi],
+                                           np.asarray(ob[k])[0],
+                                           rtol=1e-6, atol=1e-7, err_msg=k)
+
+
+def test_llama_continuous_batching():
+    m0, mr = _llama_models(64)
+    ref_iface = TextInferenceInterface(m0, max_len=64, prompt_buckets=(16,))
+    batcher = ContinuousBatcher(mr, max_len=64, max_batch=3, chunk=4,
+                                cache_dtype=DType.F32,
+                                prompt_buckets=(16,)).start()
+    try:
+        prompts = [rng.integers(0, 131, (n,)).astype(np.int64)
+                   for n in (3, 8, 5)]
+        futs = [batcher.submit(p, 7) for p in prompts]
+        for p, f in zip(prompts, futs):
+            out = f.result(timeout=120)
+            ref = ref_iface.generate_tokens(p[None], 7)[0]
+            np.testing.assert_array_equal(out, ref)
+    finally:
+        batcher.stop()
+
+
+def test_server_concurrent_generate_ragged(tmp_path):
+    """WS server: concurrent generate_text on a ragged-decode model runs
+    through the shared batcher; all clients get correct results."""
+    import asyncio
+    import json as _json
+    import socket
+    import threading
+
+    import torch
+    from safetensors.torch import save_file
+    from transformers import GPT2Config as HFConfig, GPT2LMHeadModel
+
+    from whisper_tensor_tpu.server.main import Server
+
+    # tiny HF gpt2 dir
+    torch.manual_seed(0)
+    hf = GPT2LMHeadModel(HFConfig(n_layer=1, n_head=2, n_embd=16,
+                                  vocab_size=300, n_positions=64))
+    d = tmp_path / "tiny-gpt2r"
+    d.mkdir()
+    (d / "config.json").write_text(_json.dumps({
+        "model_type": "gpt2", "n_layer": 1, "n_head": 2, "n_embd": 16,
+        "vocab_size": 300, "n_positions": 64}))
+    save_file({k: v.contiguous() for k, v in hf.state_dict().items()
+               if k != "lm_head.weight"}, str(d / "model.safetensors"))
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    srv = Server()
+    loop = asyncio.new_event_loop()
+
+    def run():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(srv.run(port=port))
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    import time as _time
+    _time.sleep(0.3)
+
+    from tests.test_server_cli import _WSClient
+
+    c = _WSClient("127.0.0.1", port)
+    try:
+        c.send({"type": "run_loader", "loader": "transformers",
+                "config": {"path": str(d), "dtype": "f32", "max_len": 64,
+                           "ragged_decode": True}})
+        resp = c.recv()
+        assert resp["type"] == "models_report", resp
+        mid = resp["loaded"][0]
+        # fire 3 concurrent generates
+        for k in range(3):
+            c.send({"type": "generate_text", "model_id": mid,
+                    "prompt": f"hi{k}", "max_new_tokens": 5,
+                    "tokenizer": "bytes"})
+        results = []
+        for _ in range(200):
+            r = c.recv()
+            if r["type"] == "job_result":
+                results.append(r)
+                if len(results) == 3:
+                    break
+            assert r["type"] != "job_error", r
+        assert len(results) == 3
+        for r in results:
+            assert isinstance(r["result"]["text"], str)
+    finally:
+        c.close()
+        for bat in srv._batchers.values():
+            bat.stop()
+        loop.call_soon_threadsafe(loop.stop)

@@ -44,12 +44,18 @@ class EvalBackend:
     """mode: "oracle" (numpy interpreter) | "xla" (jit whole graph)."""
 
     def __init__(self, mode: str = "oracle", validate: bool = False,
-                 observer: Optional[SymbolicObserver] = None):
+                 observer: Optional[SymbolicObserver] = None,
+                 capture: Optional[set] = None):
         if mode not in ("oracle", "xla"):
             raise ValueError(mode)
         self.mode = mode
         self.validate = validate
         self.observer = observer
+        # intermediate tensor names to report via the observer even in
+        # compiled (XLA) mode — selected at COMPILE time so unselected
+        # taps cost nothing (VERDICT r1 #8; reference streams per-tensor
+        # reports regardless of backend, scheduler.rs:215-392)
+        self.capture = set(capture or ())
         self._op_milli_cache: Dict[int, Any] = {}
         self._graph_milli_cache: Dict[int, Any] = {}
         self._weights_device_cache: Dict[int, Dict[str, Any]] = {}
@@ -227,6 +233,13 @@ class EvalBackend:
         milli, weight_inputs = self._milli_of(graph)
         all_feeds = self._resolve_feeds(graph, milli, weight_inputs, feeds,
                                         outer_env)
-        compiled = compile_milli(milli, all_feeds)
+        caps = sorted(self.capture) if self.capture else None
+        compiled = compile_milli(milli, all_feeds, capture_labels=caps)
         outs = compiled(all_feeds)
-        return {k: np.asarray(v) for k, v in outs.items()}
+        if compiled.capture_labels and self.observer is not None:
+            for lbl in compiled.capture_labels:
+                self.observer.on_tensor_assigned(graph, lbl,
+                                                 np.asarray(outs[lbl]))
+        out_names = set(milli.outputs)
+        return {k: np.asarray(v) for k, v in outs.items()
+                if k in out_names}

@@ -120,6 +120,9 @@ class TransformersLoader(Loader):
                         default=1024, min=16),
             ConfigField("dtype", ConfigFieldType.ENUM, "compute dtype",
                         default="bf16", choices=["f32", "bf16", "f16"]),
+            ConfigField("ragged_decode", ConfigFieldType.BOOL,
+                        "per-row positions for continuous batching "
+                        "(gpt2/llama-family)", default=False),
         ]
 
     def can_load(self, path: str) -> bool:
@@ -137,13 +140,14 @@ class TransformersLoader(Loader):
         max_len = int(config.get("max_len", 1024))
         store = SafetensorsStore.from_dir(d)
 
+        ragged = bool(config.get("ragged_decode", False))
         if mt == "gpt2":
             from .recipes.llm.gpt2 import GPT2Config, build_gpt2_step
 
             cfg = GPT2Config.from_hf(hf_cfg)
             data = build_gpt2_step(store.getter(), cfg,
                                    max_len=min(max_len, cfg.n_positions),
-                                   dtype=dtype)
+                                   dtype=dtype, pos_per_row=ragged)
             geometry = dict(n_layers=cfg.n_layer, n_kv_heads=cfg.n_head,
                             head_dim=cfg.n_embd // cfg.n_head)
         elif mt in ("llama", "mistral", "mixtral", "qwen2", "qwen3",
@@ -157,7 +161,8 @@ class TransformersLoader(Loader):
                     return store.load("model.embed_tokens.weight")
                 return store.load(name)
 
-            data = build_llama_step(getter, cfg, max_len=max_len, dtype=dtype)
+            data = build_llama_step(getter, cfg, max_len=max_len, dtype=dtype,
+                                    pos_per_row=ragged)
             geometry = dict(n_layers=cfg.num_hidden_layers,
                             n_kv_heads=cfg.num_key_value_heads, head_dim=cfg.hd)
         elif mt in ("gemma", "gemma2"):
@@ -307,6 +312,7 @@ class TransformersLoader(Loader):
         return LoadedBundle(models={name: model},
                             interfaces={"text": {"model": name,
                                                  "max_len": max_len,
+                                                 "ragged": ragged,
                                                  **geometry}},
                             tokenizer_source=tok,
                             meta={"model_type": mt, "dtype": dtype.name})

@@ -39,7 +39,8 @@ class GPT2Config:
 
 def build_gpt2_step(weights: Callable[[str], np.ndarray], cfg: GPT2Config,
                     max_len: int, dtype: DType = DType.F32,
-                    storage: Optional[WeightStorage] = None) -> bytes:
+                    storage: Optional[WeightStorage] = None,
+                    pos_per_row: bool = False) -> bytes:
     """Build the unified step graph.
 
     weights(name) returns HF GPT-2 state-dict arrays
@@ -50,6 +51,10 @@ def build_gpt2_step(weights: Callable[[str], np.ndarray], cfg: GPT2Config,
       inputs : input_ids (B,S) i64, pos () i64,
                cache_k_{i}/cache_v_{i} (B,H,MAX,D)
       outputs: logits (B,S,V), new_cache_k_{i}/new_cache_v_{i}
+
+    pos_per_row=True makes `pos` shape (batch,): each row decodes at its
+    own offset (ragged continuous batching; reference serving seam
+    crates/whisper-tensor-server/src/scheduler.rs:424-717).
     """
     E, H, L, V = cfg.n_embd, cfg.n_head, cfg.n_layer, cfg.vocab_size
     D = E // H
@@ -60,7 +65,7 @@ def build_gpt2_step(weights: Callable[[str], np.ndarray], cfg: GPT2Config,
 
     b = OnnxBuilder("gpt2_step", opset=23, custom_opsets={"wt": 1})
     ids = b.input("input_ids", DType.I64, ["batch", "seq"])
-    pos = b.input("pos", DType.I64, [])
+    pos = b.input("pos", DType.I64, ["batch"] if pos_per_row else [])
     cache_ins = []
     for i in range(L):
         cache_ins.append((
@@ -77,20 +82,29 @@ def build_gpt2_step(weights: Callable[[str], np.ndarray], cfg: GPT2Config,
     zero = b.const_i64(0)
     one = b.const_i64(1)
     positions = b.node("Range", [zero, s_scalar, one])             # (S,) static under jit? S static, but values 0..S
-    abs_pos = b.add(positions, b.node("Cast", [pos], to=7))        # (S,) + () i64
-    pemb = b.gather(wpe, abs_pos)                                  # (S,E)
+    if pos_per_row:
+        pos_b = b.node("Unsqueeze", [pos, b.const_i64([1])])       # (B,1)
+        abs_pos = b.add(positions, pos_b)                          # (B,S)
+    else:
+        abs_pos = b.add(positions, b.node("Cast", [pos], to=7))    # (S,) + () i64
+    pemb = b.gather(wpe, abs_pos)                             # (S,E)|(B,S,E)
     x = b.add(tok, pemb)
 
-    # additive attention mask (1,1,S,MAX): slot m visible to query s iff
-    # m <= pos + s
+    # additive attention mask: slot m visible to query s iff m <= pos + s
+    # scalar pos: (1,1,S,MAX); per-row pos: (B,1,S,MAX)
     mrange = b.node("Range", [zero, b.const_i64(max_len), one])    # (MAX,)
-    q_abs = b.node("Unsqueeze", [abs_pos, b.const_i64([1])])       # (S,1)
-    m2 = b.node("Unsqueeze", [mrange, b.const_i64([0])])           # (1,MAX)
-    vis = b.node("LessOrEqual", [m2, q_abs])                       # (S,MAX) bool
+    if pos_per_row:
+        q_abs = b.node("Unsqueeze", [abs_pos, b.const_i64([1, 3])])  # (B,1,S,1)
+        m2 = b.node("Unsqueeze", [mrange, b.const_i64([0, 1, 2])])   # (1,1,1,MAX)
+    else:
+        q_abs = b.node("Unsqueeze", [abs_pos, b.const_i64([1])])   # (S,1)
+        m2 = b.node("Unsqueeze", [mrange, b.const_i64([0])])       # (1,MAX)
+    vis = b.node("LessOrEqual", [m2, q_abs])
     big_neg = b.const(np.asarray(-1e30, dtype=np.float32))
     zero_f = b.const(np.asarray(0.0, dtype=np.float32))
-    mask = b.node("Where", [vis, zero_f, big_neg])                 # (S,MAX) f32
-    mask = b.node("Unsqueeze", [mask, b.const_i64([0, 1])])        # (1,1,S,MAX)
+    mask = b.node("Where", [vis, zero_f, big_neg])
+    if not pos_per_row:
+        mask = b.node("Unsqueeze", [mask, b.const_i64([0, 1])])    # (1,1,S,MAX)
     if dtype is not DType.F32:
         mask = b.cast(mask, dtype)
 

@@ -83,9 +83,13 @@ def rope_tables(cfg: LlamaConfig, max_len: int):
 
 def build_llama_step(weights: Callable[[str], np.ndarray], cfg: LlamaConfig,
                      max_len: int, dtype: DType = DType.F32,
-                     storage: Optional[WeightStorage] = None) -> bytes:
+                     storage: Optional[WeightStorage] = None,
+                     pos_per_row: bool = False) -> bytes:
     """HF llama state-dict names; HF Linear weights are (out, in) and are
-    transposed once at import into matmul-RHS layout."""
+    transposed once at import into matmul-RHS layout.
+
+    pos_per_row=True gives `pos` shape (batch,) — ragged continuous
+    batching (see recipes/llm/gpt2.py and server/batching.py)."""
     E = cfg.hidden_size
     Hq = cfg.num_attention_heads
     Hkv = cfg.num_key_value_heads
@@ -103,7 +107,7 @@ def build_llama_step(weights: Callable[[str], np.ndarray], cfg: LlamaConfig,
 
     b = OnnxBuilder(f"{cfg.model_type}_step", opset=23, custom_opsets={"wt": 1})
     ids = b.input("input_ids", DType.I64, ["batch", "seq"])
-    pos = b.input("pos", DType.I64, [])
+    pos = b.input("pos", DType.I64, ["batch"] if pos_per_row else [])
     cache_ins = []
     for i in range(L):
         cache_ins.append((
@@ -118,14 +122,23 @@ def build_llama_step(weights: Callable[[str], np.ndarray], cfg: LlamaConfig,
     s_scalar = b.node("Squeeze", [seq_shape, b.const_i64([0])])
     zero, one = b.const_i64(0), b.const_i64(1)
     rel = b.node("Range", [zero, s_scalar, one])
-    abs_pos = b.add(rel, b.node("Cast", [pos], to=7))               # (S,)
+    if pos_per_row:
+        abs_pos = b.add(rel, b.node("Unsqueeze", [pos, b.const_i64([1])]))
+    else:
+        abs_pos = b.add(rel, b.node("Cast", [pos], to=7))           # (S,)
     mrange = b.node("Range", [zero, b.const_i64(max_len), one])
-    vis = b.node("LessOrEqual",
-                 [b.node("Unsqueeze", [mrange, b.const_i64([0])]),
-                  b.node("Unsqueeze", [abs_pos, b.const_i64([1])])])
+    if pos_per_row:
+        vis = b.node("LessOrEqual",
+                     [b.node("Unsqueeze", [mrange, b.const_i64([0, 1, 2])]),
+                      b.node("Unsqueeze", [abs_pos, b.const_i64([1, 3])])])
+    else:
+        vis = b.node("LessOrEqual",
+                     [b.node("Unsqueeze", [mrange, b.const_i64([0])]),
+                      b.node("Unsqueeze", [abs_pos, b.const_i64([1])])])
     mask = b.node("Where", [vis, b.const(np.asarray(0.0, dtype=np.float32)),
                             b.const(np.asarray(-1e30, dtype=np.float32))])
-    mask = b.node("Unsqueeze", [mask, b.const_i64([0, 1])])
+    if not pos_per_row:
+        mask = b.node("Unsqueeze", [mask, b.const_i64([0, 1])])
     if dtype is not DType.F32:
         mask = b.cast(mask, dtype)
 

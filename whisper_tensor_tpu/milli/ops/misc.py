@@ -227,19 +227,29 @@ class SpaceToDepthMilli(MilliOp):
 
 @dataclass
 class DynUpdateSliceMilli(MilliOp):
-    """data, update, start(scalar i64) -> data with update written at
-    offset `start` along `axis`. The static-shape KV-cache write: maps to
-    jax.lax.dynamic_update_slice_in_dim (XLA DynamicUpdateSlice), which
-    donated-buffer jit turns into an in-place write on TPU."""
+    """data, update, start(scalar i64 | (B,) i64) -> data with update
+    written at offset `start` along `axis`. The static-shape KV-cache
+    write: maps to jax.lax.dynamic_update_slice_in_dim (XLA
+    DynamicUpdateSlice), which donated-buffer jit turns into an in-place
+    write on TPU. A (B,) start writes PER BATCH ROW (dim 0) — the
+    ragged-decode KV write for continuous batching (lowered via vmap)."""
 
     axis: int = 0
     KIND = "DynUpdateSlice"
 
     def eval(self, inputs):
         data, update, start = inputs
-        s = int(np.asarray(start).reshape(()))
-        out = data.copy()
         ax = self.axis % data.ndim
+        s_arr = np.asarray(start)
+        out = data.copy()
+        if s_arr.ndim == 1:
+            for bi in range(data.shape[0]):
+                s = int(s_arr[bi])
+                idx = [slice(None)] * (data.ndim - 1)
+                idx[ax - 1] = slice(s, s + update.shape[ax])
+                out[bi][tuple(idx)] = update[bi].astype(data.dtype)
+            return [out]
+        s = int(s_arr.reshape(()))
         idx = [slice(None)] * data.ndim
         idx[ax] = slice(s, s + update.shape[ax])
         out[tuple(idx)] = update.astype(data.dtype)
@@ -249,9 +259,15 @@ class DynUpdateSliceMilli(MilliOp):
         import jax
 
         data, update, start = inputs
+        ax = self.axis % data.ndim
+        if start.ndim == 1:
+            return [jax.vmap(
+                lambda d, u, s: jax.lax.dynamic_update_slice_in_dim(
+                    d, u.astype(d.dtype), s, axis=ax - 1))(
+                data, update, start)]
         return [jax.lax.dynamic_update_slice_in_dim(
             data, update.astype(data.dtype), start.reshape(()),
-            axis=self.axis % data.ndim)]
+            axis=ax)]
 
     def infer(self, infos):
         if all(f.level is Level.NUMERIC for f in infos):

@@ -1,0 +1,274 @@
+"""Continuous batching: many concurrent generate requests share one
+fixed-shape batched decode program with per-row KV-cache positions.
+
+Reference serving seam: crates/whisper-tensor-server/src/scheduler.rs
+:424-717 (job queue + per-request generation). TPU redesign: requests
+don't serialize — each occupies a SLOT (row) of a persistent batched KV
+cache. Prefill runs per-request at B=1 on a bucketed length, its caches
+are spliced into the slot, and all active rows then advance together
+through a jitted `chunk`-step lax.scan (per-row positions via the
+pos_per_row step graph; the chunk amortizes the ~0.75 s axon dispatch
+latency). Rows park at a reserved scratch position when idle, so the
+program shape never changes and XLA keeps one executable.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import Future
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..dtype import DType
+from ..interfaces.text import (SamplingParams, TextInferenceInterface,
+                               _bucket, _pick_token)
+from ..model import Model
+
+
+@dataclass
+class _Request:
+    prompt_ids: np.ndarray
+    n_new: int
+    future: Future = field(default_factory=Future)
+    on_token: Optional[Any] = None       # callback(token_id) for streaming
+
+
+@dataclass
+class _Slot:
+    req: Optional[_Request] = None
+    emitted: List[int] = field(default_factory=list)
+
+
+class ContinuousBatcher:
+    """model must be built with pos_per_row=True (per-row `pos` input).
+
+    Greedy or one shared SamplingParams for all rows (per-row sampling
+    parameters would shape-specialize the compiled chunk; the reference
+    scheduler shares its generation settings the same way).
+    """
+
+    def __init__(self, model: Model, max_len: int, max_batch: int = 8,
+                 chunk: int = 16, cache_dtype: DType = DType.BF16,
+                 prompt_buckets: Sequence[int] = (16, 32, 64, 128, 256),
+                 eos_token_id: Optional[int] = None,
+                 sampling: Optional[SamplingParams] = None):
+        self.iface = TextInferenceInterface(
+            model, max_len=max_len, cache_dtype=cache_dtype,
+            prompt_buckets=prompt_buckets)
+        self.max_len = max_len
+        self.max_batch = max_batch
+        self.chunk = chunk
+        self.eos_token_id = eos_token_id
+        self.sampling = sampling
+        self.park_pos = max_len - 1       # reserved scratch slot position
+        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._slots = [_Slot() for _ in range(max_batch)]
+        self._caches = None               # persistent batched KV caches
+        self._cur = np.zeros(max_batch, np.int64)
+        self._pos = np.full(max_batch, self.park_pos, np.int64)
+        self._active = np.zeros(max_batch, bool)
+        self._programs: Dict[Any, Any] = {}
+        self._thread: Optional[threading.Thread] = None
+        self._stop = threading.Event()
+        self._wake = threading.Event()
+
+    # -- public API --------------------------------------------------------
+    def submit(self, prompt_ids: np.ndarray, n_new: int,
+               on_token=None) -> Future:
+        req = _Request(np.asarray(prompt_ids, np.int64).reshape(-1), n_new,
+                       on_token=on_token)
+        self._queue.put(req)
+        self._wake.set()
+        return req.future
+
+    def start(self):
+        if self._thread is None:
+            self._thread = threading.Thread(target=self._loop, daemon=True)
+            self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+        self._wake.set()
+        if self._thread is not None:
+            self._thread.join(timeout=30)
+            self._thread = None
+
+    # -- compiled programs --------------------------------------------------
+    def _prefill_insert_program(self, bucket: int, k: int):
+        """One dispatch admits k requests: prefill at B=k (fresh zero
+        caches created IN-graph) and scatter the k cache rows into the
+        batched cache at `slots` — admission cost amortizes over k
+        (power-of-2 group sizes bound the compile count)."""
+        import jax
+        import jax.numpy as jnp
+
+        key = ("prefill", bucket, k)
+        if key in self._programs:
+            return self._programs[key]
+        step = self.iface._traced_step(k, bucket)
+        shapes = [(tuple(c.shape), c.dtype)
+                  for c in self.iface.fresh_cache(k)]
+
+        def prefill(ids_padded, big, weights, slots):
+            fresh = [jnp.zeros(s, d) for s, d in shapes]
+            logits, small = step(ids_padded, jnp.zeros(k, dtype=jnp.int64),
+                                 fresh, weights)
+            big2 = [b.at[slots].set(s.astype(b.dtype))
+                    for b, s in zip(big, small)]
+            return logits, big2
+
+        self._programs[key] = jax.jit(prefill, donate_argnums=(1,))
+        return self._programs[key]
+
+    def _chunk_program(self):
+        import jax
+        import jax.numpy as jnp
+
+        key = ("chunk", self.max_batch, self.chunk, self.sampling)
+        if key in self._programs:
+            return self._programs[key]
+        step = self.iface._traced_step(self.max_batch, 1)
+        sp = self.sampling
+        eos = self.eos_token_id
+        park = self.park_pos
+
+        def run(cur, pos, active, caches, weights, rng_key):
+            def body(carry, i):
+                cur, pos, active, caches = carry
+                logits, caches = step(cur[:, None], pos, caches, weights)
+                nxt = _pick_token(logits[:, -1, :],
+                                  jax.random.fold_in(rng_key, i), sp)
+                nxt = jnp.where(active, nxt, cur)
+                if eos is not None:
+                    active = active & (nxt != eos)
+                pos = jnp.where(active, jnp.minimum(pos + 1, park), pos)
+                return (nxt, pos, active, caches), (nxt, active)
+
+            (cur, pos, active, caches), (toks, actives) = jax.lax.scan(
+                body, (cur, pos, active, caches), jnp.arange(self.chunk))
+            return (cur, pos, active, caches,
+                    jnp.swapaxes(toks, 0, 1), jnp.swapaxes(actives, 0, 1))
+
+        self._programs[key] = jax.jit(run, donate_argnums=(3,))
+        return self._programs[key]
+
+    # -- scheduler loop ------------------------------------------------------
+    def _admit_group(self, pairs):
+        """pairs: [(slot_idx, req)] sharing one prompt bucket; admitted
+        in power-of-2 sub-groups (one compiled program per (bucket, k))."""
+        import jax
+        import jax.numpy as jnp
+
+        rng = jax.random.PRNGKey(self.sampling.seed if self.sampling else 0)
+        i = 0
+        while i < len(pairs):
+            k = 1
+            while k * 2 <= len(pairs) - i and k * 2 <= 16:
+                k *= 2
+            grp = pairs[i:i + k]
+            i += k
+            Sb = _bucket(max(r.prompt_ids.shape[0] for _, r in grp),
+                         self.iface.prompt_buckets)
+            padded = np.zeros((k, Sb), np.int64)
+            lens = []
+            for row, (_, req) in enumerate(grp):
+                L = req.prompt_ids.shape[0]
+                padded[row, :L] = req.prompt_ids
+                lens.append(L)
+            slots = np.asarray([s for s, _ in grp], np.int32)
+            logits, self._caches = self._prefill_insert_program(Sb, k)(
+                jnp.asarray(padded), self._caches, self.iface._weights(),
+                jnp.asarray(slots))
+            last = jnp.stack([logits[row, lens[row] - 1, :]
+                              for row in range(k)])
+            firsts = np.asarray(_pick_token(last, rng, self.sampling))
+            for row, (slot_idx, req) in enumerate(grp):
+                first = int(firsts[row])
+                slot = self._slots[slot_idx]
+                slot.req = req
+                slot.emitted = [first]
+                if req.on_token is not None:
+                    req.on_token(first)
+                self._cur[slot_idx] = first
+                self._pos[slot_idx] = min(lens[row], self.park_pos)
+                eos_hit = (self.eos_token_id is not None
+                           and first == self.eos_token_id)
+                self._active[slot_idx] = not eos_hit and req.n_new > 1
+                if req.n_new <= 1 or eos_hit:
+                    self._finish(slot_idx)
+
+    def _finish(self, slot_idx: int):
+        slot = self._slots[slot_idx]
+        req = slot.req
+        if req is not None and not req.future.done():
+            req.future.set_result(np.asarray(slot.emitted[:req.n_new],
+                                             np.int64))
+        slot.req = None
+        slot.emitted = []
+        self._active[slot_idx] = False
+        self._pos[slot_idx] = self.park_pos
+
+    def _loop(self):
+        import jax
+        import jax.numpy as jnp
+
+        if self._caches is None:
+            self._caches = self.iface.fresh_cache(self.max_batch)
+        rng = jax.random.PRNGKey(self.sampling.seed if self.sampling else 0)
+        step_count = 0
+        while not self._stop.is_set():
+            # admit queued requests into free slots (batched prefill;
+            # sorted by length so groups share a bucket)
+            pairs = []
+            for i, slot in enumerate(self._slots):
+                if slot.req is None:
+                    try:
+                        req = self._queue.get_nowait()
+                    except queue.Empty:
+                        break
+                    pairs.append((i, req))
+            if pairs:
+                pairs.sort(key=lambda p: p[1].prompt_ids.shape[0])
+                try:
+                    self._admit_group(pairs)
+                except Exception as e:  # noqa: BLE001
+                    for _, req in pairs:
+                        if not req.future.done():
+                            req.future.set_exception(e)
+            if not self._active.any():
+                self._wake.wait(timeout=0.05)
+                self._wake.clear()
+                continue
+            prog = self._chunk_program()
+            cur, pos, active, self._caches, toks, actives = prog(
+                jnp.asarray(self._cur), jnp.asarray(self._pos),
+                jnp.asarray(self._active), self._caches,
+                self.iface._weights(), jax.random.fold_in(rng, step_count))
+            step_count += 1
+            toks = np.asarray(toks)
+            actives_np = np.asarray(actives)
+            # copies: numpy views of jax buffers are read-only
+            self._cur = np.array(cur)
+            self._pos = np.array(pos)
+            self._active = np.array(active)
+            for i, slot in enumerate(self._slots):
+                req = slot.req
+                if req is None:
+                    continue
+                was_active = True
+                for j in range(self.chunk):
+                    if not was_active or len(slot.emitted) >= req.n_new:
+                        break
+                    tok = int(toks[i, j])
+                    slot.emitted.append(tok)
+                    if req.on_token is not None:
+                        req.on_token(tok)
+                    was_active = bool(actives_np[i, j])
+                if len(slot.emitted) >= req.n_new or not was_active \
+                        or not self._active[i] \
+                        or self._pos[i] >= self.park_pos:
+                    self._finish(i)

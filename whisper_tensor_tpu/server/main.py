@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import asyncio
 import json
+import os
 import queue
 import threading
 from typing import Any, Dict, Optional, Set
@@ -32,6 +33,8 @@ class Server:
         # per-model text interfaces: compiled decode programs are cached
         # inside, so repeat generates (and compile_model warmup) stay hot
         self._text_ifaces: dict = {}
+        # per-model continuous batchers (ragged-decode models)
+        self._batchers: dict = {}
 
     # -- report pump: scheduler queue -> all sockets ----------------------
     def _start_report_pump(self):
@@ -84,7 +87,12 @@ class Server:
             return {"type": P.MODELS_REPORT, "models": self.models.list_models(),
                     "loaded": [e.id for e in entries]}
         if t == P.UNLOAD_MODEL:
-            self.models.unload(int(msg["model_id"]))
+            mid = int(msg["model_id"])
+            bat = self._batchers.pop(mid, None)
+            if bat is not None:
+                bat.stop()
+            self._text_ifaces.pop(mid, None)
+            self.models.unload(mid)
             return {"type": P.MODELS_REPORT, "models": self.models.list_models()}
         if t == P.LIST_MODELS:
             return {"type": P.MODELS_REPORT, "models": self.models.list_models()}
@@ -134,6 +142,22 @@ class Server:
             with open(path, encoding="utf-8") as f:
                 return {"type": P.TOKENIZER_FILE,
                         "model_id": msg["model_id"], "json": f.read()}
+        if t == "start_profiler":
+            # device-level timing for compiled programs (SURVEY §5 "JAX
+            # profiler traces"); view with tensorboard/xprof
+            import jax
+
+            pdir = msg.get("dir") or os.environ.get("WT_PROFILE_DIR",
+                                                    "/tmp/wt_profile")
+            jax.profiler.start_trace(pdir)
+            self._profile_dir = pdir
+            return {"type": "profiler_ack", "started": True, "dir": pdir}
+        if t == "stop_profiler":
+            import jax
+
+            jax.profiler.stop_trace()
+            return {"type": "profiler_ack", "started": False,
+                    "dir": getattr(self, "_profile_dir", None)}
         if t == P.GENERATE_TEXT:
             return self._generate_text(msg)
         if t == P.GENERATE_IMAGE:
@@ -155,6 +179,52 @@ class Server:
             self._text_ifaces[entry.id] = iface
         return iface
 
+    def _batcher(self, entry):
+        """Shared ContinuousBatcher for ragged-decode models: concurrent
+        generate_text requests batch into one decode program instead of
+        serializing through the job worker."""
+        bat = self._batchers.get(entry.id)
+        if bat is None:
+            from ..dtype import DType
+            from .batching import ContinuousBatcher
+
+            cfg = entry.interfaces["text"]
+            bat = ContinuousBatcher(
+                entry.model, max_len=int(cfg["max_len"]),
+                max_batch=int(cfg.get("max_batch", 8)),
+                chunk=int(cfg.get("chunk", 16)),
+                cache_dtype=DType.BF16).start()
+            self._batchers[entry.id] = bat
+        return bat
+
+    def _generate_text_ragged(self, msg, entry, tok, n_new) -> None:
+        import numpy as _np
+
+        bat = self._batcher(entry)
+        ids = _np.asarray(tok.encode(msg["prompt"]), dtype=_np.int64)
+        job_id = next(self.scheduler._next)
+        self.scheduler.reports.put({"type": P.JOB_ACCEPTED, "job": job_id})
+
+        def on_tok(t):
+            self.scheduler.reports.put({"type": P.PROGRESS, "job": job_id,
+                                        "token": int(t)})
+
+        fut = bat.submit(ids, n_new, on_token=on_tok)
+
+        def done(f):
+            try:
+                toks = f.result()
+                text = tok.decode([int(x) for x in toks])
+                self.scheduler.reports.put({"type": P.JOB_RESULT,
+                                            "job": job_id,
+                                            "result": {"text": text}})
+            except Exception as e:  # noqa: BLE001
+                self.scheduler.reports.put({"type": P.JOB_ERROR,
+                                            "job": job_id,
+                                            "error": f"{type(e).__name__}: {e}"})
+
+        fut.add_done_callback(done)
+
     def _generate_text(self, msg) -> dict:
         entry = self.models.get(int(msg["model_id"]))
         iface_cfg = entry.interfaces.get("text")
@@ -164,9 +234,12 @@ class Server:
 
         tok_src = msg.get("tokenizer") or entry.tokenizer_source or "bytes"
         tok = AnyTokenizer.load(tok_src)
+        n_new = int(msg.get("max_new_tokens", 32))
+        if iface_cfg.get("ragged") and float(msg.get("temperature", 0.0)) <= 0:
+            self._generate_text_ragged(msg, entry, tok, n_new)
+            return None
         iface = self._text_iface(entry)
         iface.tokenizer = tok
-        n_new = int(msg.get("max_new_tokens", 32))
         sampling = None
         if float(msg.get("temperature", 0.0)) > 0.0:
             from ..interfaces.text import SamplingParams
@@ -245,7 +318,8 @@ class Server:
 
         def job(obs):
             ctx = ExecutionContext(models=models, backend_mode=backend_mode,
-                                   observer=obs)
+                                   observer=obs,
+                                   capture_labels=settings.tensor_subscriptions)
             out = graph.run(ctx, feeds)
             return {k: (P.encode_tensor(v) if isinstance(v, np.ndarray) else
                         v if isinstance(v, (str, int, float, bool, list)) else

@@ -46,21 +46,38 @@ class ExecutionContext:
                  backend_mode: str = "oracle",
                  observer: Optional[SuperObserver] = None,
                  cache: Optional[SuperGraphCache] = None,
-                 tensor_cache: Optional[SuperGraphTensorCache] = None):
+                 tensor_cache: Optional[SuperGraphTensorCache] = None,
+                 capture_labels: Optional[set] = None):
         self.models = models or {}
         self.tokenizers = tokenizers or {}
         self.backend_mode = backend_mode
         self.observer = observer or SuperObserver()
         self.cache = cache or SuperGraphCache()
         self.tensor_cache = tensor_cache or SuperGraphTensorCache()
+        # intermediate model-tensor names to stream through the observer
+        # even when models run compiled (XLA) — selected at compile time
+        self.capture_labels = set(capture_labels or ())
         self._backends: Dict[int, Any] = {}
 
     def run_model(self, model, feeds: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-        from ..backends.eval_backend import EvalBackend
+        from ..backends.eval_backend import EvalBackend, SymbolicObserver
 
         be = self._backends.get(model.id)
         if be is None:
-            be = EvalBackend(self.backend_mode)
+            sup = self.observer
+
+            class _Fwd(SymbolicObserver):
+                def on_tensor_assigned(self, graph, name, value):
+                    sup.on_tensor_assigned(name, value)
+
+                def on_loading_weight(self, name):
+                    sup.on_loading_weight(name)
+
+                def should_cancel(self):
+                    return sup.should_cancel()
+
+            be = EvalBackend(self.backend_mode, observer=_Fwd(),
+                             capture=self.capture_labels)
             self._backends[model.id] = be
         return be.run(model.graph, feeds)
 
