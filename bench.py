@@ -144,10 +144,11 @@ def bench_serving() -> None:
     prompts = [rng.integers(0, cfg.vocab_size,
                             (int(rng.integers(8, 32)),)).astype(np.int64)
                for _ in range(waves * N)]
-    # warmup round (compiles prefill + chunk programs)
-    futs = [srv.submit(p, 8) for p in prompts[:2]]
+    # warmup: one full wave compiles the chunk program AND the k=N
+    # prefill group (admission compiles must not land in the timed run)
+    futs = [srv.submit(p, 8) for p in prompts[:N]]
     for f in futs:
-        f.result(timeout=1200)
+        f.result(timeout=2400)
     t2 = time.time()
     futs = [srv.submit(p, n_new) for p in prompts]
     total = sum(len(f.result(timeout=2400)) for f in futs)

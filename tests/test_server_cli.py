@@ -209,3 +209,79 @@ def test_cli_inspect_and_generate(tmp_path, capsys):
               "-c", "dtype=f32", "--tokenizer", "bytes"])
     out = capsys.readouterr().out
     assert isinstance(out, str)
+
+
+def test_op_milli_lowering_and_stored_tensor(server, tmp_path):
+    """Graph-explorer introspection: lower one op to milli ops and fetch
+    an abbreviated weight preview (reference UI nested navigation +
+    inspect windows, crates/whisper-tensor-ui)."""
+    from whisper_tensor_tpu.dtype import DType
+    from whisper_tensor_tpu.importers.onnx_builder import OnnxBuilder
+
+    srv, port = server
+    b = OnnxBuilder("introspect")
+    b.input("x", DType.F32, [2, 4])
+    w = b.initializer("weight0",
+                      np.arange(12, dtype=np.float32).reshape(4, 3))
+    y = b.node("Gemm", ["x", "weight0"], outputs=["y"])
+    b.output("y", DType.F32, [2, 3])
+    path = str(tmp_path / "intro.onnx")
+    with open(path, "wb") as f:
+        f.write(b.build())
+
+    c = _WSClient("127.0.0.1", port)
+    try:
+        c.send({"type": "run_loader", "loader": "onnx",
+                "config": {"path": path}})
+        mid = c.recv()["loaded"][0]
+        c.send({"type": "get_model_graph", "model_id": mid})
+        graph = c.recv()["graph"]
+        gemm = next(o for o in graph["ops"] if o["op_type"] == "Gemm")
+        # nested symbolic -> milli lowering
+        c.send({"type": "get_op_milli", "model_id": mid,
+                "op_id": gemm["id"]})
+        r = c.recv()
+        assert r["type"] == "op_milli"
+        kinds = [n["kind"] for n in r["nodes"]]
+        assert "MatMul" in kinds, kinds
+        # abbreviated tensor preview for the inspect window
+        c.send({"type": "get_stored_tensor", "model_id": mid,
+                "name": "weight0", "abbreviated": True})
+        r = c.recv()
+        assert r["type"] == "stored_tensor"
+        t = r["tensor"]
+        assert t["shape"] == [4, 3] and t["lo"] == 0.0 and t["hi"] == 11.0
+        import base64
+        q = np.frombuffer(base64.b64decode(t["data_u8_b64"]), np.uint8)
+        assert q.size == 12 and q[0] == 0 and q[-1] == 255
+    finally:
+        c.close()
+
+
+def test_server_generate_speech(server, tmp_path):
+    """Audio tab path: generate_speech returns playable WAV bytes."""
+    from tests.test_tts_loaders import _write_piper_voice
+
+    srv, port = server
+    onnx_path = _write_piper_voice(str(tmp_path))
+    c = _WSClient("127.0.0.1", port)
+    try:
+        c.send({"type": "run_loader", "loader": "piper",
+                "config": {"path": onnx_path}})
+        resp = c.recv()
+        assert resp["type"] == "models_report", resp
+        mid = resp["loaded"][0]
+        c.send({"type": "generate_speech", "model_id": mid,
+                "text": "hi", "voice": 0})
+        r = None
+        for _ in range(100):
+            r = c.recv()
+            if r["type"] in ("job_result", "job_error"):
+                break
+        assert r["type"] == "job_result", r
+        import base64
+        wav = base64.b64decode(r["result"]["wav_b64"])
+        assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+        assert r["result"]["sample_rate"] > 0
+    finally:
+        c.close()

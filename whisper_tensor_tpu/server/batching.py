@@ -167,7 +167,7 @@ class ContinuousBatcher:
         i = 0
         while i < len(pairs):
             k = 1
-            while k * 2 <= len(pairs) - i and k * 2 <= 16:
+            while k * 2 <= len(pairs) - i and k * 2 <= self.max_batch:
                 k *= 2
             grp = pairs[i:i + k]
             i += k
@@ -249,8 +249,10 @@ class ContinuousBatcher:
                 jnp.asarray(self._active), self._caches,
                 self.iface._weights(), jax.random.fold_in(rng, step_count))
             step_count += 1
-            toks = np.asarray(toks)
-            actives_np = np.asarray(actives)
+            # ONE host fetch for everything the bookkeeping needs (each
+            # np.asarray is a separate device->host roundtrip otherwise)
+            cur, pos, active, toks, actives_np = jax.device_get(
+                (cur, pos, active, toks, actives))
             # copies: numpy views of jax buffers are read-only
             self._cur = np.array(cur)
             self._pos = np.array(pos)

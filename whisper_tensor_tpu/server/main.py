@@ -162,9 +162,108 @@ class Server:
             return self._generate_text(msg)
         if t == P.GENERATE_IMAGE:
             return self._generate_image(msg)
+        if t == "generate_speech":
+            return self._generate_speech(msg)
+        if t == "transcribe":
+            return self._transcribe(msg)
+        if t == "get_op_milli":
+            return self._get_op_milli(msg)
         if t == P.SUPER_GRAPH_REQUEST:
             return self._super_graph_request(msg)
         raise ValueError(f"unknown message type {t!r}")
+
+    def _get_op_milli(self, msg) -> dict:
+        """Lower ONE symbolic op to its milli ops (the nested
+        symbolic->milli graph navigation of the reference UI,
+        crates/whisper-tensor-ui/src/graph_explorer/)."""
+        from ..milli.ir import MilliGraph
+        from ..symbolic_graph.ops.base import LowerCtx
+
+        entry = self.models.get(int(msg["model_id"]))
+        g = entry.model.graph
+        sop = next((o for o in g.ops if o.id == int(msg["op_id"])), None)
+        if sop is None:
+            raise ValueError(f"no op {msg['op_id']}")
+        milli = MilliGraph(f"op:{sop.op.OP_TYPE}")
+        ctx = LowerCtx(milli)
+        in_ids = [milli.add_input(g.tensors[i].name) if i is not None
+                  else None for i in sop.inputs]
+        outs = sop.op.lower(ctx, in_ids, len(sop.outputs))
+        for k, o in enumerate(outs):
+            name = (g.tensors[sop.outputs[k]].name
+                    if sop.outputs[k] is not None else f"o{k}")
+            milli.mark_output(name, o)
+        nodes = []
+        for node in milli.nodes:
+            import dataclasses
+
+            params = {}
+            if dataclasses.is_dataclass(node.op):
+                for f in dataclasses.fields(node.op):
+                    v = getattr(node.op, f.name)
+                    if isinstance(v, np.ndarray):
+                        v = f"ndarray{list(v.shape)}"
+                    params[f.name] = v
+            nodes.append({"kind": node.op.KIND, "params": params,
+                          "inputs": node.inputs, "outputs": node.outputs})
+        return {"type": "op_milli", "op_id": sop.id,
+                "op_type": sop.op.OP_TYPE,
+                "inputs": {n: tid for n, tid in milli.inputs.items()},
+                "outputs": {n: tid for n, tid in milli.outputs.items()},
+                "nodes": nodes}
+
+    def _generate_speech(self, msg) -> dict:
+        """TTS: text -> WAV bytes (reference UI's audio-out tab)."""
+        import base64
+
+        from ..interfaces.tts import TextToSpeechInterface
+        from ..utils.audio import wav_bytes
+
+        entry = self.models.get(int(msg["model_id"]))
+        bundle = self.models.bundle(int(entry.meta["bundle_id"]))
+        if "tts" not in bundle.interfaces:
+            raise ValueError("model has no TTS interface")
+        iface = TextToSpeechInterface.from_bundle(bundle)
+        voice = int(msg.get("voice", 0))
+        settings = ObserverSettings()
+
+        def job(obs):
+            clip = iface.run_text_to_audio(msg["text"], voice=voice)
+            return {"wav_b64": base64.b64encode(
+                wav_bytes(clip.samples, clip.sample_rate)).decode(),
+                "sample_rate": clip.sample_rate,
+                "seconds": round(len(clip.samples) / clip.sample_rate, 3)}
+
+        self.scheduler.submit(job, settings)
+        return None
+
+    def _transcribe(self, msg) -> dict:
+        """STT: f32 samples -> text (reference UI's audio-in tab)."""
+        import base64
+
+        from ..interfaces.stt import SpeechToTextInterface
+        from ..super_graph.links import AudioClip
+
+        entry = self.models.get(int(msg["model_id"]))
+        bundle = self.models.bundle(int(entry.meta["bundle_id"]))
+        if "stt" not in bundle.interfaces:
+            raise ValueError("model has no STT interface")
+        tok = None
+        if entry.tokenizer_source:
+            from ..tokenizer import AnyTokenizer
+
+            tok = AnyTokenizer.load(entry.tokenizer_source)
+        iface = SpeechToTextInterface.from_bundle(bundle, tokenizer=tok)
+        samples = np.frombuffer(base64.b64decode(msg["samples_b64"]),
+                                dtype=np.float32)
+        clip = AudioClip(samples, int(msg.get("sample_rate", 16000)))
+        settings = ObserverSettings()
+
+        def job(obs):
+            return {"text": iface.run_audio_to_text(clip)}
+
+        self.scheduler.submit(job, settings)
+        return None
 
     def _text_iface(self, entry):
         iface = self._text_ifaces.get(entry.id)

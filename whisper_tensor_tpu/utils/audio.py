@@ -87,17 +87,26 @@ def log_mel_spectrogram(samples: np.ndarray, sr: int = 16000, n_mels: int = 80,
     return ((log_spec + 4.0) / 4.0).astype(np.float32)
 
 
-def write_wav(path: str, samples: np.ndarray, sample_rate: int) -> None:
-    """Write mono float samples in [-1, 1] as 16-bit PCM WAV (stdlib)."""
+def wav_bytes(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Mono float samples in [-1, 1] -> 16-bit PCM WAV bytes (stdlib)."""
+    import io
     import wave
 
     pcm = np.round(np.clip(np.asarray(samples, dtype=np.float32), -1.0, 1.0)
                    * 32767.0).astype("<i2")
-    with wave.open(path, "wb") as w:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
         w.setnchannels(1)
         w.setsampwidth(2)
         w.setframerate(int(sample_rate))
         w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def write_wav(path: str, samples: np.ndarray, sample_rate: int) -> None:
+    """Write mono float samples in [-1, 1] as 16-bit PCM WAV (stdlib)."""
+    with open(path, "wb") as f:
+        f.write(wav_bytes(samples, sample_rate))
 
 
 def read_wav(path: str):
