@@ -260,7 +260,8 @@ class Server:
         settings = ObserverSettings()
 
         def job(obs):
-            return {"text": iface.run_audio_to_text(clip)}
+            return {"text": iface.run_audio_in_text_out(
+                clip, max_new=int(msg.get("max_new_tokens", 64)))}
 
         self.scheduler.submit(job, settings)
         return None
