@@ -145,3 +145,49 @@ def test_fp8_kv_cache_decode():
     # greedy agreement on a tiny model (fp8 rounding may diverge late;
     # require the first steps to match)
     np.testing.assert_array_equal(np.asarray(f8)[:, :4], np.asarray(ref)[:, :4])
+
+
+def test_fp8_cache_logit_error_bounded_deep():
+    from whisper_tensor_tpu.importers.recipes.llm.gpt2 import (
+        build_gpt2_step, random_gpt2_weights)
+
+    """ADVICE r1 #5: quantitative fp8-KV quality bound on a deeper model —
+    logit max-abs-error vs the f32 cache stays within the e4m3 rounding
+    budget, and the packed-weight dequant target is NOT dragged to fp8
+    (weights stay at the compute dtype after the round-1 conflation fix)."""
+    import jax.numpy as jnp
+
+    cfg = GPT2Config(n_layer=6, n_head=4, n_embd=128, vocab_size=211,
+                     n_positions=64)
+    m = Model.new_from_onnx(build_gpt2_step(random_gpt2_weights(cfg), cfg,
+                                            max_len=64))
+    rng = np.random.default_rng(3)
+    prompt = rng.integers(0, 211, (2, 12)).astype(np.int64)
+
+    ref_iface = TextInferenceInterface(m, max_len=64, prompt_buckets=(16,),
+                                       cache_dtype=DType.F32)
+    f8_iface = TextInferenceInterface(m, max_len=64, prompt_buckets=(16,),
+                                      cache_dtype=DType.F8E4M3)
+    # weight dtype must not follow the cache dtype down to fp8
+    assert f8_iface.weight_dtype in (DType.BF16, DType.F32)
+    for wdev in f8_iface._weights():
+        assert "float8" not in str(np.asarray(wdev).dtype)
+
+    # logit error after a prefill + cached decode step
+    ref_logits = ref_iface.logits(prompt)
+    f8_logits = f8_iface.logits(prompt)
+    err = np.abs(ref_logits - f8_logits).max()
+    spread = np.abs(ref_logits).max()
+    # e4m3 has ~2 mantissa-bit precision: allow a few % of logit scale
+    assert err <= 0.08 * spread + 0.05, (err, spread)
+
+    # generated windows agree until (bounded) divergence; count agreement
+    ref = ref_iface.generate_tokens(prompt, 16)
+    f8 = f8_iface.generate_tokens(prompt, 16)
+    agree = 0
+    for b in range(ref.shape[0]):
+        k = 0
+        while k < 16 and ref[b, k] == f8[b, k]:
+            k += 1
+        agree = max(agree, k)
+    assert agree >= 6, f"fp8 cache diverged immediately (agree={agree})"
