@@ -90,3 +90,105 @@ def test_flash_padded_head_dim_interpret():
         ref = np.einsum("bhqk,bhkd->bhqd", p, vf)
         np.testing.assert_allclose(np.asarray(out).astype(np.float32), ref,
                                    rtol=2e-2, atol=2e-2)
+
+
+def _ref_attention_gqa(q, k, v, scale, causal, mask=None):
+    qf, kf, vf = (x.astype(np.float32) for x in (q, k, v))
+    rep = q.shape[1] // k.shape[1]
+    if rep > 1:
+        kf = np.repeat(kf, rep, axis=1)
+        vf = np.repeat(vf, rep, axis=1)
+    s = np.einsum("bhqd,bhkd->bhqk", qf, kf) * scale
+    if mask is not None:
+        s = s + mask.astype(np.float32)
+    if causal:
+        Sq, Skv = q.shape[2], k.shape[2]
+        tri = np.tril(np.ones((Sq, Skv), bool), k=Skv - Sq)
+        s = np.where(tri, s, -np.inf)
+    m = s.max(-1, keepdims=True)
+    m = np.where(np.isinf(m), 0.0, m)
+    p = np.exp(s - m)
+    denom = p.sum(-1, keepdims=True)
+    denom = np.where(denom == 0, 1.0, denom)
+    return np.einsum("bhqk,bhkd->bhqd", p / denom, vf)
+
+
+@pytest.mark.parametrize("hq,hkv", [(4, 1), (8, 2)])
+def test_flash_attention_gqa_interpret(hq, hkv):
+    """GQA: kv heads indexed in the grid (never repeated)."""
+    from whisper_tensor_tpu.backends.pallas.attention import flash_attention
+
+    rng = np.random.default_rng(1)
+    B, S, D = 1, 256, 64
+    q = rng.standard_normal((B, hq, S, D)).astype(ml_dtypes.bfloat16)
+    k = rng.standard_normal((B, hkv, S, D)).astype(ml_dtypes.bfloat16)
+    v = rng.standard_normal((B, hkv, S, D)).astype(ml_dtypes.bfloat16)
+    out = np.asarray(flash_attention(q, k, v, scale=D ** -0.5, causal=True,
+                                     interpret=True)).astype(np.float32)
+    ref = _ref_attention_gqa(q, k, v, D ** -0.5, True)
+    assert np.abs(out - ref).max() < 2e-2
+
+
+def test_flash_attention_additive_mask_interpret():
+    """Additive (1,1,Sq,Skv) masks stream per q-tile (the LLM step-graph
+    decode mask shape)."""
+    from whisper_tensor_tpu.backends.pallas.attention import flash_attention
+
+    rng = np.random.default_rng(2)
+    B, H, Sq, Skv, D = 2, 2, 128, 256, 64
+    q = rng.standard_normal((B, H, Sq, D)).astype(ml_dtypes.bfloat16)
+    k = rng.standard_normal((B, H, Skv, D)).astype(ml_dtypes.bfloat16)
+    v = rng.standard_normal((B, H, Skv, D)).astype(ml_dtypes.bfloat16)
+    # causal-style additive mask with a ragged visible prefix
+    vis = np.zeros((1, 1, Sq, Skv), np.float32)
+    for i in range(Sq):
+        vis[0, 0, i, min(Skv, i + 40):] = -1e30
+    mask = vis.astype(ml_dtypes.bfloat16)
+    out = np.asarray(flash_attention(q, k, v, scale=D ** -0.5, causal=False,
+                                     mask=mask, interpret=True)
+                     ).astype(np.float32)
+    ref = _ref_attention_gqa(q, k, v, D ** -0.5, False, mask=mask)
+    assert np.abs(out - ref).max() < 2e-2
+
+
+def test_flash_attention_ragged_lengths_interpret():
+    """Sq/Skv not multiples of the tile: padded in, key-masked in-kernel,
+    query rows sliced out."""
+    from whisper_tensor_tpu.backends.pallas.attention import flash_attention
+
+    rng = np.random.default_rng(3)
+    B, H, Sq, Skv, D = 1, 2, 200, 333, 64
+    q = rng.standard_normal((B, H, Sq, D)).astype(ml_dtypes.bfloat16)
+    k = rng.standard_normal((B, H, Skv, D)).astype(ml_dtypes.bfloat16)
+    v = rng.standard_normal((B, H, Skv, D)).astype(ml_dtypes.bfloat16)
+    out = np.asarray(flash_attention(q, k, v, scale=D ** -0.5, causal=True,
+                                     interpret=True)).astype(np.float32)
+    assert out.shape == (B, H, Sq, D)
+    ref = _ref_attention_gqa(q, k, v, D ** -0.5, True)
+    assert np.abs(out - ref).max() < 2e-2
+
+
+def test_flash_gating_accepts_gqa_and_mask():
+    import jax.numpy as jnp
+
+    from whisper_tensor_tpu.backends.pallas.attention import \
+        flash_attention_usable
+
+    import jax
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    # GQA below the empirical Skv threshold: XLA path keeps it
+    q = jnp.zeros((1, 8, 256, 128), dtype=jnp.bfloat16)
+    kv = jnp.zeros((1, 2, 256, 128), dtype=jnp.bfloat16)
+    mask = jnp.zeros((1, 1, 256, 256), dtype=jnp.bfloat16)
+    assert not flash_attention_usable(q, kv, kv, mask, 0.0)
+    # GQA at long Skv: kernel path (on TPU)
+    q2 = jnp.zeros((1, 8, 2048, 128), dtype=jnp.bfloat16)
+    kv2 = jnp.zeros((1, 2, 2048, 128), dtype=jnp.bfloat16)
+    assert flash_attention_usable(q2, kv2, kv2, None, 0.0) == on_tpu
+    # plain MHA always eligible (on TPU)
+    q3 = jnp.zeros((1, 2, 256, 64), dtype=jnp.bfloat16)
+    assert flash_attention_usable(q3, q3, q3, None, 0.0) == on_tpu
+    # per-head masks not streamable
+    bad = jnp.zeros((1, 8, 2048, 2048), dtype=jnp.bfloat16)
+    assert not flash_attention_usable(q2, kv2, kv2, bad, 0.0)

@@ -95,11 +95,11 @@ class AttentionMilli(MilliOp):
                 64 if D < 64 else ((D + 127) // 128) * 128)
             if Dp == D:
                 return [flash_attention(q, k, v, scale=scale,
-                                        causal=self.is_causal)]
+                                        causal=self.is_causal, mask=mask)]
             pad = [(0, 0)] * 3 + [(0, Dp - D)]
             out = flash_attention(jnp.pad(q, pad), jnp.pad(k, pad),
                                   jnp.pad(v, pad), scale=scale,
-                                  causal=self.is_causal)
+                                  causal=self.is_causal, mask=mask)
             return [out[..., :D]]
 
         rep = Hq // Hkv
