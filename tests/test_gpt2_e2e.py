@@ -191,3 +191,42 @@ def test_fp8_cache_logit_error_bounded_deep():
             k += 1
         agree = max(agree, k)
     assert agree >= 6, f"fp8 cache diverged immediately (agree={agree})"
+
+
+def test_windowed_decode_matches_plain():
+    """Windowed decode (growing KV windows) must produce exactly the
+    plain fixed-window generation — greedy and sampled (the rng stream
+    is phase-offset to match)."""
+    from whisper_tensor_tpu.importers.recipes.llm.gpt2 import (
+        build_gpt2_step, random_gpt2_weights)
+    from whisper_tensor_tpu.interfaces.text import SamplingParams
+
+    cfg = GPT2Config(n_layer=2, n_head=2, n_embd=32, vocab_size=151,
+                     n_positions=64)
+    wg = random_gpt2_weights(cfg)
+    from whisper_tensor_tpu.importers.onnx_builder import WeightStorage
+
+    m64 = Model.new_from_onnx(build_gpt2_step(wg, cfg, max_len=64))
+    # window graphs are structure-only; they share the main model's store
+    m32 = Model.new_from_onnx(build_gpt2_step(
+        wg, cfg, max_len=32, storage=WeightStorage.none()))
+    m16 = Model.new_from_onnx(build_gpt2_step(
+        wg, cfg, max_len=16, storage=WeightStorage.none()))
+    m32.graph.store = m64.graph.store
+    m16.graph.store = m64.graph.store
+
+    plain = TextInferenceInterface(m64, max_len=64, prompt_buckets=(8, 16))
+    windowed = TextInferenceInterface(m64, max_len=64, prompt_buckets=(8, 16),
+                                      window_models={16: m16, 32: m32})
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(0, 151, (3, 6)).astype(np.int64)
+
+    for n_new in (5, 20, 40):
+        a = plain.generate_tokens(prompt, n_new)
+        b = windowed.generate_tokens(prompt, n_new)
+        np.testing.assert_array_equal(a, b, err_msg=f"greedy n_new={n_new}")
+
+    sp = SamplingParams(temperature=0.9, top_k=20, seed=3)
+    a = plain.generate_tokens(prompt, 30, sampling=sp)
+    b = windowed.generate_tokens(prompt, 30, sampling=sp)
+    np.testing.assert_array_equal(a, b, err_msg="sampled")

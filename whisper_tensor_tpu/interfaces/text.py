@@ -79,7 +79,14 @@ class TextInferenceInterface:
                  prompt_buckets: Sequence[int] = DEFAULT_PROMPT_BUCKETS,
                  tokenizer=None, eos_token_id: Optional[int] = None,
                  quantize: Optional[str] = None,
-                 weight_dtype: Optional[DType] = None):
+                 weight_dtype: Optional[DType] = None,
+                 window_models: Optional[Dict[int, Model]] = None):
+        """window_models: optional {window_size: step Model} built at
+        SMALLER max_len values with the same weights. Decode then runs
+        phased over growing cache windows — a step at position p only
+        reads a window-p cache, so early steps skip most of the
+        HBM-bound KV traffic that bounds large-batch decode (the
+        fixed-max_len program reads all max_len slots every step)."""
         self.model = model
         self.max_len = max_len
         self.cache_dtype = cache_dtype
@@ -122,6 +129,19 @@ class TextInferenceInterface:
         dims = info.dims()
         self.n_heads = int(dims[1].value())
         self.head_dim = int(dims[3].value())
+        # windowed decode: per-window millis (weight names must match)
+        self.window_models = dict(window_models or {})
+        if self.window_models and self._quantized:
+            raise ValueError("window_models + quantize not supported together")
+        self._window_millis: Dict[int, Any] = {}
+        for w, wm in self.window_models.items():
+            wmilli, w_weights = wm.graph.to_milli()
+            wnames = [n for n in wmilli.inputs if n in w_weights]
+            if wnames != self.weight_names:
+                raise ValueError(
+                    f"window {w} model weight inputs differ from the "
+                    f"main model's — build all windows from one recipe")
+            self._window_millis[w] = wmilli
 
     # ------------------------------------------------------------------
     def _weights(self) -> List[Any]:
@@ -153,24 +173,30 @@ class TextInferenceInterface:
             out.append(jnp.zeros(dims, dtype=self.cache_dtype.to_jax()))
         return out
 
-    def _traced_step(self, batch: int, seq: int):
-        """Traceable fn(ids, pos, *caches, *weights) -> (logits, *caches)."""
+    def _traced_step(self, batch: int, seq: int,
+                     window: Optional[int] = None):
+        """Traceable fn(ids, pos, *caches, *weights) -> (logits, *caches).
+        window selects a smaller-max_len step graph (windowed decode)."""
         from ..backends.xla.compiler import _trace_graph, ensure_x64
 
         ensure_x64()
-        milli = self.milli
+        milli = (self._window_millis[window] if window is not None
+                 and window in self._window_millis else self.milli)
         fn = _trace_graph(milli, {})
 
-        order = self.input_names
+        order = list(milli.inputs)
+        cache_ins = [n for n in order if n.startswith("cache_")]
+        out_names = list(milli.outputs)
+        cache_outs = [n for n in out_names if n.startswith("new_cache_")]
 
         def step(ids, pos, caches, weights):
             by_name = {"input_ids": ids, "pos": pos}
-            by_name.update(dict(zip(self.cache_in_names, caches)))
+            by_name.update(dict(zip(cache_ins, caches)))
             by_name.update(dict(zip(self.weight_names, weights)))
             args = [by_name[n] for n in order]
             outs = fn(*args)
-            named = dict(zip(self.output_names, outs))
-            new_caches = [named[n] for n in self.cache_out_names]
+            named = dict(zip(out_names, outs))
+            new_caches = [named[n] for n in cache_outs]
             return named["logits"], new_caches
 
         return step
@@ -259,6 +285,140 @@ class TextInferenceInterface:
         return np.asarray(toks)
 
     # ------------------------------------------------------------------
+    # windowed decode: phased scans over growing cache windows
+    # ------------------------------------------------------------------
+    def _fresh_cache_w(self, batch: int, window: int):
+        import jax.numpy as jnp
+
+        out = []
+        for n in self.cache_in_names:
+            info = self.model.graph.tensors[self.model.graph.by_name[n]].info
+            dims = [batch if not d.is_known else int(d.value())
+                    for d in info.dims()]
+            dims[2] = window
+            out.append(jnp.zeros(tuple(dims), dtype=self.cache_dtype.to_jax()))
+        return out
+
+    def _phase0_program(self, batch, bucket, k, window, sampling):
+        """Prefill at `bucket` + k decode steps, all inside window."""
+        import jax
+        import jax.numpy as jnp
+
+        key = ("ph0", batch, bucket, k, window, sampling)
+        if key in self._programs:
+            return self._programs[key]
+        step = self._traced_step(batch, bucket, window=window)
+        sp = sampling
+
+        def run(ids_padded, prompt_len, caches, weights, rng_key):
+            logits, caches = step(ids_padded, jnp.asarray(0, dtype=jnp.int64),
+                                  caches, weights)
+            last = logits[:, prompt_len - 1, :]
+            cur = _pick_token(last, jax.random.fold_in(rng_key, 0), sp)
+
+            def body(carry, i):
+                cur, pos, caches = carry
+                lg, caches = step(cur[:, None], pos, caches, weights)
+                nxt = _pick_token(lg[:, -1, :],
+                                  jax.random.fold_in(rng_key, i + 1), sp)
+                return (nxt, pos + 1, caches), cur
+
+            (cur, pos, caches), toks = jax.lax.scan(
+                body, (cur, prompt_len.astype(jnp.int64), caches),
+                jnp.arange(k))
+            return jnp.swapaxes(toks, 0, 1), cur, pos, caches
+
+        self._programs[key] = jax.jit(run, donate_argnums=(2,))
+        return self._programs[key]
+
+    def _phase_program(self, batch, k, window, off, sampling):
+        """k decode steps inside `window`; rng stream continues at off."""
+        import jax
+        import jax.numpy as jnp
+
+        key = ("ph", batch, k, window, off, sampling)
+        if key in self._programs:
+            return self._programs[key]
+        step = self._traced_step(batch, 1, window=window)
+        sp = sampling
+
+        def run(cur, pos, caches, weights, rng_key):
+            def body(carry, i):
+                cur, pos, caches = carry
+                lg, caches = step(cur[:, None], pos, caches, weights)
+                nxt = _pick_token(lg[:, -1, :],
+                                  jax.random.fold_in(rng_key, i + 1), sp)
+                return (nxt, pos + 1, caches), cur
+
+            (cur, pos, caches), toks = jax.lax.scan(
+                body, (cur, pos, caches), jnp.arange(off, off + k))
+            return jnp.swapaxes(toks, 0, 1), cur, pos, caches
+
+        self._programs[key] = jax.jit(run, donate_argnums=(2,))
+        return self._programs[key]
+
+    def _grow_program(self, batch, w_from, w_to):
+        import jax
+        import jax.numpy as jnp
+
+        key = ("grow", batch, w_from, w_to)
+        if key in self._programs:
+            return self._programs[key]
+
+        def grow(caches):
+            return [jnp.pad(c, [(0, 0), (0, 0), (0, w_to - w_from), (0, 0)])
+                    for c in caches]
+
+        self._programs[key] = jax.jit(grow, donate_argnums=(0,))
+        return self._programs[key]
+
+    def _generate_windowed(self, prompt_ids: np.ndarray, n_new: int,
+                           sampling: Optional[SamplingParams]) -> np.ndarray:
+        import jax
+        import jax.numpy as jnp
+
+        B, L = prompt_ids.shape
+        Sb = _bucket(L, self.prompt_buckets)
+        windows = sorted(w for w in self._window_millis if w > max(Sb, L))
+        windows.append(self.max_len)
+        padded = np.zeros((B, Sb), dtype=np.int64)
+        padded[:, :L] = prompt_ids
+        weights = self._weights()
+        rng = jax.random.PRNGKey(sampling.seed if sampling else 0)
+
+        pos = L
+        remaining = n_new
+        out_toks = []
+        cur = None
+        caches = None
+        done_steps = 0
+        prev_w = None
+        for w in windows:
+            if remaining <= 0:
+                break
+            k = min(remaining, w - pos)
+            if k <= 0:
+                prev_w = prev_w or w
+                continue
+            if cur is None:
+                caches = self._fresh_cache_w(B, w)
+                prog = self._phase0_program(B, Sb, k, w, sampling)
+                toks, cur, posv, caches = prog(
+                    jnp.asarray(padded), jnp.asarray(L, dtype=jnp.int64),
+                    caches, weights, rng)
+            else:
+                caches = self._grow_program(B, prev_w, w)(caches)
+                prog = self._phase_program(B, k, w, done_steps, sampling)
+                toks, cur, posv, caches = prog(cur, posv, caches, weights,
+                                               rng)
+            out_toks.append(np.asarray(toks))
+            done_steps += k
+            pos += k
+            remaining -= k
+            prev_w = w
+        return np.concatenate(out_toks, axis=1)
+
+    # ------------------------------------------------------------------
     def generate_tokens(self, prompt_ids: np.ndarray, n_new: int,
                         caches=None,
                         sampling: Optional[SamplingParams] = None
@@ -273,6 +433,8 @@ class TextInferenceInterface:
         if prompt_ids.ndim == 1:
             prompt_ids = prompt_ids[None]
         B, L = prompt_ids.shape
+        if self._window_millis and caches is None:
+            return self._generate_windowed(prompt_ids, n_new, sampling)
         Sb = _bucket(L, self.prompt_buckets)
         padded = np.zeros((B, Sb), dtype=np.int64)
         padded[:, :L] = prompt_ids

@@ -162,8 +162,26 @@ class SymbolicGraph:
         g = SymbolicGraph(gp.name, resolver, store, opsets)
         init_names = set()
         for tp in gp.initializer:
-            arr = tensor_proto_to_numpy(tp, base_dir)
-            g.add_initializer(tp.name, arr)
+            size = 1
+            for d in tp.dims:
+                size *= int(d)
+            has_payload = (bool(tp.raw_data) or tp.data_location == 1
+                           or bool(tp.float_data) or bool(tp.int32_data)
+                           or bool(tp.int64_data) or bool(tp.double_data)
+                           or bool(tp.uint64_data) or bool(tp.string_data)
+                           or size == 0)
+            if has_payload:
+                arr = tensor_proto_to_numpy(tp, base_dir)
+                g.add_initializer(tp.name, arr)
+            else:
+                # structure-only initializer (WeightStorage.none()):
+                # register dtype/shape metadata; the payload arrives by
+                # assigning a shared TensorStore (windowed-decode graphs
+                # reuse the main model's store this way)
+                dt = ONNX_TO_DTYPE.get(tp.data_type)
+                info = TensorInfo.shaped(dt, [int(d) for d in tp.dims]) \
+                    if dt is not None else None
+                g.add_tensor(tp.name, dt, info, TensorKind.INITIALIZER)
             init_names.add(tp.name)
         for vi in gp.input:
             if vi.name in init_names:
