@@ -230,3 +230,46 @@ def test_windowed_decode_matches_plain():
     a = plain.generate_tokens(prompt, 30, sampling=sp)
     b = windowed.generate_tokens(prompt, 30, sampling=sp)
     np.testing.assert_array_equal(a, b, err_msg="sampled")
+
+
+def test_loader_decode_windows(tmp_path):
+    """transformers loader decode_windows: structure-only window graphs
+    share the store; loader-path windowed generation == plain."""
+    import json as _json
+
+    import torch
+    from safetensors.torch import save_file
+    from transformers import GPT2Config as HFConfig, GPT2LMHeadModel
+
+    from whisper_tensor_tpu.importers.loaders import loader_registry
+
+    torch.manual_seed(1)
+    hf = GPT2LMHeadModel(HFConfig(n_layer=2, n_head=2, n_embd=16,
+                                  vocab_size=300, n_positions=64))
+    d = tmp_path / "tiny-gpt2w"
+    d.mkdir()
+    (d / "config.json").write_text(_json.dumps({
+        "model_type": "gpt2", "n_layer": 2, "n_head": 2, "n_embd": 16,
+        "vocab_size": 300, "n_positions": 64}))
+    save_file({k: v.contiguous() for k, v in hf.state_dict().items()
+               if k != "lm_head.weight"}, str(d / "model.safetensors"))
+
+    ldr = loader_registry()["transformers"]
+    plain_b = ldr.load({"path": str(d), "dtype": "f32", "max_len": 64})
+    win_b = ldr.load({"path": str(d), "dtype": "f32", "max_len": 64,
+                      "decode_windows": "16,32"})
+    spec = win_b.interfaces["text"]
+    assert set(spec["windows"]) == {"16", "32"}
+    name = spec["model"]
+    window_models = {int(w): win_b.models[mn]
+                     for w, mn in spec["windows"].items()}
+
+    plain = TextInferenceInterface(plain_b.models[name], max_len=64,
+                                   prompt_buckets=(8,))
+    windowed = TextInferenceInterface(win_b.models[name], max_len=64,
+                                      prompt_buckets=(8,),
+                                      window_models=window_models)
+    prompt = np.random.default_rng(1).integers(0, 300, (2, 5)).astype(np.int64)
+    a = plain.generate_tokens(prompt, 40)
+    b = windowed.generate_tokens(prompt, 40)
+    np.testing.assert_array_equal(a, b)

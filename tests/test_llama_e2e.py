@@ -237,3 +237,33 @@ class TestQwen3:
         m = Model.new_from_onnx(build_llama_step(lambda n: sd[n], cfg,
                                                  max_len=32))
         self._check(hf, m, 6)
+
+
+def test_llama_loader_decode_windows(tmp_path):
+    """decode_windows on a llama dir: rope tables and weights come from
+    the shared store; windowed generation == plain."""
+    import torch
+
+    from whisper_tensor_tpu.importers.loaders import loader_registry
+
+    hf, _, cfg = make_tiny("llama")
+    d = tmp_path / "tiny-llama-w"
+    hf.save_pretrained(str(d), safe_serialization=True)
+
+    ldr = loader_registry()["transformers"]
+    plain_b = ldr.load({"path": str(d), "dtype": "f32", "max_len": 64})
+    win_b = ldr.load({"path": str(d), "dtype": "f32", "max_len": 64,
+                      "decode_windows": "16,32"})
+    spec = win_b.interfaces["text"]
+    name = spec["model"]
+    window_models = {int(w): win_b.models[mn]
+                     for w, mn in spec["windows"].items()}
+    plain = TextInferenceInterface(plain_b.models[name], max_len=64,
+                                   prompt_buckets=(8,))
+    windowed = TextInferenceInterface(win_b.models[name], max_len=64,
+                                      prompt_buckets=(8,),
+                                      window_models=window_models)
+    prompt = np.random.default_rng(2).integers(0, 101, (2, 6)).astype(np.int64)
+    a = plain.generate_tokens(prompt, 40)
+    b = windowed.generate_tokens(prompt, 40)
+    np.testing.assert_array_equal(a, b)

@@ -52,13 +52,17 @@ def cmd_generate(args) -> None:
         bundle = identify_and_load(args.model, **cfg)
     else:
         bundle = loader_registry()[args.loader].load({"path": args.model, **cfg})
-    (name, model), = bundle.models.items()
-    print(f"loaded {name} in {time.time() - t0:.1f}s", file=sys.stderr)
     iface_cfg = bundle.interfaces.get("text") or {}
+    name = iface_cfg.get("model") or next(iter(bundle.models))
+    model = bundle.models[name]
+    print(f"loaded {name} in {time.time() - t0:.1f}s", file=sys.stderr)
     tok_src = args.tokenizer or bundle.tokenizer_source or "bytes"
+    window_models = {int(w): bundle.models[mn]
+                     for w, mn in (iface_cfg.get("windows") or {}).items()}
     iface = TextInferenceInterface(model,
                                    max_len=int(iface_cfg.get("max_len",
-                                                             args.max_len)))
+                                                             args.max_len)),
+                                   window_models=window_models or None)
     iface.tokenizer = AnyTokenizer.load(tok_src)
     t1 = time.time()
     text = iface.run_string_in_string_out(args.prompt, args.max_new_tokens)

@@ -123,6 +123,11 @@ class TransformersLoader(Loader):
             ConfigField("ragged_decode", ConfigFieldType.BOOL,
                         "per-row positions for continuous batching "
                         "(gpt2/llama-family)", default=False),
+            ConfigField("decode_windows", ConfigFieldType.STRING,
+                        "comma-separated KV window sizes (e.g. 256,1024) "
+                        "for phased windowed decode — cuts HBM cache "
+                        "traffic on early tokens (gpt2/llama-family)",
+                        default=""),
         ]
 
     def can_load(self, path: str) -> bool:
@@ -141,6 +146,7 @@ class TransformersLoader(Loader):
         store = SafetensorsStore.from_dir(d)
 
         ragged = bool(config.get("ragged_decode", False))
+        window_builder = None
         if mt == "gpt2":
             from .recipes.llm.gpt2 import GPT2Config, build_gpt2_step
 
@@ -150,6 +156,9 @@ class TransformersLoader(Loader):
                                    dtype=dtype, pos_per_row=ragged)
             geometry = dict(n_layers=cfg.n_layer, n_kv_heads=cfg.n_head,
                             head_dim=cfg.n_embd // cfg.n_head)
+            window_builder = lambda w: build_gpt2_step(  # noqa: E731
+                store.zeros_getter(), cfg, max_len=w, dtype=dtype,
+                storage=WeightStorage.none())
         elif mt in ("llama", "mistral", "mixtral", "qwen2", "qwen3",
                     "qwen3_moe"):
             from .recipes.llm.llama import LlamaConfig, build_llama_step
@@ -165,6 +174,15 @@ class TransformersLoader(Loader):
                                     pos_per_row=ragged)
             geometry = dict(n_layers=cfg.num_hidden_layers,
                             n_kv_heads=cfg.num_key_value_heads, head_dim=cfg.hd)
+
+            def _llama_zget(name, _zg=store.zeros_getter()):
+                if name == "lm_head.weight" and name not in store:
+                    name = "model.embed_tokens.weight"
+                return _zg(name)
+
+            window_builder = lambda w: build_llama_step(  # noqa: E731
+                _llama_zget, cfg, max_len=w, dtype=dtype,
+                storage=WeightStorage.none())
         elif mt in ("gemma", "gemma2"):
             from .recipes.llm.gemma import GemmaConfig, build_gemma_step
 
@@ -308,11 +326,25 @@ class TransformersLoader(Loader):
                              f"(have: {self.SUPPORTED})")
         name = hf_cfg.get("_name_or_path") or os.path.basename(os.path.normpath(d))
         model = Model.new_from_onnx(data, name=name)
+        models = {name: model}
+        window_spec = {}
+        wins = str(config.get("decode_windows", "") or "")
+        if wins and window_builder is not None and not ragged:
+            for tok_w in wins.split(","):
+                w = int(tok_w.strip())
+                if not 0 < w < max_len:
+                    continue
+                wm = Model.new_from_onnx(window_builder(w),
+                                         name=f"{name}-w{w}")
+                wm.graph.store = model.graph.store  # weights shared
+                models[wm.name] = wm
+                window_spec[str(w)] = wm.name
         tok = d if os.path.exists(os.path.join(d, "tokenizer.json")) else None
-        return LoadedBundle(models={name: model},
+        return LoadedBundle(models=models,
                             interfaces={"text": {"model": name,
                                                  "max_len": max_len,
                                                  "ragged": ragged,
+                                                 "windows": window_spec,
                                                  **geometry}},
                             tokenizer_source=tok,
                             meta={"model_type": mt, "dtype": dtype.name})

@@ -68,6 +68,36 @@ class SafetensorsStore:
 
         return get
 
+    def meta(self, name: str):
+        """(shape, numpy dtype) from the safetensors header — no data read."""
+        from safetensors import safe_open
+
+        p = self._by_name[name]
+        with safe_open(p, framework="numpy") as f:
+            sl = f.get_slice(name)
+            shape = tuple(sl.get_shape())
+            dt = str(sl.get_dtype()).lower()
+        np_dt = {"f64": np.float64, "f32": np.float32, "f16": np.float16,
+                 "bf16": "bfloat16", "i64": np.int64, "i32": np.int32,
+                 "i16": np.int16, "i8": np.int8, "u8": np.uint8,
+                 "bool": np.bool_}.get(dt, np.float32)
+        if np_dt == "bfloat16":
+            import ml_dtypes
+
+            np_dt = ml_dtypes.bfloat16
+        return shape, np.dtype(np_dt)
+
+    def zeros_getter(self) -> Callable[[str], np.ndarray]:
+        """Shape-faithful zero arrays (header metadata only) — for
+        building structure-only graph variants (WeightStorage.none) that
+        share a real TensorStore afterwards."""
+
+        def get(name: str) -> np.ndarray:
+            shape, dt = self.meta(name)
+            return np.zeros(shape, dtype=dt)
+
+        return get
+
 
 def load_hf_config(model_dir: str) -> dict:
     with open(os.path.join(model_dir, "config.json")) as f:

@@ -273,9 +273,17 @@ class Server:
             from ..interfaces.text import TextInferenceInterface
 
             cfg = entry.interfaces["text"]
+            window_models = None
+            wins = cfg.get("windows") or {}
+            if wins:
+                by_name = {e.name: e.model
+                           for e in self.models._models.values()}
+                window_models = {int(w): by_name[mn]
+                                 for w, mn in wins.items() if mn in by_name}
             iface = TextInferenceInterface(entry.model,
                                            max_len=int(cfg["max_len"]),
-                                           cache_dtype=DType.BF16)
+                                           cache_dtype=DType.BF16,
+                                           window_models=window_models)
             self._text_ifaces[entry.id] = iface
         return iface
 
