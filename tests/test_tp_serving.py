@@ -1,0 +1,68 @@
+"""Tensor-parallel SERVING: the step-graph decode program sharded over a
+(dp, tp) mesh via per-weight PartitionSpecs; GSPMD inserts the
+collectives. Results must match the single-device run (greedy tokens
+exactly; logits to collective-reassociation tolerance).
+
+Net-new vs the reference (single-device serving); SURVEY §2.6/§7
+phase 8 seam.
+"""
+
+import numpy as np
+import pytest
+
+from whisper_tensor_tpu.dtype import DType
+from whisper_tensor_tpu.importers.recipes.llm.gpt2 import (
+    GPT2Config, build_gpt2_step, random_gpt2_weights)
+from whisper_tensor_tpu.importers.recipes.llm.llama import (
+    LlamaConfig, build_llama_step, hf_weight_getter)
+from whisper_tensor_tpu.interfaces.text import TextInferenceInterface
+from whisper_tensor_tpu.model import Model
+from whisper_tensor_tpu.parallel.mesh import (GPT2_RULES, LLAMA_RULES,
+                                              make_mesh)
+
+rng = np.random.default_rng(17)
+
+
+@pytest.mark.parametrize("dp,tp", [(1, 2), (1, 4), (2, 2)])
+def test_gpt2_tp_serving_matches_single(dp, tp):
+    cfg = GPT2Config(n_layer=2, n_head=4, n_embd=64, vocab_size=256,
+                     n_positions=64)
+    wg = random_gpt2_weights(cfg)
+    m = Model.new_from_onnx(build_gpt2_step(wg, cfg, max_len=64))
+    single = TextInferenceInterface(m, max_len=64, prompt_buckets=(8,))
+    mesh = make_mesh(dp=dp, sp=1, tp=tp)
+    sharded = TextInferenceInterface(m, max_len=64, prompt_buckets=(8,),
+                                     mesh=mesh, shard_rules=GPT2_RULES)
+    B = 4
+    prompt = rng.integers(0, 256, (B, 6)).astype(np.int64)
+    a = single.generate_tokens(prompt, 16)
+    b = sharded.generate_tokens(prompt, 16)
+    np.testing.assert_array_equal(a, b)
+    # logits agree to collective-reassociation tolerance
+    la = single.logits(prompt)
+    lb = sharded.logits(prompt)
+    np.testing.assert_allclose(la, lb, rtol=1e-4, atol=1e-5)
+
+
+def test_llama_tp_serving_matches_single():
+    import torch
+    from transformers import LlamaConfig as HFCfg, LlamaForCausalLM
+
+    torch.manual_seed(4)
+    common = dict(num_hidden_layers=2, num_attention_heads=4,
+                  num_key_value_heads=2, hidden_size=32,
+                  intermediate_size=64, vocab_size=128,
+                  max_position_embeddings=64, attention_dropout=0.0)
+    hf = LlamaForCausalLM(HFCfg(rope_theta=10000.0, **common))
+    cfg = LlamaConfig.from_hf({**common, "model_type": "llama",
+                               "rope_theta": 10000.0, "rms_norm_eps": 1e-6})
+    m = Model.new_from_onnx(build_llama_step(hf_weight_getter(hf), cfg,
+                                             max_len=64))
+    single = TextInferenceInterface(m, max_len=64, prompt_buckets=(8,))
+    mesh = make_mesh(dp=1, sp=1, tp=2)   # Hkv=2 divides tp
+    sharded = TextInferenceInterface(m, max_len=64, prompt_buckets=(8,),
+                                     mesh=mesh, shard_rules=LLAMA_RULES)
+    prompt = rng.integers(0, 128, (2, 5)).astype(np.int64)
+    a = single.generate_tokens(prompt, 12)
+    b = sharded.generate_tokens(prompt, 12)
+    np.testing.assert_array_equal(a, b)

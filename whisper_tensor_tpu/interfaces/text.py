@@ -28,19 +28,33 @@ class SamplingParams:
     """Sampling for the jitted decode loop (reference: the scheduler's
     live generation settings, src/scheduler.rs). temperature==0 means
     greedy. top_k/top_p restrict the candidate set before the
-    categorical draw; all of it runs inside the compiled scan."""
+    categorical draw; repetition_penalty divides positive / multiplies
+    negative logits of already-seen tokens (prompt + generated, HF
+    semantics, tracked as a (B, V) mask in the scan carry); all of it
+    runs inside the compiled scan."""
 
     temperature: float = 1.0
-    top_k: int = 0            # 0 = disabled
-    top_p: float = 1.0        # 1.0 = disabled
+    top_k: int = 0                   # 0 = disabled
+    top_p: float = 1.0               # 1.0 = disabled
+    repetition_penalty: float = 1.0  # 1.0 = disabled
     seed: int = 0
 
 
-def _pick_token(logits, key, sp: Optional[SamplingParams]):
-    """(B, V) logits -> (B,) token ids, inside jit."""
+def _uses_seen(sp: Optional[SamplingParams]) -> bool:
+    return sp is not None and sp.repetition_penalty != 1.0
+
+
+def _pick_token(logits, key, sp: Optional[SamplingParams], seen=None):
+    """(B, V) logits -> (B,) token ids, inside jit. `seen` is the (B, V)
+    bool already-emitted mask for repetition_penalty."""
     import jax
     import jax.numpy as jnp
 
+    if sp is not None and sp.repetition_penalty != 1.0 and seen is not None:
+        lg0 = logits.astype(jnp.float32)
+        pen = jnp.where(lg0 > 0, lg0 / sp.repetition_penalty,
+                        lg0 * sp.repetition_penalty)
+        logits = jnp.where(seen, pen, lg0)
     if sp is None or sp.temperature <= 0.0:
         return jnp.argmax(logits, axis=-1)
     lg = logits.astype(jnp.float32) / sp.temperature
@@ -80,14 +94,23 @@ class TextInferenceInterface:
                  tokenizer=None, eos_token_id: Optional[int] = None,
                  quantize: Optional[str] = None,
                  weight_dtype: Optional[DType] = None,
-                 window_models: Optional[Dict[int, Model]] = None):
+                 window_models: Optional[Dict[int, Model]] = None,
+                 mesh=None, shard_rules=None):
         """window_models: optional {window_size: step Model} built at
         SMALLER max_len values with the same weights. Decode then runs
         phased over growing cache windows — a step at position p only
         reads a window-p cache, so early steps skip most of the
         HBM-bound KV traffic that bounds large-batch decode (the
-        fixed-max_len program reads all max_len slots every step)."""
+        fixed-max_len program reads all max_len slots every step).
+
+        mesh + shard_rules: multi-chip SERVING — weights are placed with
+        megatron-style per-name PartitionSpecs (parallel.mesh rules), KV
+        caches shard heads over `tp` and batch over `dp`, and GSPMD
+        propagates the shardings through the jitted prefill/decode
+        programs (collectives ride ICI)."""
         self.model = model
+        self.mesh = mesh
+        self.shard_rules = shard_rules
         self.max_len = max_len
         self.cache_dtype = cache_dtype
         # KV-cache storage dtype is independent of the packed-weight
@@ -148,19 +171,45 @@ class TextInferenceInterface:
         if self._weights_dev is None:
             import jax
 
+            shardings = None
+            if self.mesh is not None:
+                from ..parallel.mesh import weight_shardings
+
+                shardings = weight_shardings(self.weight_names, self.mesh,
+                                             self.shard_rules or [])
             out = []
-            for n in self.weight_names:
+            for i, n in enumerate(self.weight_names):
+                dev = shardings[i] if shardings is not None else None
                 if n.endswith("::scale"):
-                    out.append(jax.device_put(self._quantized[n[:-7]][1]))
+                    arr = self._quantized[n[:-7]][1]
                 elif n in self._quantized:
-                    out.append(jax.device_put(self._quantized[n][0]))
+                    arr = self._quantized[n][0]
                 else:
-                    out.append(jax.device_put(self.model.graph.store.get_numeric(
-                        n, self.weight_dtype).numpy()))
+                    arr = self.model.graph.store.get_numeric(
+                        n, self.weight_dtype).numpy()
+                out.append(jax.device_put(arr, dev) if dev is not None
+                           else jax.device_put(arr))
             self._weights_dev = out
         return self._weights_dev
 
+    def _cache_sharding(self, n_heads_this: int):
+        """KV caches: batch over dp, heads over tp (replicated when the
+        head count doesn't divide the tp extent)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        tp_ok = (self.mesh.shape.get("tp", 1) > 1
+                 and n_heads_this % self.mesh.shape["tp"] == 0)
+        dp_ok = self.mesh.shape.get("dp", 1) > 1
+        return NamedSharding(self.mesh, P("dp" if dp_ok else None,
+                                          "tp" if tp_ok else None))
+
+    def _vocab_size(self) -> int:
+        info = self.model.graph.tensors[
+            self.model.graph.by_name["logits"]].info
+        return int(info.dims()[-1].value())
+
     def fresh_cache(self, batch: int):
+        import jax
         import jax.numpy as jnp
 
         out = []
@@ -170,7 +219,10 @@ class TextInferenceInterface:
             info = self.model.graph.tensors[self.model.graph.by_name[n]].info
             dims = tuple(batch if not d.is_known else int(d.value())
                          for d in info.dims())
-            out.append(jnp.zeros(dims, dtype=self.cache_dtype.to_jax()))
+            buf = jnp.zeros(dims, dtype=self.cache_dtype.to_jax())
+            if self.mesh is not None:
+                buf = jax.device_put(buf, self._cache_sharding(dims[1]))
+            out.append(buf)
         return out
 
     def _traced_step(self, batch: int, seq: int,
@@ -217,17 +269,31 @@ class TextInferenceInterface:
             logits, caches = step(ids_padded, jnp.asarray(0, dtype=jnp.int64),
                                   caches, weights)
             last = logits[:, prompt_len - 1, :]
-            first_tok = _pick_token(last, jax.random.fold_in(rng_key, 0), sp)
+            B, V = last.shape
+            seen = None
+            if _uses_seen(sp):
+                # prompt tokens count as seen (only the real prefix)
+                valid = jnp.arange(ids_padded.shape[1])[None] < prompt_len
+                seen = jnp.zeros((B, V), bool).at[
+                    jnp.arange(B)[:, None], ids_padded].max(
+                    jnp.broadcast_to(valid, ids_padded.shape))
+            first_tok = _pick_token(last, jax.random.fold_in(rng_key, 0), sp,
+                                    seen)
+            if seen is not None:
+                seen = seen.at[jnp.arange(B), first_tok].set(True)
 
             def body(carry, i):
-                cur, pos, caches = carry
+                cur, pos, caches, seen = carry
                 lg, caches = step(cur[:, None], pos, caches, weights)
                 nxt = _pick_token(lg[:, -1, :],
-                                  jax.random.fold_in(rng_key, i + 1), sp)
-                return (nxt, pos + 1, caches), cur
+                                  jax.random.fold_in(rng_key, i + 1), sp,
+                                  seen)
+                if seen is not None:
+                    seen = seen.at[jnp.arange(seen.shape[0]), nxt].set(True)
+                return (nxt, pos + 1, caches, seen), cur
 
-            (final_tok, _, caches), toks = jax.lax.scan(
-                body, (first_tok, prompt_len.astype(jnp.int64), caches),
+            (final_tok, _, caches, _), toks = jax.lax.scan(
+                body, (first_tok, prompt_len.astype(jnp.int64), caches, seen),
                 jnp.arange(n_new))
             # toks: (n_new, B) of emitted tokens (first is first_tok)
             return jnp.swapaxes(toks, 0, 1), caches
@@ -250,16 +316,28 @@ class TextInferenceInterface:
         step = self._traced_step(batch, 1)
         sp = sampling
 
+        vocab = self._vocab_size()
+
         def dec(first_tok, pos, caches, weights, rng_key):
+            seen = None
+            if _uses_seen(sp):
+                # no prompt visibility here (embeds prefill hand-off):
+                # the seen mask starts from the first token
+                seen = jnp.zeros((batch, vocab), bool).at[
+                    jnp.arange(batch), first_tok].set(True)
+
             def body(carry, i):
-                cur, p, caches = carry
+                cur, p, caches, seen = carry
                 lg, caches = step(cur[:, None], p, caches, weights)
                 nxt = _pick_token(lg[:, -1, :],
-                                  jax.random.fold_in(rng_key, i + 1), sp)
-                return (nxt, p + 1, caches), cur
+                                  jax.random.fold_in(rng_key, i + 1), sp,
+                                  seen)
+                if seen is not None:
+                    seen = seen.at[jnp.arange(seen.shape[0]), nxt].set(True)
+                return (nxt, p + 1, caches, seen), cur
 
-            (_, _, caches), toks = jax.lax.scan(
-                body, (first_tok, pos.astype(jnp.int64), caches),
+            (_, _, caches, _), toks = jax.lax.scan(
+                body, (first_tok, pos.astype(jnp.int64), caches, seen),
                 jnp.arange(n_new))
             return jnp.swapaxes(toks, 0, 1), caches
 
@@ -314,19 +392,33 @@ class TextInferenceInterface:
             logits, caches = step(ids_padded, jnp.asarray(0, dtype=jnp.int64),
                                   caches, weights)
             last = logits[:, prompt_len - 1, :]
-            cur = _pick_token(last, jax.random.fold_in(rng_key, 0), sp)
+            B, V = last.shape
+            seen = None
+            if _uses_seen(sp):
+                valid = jnp.arange(ids_padded.shape[1])[None] < prompt_len
+                seen = jnp.zeros((B, V), bool).at[
+                    jnp.arange(B)[:, None], ids_padded].max(
+                    jnp.broadcast_to(valid, ids_padded.shape))
+            cur = _pick_token(last, jax.random.fold_in(rng_key, 0), sp, seen)
+            if seen is not None:
+                seen = seen.at[jnp.arange(B), cur].set(True)
 
             def body(carry, i):
-                cur, pos, caches = carry
+                cur, pos, caches, seen = carry
                 lg, caches = step(cur[:, None], pos, caches, weights)
                 nxt = _pick_token(lg[:, -1, :],
-                                  jax.random.fold_in(rng_key, i + 1), sp)
-                return (nxt, pos + 1, caches), cur
+                                  jax.random.fold_in(rng_key, i + 1), sp,
+                                  seen)
+                if seen is not None:
+                    seen = seen.at[jnp.arange(seen.shape[0]), nxt].set(True)
+                return (nxt, pos + 1, caches, seen), cur
 
-            (cur, pos, caches), toks = jax.lax.scan(
-                body, (cur, prompt_len.astype(jnp.int64), caches),
+            (cur, pos, caches, seen), toks = jax.lax.scan(
+                body, (cur, prompt_len.astype(jnp.int64), caches, seen),
                 jnp.arange(k))
-            return jnp.swapaxes(toks, 0, 1), cur, pos, caches
+            if seen is None:
+                seen = jnp.zeros((B, 1), bool)   # pytree-stable placeholder
+            return jnp.swapaxes(toks, 0, 1), cur, pos, caches, seen
 
         self._programs[key] = jax.jit(run, donate_argnums=(2,))
         return self._programs[key]
@@ -342,17 +434,25 @@ class TextInferenceInterface:
         step = self._traced_step(batch, 1, window=window)
         sp = sampling
 
-        def run(cur, pos, caches, weights, rng_key):
+        def run(cur, pos, caches, weights, rng_key, seen):
+            if not _uses_seen(sp):
+                seen = None
+
             def body(carry, i):
-                cur, pos, caches = carry
+                cur, pos, caches, seen = carry
                 lg, caches = step(cur[:, None], pos, caches, weights)
                 nxt = _pick_token(lg[:, -1, :],
-                                  jax.random.fold_in(rng_key, i + 1), sp)
-                return (nxt, pos + 1, caches), cur
+                                  jax.random.fold_in(rng_key, i + 1), sp,
+                                  seen)
+                if seen is not None:
+                    seen = seen.at[jnp.arange(seen.shape[0]), nxt].set(True)
+                return (nxt, pos + 1, caches, seen), cur
 
-            (cur, pos, caches), toks = jax.lax.scan(
-                body, (cur, pos, caches), jnp.arange(off, off + k))
-            return jnp.swapaxes(toks, 0, 1), cur, pos, caches
+            (cur, pos, caches, seen), toks = jax.lax.scan(
+                body, (cur, pos, caches, seen), jnp.arange(off, off + k))
+            if seen is None:
+                seen = jnp.zeros((cur.shape[0], 1), bool)
+            return jnp.swapaxes(toks, 0, 1), cur, pos, caches, seen
 
         self._programs[key] = jax.jit(run, donate_argnums=(2,))
         return self._programs[key]
@@ -403,14 +503,14 @@ class TextInferenceInterface:
             if cur is None:
                 caches = self._fresh_cache_w(B, w)
                 prog = self._phase0_program(B, Sb, k, w, sampling)
-                toks, cur, posv, caches = prog(
+                toks, cur, posv, caches, seen = prog(
                     jnp.asarray(padded), jnp.asarray(L, dtype=jnp.int64),
                     caches, weights, rng)
             else:
                 caches = self._grow_program(B, prev_w, w)(caches)
                 prog = self._phase_program(B, k, w, done_steps, sampling)
-                toks, cur, posv, caches = prog(cur, posv, caches, weights,
-                                               rng)
+                toks, cur, posv, caches, seen = prog(cur, posv, caches,
+                                                     weights, rng, seen)
             out_toks.append(np.asarray(toks))
             done_steps += k
             pos += k
@@ -443,7 +543,15 @@ class TextInferenceInterface:
             caches = self.fresh_cache(B)
         prog = self._program(B, Sb, n_new, sampling)
         rng = jax.random.PRNGKey(sampling.seed if sampling else 0)
-        toks, _ = prog(jnp.asarray(padded), jnp.asarray(L, dtype=jnp.int64),
+        ids_dev = jnp.asarray(padded)
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            dp_ok = (self.mesh.shape.get("dp", 1) > 1
+                     and B % self.mesh.shape["dp"] == 0)
+            ids_dev = jax.device_put(ids_dev, NamedSharding(
+                self.mesh, P("dp" if dp_ok else None, None)))
+        toks, _ = prog(ids_dev, jnp.asarray(L, dtype=jnp.int64),
                        caches, weights, rng)
         return np.asarray(toks)
 

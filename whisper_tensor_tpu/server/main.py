@@ -356,6 +356,7 @@ class Server:
                 temperature=float(msg.get("temperature", 1.0)),
                 top_k=int(msg.get("top_k", 0)),
                 top_p=float(msg.get("top_p", 1.0)),
+                repetition_penalty=float(msg.get("repetition_penalty", 1.0)),
                 seed=int(msg.get("seed", 0)))
         settings = ObserverSettings(
             tensor_subscriptions=set(msg.get("tensor_subscriptions", [])))

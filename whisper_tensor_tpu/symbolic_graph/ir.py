@@ -223,7 +223,12 @@ class SymbolicGraph:
             if vi.name not in g.by_name:
                 g.add_tensor(vi.name, dt, None)
             tid = g.by_name[vi.name]
-            g.tensors[tid].kind = TensorKind.OUTPUT
+            t = g.tensors[tid]
+            t.kind = TensorKind.OUTPUT
+            if t.dtype is None:
+                t.dtype = dt
+            if t.info is None and dt is not None and dims is not None:
+                t.info = TensorInfo.shaped(dt, dims)
             g.outputs.append(tid)
         return g
 
