@@ -34,7 +34,9 @@ matmul at this shape; the one-off 70k reading never reproduced and was
 likely contaminated by the fp8 path also storing WEIGHTS as fp8 — a
 bug, since fixed, that halved weight traffic at the cost of accuracy).
 bf16 is the honest default; f8 stays opt-in for cache-capacity-bound
-cases (it fits B=1024 where bf16 OOMs).
+cases (it fits B=1024 where bf16 OOMs). An int8+per-position-scales
+cache was probed the same way (round 2): 0.93x vs bf16 — the read-time
+convert cancels the halved traffic on v5e, same story as fp8.
 """
 
 import json

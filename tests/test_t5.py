@@ -98,3 +98,55 @@ def test_rel_bucket_matches_hf():
             torch.from_numpy(rel), bidirectional=bidir, num_buckets=8,
             max_distance=16).numpy()
         np.testing.assert_array_equal(ours, ref)
+
+
+def test_seq2seq_interface_greedy_matches_hf_generate(tiny_t5):
+    """Compiled scan decode == hf.generate greedy, through the
+    Seq2SeqInterface (the reference ran T5 per-token; here one program)."""
+    import torch
+
+    from whisper_tensor_tpu.interfaces.seq2seq import Seq2SeqInterface
+
+    hf, enc, dec, cfg = tiny_t5
+    iface = Seq2SeqInterface(enc, dec, max_len=MAX_DEC, start_token=0,
+                             eos_token=1)
+    rng = np.random.default_rng(5)
+    ids = rng.integers(2, 90, (2, ENC_LEN)).astype(np.int64)
+    n_new = 10
+    ours = iface.generate_tokens(ids, n_new)
+    with torch.no_grad():
+        ref = hf.generate(torch.from_numpy(ids), max_new_tokens=n_new,
+                          do_sample=False, num_beams=1,
+                          min_new_tokens=n_new,
+                          eos_token_id=None).numpy()
+    # hf output: [decoder_start, t1, ..., t_n]
+    np.testing.assert_array_equal(ours, ref[:, 1:1 + n_new])
+
+
+def test_t5_loader_roundtrip(tmp_path, tiny_t5):
+    """transformers loader t5 branch -> Seq2SeqInterface end to end."""
+    from whisper_tensor_tpu.importers.loaders import loader_registry
+    from whisper_tensor_tpu.interfaces.seq2seq import Seq2SeqInterface
+
+    hf, _enc, _dec, cfg = tiny_t5
+    d = tmp_path / "tiny-t5"
+    hf.save_pretrained(str(d), safe_serialization=True)
+    bundle = loader_registry()["transformers"].load(
+        {"path": str(d), "dtype": "f32", "max_len": MAX_DEC,
+         "enc_len": ENC_LEN})
+    spec = bundle.interfaces["text2text"]
+    iface = Seq2SeqInterface(bundle.models[spec["encoder"]],
+                             bundle.models[spec["decoder"]],
+                             max_len=spec["max_len"],
+                             start_token=spec["start"],
+                             eos_token=spec["eos"])
+    ids = np.random.default_rng(6).integers(2, 90, (1, ENC_LEN)).astype(np.int64)
+    out = iface.generate_tokens(ids, 6)
+    assert out.shape == (1, 6)
+    import torch
+
+    with torch.no_grad():
+        ref = hf.generate(torch.from_numpy(ids), max_new_tokens=6,
+                          do_sample=False, num_beams=1, min_new_tokens=6,
+                          eos_token_id=None).numpy()
+    np.testing.assert_array_equal(out, ref[:, 1:7])

@@ -52,6 +52,23 @@ def cmd_generate(args) -> None:
         bundle = identify_and_load(args.model, **cfg)
     else:
         bundle = loader_registry()[args.loader].load({"path": args.model, **cfg})
+    if "text2text" in bundle.interfaces and "text" not in bundle.interfaces:
+        from .interfaces.seq2seq import Seq2SeqInterface
+
+        spec = bundle.interfaces["text2text"]
+        s2s = Seq2SeqInterface(bundle.models[spec["encoder"]],
+                               bundle.models[spec["decoder"]],
+                               max_len=spec["max_len"],
+                               start_token=spec.get("start", 0),
+                               eos_token=spec.get("eos", 1))
+        s2s.tokenizer = AnyTokenizer.load(
+            args.tokenizer or bundle.tokenizer_source or "bytes")
+        t1 = time.time()
+        text = s2s.run_string_in_string_out(args.prompt, args.max_new_tokens)
+        print(text)
+        print(f"[{args.max_new_tokens} tokens in {time.time() - t1:.2f}s]",
+              file=sys.stderr)
+        return
     iface_cfg = bundle.interfaces.get("text") or {}
     name = iface_cfg.get("model") or next(iter(bundle.models))
     model = bundle.models[name]

@@ -112,7 +112,7 @@ class TransformersLoader(Loader):
     # in the reference's transformers dispatch (lib.rs:38-180)
     SUPPORTED = ("gpt2", "llama", "mistral", "mixtral", "qwen2", "qwen3",
                  "qwen3_moe", "gemma", "gemma2", "gemma3_text", "phi3",
-                 "deepseek_v2", "deepseek_v3", "whisper")
+                 "deepseek_v2", "deepseek_v3", "whisper", "t5", "llava")
 
     def config_schema(self):
         return super().config_schema() + [
@@ -311,6 +311,38 @@ class TransformersLoader(Loader):
                                            "vision": name + "-vision",
                                            "embed_weight": "embed_tokens",
                                            "image_size": vcfg.image_size}},
+                tokenizer_source=tok,
+                meta={"model_type": mt, "dtype": dtype.name})
+        elif mt == "t5":
+            from .recipes.llm.t5 import (T5Config, build_t5_decoder_step,
+                                         build_t5_encoder)
+
+            cfg = T5Config.from_hf(hf_cfg)
+            enc_len = int(config.get("enc_len", 512))
+            dec_len = min(max_len, 512)
+
+            def t5_getter(nm):
+                if nm == "lm_head.weight" and nm not in store:
+                    return store.load("shared.weight")
+                return store.load(nm)
+
+            name = (hf_cfg.get("_name_or_path")
+                    or os.path.basename(os.path.normpath(d)))
+            enc = Model.new_from_onnx(
+                build_t5_encoder(t5_getter, cfg, seq_len=enc_len,
+                                 dtype=dtype), name=name + "-encoder")
+            dec = Model.new_from_onnx(
+                build_t5_decoder_step(t5_getter, cfg, max_len=dec_len,
+                                      enc_len=enc_len, dtype=dtype),
+                name=name + "-decoder")
+            tok = d if os.path.exists(os.path.join(d, "tokenizer.json"))                 else None
+            return LoadedBundle(
+                models={enc.name: enc, dec.name: dec},
+                interfaces={"text2text": {
+                    "encoder": enc.name, "decoder": dec.name,
+                    "max_len": dec_len, "enc_len": enc_len,
+                    "start": int(hf_cfg.get("decoder_start_token_id", 0)),
+                    "eos": int(hf_cfg.get("eos_token_id", 1))}},
                 tokenizer_source=tok,
                 meta={"model_type": mt, "dtype": dtype.name})
         elif mt == "phi3":

@@ -1,0 +1,157 @@
+"""Sequence-to-sequence (T5-style) text2text interface.
+
+Reference equivalent: the T5 example flow (reference examples/ run T5
+through per-token SuperGraph execution). TPU redesign: the encoder runs
+once (compiled), its per-layer cross K/V land on device, and the whole
+decode loop compiles to ONE lax.scan program over the cached decoder
+step graph (recipes.llm.t5.build_t5_decoder_step) — same shape as the
+causal-LM text interface.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..dtype import DType
+from ..model import Model
+from .text import SamplingParams, _pick_token
+
+
+class Seq2SeqInterface:
+    """encoder: input_ids(B,L) -> encoder_states + cross_k_i/cross_v_i.
+    decoder_step: input_ids(B,S), pos, cache_*, cross_*, weights ->
+    logits + new_cache_*."""
+
+    def __init__(self, encoder: Model, decoder_step: Model, max_len: int,
+                 start_token: int = 0, eos_token: int = 1,
+                 tokenizer=None, cache_dtype: DType = DType.F32):
+        self.encoder = encoder
+        self.decoder = decoder_step
+        self.max_len = max_len
+        self.start_token = start_token
+        self.eos_token = eos_token
+        self.tokenizer = tokenizer
+        self.cache_dtype = cache_dtype
+        milli, weight_inputs = decoder_step.graph.to_milli()
+        self.milli = milli
+        self.weight_names = [n for n in milli.inputs if n in weight_inputs]
+        self.input_names = list(milli.inputs)
+        self.output_names = list(milli.outputs)
+        self.cache_in = [n for n in self.input_names
+                         if n.startswith("cache_")]
+        self.cross_in = [n for n in self.input_names
+                         if n.startswith("cross_")]
+        self.cache_out = [n for n in self.output_names
+                          if n.startswith("new_cache_")]
+        self._weights_dev: Optional[List[Any]] = None
+        self._programs: Dict[Tuple, Any] = {}
+        self._enc_backend = None
+
+    # ------------------------------------------------------------------
+    def _weights(self) -> List[Any]:
+        if self._weights_dev is None:
+            import jax
+
+            self._weights_dev = [
+                jax.device_put(self.decoder.graph.store.get_numeric(n).numpy())
+                for n in self.weight_names]
+        return self._weights_dev
+
+    def encode(self, input_ids: np.ndarray) -> Dict[str, np.ndarray]:
+        from ..backends.eval_backend import EvalBackend
+
+        if self._enc_backend is None:
+            self._enc_backend = EvalBackend("xla")
+        return self._enc_backend.run(self.encoder.graph,
+                                     {"input_ids": input_ids})
+
+    def fresh_cache(self, batch: int):
+        import jax.numpy as jnp
+
+        out = []
+        for n in self.cache_in:
+            info = self.decoder.graph.tensors[
+                self.decoder.graph.by_name[n]].info
+            dims = tuple(batch if not d.is_known else int(d.value())
+                         for d in info.dims())
+            out.append(jnp.zeros(dims, dtype=self.cache_dtype.to_jax()))
+        return out
+
+    def _decode_program(self, batch: int, n_new: int,
+                        sampling: Optional[SamplingParams]):
+        import jax
+        import jax.numpy as jnp
+
+        from ..backends.xla.compiler import _trace_graph, ensure_x64
+
+        key = (batch, n_new, sampling)
+        if key in self._programs:
+            return self._programs[key]
+        ensure_x64()
+        fn = _trace_graph(self.milli, {})
+        order = self.input_names
+        sp = sampling
+
+        def step(ids, pos, caches, crosses, weights):
+            by_name = {"input_ids": ids, "pos": pos}
+            by_name.update(dict(zip(self.cache_in, caches)))
+            by_name.update(dict(zip(self.cross_in, crosses)))
+            by_name.update(dict(zip(self.weight_names, weights)))
+            outs = fn(*[by_name[n] for n in order])
+            named = dict(zip(self.output_names, outs))
+            return named["logits"], [named[n] for n in self.cache_out]
+
+        def run(caches, crosses, weights, rng_key):
+            start = jnp.full((batch,), self.start_token, dtype=jnp.int64)
+
+            def body(carry, i):
+                cur, pos, caches = carry
+                lg, caches = step(cur[:, None], pos, caches, crosses,
+                                  weights)
+                nxt = _pick_token(lg[:, -1, :],
+                                  jax.random.fold_in(rng_key, i), sp)
+                return (nxt, pos + 1, caches), nxt
+
+            (_, _, caches), toks = jax.lax.scan(
+                body, (start, jnp.asarray(0, dtype=jnp.int64), caches),
+                jnp.arange(n_new))
+            return jnp.swapaxes(toks, 0, 1)
+
+        self._programs[key] = jax.jit(run, donate_argnums=(0,))
+        return self._programs[key]
+
+    # ------------------------------------------------------------------
+    def generate_tokens(self, input_ids: np.ndarray, n_new: int,
+                        sampling: Optional[SamplingParams] = None
+                        ) -> np.ndarray:
+        """(B, L_enc) encoder ids -> (B, n_new) decoder ids (starting
+        after the decoder_start token)."""
+        import jax
+        import jax.numpy as jnp
+
+        input_ids = np.asarray(input_ids, dtype=np.int64)
+        if input_ids.ndim == 1:
+            input_ids = input_ids[None]
+        B = input_ids.shape[0]
+        enc = self.encode(input_ids)
+        crosses = [jnp.asarray(enc[n]) for n in self.cross_in]
+        caches = self.fresh_cache(B)
+        rng = jax.random.PRNGKey(sampling.seed if sampling else 0)
+        prog = self._decode_program(B, n_new, sampling)
+        return np.asarray(prog(caches, crosses, self._weights(), rng))
+
+    def run_string_in_string_out(self, text: str, n_new: int = 32,
+                                 sampling: Optional[SamplingParams] = None
+                                 ) -> str:
+        if self.tokenizer is None:
+            raise ValueError("no tokenizer configured")
+        ids = np.asarray(self.tokenizer.encode(text), dtype=np.int64)[None]
+        toks = self.generate_tokens(ids, n_new, sampling=sampling)[0]
+        out = []
+        for t in toks:
+            if int(t) == self.eos_token:
+                break
+            out.append(int(t))
+        return self.tokenizer.decode(out)
