@@ -315,3 +315,34 @@ def test_repetition_penalty_in_scan():
                                       window_models={16: m16})
     a = windowed.generate_tokens(prompt, 24, sampling=sp)
     np.testing.assert_array_equal(a, pen)
+
+
+def test_causal_beam_search_matches_hf():
+    """Causal-LM beam search (one compiled program) == hf.generate
+    num_beams with EOS disabled."""
+    import torch
+    from transformers import GPT2Config as HFConfig, GPT2LMHeadModel
+
+    from whisper_tensor_tpu.importers.recipes.llm.gpt2 import (
+        build_gpt2_step, hf_gpt2_weight_getter)
+
+    torch.manual_seed(5)
+    cfg = GPT2Config(n_layer=2, n_head=2, n_embd=24, vocab_size=97,
+                     n_positions=64)
+    hf = GPT2LMHeadModel(HFConfig(n_layer=2, n_head=2, n_embd=24,
+                                  vocab_size=97, n_positions=64))
+    hf.eval()
+    m = Model.new_from_onnx(build_gpt2_step(hf_gpt2_weight_getter(hf), cfg,
+                                            max_len=64, dtype=DType.F32))
+    iface = TextInferenceInterface(m, max_len=64, prompt_buckets=(8,))
+    rng = np.random.default_rng(7)
+    prompt = rng.integers(0, 97, (2, 5)).astype(np.int64)
+    n_new, W = 8, 3
+    ours = iface.beam_search_tokens(prompt, n_new, beam=W)
+    with torch.no_grad():
+        ref = hf.generate(torch.from_numpy(prompt), max_new_tokens=n_new,
+                          min_new_tokens=n_new, num_beams=W, do_sample=False,
+                          eos_token_id=None, early_stopping=False,
+                          length_penalty=0.0,
+                          pad_token_id=0).numpy()
+    np.testing.assert_array_equal(ours, ref[:, 5:5 + n_new])

@@ -150,3 +150,42 @@ def test_t5_loader_roundtrip(tmp_path, tiny_t5):
                           do_sample=False, num_beams=1, min_new_tokens=6,
                           eos_token_id=None).numpy()
     np.testing.assert_array_equal(out, ref[:, 1:7])
+
+
+def test_beam_search_matches_hf(tiny_t5):
+    """Compiled one-scan beam search == hf.generate(num_beams=W) with
+    EOS disabled (pure max-logprob paths, no length effects)."""
+    import torch
+
+    from whisper_tensor_tpu.interfaces.seq2seq import Seq2SeqInterface
+
+    hf, enc, dec, cfg = tiny_t5
+    iface = Seq2SeqInterface(enc, dec, max_len=MAX_DEC, start_token=0,
+                             eos_token=1)
+    rng = np.random.default_rng(8)
+    ids = rng.integers(2, 90, (2, ENC_LEN)).astype(np.int64)
+    n_new, W = 8, 4
+    ours = iface.beam_search_tokens(ids, n_new, beam=W)
+    with torch.no_grad():
+        ref = hf.generate(torch.from_numpy(ids), max_new_tokens=n_new,
+                          min_new_tokens=n_new, num_beams=W,
+                          do_sample=False, eos_token_id=None,
+                          early_stopping=False,
+                          length_penalty=0.0).numpy()
+    np.testing.assert_array_equal(ours, ref[:, 1:1 + n_new])
+
+
+def test_beam_search_eos_freezes(tiny_t5):
+    """After a beam emits EOS it extends only with EOS at zero cost
+    (finished sequences stay fixed and comparable)."""
+    from whisper_tensor_tpu.interfaces.seq2seq import Seq2SeqInterface
+
+    hf, enc, dec, cfg = tiny_t5
+    iface = Seq2SeqInterface(enc, dec, max_len=MAX_DEC, start_token=0,
+                             eos_token=1)
+    ids = np.random.default_rng(9).integers(2, 90, (1, ENC_LEN)).astype(np.int64)
+    out = iface.beam_search_tokens(ids, 10, beam=3)[0]
+    lst = list(out)
+    if 1 in lst:
+        k = lst.index(1)
+        assert all(t == 1 for t in lst[k:]), lst

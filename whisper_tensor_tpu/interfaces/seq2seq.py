@@ -122,6 +122,106 @@ class Seq2SeqInterface:
         self._programs[key] = jax.jit(run, donate_argnums=(0,))
         return self._programs[key]
 
+    def _beam_program(self, batch: int, beam: int, n_new: int,
+                      length_penalty: float):
+        """Whole beam search as ONE compiled scan: rows = batch*beam;
+        each step re-scores (B, W*V), selects top-W, gathers caches and
+        token histories by parent beam (the cache reorder is a batched
+        gather — the standard TPU beam-search formulation)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..backends.xla.compiler import _trace_graph, ensure_x64
+
+        key = ("beam", batch, beam, n_new, length_penalty)
+        if key in self._programs:
+            return self._programs[key]
+        ensure_x64()
+        fn = _trace_graph(self.milli, {})
+        order = self.input_names
+        B, W = batch, beam
+        R = B * W
+        eos = self.eos_token
+
+        def step(ids, pos, caches, crosses, weights):
+            by_name = {"input_ids": ids, "pos": pos}
+            by_name.update(dict(zip(self.cache_in, caches)))
+            by_name.update(dict(zip(self.cross_in, crosses)))
+            by_name.update(dict(zip(self.weight_names, weights)))
+            outs = fn(*[by_name[n] for n in order])
+            named = dict(zip(self.output_names, outs))
+            return named["logits"], [named[n] for n in self.cache_out]
+
+        def run(caches, crosses, weights):
+            cur = jnp.full((R,), self.start_token, dtype=jnp.int64)
+            # only beam 0 of each batch is live initially
+            scores = jnp.where(jnp.arange(R) % W == 0, 0.0, -jnp.inf)
+            alive = jnp.ones((R,), bool)
+            hist = jnp.zeros((R, n_new), dtype=jnp.int64)
+
+            def body(carry, i):
+                cur, pos, scores, alive, hist, caches = carry
+                lg, caches = step(cur[:, None], pos, caches, crosses,
+                                  weights)
+                lp = jax.nn.log_softmax(
+                    lg[:, -1, :].astype(jnp.float32), axis=-1)  # (R, V)
+                V = lp.shape[-1]
+                # finished beams may only extend with EOS at zero cost
+                eos_only = jnp.full((V,), -jnp.inf).at[eos].set(0.0)
+                lp = jnp.where(alive[:, None], lp, eos_only[None])
+                total = scores[:, None] + lp                    # (R, V)
+                flat = total.reshape(B, W * V)
+                top_s, top_i = jax.lax.top_k(flat, W)           # (B, W)
+                parent = top_i // V                             # beam in batch
+                token = (top_i % V).astype(jnp.int64)
+                rows = (jnp.arange(B)[:, None] * W + parent).reshape(-1)
+                caches = [c[rows] for c in caches]
+                hist = hist[rows].at[:, i].set(token.reshape(-1))
+                cur = token.reshape(-1)
+                scores = top_s.reshape(-1)
+                alive = alive[rows] & (cur != eos)
+                return (cur, pos + 1, scores, alive, hist, caches), None
+
+            (cur, pos, scores, alive, hist, caches), _ = jax.lax.scan(
+                body, (cur, jnp.asarray(0, dtype=jnp.int64), scores, alive,
+                       hist, caches), jnp.arange(n_new))
+            # pick the best beam per batch (optional length normalization
+            # over the pre-EOS length)
+            if length_penalty != 0.0:
+                lengths = jnp.minimum(
+                    jnp.argmax(hist == eos, axis=1)
+                    + jnp.where((hist == eos).any(axis=1), 1, n_new), n_new)
+                norm = scores.reshape(B, W) / (
+                    lengths.reshape(B, W).astype(jnp.float32)
+                    ** length_penalty)
+            else:
+                norm = scores.reshape(B, W)
+            best = jnp.argmax(norm, axis=1)
+            return hist.reshape(B, W, n_new)[jnp.arange(B), best], \
+                norm[jnp.arange(B), best]
+
+        self._programs[key] = jax.jit(run, donate_argnums=(0,))
+        return self._programs[key]
+
+    def beam_search_tokens(self, input_ids: np.ndarray, n_new: int,
+                           beam: int = 4, length_penalty: float = 0.0
+                           ) -> np.ndarray:
+        """Beam-search decode: (B, L_enc) -> (B, n_new) best sequences."""
+        import jax.numpy as jnp
+
+        input_ids = np.asarray(input_ids, dtype=np.int64)
+        if input_ids.ndim == 1:
+            input_ids = input_ids[None]
+        B = input_ids.shape[0]
+        enc = self.encode(input_ids)
+        # tile cross K/V to batch*beam rows
+        crosses = [jnp.repeat(jnp.asarray(enc[n]), beam, axis=0)
+                   for n in self.cross_in]
+        caches = self.fresh_cache(B * beam)
+        prog = self._beam_program(B, beam, n_new, length_penalty)
+        toks, _scores = prog(caches, crosses, self._weights())
+        return np.asarray(toks)
+
     # ------------------------------------------------------------------
     def generate_tokens(self, input_ids: np.ndarray, n_new: int,
                         sampling: Optional[SamplingParams] = None

@@ -345,6 +345,95 @@ class TextInferenceInterface:
         self._programs[key] = jitted
         return jitted
 
+    def _beam_program(self, batch: int, beam: int, bucket: int, n_new: int,
+                      length_penalty: float, eos: int):
+        """Causal-LM beam search as ONE program: prefill at B rows,
+        tile caches to B*W, then the beam scan (top-k over (B, W*V),
+        caches gathered by parent beam each step)."""
+        import jax
+        import jax.numpy as jnp
+
+        key = ("beam", batch, beam, bucket, n_new, length_penalty, eos)
+        if key in self._programs:
+            return self._programs[key]
+        step_p = self._traced_step(batch, bucket)
+        step_d = self._traced_step(batch * beam, 1)
+        B, W = batch, beam
+        R = B * W
+
+        def run(ids_padded, prompt_len, caches, weights):
+            logits, caches = step_p(ids_padded,
+                                    jnp.asarray(0, dtype=jnp.int64),
+                                    caches, weights)
+            last = jax.nn.log_softmax(
+                logits[:, prompt_len - 1, :].astype(jnp.float32), axis=-1)
+            V = last.shape[-1]
+            top_s, top_i = jax.lax.top_k(last, W)          # (B, W)
+            cur = top_i.reshape(-1).astype(jnp.int64)
+            scores = top_s.reshape(-1)
+            caches = [jnp.repeat(c, W, axis=0) for c in caches]
+            alive = cur != eos
+            hist = jnp.zeros((R, n_new), dtype=jnp.int64).at[:, 0].set(cur)
+
+            def body(carry, i):
+                cur, pos, scores, alive, hist, caches = carry
+                lg, caches = step_d(cur[:, None], pos, caches, weights)
+                lp = jax.nn.log_softmax(
+                    lg[:, -1, :].astype(jnp.float32), axis=-1)
+                eos_only = jnp.full((V,), -jnp.inf).at[eos].set(0.0)
+                lp = jnp.where(alive[:, None], lp, eos_only[None])
+                total = scores[:, None] + lp
+                flat = total.reshape(B, W * V)
+                top_s, top_i = jax.lax.top_k(flat, W)
+                parent = top_i // V
+                token = (top_i % V).astype(jnp.int64)
+                rows = (jnp.arange(B)[:, None] * W + parent).reshape(-1)
+                caches = [c[rows] for c in caches]
+                hist = hist[rows].at[:, i].set(token.reshape(-1))
+                cur = token.reshape(-1)
+                scores = top_s.reshape(-1)
+                alive = alive[rows] & (cur != eos)
+                return (cur, pos + 1, scores, alive, hist, caches), None
+
+            (cur, _, scores, alive, hist, caches), _ = jax.lax.scan(
+                body, (cur, prompt_len.astype(jnp.int64), scores, alive,
+                       hist, caches), jnp.arange(1, n_new))
+            if length_penalty != 0.0:
+                lengths = jnp.minimum(
+                    jnp.argmax(hist == eos, axis=1)
+                    + jnp.where((hist == eos).any(axis=1), 1, n_new), n_new)
+                norm = scores.reshape(B, W) / (
+                    lengths.reshape(B, W).astype(jnp.float32)
+                    ** length_penalty)
+            else:
+                norm = scores.reshape(B, W)
+            best = jnp.argmax(norm, axis=1)
+            return hist.reshape(B, W, n_new)[jnp.arange(B), best]
+
+        self._programs[key] = jax.jit(run, donate_argnums=(2,))
+        return self._programs[key]
+
+    def beam_search_tokens(self, prompt_ids: np.ndarray, n_new: int,
+                           beam: int = 4, length_penalty: float = 0.0,
+                           eos_token_id: Optional[int] = None) -> np.ndarray:
+        """(B, L) prompt -> (B, n_new) best beam sequences."""
+        import jax.numpy as jnp
+
+        prompt_ids = np.asarray(prompt_ids, dtype=np.int64)
+        if prompt_ids.ndim == 1:
+            prompt_ids = prompt_ids[None]
+        B, L = prompt_ids.shape
+        Sb = _bucket(L, self.prompt_buckets)
+        padded = np.zeros((B, Sb), dtype=np.int64)
+        padded[:, :L] = prompt_ids
+        eos = (eos_token_id if eos_token_id is not None
+               else (self.eos_token_id if self.eos_token_id is not None
+                     else -1))
+        prog = self._beam_program(B, beam, Sb, n_new, length_penalty, eos)
+        toks = prog(jnp.asarray(padded), jnp.asarray(L, dtype=jnp.int64),
+                    self.fresh_cache(B), self._weights())
+        return np.asarray(toks)
+
     def decode_tokens(self, first_tok: np.ndarray, pos: int, caches,
                       n_new: int,
                       sampling: Optional[SamplingParams] = None
