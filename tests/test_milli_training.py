@@ -191,3 +191,88 @@ def test_stop_gradients():
                   "w": rng.standard_normal((3, 2)).astype(np.float32),
                   "target": np.zeros((2, 2), dtype=np.float32)})
     assert "grad::w" in out
+
+
+def test_transformer_training_graph_matches_torch():
+    """The editable milli training artifact now differentiates a REAL
+    transformer (attention + LayerNorm + gelu + tied embeddings):
+    grads from the generated backward graph match torch autograd.
+    (Round-1 weak #7: these backwards used to raise.)"""
+    import torch
+    from transformers import GPT2Config as HFConfig, GPT2LMHeadModel
+
+    from whisper_tensor_tpu.importers.recipes.llm.gpt2 import (
+        GPT2Config, build_gpt2_train, hf_gpt2_weight_getter)
+    from whisper_tensor_tpu.model import Model
+    from whisper_tensor_tpu.milli.training_graph import build_training_graph
+
+    torch.manual_seed(0)
+    cfg = GPT2Config(n_layer=2, n_head=2, n_embd=16, vocab_size=61,
+                     n_positions=32)
+    hf = GPT2LMHeadModel(HFConfig(n_layer=2, n_head=2, n_embd=16,
+                                  vocab_size=61, n_positions=32,
+                                  attn_pdrop=0.0, embd_pdrop=0.0,
+                                  resid_pdrop=0.0))
+    hf.eval()
+    data = build_gpt2_train(hf_gpt2_weight_getter(hf), cfg)
+    model = Model.new_from_onnx(data)
+    # training mode: small weights (LN scales, biases) stay runtime
+    # inputs so they receive gradients
+    milli, weight_inputs = model.graph.to_milli(bake_small_constants=False)
+    params = sorted(weight_inputs)
+    B, S = 2, 8
+    from whisper_tensor_tpu.dtype import DType as DT
+    from whisper_tensor_tpu.tensor_info import TensorInfo
+
+    g, meta = build_training_graph(
+        milli, params, "logits", loss="cross_entropy",
+        input_infos={"input_ids": TensorInfo.shaped(DT.I64, [B, S])})
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 61, (B, S)).astype(np.int64)
+    tgt = rng.integers(0, 61, (B, S)).astype(np.int64)
+    feeds = {"input_ids": ids, "target": tgt}
+    for n in params:
+        feeds[n] = model.graph.store.get_numeric(n).numpy()
+    out = g.eval(feeds)
+
+    # torch referee
+    xt = torch.from_numpy(ids)
+    res = hf(input_ids=xt)
+    loss = torch.nn.functional.cross_entropy(
+        res.logits.reshape(-1, 61), torch.from_numpy(tgt).reshape(-1))
+    hf.zero_grad()
+    loss.backward()
+    np.testing.assert_allclose(out["loss"], float(loss), rtol=1e-4,
+                               atol=1e-5)
+    sd_grads = {k: v.grad for k, v in hf.named_parameters()}
+    checks = {
+        "wqkv_0": "transformer.h.0.attn.c_attn.weight",
+        "wproj_1": "transformer.h.1.attn.c_proj.weight",
+        "ln1g_0": "transformer.h.0.ln_1.weight",
+        "lnfg": "transformer.ln_f.weight",
+        "wfc_1": "transformer.h.1.mlp.c_fc.weight",
+        "wpe": "transformer.wpe.weight",
+    }
+    for ours, theirs in checks.items():
+        ref = sd_grads[theirs].numpy()
+        got = np.asarray(out[f"grad::{ours}"])
+        if ours == "wpe":
+            ref = ref[:got.shape[0]]
+        np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-4,
+                                   err_msg=ours)
+    # tied embedding: wte grad (embedding side) + wte_t grad (lm head,
+    # transposed) together form torch's tied wte.weight grad
+    wte_g = np.asarray(out["grad::wte"]) + np.asarray(out["grad::wte_t"]).T
+    np.testing.assert_allclose(wte_g, sd_grads["transformer.wte.weight"].numpy(),
+                               rtol=2e-3, atol=2e-4)
+
+    # the same training graph compiles to ONE XLA program
+    from whisper_tensor_tpu.backends.xla.compiler import compile_milli
+
+    comp = compile_milli(g, feeds, use_cache=False)
+    cout = comp(feeds)
+    np.testing.assert_allclose(np.asarray(cout["loss"]), out["loss"],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(cout["grad::wqkv_0"]),
+                               out["grad::wqkv_0"], rtol=1e-4, atol=1e-5)

@@ -137,6 +137,141 @@ class AttentionMilli(MilliOp):
             return [TensorInfo.ranked(q.dtype, q.rank)]
         return [TensorInfo.minimal(q.dtype)]
 
+    def backward(self, b, node, out_grads):
+        """Recompute-based attention backward (milli training artifact):
+          p = softmax(q·kᵀ·scale + mask [+ causal])
+          g_v = pᵀ·g ;  g_p = g·vᵀ ;  g_s = p⊙(g_p − Σ(g_p⊙p))
+          g_q = g_s·k·scale ;  g_k = g_sᵀ·q·scale
+        GQA sums g_k/g_v over the query-head group (needs head counts
+        from infer infos). Mask input gets no gradient (positional)."""
+        g = out_grads[0]
+        if g is None:
+            return [None] * len(node.inputs)
+        if self.softcap > 0:
+            raise NotImplementedError("attention backward with softcap")
+        from .basic import CastLike, Constant, MatMul, Pow, SimpleBinary
+        from ..ir import Phase
+        from .shape import (Concat, Expand, GatherShape, Reshape, Shape,
+                            Transpose, Unsqueeze)
+        from .reduce import Reduce
+        from .index import Range as RangeMilli
+
+        P = Phase.BACKWARD
+        q, k, v = node.inputs[0], node.inputs[1], node.inputs[2]
+        mask = node.inputs[3] if len(node.inputs) > 3 else None
+
+        def bop(mode, *ins):
+            return b.op1(SimpleBinary(mode), *ins, phase=P)
+
+        def mm(a, c):
+            return b.op1(MatMul(), a, c, phase=P)
+
+        def tsw(t):
+            return b.op1(Transpose(swap_last2=True), t, phase=P)
+
+        def const_i64(val):
+            return b.op1(Constant(np.asarray(val, dtype=np.int64)), phase=P)
+
+        # GQA: repeat factor from infer infos (static head counts)
+        qi = b.tensors[q].info
+        ki = b.tensors[k].info
+        rep = 1
+        if qi is not None and ki is not None and qi.dims() is not None \
+                and ki.dims() is not None and qi.dims()[1].is_known \
+                and ki.dims()[1].is_known:
+            rep = int(qi.dims()[1].value()) // int(ki.dims()[1].value())
+        elif qi is not None and ki is not None:
+            raise NotImplementedError(
+                "attention backward: unknown head counts (run infer_all)")
+
+        kshape = b.op1(Shape(), k, phase=P)
+        kb = [b.op1(GatherShape(i), kshape, phase=P) for i in range(4)]
+        if rep > 1:
+            # k/v -> (B, Hkv, 1, S, D) -> expand rep -> (B, Hq, S, D)
+            def rep_heads(t):
+                tu = b.op1(Unsqueeze(axes=[2]), t, phase=P)
+                tgt = b.op1(Concat(axis=0),
+                            kb[0], kb[1], const_i64([rep]), kb[2], kb[3],
+                            phase=P)
+                te = b.op1(Expand(), tu, tgt, phase=P)
+                hq = bop("mul", kb[1], const_i64([rep]))
+                out_shape = b.op1(Concat(axis=0), kb[0], hq, kb[2], kb[3],
+                                  phase=P)
+                return b.op1(Reshape(), te, out_shape, phase=P)
+
+            k_full, v_full = rep_heads(k), rep_heads(v)
+        else:
+            k_full, v_full = k, v
+
+        # scale as a traced scalar: D^-0.5 (folds at trace time)
+        if self.scale is not None:
+            scale_t = b.op1(CastLike(), b.op1(Constant(
+                np.asarray(self.scale, dtype=np.float32)), phase=P), g,
+                phase=P)
+        else:
+            qshape = b.op1(Shape(), q, phase=P)
+            d_t = b.op1(GatherShape(3), qshape, phase=P)
+            d_f = b.op1(CastLike(), d_t, g, phase=P)
+            neg_half = b.op1(CastLike(), b.op1(Constant(
+                np.asarray(-0.5, dtype=np.float32)), phase=P), g, phase=P)
+            scale_t = b.op1(Pow(), d_f, neg_half, phase=P)
+
+        s = bop("mul", mm(q, tsw(k_full)), scale_t)
+        if mask is not None:
+            s = bop("add", s, b.op1(CastLike(), mask, s, phase=P))
+        if self.is_causal:
+            qshape = b.op1(Shape(), q, phase=P)
+            sq = b.op1(GatherShape(2), qshape, phase=P)
+            skv = kb[2]
+            zero = const_i64(0)
+            one = const_i64(1)
+            rows = b.op1(RangeMilli(), zero, sq, one, phase=P)
+            cols = b.op1(RangeMilli(), zero, skv, one, phase=P)
+            off = bop("sub", skv, sq)
+            rows2 = b.op1(Unsqueeze(axes=[1]), bop("add", rows, off),
+                          phase=P)
+            cols2 = b.op1(Unsqueeze(axes=[0]), cols, phase=P)
+            vis = bop("le", cols2, rows2)
+            big = b.op1(CastLike(), b.op1(Constant(
+                np.asarray(-1e30, dtype=np.float32)), phase=P), s, phase=P)
+            zf = b.op1(CastLike(), b.op1(Constant(
+                np.asarray(0.0, dtype=np.float32)), phase=P), s, phase=P)
+            from .basic import Where
+
+            s = bop("add", s, b.op1(Where(), vis, zf, big, phase=P))
+        # softmax recompute
+        mx = b.op1(Reduce("max", axes=[-1], keepdims=True), s, phase=P)
+        from .basic import SimpleUnary
+
+        e = b.op1(SimpleUnary("exp"), bop("sub", s, mx), phase=P)
+        l = b.op1(Reduce("sum", axes=[-1], keepdims=True), e, phase=P)
+        p = bop("div", e, l)
+
+        g_v_full = mm(tsw(p), g)
+        g_p = mm(g, tsw(v_full))
+        inner = b.op1(Reduce("sum", axes=[-1], keepdims=True),
+                      bop("mul", g_p, p), phase=P)
+        g_s = bop("mul", p, bop("sub", g_p, inner))
+        g_q = bop("mul", mm(g_s, k_full), scale_t)
+        g_k_full = bop("mul", mm(tsw(g_s), q), scale_t)
+        if rep > 1:
+            # sum group gradients back to the kv heads
+            def group_sum(t):
+                tgt = b.op1(Concat(axis=0),
+                            kb[0], kb[1], const_i64([rep]), kb[2], kb[3],
+                            phase=P)
+                tr = b.op1(Reshape(), t, tgt, phase=P)
+                return b.op1(Reduce("sum", axes=[2], keepdims=False), tr,
+                             phase=P)
+
+            g_k, g_v = group_sum(g_k_full), group_sum(g_v_full)
+        else:
+            g_k, g_v = g_k_full, g_v_full
+        grads = [g_q, g_k, g_v]
+        if len(node.inputs) > 3:
+            grads.append(None)
+        return grads
+
 
 @dataclass
 class RotaryMilli(MilliOp):

@@ -139,6 +139,15 @@ class CastLike(MilliOp):
             return [TensorInfo.numeric(x.value.astype(dt.to_numpy()), dt)]
         return [TensorInfo(dt, x.level, shape=x.shape, rank_=x.rank_)]
 
+    def backward(self, b, node, out_grads):
+        g = out_grads[0]
+        if g is None:
+            return [None, None]
+        from ..ir import Phase
+
+        return [b.op1(CastLike(), g, node.inputs[0], phase=Phase.BACKWARD),
+                None]
+
 
 # ---------------------------------------------------------------------------
 # unary

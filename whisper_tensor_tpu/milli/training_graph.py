@@ -28,8 +28,14 @@ def build_training_graph(forward: MilliGraph, param_names: Sequence[str],
                          target_name: str = "target",
                          optimizer: Optional[OptimizerOptions] = None,
                          backward_options: Optional[BackwardGenOptions] = None,
+                         input_infos=None,
                          ) -> Tuple[MilliGraph, TrainingMetadata]:
-    """Mutates a merged copy of `forward` into a training step graph."""
+    """Mutates a merged copy of `forward` into a training step graph.
+
+    input_infos: optional {input name: TensorInfo} with CONCRETE shapes
+    (e.g. the fixed (B, S) of the training batch) — several backward
+    rules (LayerNorm span, attention head grouping) need resolved dims
+    that symbolic batch/seq inputs cannot provide."""
     g = MilliGraph(f"{forward.name}:train")
     # re-declare forward inputs, splice the forward graph
     input_map = {name: g.add_input(name, forward.tensors[tid].info)
@@ -40,6 +46,15 @@ def build_training_graph(forward: MilliGraph, param_names: Sequence[str],
     target = g.add_input(target_name)
     loss_tid = _LOSSES[loss](g, pred_tid, target)
     g.mark_output("loss", loss_tid)
+
+    # propagate shape/rank infos: several backward rules (LayerNorm span,
+    # attention GQA factor, reduce axes normalization) need them
+    infer_inputs = {name: forward.tensors[tid].info
+                    for name, tid in forward.inputs.items()
+                    if forward.tensors[tid].info is not None}
+    if input_infos:
+        infer_inputs.update(input_infos)
+    g.infer_all(infer_inputs)
 
     params = {n: input_map[n] for n in param_names}
     grads = generate_backward(g, loss_tid, params, backward_options)
