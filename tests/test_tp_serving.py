@@ -66,3 +66,20 @@ def test_llama_tp_serving_matches_single():
     a = single.generate_tokens(prompt, 12)
     b = sharded.generate_tokens(prompt, 12)
     np.testing.assert_array_equal(a, b)
+
+
+def test_multihost_mesh_factorization():
+    """multihost_mesh places dp across the (virtual) host boundary and
+    keeps sp/tp inside — here: 8 'local' devices on 1 process."""
+    from whisper_tensor_tpu.parallel.mesh import multihost_mesh
+
+    mesh = multihost_mesh(sp=1, tp=2)
+    assert mesh.shape["tp"] == 2
+    assert mesh.shape["dp"] == 4           # 1 process x 8 local / tp2
+    mesh2 = multihost_mesh(sp=2, tp=2)
+    assert mesh2.shape == {"dp": 2, "sp": 2, "tp": 2}
+    # over-subscription (pretending more hosts than devices) must raise
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multihost_mesh(dp_hosts=4, sp=2, tp=2)

@@ -113,3 +113,40 @@ def shard_array(arr, sharding):
     import jax
 
     return jax.device_put(arr, sharding)
+
+
+def distributed_init(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host entry: initialize the jax distributed runtime (each
+    host calls this once before any jax use; args default to the
+    standard JAX env vars / TPU metadata autodetection). After it
+    returns, jax.devices() is the GLOBAL device list and the mesh
+    helpers below span hosts."""
+    import jax
+
+    kw = {}
+    if coordinator is not None:
+        kw["coordinator_address"] = coordinator
+    if num_processes is not None:
+        kw["num_processes"] = num_processes
+    if process_id is not None:
+        kw["process_id"] = process_id
+    jax.distributed.initialize(**kw)
+
+
+def multihost_mesh(dp_hosts: Optional[int] = None, sp: int = 1, tp: int = 1):
+    """Mesh layout for multi-host pods: the dp axis spans hosts (its
+    collectives ride DCN, which gradient all-reduce tolerates) while
+    sp/tp stay INSIDE a host's ICI domain. dp_hosts defaults to the
+    process count; local devices must factor as dp_local*sp*tp."""
+    import jax
+
+    devices = jax.devices()
+    n_local = jax.local_device_count()
+    n_hosts = jax.process_count() if dp_hosts is None else dp_hosts
+    if n_local % (sp * tp) != 0:
+        raise ValueError(f"local devices {n_local} not divisible by "
+                         f"sp*tp={sp * tp}")
+    dp = n_hosts * (n_local // (sp * tp))
+    return make_mesh(dp=dp, sp=sp, tp=tp, devices=devices)
