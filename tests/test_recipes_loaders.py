@@ -250,3 +250,70 @@ def test_gguf_phi3_adapter(tmp_path):
         ref = hf(_t.from_numpy(ids)).logits.numpy()
     np.testing.assert_allclose(np.asarray(logits)[:, :9], ref,
                                rtol=3e-3, atol=3e-4)
+
+
+def test_gguf_loader_windows_and_ragged(tmp_path):
+    """GGUF loader parity with the transformers loader: decode_windows
+    (structure-only graphs sharing the packed store) and ragged_decode."""
+    from whisper_tensor_tpu.importers.gguf import write_gguf
+    from whisper_tensor_tpu.importers.loaders import loader_registry
+
+    rng = np.random.default_rng(1)
+    E, Hq, Hkv, D, I, V, L = 16, 2, 1, 8, 32, 64, 1
+    tensors = {
+        "token_embd.weight": rng.standard_normal((V, E)).astype(np.float32) * 0.05,
+        "output_norm.weight": np.ones(E, np.float32),
+    }
+    p0 = "blk.0."
+    tensors[p0 + "attn_norm.weight"] = np.ones(E, np.float32)
+    tensors[p0 + "attn_q.weight"] = rng.standard_normal((Hq * D, E)).astype(np.float32) * 0.05
+    tensors[p0 + "attn_k.weight"] = rng.standard_normal((Hkv * D, E)).astype(np.float32) * 0.05
+    tensors[p0 + "attn_v.weight"] = rng.standard_normal((Hkv * D, E)).astype(np.float32) * 0.05
+    tensors[p0 + "attn_output.weight"] = rng.standard_normal((E, Hq * D)).astype(np.float32) * 0.05
+    tensors[p0 + "ffn_norm.weight"] = np.ones(E, np.float32)
+    tensors[p0 + "ffn_gate.weight"] = rng.standard_normal((I, E)).astype(np.float32) * 0.05
+    tensors[p0 + "ffn_up.weight"] = rng.standard_normal((I, E)).astype(np.float32) * 0.05
+    tensors[p0 + "ffn_down.weight"] = rng.standard_normal((E, I)).astype(np.float32) * 0.05
+    meta = {"general.architecture": "llama", "general.name": "tinyw",
+            "llama.block_count": L, "llama.embedding_length": E,
+            "llama.attention.head_count": Hq,
+            "llama.attention.head_count_kv": Hkv,
+            "llama.feed_forward_length": I, "llama.context_length": 64,
+            "llama.vocab_size": V,
+            "llama.attention.layer_norm_rms_epsilon": 1e-5,
+            "llama.rope.freq_base": 10000.0}
+    path = str(tmp_path / "tinyw.gguf")
+    write_gguf(path, meta, tensors)
+    ldr = loader_registry()["gguf"]
+
+    plain_b = ldr.load({"path": path, "max_len": 64, "dtype": "f32"})
+    win_b = ldr.load({"path": path, "max_len": 64, "dtype": "f32",
+                      "decode_windows": "16,32"})
+    spec = win_b.interfaces["text"]
+    assert set(spec["windows"]) == {"16", "32"}
+    name = spec["model"]
+    wm = {int(w): win_b.models[mn] for w, mn in spec["windows"].items()}
+    plain = TextInferenceInterface(plain_b.models[name], max_len=64,
+                                   prompt_buckets=(8,))
+    windowed = TextInferenceInterface(win_b.models[name], max_len=64,
+                                      prompt_buckets=(8,), window_models=wm)
+    prompt = np.asarray([[1, 5, 9]], dtype=np.int64)
+    np.testing.assert_array_equal(plain.generate_tokens(prompt, 30),
+                                  windowed.generate_tokens(prompt, 30))
+
+    # ragged variant loads and serves through the batcher
+    rag_b = ldr.load({"path": path, "max_len": 64, "dtype": "f32",
+                      "ragged_decode": True})
+    assert rag_b.interfaces["text"]["ragged"]
+    from whisper_tensor_tpu.server.batching import ContinuousBatcher
+
+    bat = ContinuousBatcher(rag_b.models[next(iter(rag_b.models))],
+                            max_len=64, max_batch=2, chunk=4,
+                            cache_dtype=DType.F32,
+                            prompt_buckets=(8,)).start()
+    try:
+        out = bat.submit(prompt[0], 6).result(timeout=120)
+        ref = plain.generate_tokens(prompt, 6)[0]
+        np.testing.assert_array_equal(out, ref)
+    finally:
+        bat.stop()

@@ -387,6 +387,20 @@ class GgufLoader(Loader):
     NAME = "gguf"
     DESCRIPTION = "GGUF quantized checkpoint (llama.cpp format)"
 
+    def config_schema(self):
+        return super().config_schema() + [
+            ConfigField("max_len", ConfigFieldType.INT, "KV cache slots",
+                        default=1024, min=16),
+            ConfigField("dtype", ConfigFieldType.ENUM, "compute dtype",
+                        default="bf16", choices=["f32", "bf16", "f16"]),
+            ConfigField("ragged_decode", ConfigFieldType.BOOL,
+                        "per-row positions for continuous batching",
+                        default=False),
+            ConfigField("decode_windows", ConfigFieldType.STRING,
+                        "comma-separated KV window sizes for phased "
+                        "windowed decode", default=""),
+        ]
+
     def can_load(self, path: str) -> bool:
         if not os.path.isfile(path) or not path.endswith(".gguf"):
             return False
@@ -404,12 +418,32 @@ class GgufLoader(Loader):
         max_len = int(config.get("max_len", 1024))
         dtype = {"f32": DType.F32, "bf16": DType.BF16,
                  "f16": DType.F16}[config.get("dtype", "bf16")]
-        data, geometry = build_from_gguf(g, max_len=max_len, dtype=dtype)
+        ragged = bool(config.get("ragged_decode", False))
+        data, geometry = build_from_gguf(g, max_len=max_len, dtype=dtype,
+                                         pos_per_row=ragged)
         name = g.metadata.get("general.name", os.path.basename(config["path"]))
         model = Model.new_from_onnx(data, name=name)
-        return LoadedBundle(models={name: model},
+        models = {name: model}
+        window_spec = {}
+        wins = str(config.get("decode_windows", "") or "")
+        if wins and not ragged and arch != "phi3":
+            for tok_w in wins.split(","):
+                w = int(tok_w.strip())
+                if not 0 < w < max_len:
+                    continue
+                wdata, _ = build_from_gguf(
+                    g, max_len=w, dtype=dtype, zeros=True,
+                    storage=WeightStorage.none())
+                wm = Model.new_from_onnx(wdata, name=f"{name}-w{w}")
+                wm.graph.store = model.graph.store
+                models[wm.name] = wm
+                window_spec[str(w)] = wm.name
+        return LoadedBundle(models=models,
                             interfaces={"text": {"model": name,
-                                                 "max_len": max_len, **geometry}},
+                                                 "max_len": max_len,
+                                                 "ragged": ragged,
+                                                 "windows": window_spec,
+                                                 **geometry}},
                             meta={"architecture": arch,
                                   "quantized": True})
 

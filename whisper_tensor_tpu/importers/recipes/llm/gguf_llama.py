@@ -95,9 +95,15 @@ def _gguf_name_phi3(hf_name: str) -> str:
     raise KeyError(hf_name)
 
 
-def build_from_gguf(g, max_len: int, dtype: DType = DType.BF16
-                    ) -> Tuple[bytes, Dict]:
+def build_from_gguf(g, max_len: int, dtype: DType = DType.BF16,
+                    pos_per_row: bool = False, storage=None,
+                    zeros: bool = False) -> Tuple[bytes, Dict]:
+    """zeros=True builds a structure-only graph (shape-faithful zero
+    weights, no dequantization) — for decode-window variants that share
+    the main model's TensorStore."""
     cfg = config_from_gguf(g)
+    if g.architecture == "phi3" and pos_per_row:
+        raise ValueError("ragged decode not supported for gguf phi3 yet")
     if g.architecture == "phi3":
         from .phi3 import Phi3Config, build_phi3_step
 
@@ -125,6 +131,8 @@ def build_from_gguf(g, max_len: int, dtype: DType = DType.BF16
             hf_name = "model.embed_tokens.weight"
         gname = _gguf_name(hf_name)
         t = g.load(gname)
+        if zeros:
+            return np.zeros(tuple(t.shape), dtype=np.float32)
         from ....tensor import PackedTensor
 
         if isinstance(t, PackedTensor):
@@ -132,7 +140,8 @@ def build_from_gguf(g, max_len: int, dtype: DType = DType.BF16
         arr = t.numpy()
         return arr.astype(np.float32) if arr.dtype.kind == "f" else arr
 
-    data = build_llama_step(getter, cfg, max_len=max_len, dtype=dtype)
+    data = build_llama_step(getter, cfg, max_len=max_len, dtype=dtype,
+                            pos_per_row=pos_per_row, storage=storage)
     geometry = dict(n_layers=cfg.num_hidden_layers,
                     n_kv_heads=cfg.num_key_value_heads, head_dim=cfg.hd)
     return data, geometry
