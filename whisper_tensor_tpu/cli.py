@@ -82,7 +82,24 @@ def cmd_generate(args) -> None:
                                    window_models=window_models or None)
     iface.tokenizer = AnyTokenizer.load(tok_src)
     t1 = time.time()
-    text = iface.run_string_in_string_out(args.prompt, args.max_new_tokens)
+    if getattr(args, "num_beams", 1) and args.num_beams > 1:
+        ids = np.asarray(iface.tokenizer.encode(args.prompt),
+                         dtype=np.int64)[None]
+        toks = iface.beam_search_tokens(ids, args.max_new_tokens,
+                                        beam=args.num_beams)[0]
+        text = iface.tokenizer.decode([int(t) for t in toks])
+    else:
+        sampling = None
+        if args.temperature > 0 or args.repetition_penalty != 1.0:
+            from .interfaces.text import SamplingParams
+
+            sampling = SamplingParams(
+                temperature=args.temperature, top_k=args.top_k,
+                top_p=args.top_p,
+                repetition_penalty=args.repetition_penalty, seed=args.seed)
+        text = iface.run_string_in_string_out(args.prompt,
+                                              args.max_new_tokens,
+                                              sampling=sampling)
     dt = time.time() - t1
     print(text)
     print(f"[{args.max_new_tokens} tokens in {dt:.2f}s "
@@ -250,6 +267,12 @@ def main(argv=None) -> None:
     g.add_argument("--tokenizer")
     g.add_argument("--max-new-tokens", type=int, default=64)
     g.add_argument("--max-len", type=int, default=1024)
+    g.add_argument("--temperature", type=float, default=0.0)
+    g.add_argument("--top-k", type=int, default=0)
+    g.add_argument("--top-p", type=float, default=1.0)
+    g.add_argument("--repetition-penalty", type=float, default=1.0)
+    g.add_argument("--num-beams", type=int, default=1)
+    g.add_argument("--seed", type=int, default=0)
     g.add_argument("-c", "--config", action="append", default=[],
                    help="loader config key=value")
     g.set_defaults(fn=cmd_generate)

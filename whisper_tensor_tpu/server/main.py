@@ -343,6 +343,23 @@ class Server:
         tok_src = msg.get("tokenizer") or entry.tokenizer_source or "bytes"
         tok = AnyTokenizer.load(tok_src)
         n_new = int(msg.get("max_new_tokens", 32))
+        beams = int(msg.get("num_beams", 1))
+        if beams > 1:
+            iface = self._text_iface(entry)
+
+            def beam_job(obs):
+                import numpy as _np
+
+                ids = _np.asarray(tok.encode(msg["prompt"]),
+                                  dtype=_np.int64)[None]
+                toks = iface.beam_search_tokens(
+                    ids, n_new, beam=beams,
+                    length_penalty=float(msg.get("length_penalty", 0.0)),
+                    eos_token_id=msg.get("eos_token_id"))[0]
+                return {"text": tok.decode([int(t) for t in toks])}
+
+            self.scheduler.submit(beam_job, ObserverSettings())
+            return None
         if iface_cfg.get("ragged") and float(msg.get("temperature", 0.0)) <= 0:
             self._generate_text_ragged(msg, entry, tok, n_new)
             return None
