@@ -16,14 +16,17 @@ Configuration via env:
   WT_BENCH_SMALL=1 tiny model for smoke runs
 
 Measured on 1x v5e (axon, driver-reproducible): bf16-KV B=512 with
-windowed decode (the default) -> 60.6-60.9k tok/s (12.1x baseline);
-flat single-window -> 51.6-54.3k; B=256 -> 45.1k; B=64 -> 14.6k; int8
-weights B=64 n_new=128 -> 9.0k. Decode is HBM-bound on KV-cache reads
-while the 250 MB weight read amortizes across the batch, so throughput
-scales with B — and the windowed schedule (64 -> 128 -> 256 slots)
-shrinks the average cache read ~28%, which shows up directly as the
-+12-18% over the flat program. bf16-KV B=1024 exceeds HBM. The ~0.75 s
-axon dispatch latency also favors big batches.
+UNIFIED windowed decode (the default: every window phase fused into
+ONE jitted program, 32-slot window steps) -> 78.3k tok/s (15.7x
+baseline). Schedule sweep: 32-step windows 78.3k, 16-step 77.4k,
+(64,128) 71.4k; the same schedules dispatched one-program-per-phase
+measured 60.9k / 54.8k — each extra host dispatch costs ~55 ms on the
+axon tunnel, which is why the phases must be fused. Flat single-window
+program: 51.6-54.3k; B=256 -> 45.1k; B=64 -> 14.6k; int8 weights B=64
+n_new=128 -> 9.0k. Decode is HBM-bound on KV-cache reads while the
+250 MB weight read amortizes across the batch, so throughput scales
+with B — and the 32-step window schedule shrinks the average cache
+read ~41% vs flat. bf16-KV B=1024 exceeds HBM.
 
 fp8-KV note (round-1 post-mortem): the f8_e4m3 cache was briefly the
 default on an apparent 70k tok/s measurement, but the driver-recorded
@@ -210,12 +213,14 @@ def main() -> None:
     # so the average-window shrink is a direct throughput win.
     # WT_BENCH_WINDOWS=0 for the flat single-window program.
     window_models = None
-    if (os.environ.get("WT_BENCH_WINDOWS", "1") != "0"
-            and not os.environ.get("WT_BENCH_QUANT")):
+    wenv = os.environ.get("WT_BENCH_WINDOWS", "1")
+    if wenv != "0" and not os.environ.get("WT_BENCH_QUANT"):
         from whisper_tensor_tpu.importers.onnx_builder import WeightStorage
 
+        window_set = ((32, 64, 96, 128, 160, 192, 224) if wenv == "1"
+                      else tuple(int(x) for x in wenv.split(",")))
         window_models = {}
-        for w in (64, 128):
+        for w in window_set:
             if w >= max_len:
                 continue
             # structure-only graphs (weights never serialized twice);

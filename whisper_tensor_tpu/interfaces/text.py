@@ -466,20 +466,37 @@ class TextInferenceInterface:
             out.append(jnp.zeros(tuple(dims), dtype=self.cache_dtype.to_jax()))
         return out
 
-    def _phase0_program(self, batch, bucket, k, window, sampling):
-        """Prefill at `bucket` + k decode steps, all inside window."""
+    def _unified_windowed_program(self, batch, bucket, prompt_len, n_new,
+                                  phases, sampling):
+        """ONE jitted program running every window phase: prefill at
+        `bucket` inside the first window, then for each later phase the
+        caches are zero-padded to the next window size *inside the
+        trace* and decode continues with that window's step graph.
+
+        vs the earlier one-dispatch-per-phase design this removes the
+        inter-phase host round-trips (~55 ms each on the axon tunnel),
+        which is what made fine-grained window schedules a net loss —
+        fused, a 32-slot-step schedule keeps the full HBM-traffic win.
+        The rng stream (fold_in(rng, global_step)) is identical to the
+        flat program's, so outputs stay exactly equal."""
         import jax
         import jax.numpy as jnp
 
-        key = ("ph0", batch, bucket, k, window, sampling)
+        key = ("uwin", batch, bucket, prompt_len, n_new, tuple(phases),
+               sampling)
         if key in self._programs:
             return self._programs[key]
-        step = self._traced_step(batch, bucket, window=window)
         sp = sampling
+        prefill = self._traced_step(batch, bucket, window=phases[0][1])
+        dsteps = {w: self._traced_step(batch, 1, window=w)
+                  for _, w in phases}
 
-        def run(ids_padded, prompt_len, caches, weights, rng_key):
-            logits, caches = step(ids_padded, jnp.asarray(0, dtype=jnp.int64),
-                                  caches, weights)
+        def run(ids_padded, weights, rng_key):
+            k0, w0 = phases[0]
+            caches = self._fresh_cache_w_traced(batch, w0)
+            logits, caches = prefill(ids_padded,
+                                     jnp.asarray(0, dtype=jnp.int64),
+                                     caches, weights)
             last = logits[:, prompt_len - 1, :]
             B, V = last.shape
             seen = None
@@ -492,74 +509,49 @@ class TextInferenceInterface:
             if seen is not None:
                 seen = seen.at[jnp.arange(B), cur].set(True)
 
-            def body(carry, i):
-                cur, pos, caches, seen = carry
-                lg, caches = step(cur[:, None], pos, caches, weights)
-                nxt = _pick_token(lg[:, -1, :],
-                                  jax.random.fold_in(rng_key, i + 1), sp,
-                                  seen)
-                if seen is not None:
-                    seen = seen.at[jnp.arange(seen.shape[0]), nxt].set(True)
-                return (nxt, pos + 1, caches, seen), cur
+            pos = jnp.asarray(prompt_len, dtype=jnp.int64)
+            off = 0
+            prev_w = w0
+            toks_out = []
+            for k, w in phases:
+                if w != prev_w:
+                    caches = [jnp.pad(
+                        c, [(0, 0), (0, 0), (0, w - prev_w), (0, 0)])
+                        for c in caches]
+                    prev_w = w
+                step = dsteps[w]
 
-            (cur, pos, caches, seen), toks = jax.lax.scan(
-                body, (cur, prompt_len.astype(jnp.int64), caches, seen),
-                jnp.arange(k))
-            if seen is None:
-                seen = jnp.zeros((B, 1), bool)   # pytree-stable placeholder
-            return jnp.swapaxes(toks, 0, 1), cur, pos, caches, seen
+                def body(carry, i, step=step):
+                    cur, pos, caches, seen = carry
+                    lg, caches = step(cur[:, None], pos, caches, weights)
+                    nxt = _pick_token(lg[:, -1, :],
+                                      jax.random.fold_in(rng_key, i + 1), sp,
+                                      seen)
+                    if seen is not None:
+                        seen = seen.at[jnp.arange(seen.shape[0]),
+                                       nxt].set(True)
+                    return (nxt, pos + 1, caches, seen), cur
 
-        self._programs[key] = jax.jit(run, donate_argnums=(2,))
+                (cur, pos, caches, seen), toks = jax.lax.scan(
+                    body, (cur, pos, caches, seen), jnp.arange(off, off + k))
+                toks_out.append(jnp.swapaxes(toks, 0, 1))
+                off += k
+            return jnp.concatenate(toks_out, axis=1)
+
+        self._programs[key] = jax.jit(run)
         return self._programs[key]
 
-    def _phase_program(self, batch, k, window, off, sampling):
-        """k decode steps inside `window`; rng stream continues at off."""
-        import jax
+    def _fresh_cache_w_traced(self, batch: int, window: int):
         import jax.numpy as jnp
 
-        key = ("ph", batch, k, window, off, sampling)
-        if key in self._programs:
-            return self._programs[key]
-        step = self._traced_step(batch, 1, window=window)
-        sp = sampling
-
-        def run(cur, pos, caches, weights, rng_key, seen):
-            if not _uses_seen(sp):
-                seen = None
-
-            def body(carry, i):
-                cur, pos, caches, seen = carry
-                lg, caches = step(cur[:, None], pos, caches, weights)
-                nxt = _pick_token(lg[:, -1, :],
-                                  jax.random.fold_in(rng_key, i + 1), sp,
-                                  seen)
-                if seen is not None:
-                    seen = seen.at[jnp.arange(seen.shape[0]), nxt].set(True)
-                return (nxt, pos + 1, caches, seen), cur
-
-            (cur, pos, caches, seen), toks = jax.lax.scan(
-                body, (cur, pos, caches, seen), jnp.arange(off, off + k))
-            if seen is None:
-                seen = jnp.zeros((cur.shape[0], 1), bool)
-            return jnp.swapaxes(toks, 0, 1), cur, pos, caches, seen
-
-        self._programs[key] = jax.jit(run, donate_argnums=(2,))
-        return self._programs[key]
-
-    def _grow_program(self, batch, w_from, w_to):
-        import jax
-        import jax.numpy as jnp
-
-        key = ("grow", batch, w_from, w_to)
-        if key in self._programs:
-            return self._programs[key]
-
-        def grow(caches):
-            return [jnp.pad(c, [(0, 0), (0, 0), (0, w_to - w_from), (0, 0)])
-                    for c in caches]
-
-        self._programs[key] = jax.jit(grow, donate_argnums=(0,))
-        return self._programs[key]
+        out = []
+        for n in self.cache_in_names:
+            info = self.model.graph.tensors[self.model.graph.by_name[n]].info
+            dims = [batch if not d.is_known else int(d.value())
+                    for d in info.dims()]
+            dims[2] = window
+            out.append(jnp.zeros(tuple(dims), dtype=self.cache_dtype.to_jax()))
+        return out
 
     def _generate_windowed(self, prompt_ids: np.ndarray, n_new: int,
                            sampling: Optional[SamplingParams]) -> np.ndarray:
@@ -575,37 +567,21 @@ class TextInferenceInterface:
         weights = self._weights()
         rng = jax.random.PRNGKey(sampling.seed if sampling else 0)
 
-        pos = L
-        remaining = n_new
-        out_toks = []
-        cur = None
-        caches = None
-        done_steps = 0
-        prev_w = None
+        # static phase schedule (k decode steps inside window w)
+        phases = []
+        pos, remaining = L, n_new
         for w in windows:
             if remaining <= 0:
                 break
             k = min(remaining, w - pos)
             if k <= 0:
-                prev_w = prev_w or w
                 continue
-            if cur is None:
-                caches = self._fresh_cache_w(B, w)
-                prog = self._phase0_program(B, Sb, k, w, sampling)
-                toks, cur, posv, caches, seen = prog(
-                    jnp.asarray(padded), jnp.asarray(L, dtype=jnp.int64),
-                    caches, weights, rng)
-            else:
-                caches = self._grow_program(B, prev_w, w)(caches)
-                prog = self._phase_program(B, k, w, done_steps, sampling)
-                toks, cur, posv, caches, seen = prog(cur, posv, caches,
-                                                     weights, rng, seen)
-            out_toks.append(np.asarray(toks))
-            done_steps += k
+            phases.append((k, w))
             pos += k
             remaining -= k
-            prev_w = w
-        return np.concatenate(out_toks, axis=1)
+        prog = self._unified_windowed_program(B, Sb, L, n_new,
+                                              tuple(phases), sampling)
+        return np.asarray(prog(jnp.asarray(padded), weights, rng))
 
     # ------------------------------------------------------------------
     def generate_tokens(self, prompt_ids: np.ndarray, n_new: int,
