@@ -48,6 +48,9 @@ class Case:
                         custom_opsets={"wt": 1} if self.domain else None)
         in_names = []
         for n, v in self.inputs.items():
+            if v is None:  # absent optional input -> empty-name slot
+                in_names.append("")
+                continue
             v = np.asarray(v)
             if n in self.initializer_names:
                 b.initializer(n, v)
@@ -81,7 +84,7 @@ def _is_float(dt: np.dtype) -> bool:
 def check_case(case: Case, mode: str) -> None:
     model = case.build_model()
     feeds = {n: v for n, v in case.inputs.items()
-             if n not in case.initializer_names}
+             if n not in case.initializer_names and v is not None}
     out = model.eval(feeds, mode=mode)
     for k, expected in enumerate(case.expected):
         got = np.asarray(out[f"out_{k}"])

@@ -8,12 +8,12 @@ metric (BASELINE.json: "all 400+ ONNX conformance tests green").
 import pytest
 
 from .harness import check_case
-from . import (cases_dtypes, cases_elementwise, cases_misc2, cases_more,
-               cases_nn, cases_pool, cases_reduce2, cases_shape)
+from . import (cases_breadth, cases_dtypes, cases_elementwise, cases_misc2,
+               cases_more, cases_nn, cases_pool, cases_reduce2, cases_shape)
 
 ALL_CASES = (cases_elementwise.CASES + cases_shape.CASES + cases_nn.CASES
              + cases_dtypes.CASES + cases_reduce2.CASES + cases_pool.CASES
-             + cases_misc2.CASES + cases_more.CASES)
+             + cases_misc2.CASES + cases_more.CASES + cases_breadth.CASES)
 
 _names = [c.name for c in ALL_CASES]
 assert len(_names) == len(set(_names)), sorted(
@@ -34,6 +34,9 @@ def test_xla(case):
 def test_case_count_meets_baseline():
     # oracle + xla expansions together form the conformance suite;
     # the reference registers ~1,276 active node tests per backend
-    # (tests/onnx_testing.rs:1960-1990) — this floor tracks parity
+    # (tests/onnx_testing.rs:1960-1990) — both floors track parity:
+    # per-backend case count AND total check count
+    assert len(ALL_CASES) >= 1276, \
+        f"per-backend conformance breadth below reference: {len(ALL_CASES)}"
     total = len(ALL_CASES) + sum(1 for c in ALL_CASES if not c.oracle_only)
-    assert total >= 1700, f"conformance suite shrank: {total} < 1700"
+    assert total >= 2500, f"conformance suite shrank: {total} < 2500"

@@ -155,10 +155,12 @@ class CastLike(MilliOp):
 
 
 def _np_erf(x: np.ndarray) -> np.ndarray:
-    # torch is the oracle for special functions (baked-in, CPU)
+    # torch is the oracle for special functions (baked-in, CPU);
+    # ascontiguousarray promotes 0-d to (1,), so restore the shape
     import torch
 
-    return torch.erf(torch.from_numpy(np.ascontiguousarray(x))).numpy()
+    out = torch.erf(torch.from_numpy(np.ascontiguousarray(x))).numpy()
+    return out.reshape(np.shape(x))
 
 
 def _np_round(x):
