@@ -276,3 +276,51 @@ def test_transformer_training_graph_matches_torch():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(cout["grad::wqkv_0"]),
                                out["grad::wqkv_0"], rtol=1e-4, atol=1e-5)
+
+
+def test_attention_softcap_backward_matches_jax():
+    """Softcapped attention (Gemma-2 style: cap applied to scores BEFORE
+    mask/causal) now differentiates in the milli training artifact —
+    grads for q/k/v match jax.grad of the same formula (incl. GQA
+    group-summing of k/v grads)."""
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_tensor_tpu.dtype import DType as DT
+    from whisper_tensor_tpu.milli.ops.attention import AttentionMilli
+    from whisper_tensor_tpu.tensor_info import TensorInfo
+
+    rng = np.random.default_rng(3)
+    B, Hq, Hkv, S, D = 2, 4, 2, 6, 8
+    cap = 5.0
+    qv = rng.standard_normal((B, Hq, S, D)).astype(np.float32)
+    kv = rng.standard_normal((B, Hkv, S, D)).astype(np.float32)
+    vv = rng.standard_normal((B, Hkv, S, D)).astype(np.float32)
+    tv = rng.standard_normal((B, Hq, S, D)).astype(np.float32)
+
+    g = MilliGraph("attn_softcap")
+    q, k, v = g.add_input("q"), g.add_input("k"), g.add_input("v")
+    g.mark_output("pred", g.op1(
+        AttentionMilli(is_causal=True, softcap=cap), q, k, v))
+    tg, meta = build_training_graph(
+        g, ["q", "k", "v"], "pred", loss="mse",
+        input_infos={"q": TensorInfo.shaped(DT.F32, [B, Hq, S, D]),
+                     "k": TensorInfo.shaped(DT.F32, [B, Hkv, S, D]),
+                     "v": TensorInfo.shaped(DT.F32, [B, Hkv, S, D])})
+    out = tg.eval({"q": qv, "k": kv, "v": vv, "target": tv})
+
+    def jloss(p):
+        kf = jnp.repeat(p["k"], Hq // Hkv, axis=1)
+        vf = jnp.repeat(p["v"], Hq // Hkv, axis=1)
+        s = jnp.einsum("bhqd,bhkd->bhqk", p["q"], kf) / np.sqrt(D)
+        s = cap * jnp.tanh(s / cap)
+        causal = jnp.tril(jnp.ones((S, S), bool))
+        s = jnp.where(causal, s, -1e30)
+        pred = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, -1), vf)
+        return jnp.mean((pred - tv) ** 2)
+
+    jg = jax.grad(jloss)({"q": jnp.asarray(qv), "k": jnp.asarray(kv),
+                          "v": jnp.asarray(vv)})
+    for n in ("q", "k", "v"):
+        np.testing.assert_allclose(out[f"grad::{n}"], np.asarray(jg[n]),
+                                   rtol=1e-3, atol=1e-5, err_msg=n)

@@ -147,8 +147,6 @@ class AttentionMilli(MilliOp):
         g = out_grads[0]
         if g is None:
             return [None] * len(node.inputs)
-        if self.softcap > 0:
-            raise NotImplementedError("attention backward with softcap")
         from .basic import CastLike, Constant, MatMul, Pow, SimpleBinary
         from ..ir import Phase
         from .shape import (Concat, Expand, GatherShape, Reshape, Shape,
@@ -217,6 +215,22 @@ class AttentionMilli(MilliOp):
             scale_t = b.op1(Pow(), d_f, neg_half, phase=P)
 
         s = bop("mul", mm(q, tsw(k_full)), scale_t)
+        cap_deriv = None
+        if self.softcap > 0:
+            # s_cap = c·tanh(s/c); ds_cap/ds = 1 − tanh²(s/c) — the mask
+            # and causal terms are added AFTER the cap (Gemma-2 order),
+            # so the softmax grad passes through them unchanged and only
+            # the score grad picks up the tanh derivative.
+            from .basic import SimpleUnary as _SU
+
+            cap = b.op1(CastLike(), b.op1(Constant(
+                np.asarray(self.softcap, dtype=np.float32)), phase=P), s,
+                phase=P)
+            th = b.op1(_SU("tanh"), bop("div", s, cap), phase=P)
+            one_f = b.op1(CastLike(), b.op1(Constant(
+                np.asarray(1.0, dtype=np.float32)), phase=P), s, phase=P)
+            cap_deriv = bop("sub", one_f, bop("mul", th, th))
+            s = bop("mul", cap, th)
         if mask is not None:
             s = bop("add", s, b.op1(CastLike(), mask, s, phase=P))
         if self.is_causal:
@@ -252,6 +266,8 @@ class AttentionMilli(MilliOp):
         inner = b.op1(Reduce("sum", axes=[-1], keepdims=True),
                       bop("mul", g_p, p), phase=P)
         g_s = bop("mul", p, bop("sub", g_p, inner))
+        if cap_deriv is not None:
+            g_s = bop("mul", g_s, cap_deriv)
         g_q = bop("mul", mm(g_s, k_full), scale_t)
         g_k_full = bop("mul", mm(tsw(g_s), q), scale_t)
         if rep > 1:
