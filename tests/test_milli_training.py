@@ -324,3 +324,85 @@ def test_attention_softcap_backward_matches_jax():
     for n in ("q", "k", "v"):
         np.testing.assert_allclose(out[f"grad::{n}"], np.asarray(jg[n]),
                                    rtol=1e-3, atol=1e-5, err_msg=n)
+
+
+@pytest.mark.parametrize("starts,ends,axes,steps", [
+    ([1], [7], [0], [2]),          # strided
+    ([6], [-9], [0], [-2]),        # negative step
+    ([0, 5], [8, 0], [0, 1], [3, -1]),  # multi-axis mixed
+    ([2], [6], [1], [1]),          # unit step (regression)
+])
+def test_slice_backward_strided_matches_jax(starts, ends, axes, steps):
+    """Strided / negative-step Slice now differentiates: the grad is
+    scattered back through zero-interleaving (was NotImplementedError)."""
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_tensor_tpu.dtype import DType as DT
+    from whisper_tensor_tpu.milli.ops import Constant
+    from whisper_tensor_tpu.milli.ops.shape import Slice
+    from whisper_tensor_tpu.tensor_info import TensorInfo
+
+    rng = np.random.default_rng(11)
+    xv = rng.standard_normal((8, 6)).astype(np.float32)
+
+    g = MilliGraph("slice_bwd")
+    x = g.add_input("x")
+    s = g.op1(Constant(np.asarray(starts, np.int64)))
+    e = g.op1(Constant(np.asarray(ends, np.int64)))
+    a = g.op1(Constant(np.asarray(axes, np.int64)))
+    st = g.op1(Constant(np.asarray(steps, np.int64)))
+    g.mark_output("pred", g.op1(Slice(), x, s, e, a, st))
+    sliced = Slice().eval([xv, np.asarray(starts), np.asarray(ends),
+                           np.asarray(axes), np.asarray(steps)])[0]
+    tv = rng.standard_normal(sliced.shape).astype(np.float32)
+    tg, meta = build_training_graph(
+        g, ["x"], "pred", loss="mse",
+        input_infos={"x": TensorInfo.shaped(DT.F32, [8, 6])})
+    out = tg.eval({"x": xv, "target": tv})
+
+    def jloss(x):
+        idx = Slice()._indexer((8, 6), np.asarray(starts), np.asarray(ends),
+                               np.asarray(axes), np.asarray(steps))
+        return jnp.mean((x[idx] - tv) ** 2)
+
+    jg = jax.grad(jloss)(jnp.asarray(xv))
+    np.testing.assert_allclose(out["grad::x"], np.asarray(jg),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(out["loss"],
+                               float(jloss(jnp.asarray(xv))), rtol=1e-5)
+
+
+@pytest.mark.parametrize("mode,domain", [
+    ("tan", (-0.6, 0.6)), ("asin", (-0.8, 0.8)), ("acos", (-0.8, 0.8)),
+    ("atan", (-2.0, 2.0)), ("sinh", (-1.5, 1.5)), ("cosh", (-1.5, 1.5)),
+    ("asinh", (-2.0, 2.0)), ("acosh", (1.2, 3.0)), ("atanh", (-0.7, 0.7)),
+    ("floor", (0.1, 0.9)), ("ceil", (0.1, 0.9)),
+    ("round", (0.1, 0.4)), ("sign", (0.5, 2.0)),
+])
+def test_unary_backward_family_matches_jax(mode, domain):
+    """Trig/hyperbolic/rounding unary backwards (were
+    NotImplementedError) gradient-checked vs jax."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    xv = rng.uniform(*domain, (3, 4)).astype(np.float32)
+    tv = rng.standard_normal((3, 4)).astype(np.float32)
+
+    g = MilliGraph(f"u_{mode}")
+    x = g.add_input("x")
+    g.mark_output("pred", g.op1(SimpleUnary(mode), x))
+    tg, _ = build_training_graph(g, ["x"], "pred", loss="mse")
+    out = tg.eval({"x": xv, "target": tv})
+
+    jfn = {"tan": jnp.tan, "asin": jnp.arcsin, "acos": jnp.arccos,
+           "atan": jnp.arctan, "sinh": jnp.sinh, "cosh": jnp.cosh,
+           "asinh": jnp.arcsinh, "acosh": jnp.arccosh,
+           "atanh": jnp.arctanh,
+           "softsign": lambda v: v / (1 + jnp.abs(v)),
+           "floor": jnp.floor, "ceil": jnp.ceil, "round": jnp.round,
+           "sign": jnp.sign}[mode]
+    jg = jax.grad(lambda v: jnp.mean((jfn(v) - tv) ** 2))(jnp.asarray(xv))
+    np.testing.assert_allclose(out[f"grad::x"], np.asarray(jg),
+                               rtol=1e-4, atol=1e-5, err_msg=mode)

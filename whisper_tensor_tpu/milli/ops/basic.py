@@ -303,6 +303,36 @@ class SimpleUnary(MilliOp):
             return [u("neg", bin("mul", g, bin("mul", y, y)))]
         if m == "softplus":
             return [bin("mul", g, u("sigmoid", x))]
+        if m in ("floor", "ceil", "round", "sign"):
+            # piecewise-constant: zero gradient almost everywhere
+            zero = _const_like(b, 0.0, g, P)
+            return [bin("mul", g, zero)]
+        if m == "tan":
+            one = _const_like(b, 1.0, y, P)
+            return [bin("mul", g, bin("add", one, bin("mul", y, y)))]
+        if m in ("asin", "acos"):
+            one = _const_like(b, 1.0, x, P)
+            d = u("sqrt", bin("sub", one, bin("mul", x, x)))
+            r = bin("div", g, d)
+            return [u("neg", r) if m == "acos" else r]
+        if m == "atan":
+            one = _const_like(b, 1.0, x, P)
+            return [bin("div", g, bin("add", one, bin("mul", x, x)))]
+        if m == "sinh":
+            return [bin("mul", g, u("cosh", x))]
+        if m == "cosh":
+            return [bin("mul", g, u("sinh", x))]
+        if m == "asinh":
+            one = _const_like(b, 1.0, x, P)
+            return [bin("div", g, u("sqrt", bin("add", bin("mul", x, x),
+                                                one)))]
+        if m == "acosh":
+            one = _const_like(b, 1.0, x, P)
+            return [bin("div", g, u("sqrt", bin("sub", bin("mul", x, x),
+                                                one)))]
+        if m == "atanh":
+            one = _const_like(b, 1.0, x, P)
+            return [bin("div", g, bin("sub", one, bin("mul", x, x)))]
         raise NotImplementedError(f"backward for unary {m}")
 
 

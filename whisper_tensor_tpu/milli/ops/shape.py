@@ -483,9 +483,11 @@ class Slice(MilliOp):
         return [TensorInfo.minimal(data.dtype)]
 
     def backward(self, b, node, out_grads):
-        """grad_data = Pad(grad, zeros back to the input shape). Needs
-        build-time starts/ends/axes/steps (Constant producers or NUMERIC
-        infos) and a concrete input shape; unit steps only."""
+        """grad_data scatters the output grad back to the input shape:
+        unit steps are a zero Pad; strided steps interleave step-1 zero
+        rows (unsqueeze/pad/merge) first; negative steps reverse before
+        interleaving. Needs build-time starts/ends/axes/steps (Constant
+        producers or NUMERIC infos) and a concrete input shape."""
         g = out_grads[0]
         if g is None:
             return [None] * len(node.inputs)
@@ -510,20 +512,45 @@ class Slice(MilliOp):
         ends = _static(node.inputs[2])
         axes = _static(node.inputs[3]) if len(node.inputs) > 3 else None
         steps = _static(node.inputs[4]) if len(node.inputs) > 4 else None
-        if steps is not None and any(int(s) != 1 for s in np.asarray(steps).reshape(-1)):
-            raise NotImplementedError("Slice backward: non-unit steps")
         idx = self._indexer(cs, starts, ends, axes, steps)
-        begin, end_pad = [], []
-        for d, sl in zip(cs, idx):
-            lo, hi, _ = sl.indices(d)
-            begin.append(lo)
-            end_pad.append(d - max(hi, lo))
         from .basic import Constant
 
         P = Phase.BACKWARD
-        pads = b.op1(Constant(np.asarray(begin + end_pad, dtype=np.int64)),
-                     phase=P)
-        gd = b.op1(Pad(mode="constant"), g, pads, phase=P)
+
+        def const(vals):
+            return b.op1(Constant(np.asarray(vals, dtype=np.int64)), phase=P)
+
+        rank = len(cs)
+        # current (static) shape of the grad being transformed
+        shape_now = [len(range(*sl.indices(d))) for d, sl in zip(cs, idx)]
+        cur = g
+        begin, end_pad = [], []
+        for a, (d, sl) in enumerate(zip(cs, idx)):
+            lo, hi, st = sl.indices(d)
+            n = shape_now[a]
+            if st < 0:
+                # reverse along `a` so positions ascend, then treat as +|st|
+                cur = b.op1(Slice(), cur, const([-1]), const([-(n + 1)]),
+                            const([a]), const([-1]), phase=P)
+                lo = lo + (n - 1) * st
+                st = -st
+            if st > 1 and n > 0:
+                # interleave st-1 zeros between grad rows: unsqueeze a+1,
+                # pad that axis to st, merge, trim the trailing zeros
+                cur = b.op1(Unsqueeze(axes=[a + 1]), cur, phase=P)
+                pv = [0] * (2 * (rank + 1))
+                pv[rank + 1 + a + 1] = st - 1   # pad after, axis a+1
+                cur = b.op1(Pad(mode="constant"), cur, const(pv), phase=P)
+                tgt = list(shape_now)
+                tgt[a] = n * st
+                cur = b.op1(Reshape(), cur, const(tgt), phase=P)
+                cur = b.op1(Slice(), cur, const([0]),
+                            const([(n - 1) * st + 1]), const([a]), phase=P)
+                shape_now[a] = (n - 1) * st + 1
+            begin.append(lo if n > 0 else 0)
+            end_pad.append(d - (lo if n > 0 else 0) - shape_now[a])
+        pads = const(begin + end_pad)
+        gd = b.op1(Pad(mode="constant"), cur, pads, phase=P)
         return [gd] + [None] * (len(node.inputs) - 1)
 
 
