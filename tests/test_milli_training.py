@@ -406,3 +406,44 @@ def test_unary_backward_family_matches_jax(mode, domain):
     jg = jax.grad(lambda v: jnp.mean((jfn(v) - tv) ** 2))(jnp.asarray(xv))
     np.testing.assert_allclose(out[f"grad::x"], np.asarray(jg),
                                rtol=1e-4, atol=1e-5, err_msg=mode)
+
+
+@pytest.mark.parametrize("mode,keepdims", [
+    ("prod", True), ("prod", False), ("l1", False), ("l2", True),
+    ("l2", False), ("sumsquare", False), ("logsumexp", True),
+    ("logsumexp", False),
+])
+def test_reduce_backward_family_matches_jax(mode, keepdims):
+    """prod/l1/l2/sumsquare/logsumexp Reduce backwards (were
+    NotImplementedError) gradient-checked vs jax."""
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_tensor_tpu.dtype import DType as DT
+    from whisper_tensor_tpu.milli.ops.reduce import Reduce
+    from whisper_tensor_tpu.tensor_info import TensorInfo
+
+    rng = np.random.default_rng(9)
+    xv = (rng.uniform(0.3, 2.0, (3, 4, 5)) *
+          np.where(rng.random((3, 4, 5)) < 0.5, -1, 1)).astype(np.float32)
+
+    g = MilliGraph(f"red_{mode}")
+    x = g.add_input("x")
+    g.mark_output("pred", g.op1(Reduce(mode, axes=[1], keepdims=keepdims), x))
+    tshape = (3, 1, 5) if keepdims else (3, 5)
+    tv = rng.standard_normal(tshape).astype(np.float32)
+    tg, _ = build_training_graph(
+        g, ["x"], "pred", loss="mse",
+        input_infos={"x": TensorInfo.shaped(DT.F32, [3, 4, 5])})
+    out = tg.eval({"x": xv, "target": tv})
+
+    jfn = {"prod": lambda v: jnp.prod(v, axis=1, keepdims=keepdims),
+           "l1": lambda v: jnp.sum(jnp.abs(v), axis=1, keepdims=keepdims),
+           "l2": lambda v: jnp.sqrt(jnp.sum(v * v, axis=1,
+                                            keepdims=keepdims)),
+           "sumsquare": lambda v: jnp.sum(v * v, axis=1, keepdims=keepdims),
+           "logsumexp": lambda v: jax.scipy.special.logsumexp(
+               v, axis=1, keepdims=keepdims)}[mode]
+    jg = jax.grad(lambda v: jnp.mean((jfn(v) - tv) ** 2))(jnp.asarray(xv))
+    np.testing.assert_allclose(out["grad::x"], np.asarray(jg),
+                               rtol=1e-4, atol=1e-5, err_msg=mode)

@@ -165,6 +165,44 @@ class Reduce(MilliOp):
             cnt = b.op1(Reduce("sum", self.axes, keepdims=True), maskf, phase=P)
             share = b.op1(SimpleBinary("div"), maskf, cnt, phase=P)
             return [b.op1(SimpleBinary("mul"), gk, share, phase=P)]
+        if self.mode in ("prod", "l1", "l2", "sumsquare", "logsumexp"):
+            from .basic import SimpleUnary
+
+            y = node.outputs[0]
+            yk, gk = y, g
+            if not self.keepdims and self.axes:
+                if all(a < 0 for a in self.axes):
+                    ax = sorted(self.axes)
+                else:
+                    info = b.tensors[x].info
+                    rank = (info.rank if info is not None
+                            and info.rank is not None else None)
+                    if rank is None:
+                        raise NotImplementedError(
+                            f"Reduce {self.mode} backward without rank info")
+                    ax = list(self._axes(rank))
+                yk = b.op1(Unsqueeze(axes=ax), y, phase=P)
+                gk = b.op1(Unsqueeze(axes=ax), g, phase=P)
+
+            def bop(mode, a_, c_):
+                return b.op1(SimpleBinary(mode), a_, c_, phase=P)
+
+            if self.mode == "prod":
+                # d prod/dx_i = prod / x_i (subgradient away from zeros)
+                return [bop("mul", gk, bop("div", yk, x))]
+            if self.mode == "l1":
+                return [bop("mul", gk, b.op1(SimpleUnary("sign"), x,
+                                             phase=P))]
+            if self.mode == "l2":
+                # d sqrt(sum x^2)/dx = x / y
+                return [bop("mul", gk, bop("div", x, yk))]
+            if self.mode == "sumsquare":
+                two = b.op1(CastLike(), b.op1(Constant(
+                    np.asarray(2.0, dtype=np.float32)), phase=P), g, phase=P)
+                return [bop("mul", gk, bop("mul", two, x))]
+            # logsumexp: d/dx = exp(x - y) (the softmax weights)
+            e = b.op1(SimpleUnary("exp"), bop("sub", x, yk), phase=P)
+            return [bop("mul", gk, e)]
         if self.mode not in ("sum", "mean"):
             raise NotImplementedError(f"backward for Reduce-{self.mode}")
         # re-insert reduced dims if keepdims=False, then broadcast
