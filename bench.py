@@ -26,7 +26,10 @@ program: 51.6-54.3k; B=256 -> 45.1k; B=64 -> 14.6k; int8 weights B=64
 n_new=128 -> 9.0k. Decode is HBM-bound on KV-cache reads while the
 250 MB weight read amortizes across the batch, so throughput scales
 with B — and the 32-step window schedule shrinks the average cache
-read ~41% vs flat. bf16-KV B=1024 exceeds HBM.
+read ~41% vs flat. B=1024 measures 80.4k (+2.7%) but peaks near the
+16 GB HBM limit (final-window caches 9.7 GB + grow-pad transient), so
+the default stays at the safely-reproducible B=512; B=768 falls off a
+tiling cliff (33k) — batch must stay a power of two.
 
 fp8-KV note (round-1 post-mortem): the f8_e4m3 cache was briefly the
 default on an apparent 70k tok/s measurement, but the driver-recorded

@@ -788,3 +788,29 @@ add("argmax_last_tie", "ArgMax", {"x": _TIE},
 add("argmin_last_tie", "ArgMin", {"x": -_TIE},
     np.asarray([[2], [3]], np.int64),
     attrs={"axis": 1, "select_last_index": 1})
+
+# ---------------------------------------------------------------------------
+# 14. Constant node attribute forms (output-only node)
+# ---------------------------------------------------------------------------
+_CONST_T = rng.standard_normal((2, 3)).astype(np.float32)
+add("constant_value_tensor", "Constant", {}, _CONST_T,
+    attrs={"value": _CONST_T})
+add("constant_value_tensor_i64", "Constant", {},
+    np.asarray([[1, -2], [3, 4]], np.int64),
+    attrs={"value": np.asarray([[1, -2], [3, 4]], np.int64)})
+add("constant_value_float", "Constant", {}, np.asarray(2.5, np.float32),
+    attrs={"value_float": 2.5})
+add("constant_value_int", "Constant", {}, np.asarray(-7, np.int64),
+    attrs={"value_int": -7})
+add("constant_value_ints", "Constant", {},
+    np.asarray([1, 2, 3], np.int64), attrs={"value_ints": [1, 2, 3]})
+add("constant_value_floats", "Constant", {},
+    np.asarray([0.5, 1.5], np.float32), attrs={"value_floats": [0.5, 1.5]})
+
+# Softmax1 (custom wt domain): softmax with +1 in the denominator
+_SM1 = rng.standard_normal((2, 5)).astype(np.float32)
+_e1 = np.exp(_SM1 - _SM1.max(-1, keepdims=True))
+_sm1_ref = _e1 / (_e1.sum(-1, keepdims=True)
+                  + np.exp(-_SM1.max(-1, keepdims=True)))
+add("softmax1_2d", "Softmax1", {"x": _SM1}, _sm1_ref.astype(np.float32),
+    domain="wt", rtol=2e-3, atol=1e-5)

@@ -58,9 +58,31 @@ class LogSoftmax(Operation):
         return [ctx.emit1(SimpleBinary("sub"), sh, ctx.emit1(SimpleUnary("log"), s))]
 
 
-@register("Softmax1")  # placeholder domain guard; unused
-class _SoftmaxGuard(Operation):
-    pass
+@register("Softmax1")
+@dataclass
+class Softmax1(Operation):
+    """Quiet softmax (custom `wt` domain): exp(x)/(1 + sum(exp(x))) —
+    the "+1" lets a row attend to nothing (attention-sink variant).
+    Stable form: with m = max(x, 0-included): exp(x-m)/(exp(-m) +
+    sum(exp(x-m)))."""
+
+    axis: int = -1
+
+    @classmethod
+    def from_onnx(cls, node, attrs, opset):
+        return cls(attrs.i("axis", -1))
+
+    def lower(self, ctx, inputs, n_outputs):
+        x = inputs[0]
+        mx0 = ctx.emit1(Reduce("max", axes=[self.axis], keepdims=True), x)
+        mx = ctx.emit1(ClampMin(0.0), mx0)  # include the implicit 0 logit
+        sh = ctx.emit1(SimpleBinary("sub"), x, mx)
+        ex = ctx.emit1(SimpleUnary("exp"), sh)
+        s = ctx.emit1(Reduce("sum", axes=[self.axis], keepdims=True), ex)
+        one_term = ctx.emit1(SimpleUnary("exp"),
+                             ctx.emit1(SimpleUnary("neg"), mx))
+        denom = ctx.emit1(SimpleBinary("add"), s, one_term)
+        return [ctx.emit1(SimpleBinary("div"), ex, denom)]
 
 
 def _mean_var_normalize(ctx, x, axes, eps, compute_in_f32=True):
