@@ -145,3 +145,43 @@ def test_whisper_loader_dispatch(tmp_path):
                      16000)
     toks = iface.transcribe_tokens(clip, max_new=5)
     assert all(0 <= t_ < 64 for t_ in toks)
+
+
+def test_compiled_decode_matches_python_loop(tiny_whisper):
+    """The one-dispatch compiled scan decode (prefill + greedy loop +
+    EOT masking in one jitted program) must emit exactly the python
+    per-step loop's tokens."""
+    from whisper_tensor_tpu.interfaces.stt import SpeechToTextInterface
+    from whisper_tensor_tpu.super_graph.links import AudioClip
+
+    hf, enc, dec, cfg = tiny_whisper
+    iface = SpeechToTextInterface(enc, dec, max_len=64, n_mels=16,
+                                  n_frames=N_FRAMES, sot_sequence=[5],
+                                  eot_token=119)
+    rng = np.random.default_rng(7)
+    mel = rng.standard_normal((1, 16, N_FRAMES)).astype(np.float32)
+    loop = iface._transcribe_mel(mel, 10)
+    fast = iface._transcribe_compiled(mel, 10)
+    assert fast == loop, (fast, loop)
+
+
+def test_transcribe_long_chunks_concatenate(tiny_whisper):
+    """Audio longer than one mel window transcribes as the
+    concatenation of its per-window transcriptions."""
+    from whisper_tensor_tpu.interfaces.stt import SpeechToTextInterface
+    from whisper_tensor_tpu.super_graph.links import AudioClip
+
+    hf, enc, dec, cfg = tiny_whisper
+    iface = SpeechToTextInterface(enc, dec, max_len=64, n_mels=16,
+                                  n_frames=N_FRAMES, sot_sequence=[5],
+                                  eot_token=119)
+    rng = np.random.default_rng(3)
+    chunk_samples = N_FRAMES * 160
+    audio = rng.standard_normal(2 * chunk_samples).astype(np.float32) * 0.1
+    long_toks = iface.transcribe_long(
+        AudioClip(audio, 16000), max_new_per_chunk=8)
+    a = iface._transcribe_compiled(
+        iface.mel_from_samples(audio[:chunk_samples]), 8)
+    b = iface._transcribe_compiled(
+        iface.mel_from_samples(audio[chunk_samples:]), 8)
+    assert long_toks == a + b

@@ -54,16 +54,163 @@ class SpeechToTextInterface:
             self._backends[model.id] = be
         return be.run(model.graph, feeds)
 
+    def mel_from_samples(self, samples: np.ndarray) -> np.ndarray:
+        mel = log_mel_spectrogram(np.asarray(samples, np.float32).reshape(-1),
+                                  16000, n_mels=self.n_mels,
+                                  pad_to_frames=self.n_frames)
+        return mel[None]
+
     def mel_from_audio(self, clip: AudioClip) -> np.ndarray:
         samples = np.asarray(clip.samples, dtype=np.float32).reshape(-1)
         if clip.sample_rate != 16000:
             samples = resample(samples, clip.sample_rate, 16000)
-        mel = log_mel_spectrogram(samples, 16000, n_mels=self.n_mels,
-                                  pad_to_frames=self.n_frames)
-        return mel[None]
+        return self.mel_from_samples(samples)
 
-    def transcribe_tokens(self, clip: AudioClip, max_new: int = 64) -> List[int]:
+    # -- compiled decode: prefill + the whole greedy loop as ONE jitted
+    # scan program (the python loop below stays as the oracle referee —
+    # per-token dispatch costs ~55 ms through the TPU tunnel, so a 64-
+    # token transcription is ~3.5 s of pure dispatch without this)
+    def _traced_decoder(self):
+        from ..backends.xla.compiler import _trace_graph, ensure_x64
+
+        ensure_x64()
+        milli, weight_inputs = self.decoder.graph.to_milli()
+        order = list(milli.inputs)
+        self._dec_weights = [n for n in order if n in weight_inputs]
+        self._dec_caches = [n for n in order if n.startswith("cache_")]
+        self._dec_cross = [n for n in order if n.startswith("cross_")]
+        out_names = list(milli.outputs)
+        cache_outs = [n for n in out_names if n.startswith("new_cache_")]
+        fn = _trace_graph(milli, {})
+
+        def step(ids, pos, caches, crosses, weights):
+            by = {"input_ids": ids, "pos": pos}
+            by.update(dict(zip(self._dec_caches, caches)))
+            by.update(dict(zip(self._dec_cross, crosses)))
+            by.update(dict(zip(self._dec_weights, weights)))
+            outs = fn(*[by[n] for n in order])
+            named = dict(zip(out_names, outs))
+            return named["logits"], [named[n] for n in cache_outs]
+
+        return step
+
+    def _decode_program(self, sot_len: int, max_new: int, n_layers: int,
+                        H: int, D: int, T: int, dt):
+        import jax
+        import jax.numpy as jnp
+
+        key = ("dec", sot_len, max_new, n_layers, H, D, T, str(dt))
+        prog = getattr(self, "_programs", None)
+        if prog is None:
+            self._programs = prog = {}
+        if key in prog:
+            return prog[key]
+        step = self._traced_decoder()
+        eot = self.eot_token
+        max_len = self.max_len
+
+        def run(sot_ids, crosses, weights):
+            caches = [jnp.zeros((1, H, max_len, D), dt)
+                      for _ in range(2 * n_layers)]
+            logits, caches = step(sot_ids, jnp.asarray(0, jnp.int64),
+                                  caches, crosses, weights)
+            cur = jnp.argmax(logits[:, sot_len - 1, :],
+                             axis=-1)[0].astype(jnp.int64)
+            pos = jnp.asarray(sot_len, jnp.int64)
+
+            def body(carry, _):
+                cur, pos, caches, alive = carry
+                valid = alive & (cur != eot)
+                lg, caches = step(cur[None, None], pos, caches, crosses,
+                                  weights)
+                nxt = jnp.argmax(lg[0, -1, :], axis=-1).astype(jnp.int64)
+                cur2 = jnp.where(valid, nxt, cur)
+                pos2 = jnp.where(valid & (pos < max_len - 1), pos + 1, pos)
+                return (cur2, pos2, caches, valid), (cur, valid)
+
+            (_, _, _, _), (toks, valids) = jax.lax.scan(
+                body, (cur, pos, caches, True), None, length=max_new)
+            return toks, valids
+
+        prog[key] = jax.jit(run)
+        return prog[key]
+
+    def _transcribe_compiled(self, mel: np.ndarray,
+                             max_new: int) -> List[int]:
+        import jax.numpy as jnp
+
+        enc = self._run(self.encoder, {"mel": mel})
+        n_layers = sum(1 for k in enc if k.startswith("cross_k_"))
+        ck = np.asarray(enc["cross_k_0"])
+        H, T, D = ck.shape[1], ck.shape[2], ck.shape[3]
+        if not hasattr(self, "_dec_weights"):
+            self._traced_decoder()
+        prog = self._decode_program(len(self.sot_sequence), max_new,
+                                    n_layers, H, D, T, ck.dtype)
+        crosses = [jnp.asarray(np.asarray(enc[n]))
+                   for n in self._dec_cross]
+        if not hasattr(self, "_dec_weights_dev"):
+            self._dec_weights_dev = [
+                jnp.asarray(self.decoder.graph.store.get_numeric(n).numpy())
+                for n in self._dec_weights]
+        sot = np.asarray(self.sot_sequence, dtype=np.int64)[None]
+        toks, valids = prog(jnp.asarray(sot), crosses,
+                            self._dec_weights_dev)
+        toks, valids = np.asarray(toks), np.asarray(valids)
+        out: List[int] = []
+        for t, v in zip(toks, valids):
+            if not v:
+                break
+            out.append(int(t))
+        return out
+
+    def transcribe_long(self, clip: AudioClip, max_new_per_chunk: int = 224,
+                        compiled: bool = True) -> List[int]:
+        """Long-form transcription: audio beyond one mel window (30 s at
+        the Whisper defaults) is split into window-sized segments, each
+        transcribed independently, tokens concatenated (sequential
+        segmentation — the strategy whisper.cpp calls 'greedy chunking')."""
+        samples = np.asarray(clip.samples, dtype=np.float32).reshape(-1)
+        if clip.sample_rate != 16000:
+            samples = resample(samples, clip.sample_rate, 16000)
+        hop = 160
+        chunk_samples = self.n_frames * hop
+        out: List[int] = []
+        for off in range(0, max(len(samples), 1), chunk_samples):
+            seg = samples[off:off + chunk_samples]
+            if seg.size == 0:
+                break
+            mel = self.mel_from_samples(seg)
+            if compiled:
+                out.extend(self._transcribe_compiled(mel, max_new_per_chunk))
+            else:
+                out.extend(self._transcribe_mel(mel, max_new_per_chunk))
+        return out
+
+    def transcribe_tokens(self, clip: AudioClip, max_new: int = 64,
+                          compiled: bool = False) -> List[int]:
         mel = self.mel_from_audio(clip)
+        if compiled:
+            return self._transcribe_compiled(mel, max_new)
+        return self._transcribe_mel(mel, max_new)
+
+    def run_audio_in_text_out(self, clip: AudioClip,
+                              max_new: int = 64) -> str:
+        """User-facing transcription: compiled one-dispatch decode, with
+        audio longer than one mel window split into sequential windows
+        (long-form)."""
+        if self.tokenizer is None:
+            raise ValueError("no tokenizer configured")
+        n16 = int(round(len(np.asarray(clip.samples).reshape(-1))
+                        * 16000.0 / max(clip.sample_rate, 1)))
+        if n16 > self.n_frames * 160:
+            toks = self.transcribe_long(clip, max_new_per_chunk=max_new)
+        else:
+            toks = self._transcribe_compiled(self.mel_from_audio(clip),
+                                             max_new)
+        return self.tokenizer.decode(toks)
+
+    def _transcribe_mel(self, mel: np.ndarray, max_new: int) -> List[int]:
         enc = self._run(self.encoder, {"mel": mel})
         n_layers = sum(1 for k in enc if k.startswith("cross_k_"))
         cache_shape = None
@@ -99,12 +246,6 @@ class SpeechToTextInterface:
             cur = int(np.argmax(np.asarray(out["logits"])[:, -1], axis=-1)[0])
             pos += 1
         return tokens
-
-    def run_audio_in_text_out(self, clip: AudioClip, max_new: int = 64) -> str:
-        toks = self.transcribe_tokens(clip, max_new)
-        if self.tokenizer is None:
-            raise ValueError("no tokenizer configured")
-        return self.tokenizer.decode(toks)
 
     @classmethod
     def from_bundle(cls, bundle, tokenizer=None) -> "SpeechToTextInterface":
