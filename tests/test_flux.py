@@ -274,3 +274,73 @@ def test_flux_pipeline_smoke():
         guidance_scale=3.5, seed=4))
     assert img.pixels.shape == (128, 128, 3)
     assert img.pixels.dtype == np.uint8
+
+
+def test_flux_compiled_denoise_matches_loop():
+    """The flux fused-scan denoise program (no CFG pair, guidance as a
+    model input) must match the per-step python loop on XLA kernels."""
+    import torch
+    from transformers import CLIPTextConfig as HFCfg
+    from transformers import CLIPTextModel
+    from transformers import T5Config as HFT5
+    from transformers import T5Model
+
+    from whisper_tensor_tpu.importers.recipes.diffusion.clip import (
+        ClipTextConfig, build_clip_text)
+    from whisper_tensor_tpu.importers.recipes.diffusion.unet import \
+        random_unet_weights
+    from whisper_tensor_tpu.importers.recipes.diffusion.vae import (
+        VAEConfig, build_vae_decoder)
+    from whisper_tensor_tpu.importers.recipes.llm.t5 import (T5Config,
+                                                             build_t5_encoder)
+    from whisper_tensor_tpu.interfaces.image_gen import (
+        FluxImageGenerationInterface, ImageGenConfig)
+
+    torch.manual_seed(0)
+    hf = CLIPTextModel(HFCfg(hidden_size=12, intermediate_size=24,
+                             num_hidden_layers=1, num_attention_heads=2,
+                             vocab_size=100, max_position_embeddings=8))
+    sd = {k: v.float().numpy() for k, v in hf.state_dict().items()}
+    clip = Model.new_from_onnx(build_clip_text(
+        lambda n: sd[n],
+        ClipTextConfig(num_hidden_layers=1, hidden_size=12,
+                       num_attention_heads=2, intermediate_size=24,
+                       vocab_size=100, max_position_embeddings=8),
+        seq_len=8))
+    t5_hf = T5Model(HFT5(vocab_size=64, d_model=16, d_kv=8,
+                         d_ff=32, num_layers=1, num_heads=2))
+    t5_sd = {k: v.float().numpy() for k, v in t5_hf.state_dict().items()}
+    t5 = Model.new_from_onnx(build_t5_encoder(
+        lambda n: t5_sd[n],
+        T5Config(vocab_size=64, d_model=16, d_kv=8, d_ff=32,
+                 num_layers=1, num_heads=2), seq_len=6, with_cross=False))
+    fcfg = FluxConfig(num_layers=1, num_single_layers=2, num_heads=2,
+                      head_dim=8, in_channels=16, joint_attention_dim=16,
+                      pooled_projection_dim=12, guidance_embeds=True,
+                      axes_dims_rope=(2, 4, 2), time_embed_dim=8)
+    fx = Model.new_from_onnx(build_flux(random_flux_weights(2)(fcfg), fcfg,
+                                        batch=1, context_len=6,
+                                        latent_hw=(16, 16)))
+    vae = Model.new_from_onnx(build_vae_decoder(
+        random_unet_weights(1),
+        VAEConfig(block_out_channels=(8, 8, 16, 16), layers_per_block=1,
+                  norm_groups=4), latent_hw=(16, 16)))
+
+    class Tok:
+        def encode(self, text):
+            return [3 + (ord(c) % 7) for c in text][:6]
+
+    def make():
+        return FluxImageGenerationInterface(
+            clip, t5, fx, vae, tokenizer=Tok(), t5_seq_len=6,
+            latent_channels=4, bos_token_id=1, uncond_token_id=2, seq_len=8)
+
+    cfgd = ImageGenConfig(steps=2, height=128, width=128,
+                          schedule="rectified_flow", guidance_scale=3.5,
+                          seed=4)
+    ref = make()
+    ref.force_loop = True
+    img_loop = ref.run("a tpu", cfg=cfgd)
+    img_fast = make().run("a tpu", cfg=cfgd)
+    np.testing.assert_allclose(img_fast.pixels.astype(np.int32),
+                               img_loop.pixels.astype(np.int32), atol=1)

@@ -241,3 +241,62 @@ def test_sd3_pipeline_smoke():
         steps=2, height=128, width=128, schedule="rectified_flow", seed=3))
     assert img.pixels.shape == (128, 128, 3)
     assert img.pixels.dtype == np.uint8
+
+
+def test_sd3_compiled_denoise_matches_loop():
+    """The fused-scan denoise program (SD3 feed names, per-batch
+    timestep) must match the per-step python loop on XLA kernels."""
+    import torch
+    from transformers import CLIPTextConfig as HFCfg
+    from transformers import CLIPTextModelWithProjection
+
+    from whisper_tensor_tpu.importers.recipes.diffusion.clip import (
+        ClipTextConfig, build_clip_text)
+    from whisper_tensor_tpu.importers.recipes.diffusion.unet import \
+        random_unet_weights
+    from whisper_tensor_tpu.importers.recipes.diffusion.vae import (
+        VAEConfig, build_vae_decoder)
+    from whisper_tensor_tpu.interfaces.image_gen import (
+        ImageGenConfig, SD3ImageGenerationInterface)
+
+    def tiny_te(hidden, proj, seed):
+        torch.manual_seed(seed)
+        hf = CLIPTextModelWithProjection(HFCfg(
+            hidden_size=hidden, intermediate_size=2 * hidden,
+            num_hidden_layers=2, num_attention_heads=2, vocab_size=100,
+            max_position_embeddings=8, projection_dim=proj,
+            hidden_act="gelu"))
+        sd = {k: v.float().numpy() for k, v in hf.state_dict().items()}
+        c = ClipTextConfig(num_hidden_layers=2, hidden_size=hidden,
+                           num_attention_heads=2, intermediate_size=2 * hidden,
+                           vocab_size=100, max_position_embeddings=8,
+                           hidden_act="gelu", projection_dim=proj)
+        return Model.new_from_onnx(build_clip_text(lambda n: sd[n], c,
+                                                   seq_len=8))
+
+    clip_l, clip_g = tiny_te(12, 12, 0), tiny_te(16, 16, 1)
+    mcfg = SD3Config(num_layers=2, num_heads=2, head_dim=8, in_channels=4,
+                     out_channels=4, patch_size=2, sample_size=16,
+                     pos_embed_max_size=16, joint_attention_dim=32,
+                     pooled_projection_dim=28, time_embed_dim=8)
+    mm = Model.new_from_onnx(build_sd3_mmdit(
+        random_sd3_weights(1)(mcfg), mcfg, batch=2, context_len=8,
+        latent_hw=(16, 16)))
+    vae = Model.new_from_onnx(build_vae_decoder(
+        random_unet_weights(1),
+        VAEConfig(block_out_channels=(8, 8, 16, 16), layers_per_block=1,
+                  norm_groups=4), latent_hw=(16, 16)))
+
+    def make():
+        return SD3ImageGenerationInterface(
+            clip_l, clip_g, mm, vae, tokenizer=None, joint_dim=32,
+            latent_channels=4, bos_token_id=1, uncond_token_id=2, seq_len=8)
+
+    cfgd = ImageGenConfig(steps=2, height=128, width=128,
+                          schedule="rectified_flow", seed=3)
+    ref = make()
+    ref.force_loop = True
+    img_loop = ref.run("a tpu", cfg=cfgd)
+    img_fast = make().run("a tpu", cfg=cfgd)
+    np.testing.assert_allclose(img_fast.pixels.astype(np.int32),
+                               img_loop.pixels.astype(np.int32), atol=1)

@@ -319,3 +319,28 @@ class TestF5:
         rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         samples, sr = read_wav(out)
         assert sr == 24000 and samples.size == rep["samples"] > 0
+
+
+class TestF5Compiled:
+    def test_compiled_ode_matches_loop(self, tmp_path):
+        """The fused-scan F5 ODE loop (one dispatch for all nfe steps)
+        matches the per-step loop on the same XLA kernels."""
+        from whisper_tensor_tpu.importers.loaders import identify_and_load
+        from whisper_tensor_tpu.interfaces.tts import TextToSpeechInterface
+        from whisper_tensor_tpu.super_graph.links import AudioClip
+
+        d = _write_f5_dir(str(tmp_path))
+        bundle = identify_and_load(d)
+        ref = AudioClip(np.sin(np.linspace(0, 20, 400)).astype(np.float32),
+                        24000)
+        fast = TextToSpeechInterface.from_bundle(bundle, mode="xla")
+        clip_fast = fast.run_text_to_audio("hello", ref_audio=ref)
+        assert getattr(fast, "_programs", None), \
+            "compiled ODE path silently fell back to the step loop"
+        # force the python loop by poisoning the compiled path
+        slow = TextToSpeechInterface.from_bundle(bundle, mode="xla")
+        slow._f5_loop_compiled = lambda *a, **k: (_ for _ in ()).throw(
+            RuntimeError("forced fallback"))
+        clip_loop = slow.run_text_to_audio("hello", ref_audio=ref)
+        np.testing.assert_allclose(clip_fast.samples, clip_loop.samples,
+                                   rtol=1e-4, atol=1e-5)

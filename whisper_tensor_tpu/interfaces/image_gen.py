@@ -96,6 +96,16 @@ class ImageGenerationInterface:
             self._backends[model.id] = be
         return be.run(model.graph, feeds)
 
+    def _use_compiled_loop(self) -> bool:
+        """The fused-scan denoise loop runs via jax directly; oracle-mode
+        interfaces (tests, debugging) keep the per-step python loop, and
+        `force_loop = True` pins the python loop regardless of backend
+        (the referee the compiled program is tested against)."""
+        if getattr(self, "force_loop", False):
+            return False
+        be = self._backends.get(self.unet.id)
+        return be is None or getattr(be, "mode", "xla") == "xla"
+
     def encode_prompt(self, text: str) -> np.ndarray:
         if self.tokenizer is not None:
             ids = self.tokenizer.encode(text)[: self.seq_len - 2]
@@ -119,6 +129,122 @@ class ImageGenerationInterface:
         return {"sample": sample, "timestep": np.asarray(t, dtype=np.float32),
                 "encoder_hidden_states": ctx, **extra}
 
+    def _unet_feeds_traced(self, sample, t, ctx, extra):
+        import jax.numpy as jnp
+
+        return {"sample": sample, "timestep": t.astype(jnp.float32),
+                "encoder_hidden_states": ctx, **extra}
+
+    # -- compiled denoise loop: UNet + CFG + scheduler update for ALL
+    # steps fused into ONE jitted lax.scan program (the python loop
+    # below stays as the oracle referee; per-step dispatch costs ~55 ms
+    # through the TPU tunnel — 30 steps = 1.7 s of pure dispatch)
+    def _traced_unet(self):
+        from ..backends.xla.compiler import _trace_graph, ensure_x64
+
+        ensure_x64()
+        milli, weight_inputs = self.unet.graph.to_milli()
+        order = list(milli.inputs)
+        self._unet_weight_names = [n for n in order if n in weight_inputs]
+        graph = self.unet.graph
+        decl = {}
+        for n in order:
+            tid = graph.by_name.get(n)
+            if tid is not None:
+                decl[n] = graph.tensors[tid].info.dtype
+        out_names = list(milli.outputs)
+        fn = _trace_graph(milli, {})
+
+        def step(named, weights):
+            import jax.numpy as jnp
+
+            by = dict(named)
+            by.update(dict(zip(self._unet_weight_names, weights)))
+            args = []
+            for n in order:
+                a = by[n]
+                dt = decl.get(n)
+                if dt is not None and hasattr(a, "astype"):
+                    a = a.astype(dt.to_jax())  # match declared input dtype
+                args.append(a)
+            outs = fn(*args)
+            return dict(zip(out_names, outs))["out"]
+
+        return step
+
+    def _unet_weights_device(self):
+        import jax
+
+        if getattr(self, "_unet_weights_dev", None) is None:
+            self._unet_weights_dev = [
+                jax.device_put(self.unet.graph.store.get_numeric(n).numpy())
+                for n in self._unet_weight_names]
+        return self._unet_weights_dev
+
+    def _denoise_program(self, steps, schedule, key_shapes):
+        import jax
+        import jax.numpy as jnp
+
+        key = ("denoise", steps, schedule, self.prediction_type, key_shapes)
+        progs = getattr(self, "_programs", None)
+        if progs is None:
+            self._programs = progs = {}
+        if key in progs:
+            return progs[key]
+        step = self._traced_unet()
+        pred_type = self.prediction_type
+
+        def run(latents, ctx, extra_names, extra_vals, sigmas, timesteps,
+                gscale, weights):
+            extra = dict(zip(extra_names, extra_vals))
+
+            def body(lat, i):
+                sig = sigmas[i]
+                t = timesteps[i]
+                if schedule == "euler":
+                    scaled = lat / jnp.sqrt(sig * sig + 1.0)
+                else:
+                    scaled = lat
+                sample = jnp.concatenate([scaled, scaled], axis=0)
+                out = step(self._unet_feeds_traced(sample, t, ctx, extra),
+                           weights).astype(jnp.float32)
+                eps_u, eps_c = out[0:1], out[1:2]
+                eps = eps_u + gscale * (eps_c - eps_u)
+                if schedule == "euler":
+                    if pred_type == "v_prediction":
+                        pred_x0 = (eps * (-sig / jnp.sqrt(sig * sig + 1.0))
+                                   + lat / (sig * sig + 1.0))
+                    else:
+                        pred_x0 = lat - sig * eps
+                    d = (lat - pred_x0) / sig
+                    lat = lat + d * (sigmas[i + 1] - sig)
+                else:
+                    lat = lat + (sigmas[i + 1] - sig) * eps
+                return lat, None
+
+            latents, _ = jax.lax.scan(body, latents, jnp.arange(steps))
+            return latents
+
+        progs[key] = jax.jit(run, static_argnums=(2,))
+        return progs[key]
+
+    def _denoise_compiled(self, latents, ctx, extra_feeds, sigmas, timesteps,
+                          cfg) -> np.ndarray:
+        import jax.numpy as jnp
+
+        names = tuple(sorted(extra_feeds))
+        key_shapes = (latents.shape, ctx.shape,
+                      tuple((n, tuple(np.asarray(extra_feeds[n]).shape))
+                            for n in names))
+        prog = self._denoise_program(cfg.steps, cfg.schedule, key_shapes)
+        out = prog(jnp.asarray(latents), jnp.asarray(ctx), names,
+                   tuple(jnp.asarray(np.asarray(extra_feeds[n]))
+                         for n in names),
+                   jnp.asarray(sigmas), jnp.asarray(timesteps),
+                   jnp.asarray(cfg.guidance_scale, jnp.float32),
+                   self._unet_weights_device())
+        return np.asarray(out)
+
     # ------------------------------------------------------------------
     def run(self, prompt: str, negative_prompt: str = "",
             cfg: Optional[ImageGenConfig] = None,
@@ -137,34 +263,45 @@ class ImageGenerationInterface:
         if cfg.schedule == "euler":
             latents = latents * sigmas[0]
 
-        for i in range(cfg.steps):
-            sig = float(sigmas[i])
-            t = float(timesteps[i])
-            if cfg.schedule == "euler":
-                scaled = latents / np.sqrt(sig * sig + 1.0)
-            else:
-                scaled = latents
-            sample = np.concatenate([scaled, scaled], axis=0).astype(np.float32)
-            out = np.asarray(self._run(self.unet, self._unet_feeds(
-                sample, t, ctx, extra_feeds))["out"])
-            eps_u, eps_c = out[0:1], out[1:2]
-            eps = eps_u + cfg.guidance_scale * (eps_c - eps_u)
-            if cfg.schedule == "euler":
-                if self.prediction_type == "v_prediction":
-                    # SD2-768-v: model predicts v; x0 = -sig/sqrt(sig^2+1)*v
-                    #            + x/(sig^2+1)
-                    pred_x0 = (eps * (-sig / np.sqrt(sig * sig + 1.0))
-                               + latents / (sig * sig + 1.0))
-                else:
-                    # epsilon-prediction euler step
-                    pred_x0 = latents - sig * eps
-                d = (latents - pred_x0) / sig
-                latents = latents + d * (float(sigmas[i + 1]) - sig)
-            else:
-                # rectified flow: model predicts velocity
-                latents = latents + (float(sigmas[i + 1]) - sig) * eps
+        if self._use_compiled_loop():
+            latents = self._denoise_compiled(latents, ctx, extra_feeds,
+                                             sigmas, timesteps, cfg)
             if observer is not None:
-                observer.on_progress(self, (i + 1) / cfg.steps)
+                observer.on_progress(self, 1.0)
+        else:
+            for i in range(cfg.steps):
+                sig = float(sigmas[i])
+                t = float(timesteps[i])
+                if cfg.schedule == "euler":
+                    scaled = latents / np.sqrt(sig * sig + 1.0)
+                else:
+                    scaled = latents
+                sample = np.concatenate([scaled, scaled],
+                                        axis=0).astype(np.float32)
+                out = np.asarray(self._run(self.unet, self._unet_feeds(
+                    sample, t, ctx, extra_feeds))["out"])
+                eps_u, eps_c = out[0:1], out[1:2]
+                eps = eps_u + cfg.guidance_scale * (eps_c - eps_u)
+                if cfg.schedule == "euler":
+                    if self.prediction_type == "v_prediction":
+                        # SD2-768-v: model predicts v;
+                        # x0 = -sig/sqrt(sig^2+1)*v + x/(sig^2+1)
+                        # (np.sqrt of a python float is a NON-weak f64
+                        # scalar — keep the coefficients f32 or the
+                        # latents silently promote)
+                        c1 = np.float32(-sig / np.sqrt(sig * sig + 1.0))
+                        c2 = np.float32(1.0 / (sig * sig + 1.0))
+                        pred_x0 = eps * c1 + latents * c2
+                    else:
+                        # epsilon-prediction euler step
+                        pred_x0 = latents - sig * eps
+                    d = (latents - pred_x0) / sig
+                    latents = latents + d * (float(sigmas[i + 1]) - sig)
+                else:
+                    # rectified flow: model predicts velocity
+                    latents = latents + (float(sigmas[i + 1]) - sig) * eps
+                if observer is not None:
+                    observer.on_progress(self, (i + 1) / cfg.steps)
 
         img = np.asarray(self._run(self.vae, {"latents": latents})["image"])
         pixels = np.clip((img[0].transpose(1, 2, 0) + 1) / 2, 0, 1)
@@ -265,6 +402,14 @@ class SD3ImageGenerationInterface(ImageGenerationInterface):
                 "timestep": np.full((B,), t, dtype=np.float32),
                 "encoder_hidden_states": ctx, **extra}
 
+    def _unet_feeds_traced(self, sample, t, ctx, extra):
+        import jax.numpy as jnp
+
+        B = sample.shape[0]
+        return {"hidden_states": sample,
+                "timestep": jnp.full((B,), t, dtype=jnp.float32),
+                "encoder_hidden_states": ctx, **extra}
+
 
 class FluxImageGenerationInterface(ImageGenerationInterface):
     """Flux (dev/schnell) rectified-flow pipeline — guidance-distilled, so
@@ -308,22 +453,64 @@ class FluxImageGenerationInterface(ImageGenerationInterface):
         rng = np.random.default_rng(cfg.seed)
         latents = rng.standard_normal(
             (1, self.latent_channels, h8, w8)).astype(np.float32)
-        for i in range(cfg.steps):
-            sig = float(sigmas[i])
-            feeds = {"hidden_states": latents,
-                     "timestep": np.asarray([sig], np.float32),
-                     "pooled_projections": pooled,
-                     "encoder_hidden_states": ctx}
-            if self.guidance_embeds:
-                feeds["guidance"] = np.asarray([cfg.guidance_scale],
-                                               np.float32)
-            v = np.asarray(self._run(self.unet, feeds)["out"])
-            latents = latents + (float(sigmas[i + 1]) - sig) * v
+        if self._use_compiled_loop():
+            latents = self._flux_denoise_compiled(latents, ctx, pooled,
+                                                  sigmas, cfg)
             if observer is not None:
-                observer.on_progress(self, (i + 1) / cfg.steps)
+                observer.on_progress(self, 1.0)
+        else:
+            for i in range(cfg.steps):
+                sig = float(sigmas[i])
+                feeds = {"hidden_states": latents,
+                         "timestep": np.asarray([sig], np.float32),
+                         "pooled_projections": pooled,
+                         "encoder_hidden_states": ctx}
+                if self.guidance_embeds:
+                    feeds["guidance"] = np.asarray([cfg.guidance_scale],
+                                                   np.float32)
+                v = np.asarray(self._run(self.unet, feeds)["out"])
+                latents = latents + (float(sigmas[i + 1]) - sig) * v
+                if observer is not None:
+                    observer.on_progress(self, (i + 1) / cfg.steps)
         img = np.asarray(self._run(self.vae, {"latents": latents})["image"])
         pixels = np.clip((img[0].transpose(1, 2, 0) + 1) / 2, 0, 1)
         return Image((pixels * 255).round().astype(np.uint8))
+
+    def _flux_denoise_compiled(self, latents, ctx, pooled, sigmas, cfg):
+        import jax
+        import jax.numpy as jnp
+
+        key = ("flux_denoise", cfg.steps, latents.shape, ctx.shape,
+               pooled.shape, self.guidance_embeds)
+        progs = getattr(self, "_programs", None)
+        if progs is None:
+            self._programs = progs = {}
+        if key not in progs:
+            step = self._traced_unet()
+            guidance_embeds = self.guidance_embeds
+            steps = cfg.steps
+
+            def run(latents, ctx, pooled, sigmas, gscale, weights):
+                def body(lat, i):
+                    sig = sigmas[i]
+                    named = {"hidden_states": lat,
+                             "timestep": sig[None].astype(jnp.float32),
+                             "pooled_projections": pooled,
+                             "encoder_hidden_states": ctx}
+                    if guidance_embeds:
+                        named["guidance"] = gscale[None]
+                    v = step(named, weights).astype(jnp.float32)
+                    return lat + (sigmas[i + 1] - sig) * v, None
+
+                latents, _ = jax.lax.scan(body, latents, jnp.arange(steps))
+                return latents
+
+            progs[key] = jax.jit(run)
+        return np.asarray(progs[key](
+            jnp.asarray(latents), jnp.asarray(ctx), jnp.asarray(pooled),
+            jnp.asarray(sigmas),
+            jnp.asarray(cfg.guidance_scale, jnp.float32),
+            self._unet_weights_device()))
 
 
 def image_interface_from_bundle(bundle, mode: str = "xla"):

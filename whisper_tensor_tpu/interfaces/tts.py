@@ -151,6 +151,54 @@ class F5Synthesizer:
         return np.asarray([[self.vocab.get(c, 0) for c in text]],
                           dtype=np.int32)
 
+    def _f5_loop_compiled(self, pre, noise: np.ndarray) -> np.ndarray:
+        import jax
+        import jax.numpy as jnp
+
+        from ..backends.xla.compiler import _trace_graph, ensure_x64
+
+        ensure_x64()
+        key = ("f5", tuple(np.asarray(noise).shape), self.nfe_steps)
+        progs = getattr(self, "_programs", None)
+        if progs is None:
+            self._programs = progs = {}
+        if key not in progs:
+            milli, weight_inputs = self.transformer.graph.to_milli()
+            order = list(milli.inputs)
+            wnames = [n for n in order if n in weight_inputs]
+            out_names = list(milli.outputs)
+            fn = _trace_graph(milli, {})
+            nfe = self.nfe_steps
+
+            def run(noise, fixed_names, fixed, weights):
+                by0 = dict(zip(fixed_names, fixed))
+                by0.update(dict(zip(wnames, weights)))
+                dt = 1.0 / nfe
+
+                def body(noise, i):
+                    by = dict(by0)
+                    by["noise"] = noise
+                    by["time_step"] = i.astype(jnp.int32)
+                    outs = fn(*[by[n] for n in order])
+                    den = dict(zip(out_names, outs))["denoised"]
+                    return ((1.0 - dt) * noise
+                            + dt * den.astype(noise.dtype)), None
+
+                noise, _ = jax.lax.scan(body, noise, jnp.arange(nfe))
+                return noise
+
+            progs[key] = (jax.jit(run, static_argnums=(1,)), wnames)
+        prog, wnames = progs[key]
+        fixed_names = tuple(sorted(
+            n for n in ("rope_cos", "rope_sin", "cat_mel_text",
+                        "cat_mel_text_drop", "qk_rotated_empty")))
+        fixed = tuple(jnp.asarray(np.asarray(pre[n])) for n in fixed_names)
+        weights = [jnp.asarray(
+            self.transformer.graph.store.get_numeric(n).numpy())
+            for n in wnames]
+        return np.asarray(prog(jnp.asarray(noise, jnp.float32),
+                               fixed_names, fixed, weights))
+
     def run_text_to_audio(self, text: str, ref_audio: AudioClip = None,
                           max_duration: int = 0, observer=None) -> AudioClip:
         if ref_audio is None:
@@ -162,19 +210,33 @@ class F5Synthesizer:
             "max_duration": np.asarray(max_duration, dtype=np.int64)})
         noise = np.asarray(pre["noise"], dtype=np.float32)
         dt = 1.0 / self.nfe_steps
-        for i in range(self.nfe_steps):
-            out = self._run(self.transformer, {
-                "noise": noise.astype(np.float32),
-                "rope_cos": pre["rope_cos"],
-                "rope_sin": pre["rope_sin"],
-                "cat_mel_text": pre["cat_mel_text"],
-                "cat_mel_text_drop": pre["cat_mel_text_drop"],
-                "qk_rotated_empty": pre["qk_rotated_empty"],
-                "time_step": np.asarray(i, dtype=np.int32)})
-            denoised = np.asarray(out["denoised"], dtype=np.float32)
-            noise = (1.0 - dt) * noise + dt * denoised
-            if observer is not None:
-                observer.on_progress(self, (i + 1) / self.nfe_steps)
+        done_compiled = False
+        if self._mode == "xla":
+            # fuse the whole ODE loop into one jitted scan (per-step
+            # dispatch costs ~55 ms through the TPU tunnel; 32 steps of
+            # it would dwarf the model time). External ONNX exports may
+            # contain non-jittable ops — fall back to the step loop.
+            try:
+                noise = self._f5_loop_compiled(pre, noise)
+                done_compiled = True
+                if observer is not None:
+                    observer.on_progress(self, 1.0)
+            except Exception:
+                pass
+        if not done_compiled:
+            for i in range(self.nfe_steps):
+                out = self._run(self.transformer, {
+                    "noise": noise.astype(np.float32),
+                    "rope_cos": pre["rope_cos"],
+                    "rope_sin": pre["rope_sin"],
+                    "cat_mel_text": pre["cat_mel_text"],
+                    "cat_mel_text_drop": pre["cat_mel_text_drop"],
+                    "qk_rotated_empty": pre["qk_rotated_empty"],
+                    "time_step": np.asarray(i, dtype=np.int32)})
+                denoised = np.asarray(out["denoised"], dtype=np.float32)
+                noise = (1.0 - dt) * noise + dt * denoised
+                if observer is not None:
+                    observer.on_progress(self, (i + 1) / self.nfe_steps)
         dec = self._run(self.decode, {
             "denoised": noise,
             "ref_signal_len": pre["ref_signal_len"]})
