@@ -165,3 +165,49 @@ class TestTrainerOptions:
         for k in pb:
             np.testing.assert_allclose(np.asarray(pb[k]), np.asarray(pc[k]),
                                        rtol=1e-5, atol=1e-6, err_msg=k)
+
+
+def test_remat_and_lr_schedule_match_baseline():
+    """remat=True (jax.checkpoint forward) must produce the SAME loss
+    trajectory as the plain trainer; warmup schedules must change the
+    effective step size (warmup step << constant-lr step)."""
+    from whisper_tensor_tpu.importers.recipes.llm.gpt2 import (
+        GPT2Config, build_gpt2_train, random_gpt2_weights)
+    from whisper_tensor_tpu.model import Model
+    from whisper_tensor_tpu.training.trainer import LMTrainer
+
+    cfg = GPT2Config(n_layer=2, n_head=2, n_embd=32, vocab_size=97,
+                     n_positions=16)
+    wg = random_gpt2_weights(cfg)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 97, (2, 8)).astype(np.int64)
+    tgt = rng.integers(0, 97, (2, 8)).astype(np.int64)
+
+    def run(**kw):
+        m = Model.new_from_onnx(build_gpt2_train(wg, cfg))
+        tr = LMTrainer(m, lr=1e-2, **kw)
+        p, s = tr.init_params(), None
+        s = tr.init_opt_state(p)
+        losses = []
+        for _ in range(3):
+            p, s, loss = tr.train_step(p, s, ids, tgt)
+            losses.append(float(loss))
+        return np.asarray(losses), p
+
+    base, p0 = run()
+    remat, p1 = run(remat=True)
+    np.testing.assert_allclose(remat, base, rtol=1e-5, atol=1e-6)
+    for k in list(p0)[:3]:
+        np.testing.assert_allclose(np.asarray(p1[k]), np.asarray(p0[k]),
+                                   rtol=1e-5, atol=1e-6)
+
+    warm, _ = run(lr_schedule="warmup_cosine", warmup_steps=100,
+                  total_steps=200)
+    # with lr ~0 during warmup the first-step loss is unchanged but the
+    # SECOND step's loss barely moves vs the constant-lr run
+    assert abs(warm[0] - base[0]) < 1e-4
+    assert abs(warm[1] - warm[0]) < abs(base[1] - base[0])
+
+    lin, _ = run(lr_schedule="warmup_linear", warmup_steps=1,
+                 total_steps=10)
+    assert np.isfinite(lin).all()

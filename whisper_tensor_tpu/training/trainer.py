@@ -29,13 +29,22 @@ class LMTrainer:
                  mesh=None, rules=None, param_dtype: DType = DType.F32,
                  grad_clip: Optional[float] = None,
                  compute_dtype: Optional[DType] = None,
-                 accum_steps: int = 1):
+                 accum_steps: int = 1,
+                 lr_schedule: Optional[str] = None,
+                 warmup_steps: int = 0, total_steps: int = 0,
+                 remat: bool = False):
         """grad_clip: global-norm clipping before the optimizer.
         compute_dtype: mixed precision — params stay in param_dtype
         (f32 master weights) and are cast per-step for the forward/
         backward; grads come back in compute dtype and update the f32
         masters (the standard TPU bf16-compute recipe).
-        accum_steps: gradient accumulation via optax.MultiSteps."""
+        accum_steps: gradient accumulation via optax.MultiSteps.
+        lr_schedule: None (constant) | "warmup_cosine" | "warmup_linear"
+        — warmup_steps of linear warmup then decay over total_steps.
+        remat: rematerialize the forward under jax.checkpoint — the
+        backward recomputes activations instead of storing them, trading
+        ~1 extra forward of FLOPs for the activation memory (the
+        standard TPU HBM-for-FLOPs lever for long-sequence training)."""
         from ..backends.xla.compiler import _trace_graph, ensure_x64
 
         ensure_x64()
@@ -53,14 +62,29 @@ class LMTrainer:
 
         import optax
 
+        self.remat = remat
+        if lr_schedule is None:
+            lr_arg = lr
+        elif lr_schedule == "warmup_cosine":
+            lr_arg = optax.warmup_cosine_decay_schedule(
+                0.0, lr, max(warmup_steps, 1),
+                max(total_steps, warmup_steps + 1))
+        elif lr_schedule == "warmup_linear":
+            lr_arg = optax.join_schedules(
+                [optax.linear_schedule(0.0, lr, max(warmup_steps, 1)),
+                 optax.linear_schedule(
+                     lr, 0.0, max(total_steps - warmup_steps, 1))],
+                [max(warmup_steps, 1)])
+        else:
+            raise ValueError(f"unknown lr_schedule {lr_schedule!r}")
         if optimizer == "adamw":
-            self.tx = optax.adamw(lr, weight_decay=weight_decay)
+            self.tx = optax.adamw(lr_arg, weight_decay=weight_decay)
         elif optimizer == "adam":
-            self.tx = optax.adam(lr)
+            self.tx = optax.adam(lr_arg)
         elif optimizer == "sgd":
-            self.tx = optax.sgd(lr)
+            self.tx = optax.sgd(lr_arg)
         elif optimizer == "sgd_momentum":
-            self.tx = optax.sgd(lr, momentum=0.9)
+            self.tx = optax.sgd(lr_arg, momentum=0.9)
         else:
             raise ValueError(optimizer)
         if grad_clip:
@@ -117,7 +141,9 @@ class LMTrainer:
         import jax
         import jax.numpy as jnp
 
-        logits = self._forward(params, ids).astype(jnp.float32)
+        fwd = (jax.checkpoint(self._forward) if self.remat
+               else self._forward)
+        logits = fwd(params, ids).astype(jnp.float32)
         logp = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
         return nll.mean()
