@@ -54,3 +54,8 @@ def test_llava_chat_smoke():
     out = run_example("llava_chat.py", "--smoke", "--max-tokens", "4",
                       timeout=900)
     assert '"response"' in out
+
+
+def test_multihost_train_smoke():
+    out = run_example("multihost_train.py", "--smoke", timeout=600)
+    assert "both workers finished" in out
