@@ -317,3 +317,98 @@ def test_gguf_loader_windows_and_ragged(tmp_path):
         np.testing.assert_array_equal(out, ref)
     finally:
         bat.stop()
+
+
+@pytest.mark.parametrize("arch", ["gemma", "gemma2"])
+def test_gguf_gemma_adapter(tmp_path, arch):
+    """Gemma/Gemma-2 GGUF (net-new vs the reference's adapter set):
+    norm weights are stored +1 by the HF->GGUF converter, heads are
+    tied, gemma2 adds the 4-norm sandwich + logit softcaps — loaded
+    logits must match torch."""
+    import torch
+
+    from whisper_tensor_tpu.importers.gguf import write_gguf
+    from whisper_tensor_tpu.importers.loaders import identify_and_load
+
+    torch.manual_seed(0)
+    E, Hq, Hkv, D, I, V, L = 32, 4, 2, 8, 48, 64, 2
+    if arch == "gemma":
+        from transformers import GemmaConfig as HFCfg
+        from transformers import GemmaForCausalLM as HFModel
+
+        hf = HFModel(HFCfg(
+            num_hidden_layers=L, num_attention_heads=Hq,
+            num_key_value_heads=Hkv, hidden_size=E, intermediate_size=I,
+            vocab_size=V, head_dim=D, max_position_embeddings=64,
+            rms_norm_eps=1e-6, rope_theta=10000.0, attention_dropout=0.0,
+            pad_token_id=0, bos_token_id=1, eos_token_id=2))
+    else:
+        from transformers import Gemma2Config as HFCfg
+        from transformers import Gemma2ForCausalLM as HFModel
+
+        hf = HFModel(HFCfg(
+            num_hidden_layers=L, num_attention_heads=Hq,
+            num_key_value_heads=Hkv, hidden_size=E, intermediate_size=I,
+            vocab_size=V, head_dim=D, max_position_embeddings=64,
+            rms_norm_eps=1e-6, rope_theta=10000.0, attention_dropout=0.0,
+            query_pre_attn_scalar=D, attn_logit_softcapping=50.0,
+            final_logit_softcapping=30.0, sliding_window=64,
+            pad_token_id=0, bos_token_id=1, eos_token_id=2))
+    hf.eval()
+    sd = {k: v.float().numpy() for k, v in hf.state_dict().items()}
+
+    def plus1(a):   # what convert_hf_to_gguf.py does to gemma norms
+        return a + 1.0
+
+    tensors = {"token_embd.weight": sd["model.embed_tokens.weight"],
+               "output_norm.weight": plus1(sd["model.norm.weight"])}
+    for i in range(L):
+        hp, gp = f"model.layers.{i}.", f"blk.{i}."
+        tensors[gp + "attn_q.weight"] = sd[hp + "self_attn.q_proj.weight"]
+        tensors[gp + "attn_k.weight"] = sd[hp + "self_attn.k_proj.weight"]
+        tensors[gp + "attn_v.weight"] = sd[hp + "self_attn.v_proj.weight"]
+        tensors[gp + "attn_output.weight"] = sd[hp + "self_attn.o_proj.weight"]
+        tensors[gp + "ffn_gate.weight"] = sd[hp + "mlp.gate_proj.weight"]
+        tensors[gp + "ffn_up.weight"] = sd[hp + "mlp.up_proj.weight"]
+        tensors[gp + "ffn_down.weight"] = sd[hp + "mlp.down_proj.weight"]
+        tensors[gp + "attn_norm.weight"] = plus1(
+            sd[hp + "input_layernorm.weight"])
+        if arch == "gemma":
+            tensors[gp + "ffn_norm.weight"] = plus1(
+                sd[hp + "post_attention_layernorm.weight"])
+        else:
+            tensors[gp + "post_attention_norm.weight"] = plus1(
+                sd[hp + "post_attention_layernorm.weight"])
+            tensors[gp + "ffn_norm.weight"] = plus1(
+                sd[hp + "pre_feedforward_layernorm.weight"])
+            tensors[gp + "post_ffw_norm.weight"] = plus1(
+                sd[hp + "post_feedforward_layernorm.weight"])
+    meta = {"general.architecture": arch, "general.name": f"tiny-{arch}",
+            f"{arch}.block_count": L, f"{arch}.embedding_length": E,
+            f"{arch}.attention.head_count": Hq,
+            f"{arch}.attention.head_count_kv": Hkv,
+            f"{arch}.attention.key_length": D,
+            f"{arch}.feed_forward_length": I,
+            f"{arch}.context_length": 64, f"{arch}.vocab_size": V,
+            f"{arch}.attention.layer_norm_rms_epsilon": 1e-6,
+            f"{arch}.rope.freq_base": 10000.0}
+    if arch == "gemma2":
+        meta[f"{arch}.attn_logit_softcapping"] = 50.0
+        meta[f"{arch}.final_logit_softcapping"] = 30.0
+    path = str(tmp_path / f"tiny-{arch}.gguf")
+    write_gguf(path, meta, tensors)
+    bundle = identify_and_load(path, max_len=32, dtype="f32")
+    (name, model), = bundle.models.items()
+    assert bundle.meta["architecture"] == arch
+    iface = TextInferenceInterface(model, max_len=32, prompt_buckets=(16,))
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, V, (2, 9)).astype(np.int64)
+    step = iface._traced_step(2, 16)
+    pad = np.zeros((2, 16), dtype=np.int64)
+    pad[:, :9] = ids
+    logits, _ = step(pad, np.asarray(0, dtype=np.int64),
+                     iface.fresh_cache(2), iface._weights())
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids)).logits.numpy()
+    np.testing.assert_allclose(np.asarray(logits)[:, :9], ref,
+                               rtol=3e-3, atol=3e-4)

@@ -413,7 +413,8 @@ class GgufLoader(Loader):
 
         g = GGUFFile(config["path"])
         arch = g.architecture
-        if arch not in ("llama", "qwen2", "qwen3", "mistral", "phi3"):
+        if arch not in ("llama", "qwen2", "qwen3", "mistral", "phi3",
+                        "gemma", "gemma2"):
             raise ValueError(f"gguf architecture {arch!r} not supported yet")
         max_len = int(config.get("max_len", 1024))
         dtype = {"f32": DType.F32, "bf16": DType.BF16,

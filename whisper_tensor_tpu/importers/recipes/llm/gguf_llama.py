@@ -75,6 +75,70 @@ def config_from_gguf(g) -> LlamaConfig:
     )
 
 
+_GEMMA1_LAYER_MAP = {
+    "input_layernorm.weight": "attn_norm.weight",
+    "self_attn.q_proj.weight": "attn_q.weight",
+    "self_attn.k_proj.weight": "attn_k.weight",
+    "self_attn.v_proj.weight": "attn_v.weight",
+    "self_attn.o_proj.weight": "attn_output.weight",
+    # gemma1 has a single pre-FFN norm: HF post_attention_layernorm
+    "post_attention_layernorm.weight": "ffn_norm.weight",
+    "mlp.gate_proj.weight": "ffn_gate.weight",
+    "mlp.up_proj.weight": "ffn_up.weight",
+    "mlp.down_proj.weight": "ffn_down.weight",
+}
+_GEMMA2_LAYER_MAP = {
+    **_GEMMA1_LAYER_MAP,
+    # gemma2's 4-norm sandwich (llama.cpp names)
+    "post_attention_layernorm.weight": "post_attention_norm.weight",
+    "pre_feedforward_layernorm.weight": "ffn_norm.weight",
+    "post_feedforward_layernorm.weight": "post_ffw_norm.weight",
+}
+
+
+def _gguf_name_gemma(hf_name: str, gemma2: bool) -> str:
+    if hf_name in _NAME_MAP:
+        return _NAME_MAP[hf_name]
+    if hf_name.startswith("model.layers."):
+        rest = hf_name[len("model.layers."):]
+        idx, leaf = rest.split(".", 1)
+        lmap = _GEMMA2_LAYER_MAP if gemma2 else _GEMMA1_LAYER_MAP
+        return f"blk.{idx}.{lmap[leaf]}"
+    raise KeyError(hf_name)
+
+
+def gemma_config_from_gguf(g):
+    from .gemma import GemmaConfig
+
+    arch = g.architecture
+    m = g.metadata
+
+    def key(suffix, default=None):
+        return m.get(f"{arch}.{suffix}", default)
+
+    n_head = int(key("attention.head_count"))
+    emb = int(key("embedding_length"))
+    soft_a = key("attn_logit_softcapping")
+    soft_f = key("final_logit_softcapping")
+    return GemmaConfig(
+        num_hidden_layers=int(key("block_count")),
+        num_attention_heads=n_head,
+        num_key_value_heads=int(key("attention.head_count_kv", 1)),
+        hidden_size=emb,
+        intermediate_size=int(key("feed_forward_length")),
+        vocab_size=int(key("vocab_size",
+                           len(m.get("tokenizer.ggml.tokens", [])))),
+        max_position_embeddings=int(key("context_length", 8192)),
+        rms_norm_eps=float(key("attention.layer_norm_rms_epsilon", 1e-6)),
+        rope_theta=float(key("rope.freq_base", 10000.0)),
+        head_dim=int(key("attention.key_length") or emb // n_head),
+        attn_logit_softcapping=float(soft_a) if soft_a else None,
+        final_logit_softcapping=float(soft_f) if soft_f else None,
+        gemma2=(arch == "gemma2"),
+        model_type=arch,
+    )
+
+
 _PHI3_LAYER_MAP = {
     "self_attn.qkv_proj.weight": "attn_qkv.weight",
     "self_attn.o_proj.weight": "attn_output.weight",
@@ -101,6 +165,42 @@ def build_from_gguf(g, max_len: int, dtype: DType = DType.BF16,
     """zeros=True builds a structure-only graph (shape-faithful zero
     weights, no dequantization) — for decode-window variants that share
     the main model's TensorStore."""
+    if g.architecture in ("gemma", "gemma2"):
+        from .gemma import build_gemma_step
+
+        if pos_per_row:
+            raise ValueError("ragged decode not supported for gguf gemma yet")
+        gcfg = gemma_config_from_gguf(g)
+        gemma2 = g.architecture == "gemma2"
+
+        def getter_g(hf_name: str) -> np.ndarray:
+            # gemma always ties the LM head to the embedding
+            if hf_name == "lm_head.weight":
+                hf_name = "model.embed_tokens.weight"
+            t = g.load(_gguf_name_gemma(hf_name, gemma2))
+            if zeros:
+                return np.zeros(tuple(t.shape), dtype=np.float32)
+            from ....tensor import PackedTensor
+
+            if isinstance(t, PackedTensor):
+                arr = t.dequantize(DType.F32).numpy()
+            else:
+                arr = t.numpy()
+                arr = (arr.astype(np.float32) if arr.dtype.kind == "f"
+                       else arr)
+            # the HF->GGUF converter bakes gemma's "+1" into every norm
+            # weight; the recipe adds it back, so un-bake here
+            if (hf_name.endswith("layernorm.weight")
+                    or hf_name == "model.norm.weight"):
+                arr = arr - 1.0
+            return arr
+
+        data = build_gemma_step(getter_g, gcfg, max_len=max_len, dtype=dtype,
+                                storage=storage)
+        return data, dict(n_layers=gcfg.num_hidden_layers,
+                          n_kv_heads=gcfg.num_key_value_heads,
+                          head_dim=gcfg.hd)
+
     cfg = config_from_gguf(g)
     if g.architecture == "phi3" and pos_per_row:
         raise ValueError("ragged decode not supported for gguf phi3 yet")

@@ -452,20 +452,8 @@ class TextInferenceInterface:
         return np.asarray(toks)
 
     # ------------------------------------------------------------------
-    # windowed decode: phased scans over growing cache windows
+    # windowed decode: growing cache windows, fused into one program
     # ------------------------------------------------------------------
-    def _fresh_cache_w(self, batch: int, window: int):
-        import jax.numpy as jnp
-
-        out = []
-        for n in self.cache_in_names:
-            info = self.model.graph.tensors[self.model.graph.by_name[n]].info
-            dims = [batch if not d.is_known else int(d.value())
-                    for d in info.dims()]
-            dims[2] = window
-            out.append(jnp.zeros(tuple(dims), dtype=self.cache_dtype.to_jax()))
-        return out
-
     def _unified_windowed_program(self, batch, bucket, prompt_len, n_new,
                                   phases, sampling):
         """ONE jitted program running every window phase: prefill at
