@@ -176,3 +176,78 @@ def test_audio_mel_shapes():
     n2 = AudioClipToTensorNode(inputs={}, outputs={}, sample_rate=8000)
     t2 = n2.execute(ExecutionContext(), {"audio": clip})["tensor"]
     assert abs(t2.shape[1] - sr // 2) < 3
+
+
+def test_diffusion_supergraph_matches_interface():
+    """The introspectable diffusion SuperGraph job (denoise loop as a
+    Scan node, reference src/interfaces.rs:327+) must produce the same
+    image as the ImageGenerationInterface python loop, and stream
+    per-step latents + progress through the observer."""
+    import torch
+    from transformers import CLIPTextConfig as HFCfg
+    from transformers import CLIPTextModel
+
+    from whisper_tensor_tpu.backends.eval_backend import EvalBackend
+    from whisper_tensor_tpu.importers.recipes.diffusion.clip import (
+        ClipTextConfig, build_clip_text)
+    from whisper_tensor_tpu.importers.recipes.diffusion.unet import (
+        UNetConfig, build_sd_unet, random_unet_weights)
+    from whisper_tensor_tpu.importers.recipes.diffusion.vae import (
+        VAEConfig, build_vae_decoder)
+    from whisper_tensor_tpu.interfaces.image_gen import (
+        ImageGenConfig, ImageGenerationInterface)
+    from whisper_tensor_tpu.model import Model
+    from whisper_tensor_tpu.super_graph.image import build_diffusion_supergraph
+
+    torch.manual_seed(0)
+    hf = CLIPTextModel(HFCfg(hidden_size=12, intermediate_size=24,
+                             num_hidden_layers=1, num_attention_heads=2,
+                             vocab_size=100, max_position_embeddings=8))
+    sd = {k: v.float().numpy() for k, v in hf.state_dict().items()}
+    te = Model.new_from_onnx(build_clip_text(
+        lambda n: sd[n],
+        ClipTextConfig(num_hidden_layers=1, hidden_size=12,
+                       num_attention_heads=2, intermediate_size=24,
+                       vocab_size=100, max_position_embeddings=8),
+        seq_len=8), name="sg-te")
+    ucfg = UNetConfig(block_out_channels=(8, 16, 16, 16), layers_per_block=1,
+                      cross_attention_dim=12, norm_groups=4,
+                      attention_head_dim=2)
+    unet = Model.new_from_onnx(build_sd_unet(
+        random_unet_weights(), ucfg, latent_hw=(16, 16)), name="sg-unet")
+    vae = Model.new_from_onnx(build_vae_decoder(
+        random_unet_weights(1),
+        VAEConfig(block_out_channels=(8, 8, 16, 16), layers_per_block=1,
+                  norm_groups=4), latent_hw=(16, 16)), name="sg-vae")
+
+    steps, seed = 2, 7
+    iface = ImageGenerationInterface(te, unet, vae, tokenizer=None,
+                                     bos_token_id=1, uncond_token_id=2,
+                                     seq_len=8)
+    iface._backends = {m.id: EvalBackend("oracle") for m in (te, unet, vae)}
+    ref = iface.run("a tpu", cfg=ImageGenConfig(
+        steps=steps, height=128, width=128, seed=seed))
+
+    sg = build_diffusion_supergraph("sg-te", "sg-unet", "sg-vae",
+                                    steps=steps, latent_hw=(16, 16),
+                                    seed=seed, bos_token_id=1,
+                                    eos_token_id=2, seq_len=8)
+    # round-trip through JSON: the job graph must be shippable
+    sg2 = SuperGraph.from_json(sg.to_json())
+
+    progress, latents_seen = [], []
+
+    class Obs(SuperObserver):
+        def on_progress(self, node, f):
+            progress.append(f)
+
+    ctx = ExecutionContext(
+        models={"sg-te": te, "sg-unet": unet, "sg-vae": vae},
+        observer=Obs(), backend_mode="oracle")
+    ids = iface.encode_prompt("a tpu")
+    nids = iface.encode_prompt("")
+    out = sg2.run(ctx, {"prompt_ids": ids, "negative_ids": nids})
+    np.testing.assert_allclose(out["image"].pixels.astype(np.int32),
+                               ref.pixels.astype(np.int32), atol=1)
+    assert np.asarray(out["latent_trajectory"]).shape[0] == steps
+    assert progress

@@ -53,8 +53,13 @@ class SuperNode:
     @classmethod
     def from_json(cls, d: dict) -> "SuperNode":
         klass = _NODE_REGISTRY[d["type"]]
-        return klass(name=d["name"], inputs=d["inputs"], outputs=d["outputs"],
-                     **d.get("params", {}))
+        node = klass(name=d["name"], inputs=d["inputs"],
+                     outputs=d["outputs"], **d.get("params", {}))
+        if d.get("body") is not None:  # nested SuperGraph (ScanNode)
+            from .graph import SuperGraph
+
+            node.body = SuperGraph.from_json(d["body"])
+        return node
 
 
 def _json_safe(v):
@@ -147,6 +152,12 @@ class ScanNode(SuperNode):
     def __init__(self, *args, body=None, **kw):
         super().__init__(*args, **kw)
         self.body = body
+
+    def to_json(self):
+        d = super().to_json()
+        if self.body is not None:
+            d["body"] = self.body.to_json()
+        return d
 
     def execute(self, ctx, ins):
         from .graph import SuperGraph  # noqa: F401
