@@ -185,3 +185,38 @@ def test_transcribe_long_chunks_concatenate(tiny_whisper):
     b = iface._transcribe_compiled(
         iface.mel_from_samples(audio[chunk_samples:]), 8)
     assert long_toks == a + b
+
+
+def test_beam_transcription_matches_hf_generate(tiny_whisper):
+    """Whisper beam search (the seq2seq one-program beam with a forced
+    multi-token SOT prefix) matches hf.generate(num_beams=W)."""
+    import torch
+
+    from whisper_tensor_tpu.interfaces.stt import SpeechToTextInterface
+    from whisper_tensor_tpu.super_graph.links import AudioClip
+
+    hf, enc, dec, cfg = tiny_whisper
+    iface = SpeechToTextInterface(enc, dec, max_len=64, n_mels=16,
+                                  n_frames=N_FRAMES, sot_sequence=[5],
+                                  eot_token=119)
+    rng = np.random.default_rng(11)
+    mel = rng.standard_normal((1, 16, N_FRAMES)).astype(np.float32)
+    iface.mel_from_audio = lambda clip: mel
+    W, n_new = 3, 6
+    ours = iface.transcribe_beam(
+        AudioClip(np.zeros(100, np.float32), 16000), max_new=n_new, beam=W)
+
+    with torch.no_grad():
+        ref = hf.generate(
+            input_features=torch.from_numpy(mel), num_beams=W,
+            max_new_tokens=n_new, min_new_tokens=n_new, do_sample=False,
+            length_penalty=0.0, early_stopping=False,
+            decoder_start_token_id=5,
+            suppress_tokens=None, begin_suppress_tokens=None,
+            use_cache=True)
+    # hf counts the decoder_start token toward max length, so it may
+    # return n_new-1 continuation tokens; compare on the overlap
+    ref_toks = [int(t) for t in ref[0][1:1 + n_new]]
+    k = min(len(ours), len(ref_toks))
+    assert k >= n_new - 1
+    assert ours[:k] == ref_toks[:k], (ours, ref_toks)

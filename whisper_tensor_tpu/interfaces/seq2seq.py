@@ -26,11 +26,19 @@ class Seq2SeqInterface:
 
     def __init__(self, encoder: Model, decoder_step: Model, max_len: int,
                  start_token: int = 0, eos_token: int = 1,
-                 tokenizer=None, cache_dtype: DType = DType.F32):
+                 tokenizer=None, cache_dtype: DType = DType.F32,
+                 start_sequence: Optional[List[int]] = None,
+                 encoder_feed: str = "input_ids"):
+        """start_sequence: multi-token forced decoder prefix (Whisper's
+        start-of-transcript sequence); defaults to [start_token].
+        encoder_feed: the encoder's input name ('mel' for Whisper)."""
         self.encoder = encoder
         self.decoder = decoder_step
         self.max_len = max_len
         self.start_token = start_token
+        self.start_sequence = list(start_sequence) if start_sequence \
+            else [start_token]
+        self.encoder_feed = encoder_feed
         self.eos_token = eos_token
         self.tokenizer = tokenizer
         self.cache_dtype = cache_dtype
@@ -65,7 +73,7 @@ class Seq2SeqInterface:
         if self._enc_backend is None:
             self._enc_backend = EvalBackend("xla")
         return self._enc_backend.run(self.encoder.graph,
-                                     {"input_ids": input_ids})
+                                     {self.encoder_feed: input_ids})
 
     def fresh_cache(self, batch: int):
         import jax.numpy as jnp
@@ -103,8 +111,18 @@ class Seq2SeqInterface:
             named = dict(zip(self.output_names, outs))
             return named["logits"], [named[n] for n in self.cache_out]
 
+        prefix = list(self.start_sequence)
+        P = len(prefix)
+
         def run(caches, crosses, weights, rng_key):
-            start = jnp.full((batch,), self.start_token, dtype=jnp.int64)
+            # forced decoder prefix (start token, or Whisper's full
+            # start-of-transcript sequence) as one prefill call
+            pre = jnp.broadcast_to(
+                jnp.asarray(prefix, dtype=jnp.int64)[None], (batch, P))
+            lg, caches = step(pre, jnp.asarray(0, dtype=jnp.int64),
+                              caches, crosses, weights)
+            first = _pick_token(lg[:, P - 1, :],
+                                jax.random.fold_in(rng_key, 0), sp)
 
             def body(carry, i):
                 cur, pos, caches = carry
@@ -115,9 +133,10 @@ class Seq2SeqInterface:
                 return (nxt, pos + 1, caches), nxt
 
             (_, _, caches), toks = jax.lax.scan(
-                body, (start, jnp.asarray(0, dtype=jnp.int64), caches),
-                jnp.arange(n_new))
-            return jnp.swapaxes(toks, 0, 1)
+                body, (first, jnp.asarray(P, dtype=jnp.int64), caches),
+                jnp.arange(1, n_new))
+            return jnp.concatenate([first[:, None],
+                                    jnp.swapaxes(toks, 0, 1)], axis=1)
 
         self._programs[key] = jax.jit(run, donate_argnums=(0,))
         return self._programs[key]
@@ -152,12 +171,45 @@ class Seq2SeqInterface:
             named = dict(zip(self.output_names, outs))
             return named["logits"], [named[n] for n in self.cache_out]
 
+        prefix = list(self.start_sequence)
+        P = len(prefix)
+
+        def select(lp, i, scores, alive, hist, caches):
+            """One beam-search selection from per-row log-probs (R, V):
+            re-score, top-W per batch, reorder caches/history by parent."""
+            V = lp.shape[-1]
+            # finished beams may only extend with EOS at zero cost
+            eos_only = jnp.full((V,), -jnp.inf).at[eos].set(0.0)
+            lp = jnp.where(alive[:, None], lp, eos_only[None])
+            total = scores[:, None] + lp                    # (R, V)
+            flat = total.reshape(B, W * V)
+            top_s, top_i = jax.lax.top_k(flat, W)           # (B, W)
+            parent = top_i // V                             # beam in batch
+            token = (top_i % V).astype(jnp.int64)
+            rows = (jnp.arange(B)[:, None] * W + parent).reshape(-1)
+            caches = [c[rows] for c in caches]
+            hist = hist[rows].at[:, i].set(token.reshape(-1))
+            cur = token.reshape(-1)
+            scores = top_s.reshape(-1)
+            alive = alive[rows] & (cur != eos)
+            return cur, scores, alive, hist, caches
+
         def run(caches, crosses, weights):
-            cur = jnp.full((R,), self.start_token, dtype=jnp.int64)
             # only beam 0 of each batch is live initially
             scores = jnp.where(jnp.arange(R) % W == 0, 0.0, -jnp.inf)
             alive = jnp.ones((R,), bool)
             hist = jnp.zeros((R, n_new), dtype=jnp.int64)
+            # forced decoder prefix (start token, or Whisper's full
+            # start-of-transcript sequence) as one prefill call; the
+            # first selection comes from its last-position logits
+            pre = jnp.broadcast_to(
+                jnp.asarray(prefix, dtype=jnp.int64)[None], (R, P))
+            lg0, caches = step(pre, jnp.asarray(0, dtype=jnp.int64),
+                               caches, crosses, weights)
+            lp0 = jax.nn.log_softmax(
+                lg0[:, P - 1, :].astype(jnp.float32), axis=-1)
+            cur, scores, alive, hist, caches = select(
+                lp0, 0, scores, alive, hist, caches)
 
             def body(carry, i):
                 cur, pos, scores, alive, hist, caches = carry
@@ -165,26 +217,13 @@ class Seq2SeqInterface:
                                   weights)
                 lp = jax.nn.log_softmax(
                     lg[:, -1, :].astype(jnp.float32), axis=-1)  # (R, V)
-                V = lp.shape[-1]
-                # finished beams may only extend with EOS at zero cost
-                eos_only = jnp.full((V,), -jnp.inf).at[eos].set(0.0)
-                lp = jnp.where(alive[:, None], lp, eos_only[None])
-                total = scores[:, None] + lp                    # (R, V)
-                flat = total.reshape(B, W * V)
-                top_s, top_i = jax.lax.top_k(flat, W)           # (B, W)
-                parent = top_i // V                             # beam in batch
-                token = (top_i % V).astype(jnp.int64)
-                rows = (jnp.arange(B)[:, None] * W + parent).reshape(-1)
-                caches = [c[rows] for c in caches]
-                hist = hist[rows].at[:, i].set(token.reshape(-1))
-                cur = token.reshape(-1)
-                scores = top_s.reshape(-1)
-                alive = alive[rows] & (cur != eos)
+                cur, scores, alive, hist, caches = select(
+                    lp, i, scores, alive, hist, caches)
                 return (cur, pos + 1, scores, alive, hist, caches), None
 
             (cur, pos, scores, alive, hist, caches), _ = jax.lax.scan(
-                body, (cur, jnp.asarray(0, dtype=jnp.int64), scores, alive,
-                       hist, caches), jnp.arange(n_new))
+                body, (cur, jnp.asarray(P, dtype=jnp.int64), scores, alive,
+                       hist, caches), jnp.arange(1, n_new))
             # pick the best beam per batch (optional length normalization
             # over the pre-EOS length)
             if length_penalty != 0.0:
@@ -209,7 +248,9 @@ class Seq2SeqInterface:
         """Beam-search decode: (B, L_enc) -> (B, n_new) best sequences."""
         import jax.numpy as jnp
 
-        input_ids = np.asarray(input_ids, dtype=np.int64)
+        input_ids = (np.asarray(input_ids, dtype=np.int64)
+                     if self.encoder_feed == "input_ids"
+                     else np.asarray(input_ids, dtype=np.float32))
         if input_ids.ndim == 1:
             input_ids = input_ids[None]
         B = input_ids.shape[0]
@@ -231,7 +272,9 @@ class Seq2SeqInterface:
         import jax
         import jax.numpy as jnp
 
-        input_ids = np.asarray(input_ids, dtype=np.int64)
+        input_ids = (np.asarray(input_ids, dtype=np.int64)
+                     if self.encoder_feed == "input_ids"
+                     else np.asarray(input_ids, dtype=np.float32))
         if input_ids.ndim == 1:
             input_ids = input_ids[None]
         B = input_ids.shape[0]

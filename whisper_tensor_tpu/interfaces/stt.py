@@ -187,6 +187,31 @@ class SpeechToTextInterface:
                 out.extend(self._transcribe_mel(mel, max_new_per_chunk))
         return out
 
+    def transcribe_beam(self, clip: AudioClip, max_new: int = 64,
+                        beam: int = 4,
+                        length_penalty: float = 0.0) -> List[int]:
+        """Beam-search transcription: the whole search (forced SOT
+        prefix prefill + per-step re-score/top-k/cache-reorder) runs as
+        the seq2seq interface's ONE compiled beam program."""
+        from .seq2seq import Seq2SeqInterface
+
+        s2s = getattr(self, "_s2s", None)
+        if s2s is None:
+            s2s = Seq2SeqInterface(
+                self.encoder, self.decoder, max_len=self.max_len,
+                start_sequence=self.sot_sequence, eos_token=self.eot_token,
+                encoder_feed="mel")
+            self._s2s = s2s
+        mel = self.mel_from_audio(clip)
+        toks = s2s.beam_search_tokens(mel, max_new, beam=beam,
+                                      length_penalty=length_penalty)[0]
+        out: List[int] = []
+        for t in toks:
+            if int(t) == self.eot_token:
+                break
+            out.append(int(t))
+        return out
+
     def transcribe_tokens(self, clip: AudioClip, max_new: int = 64,
                           compiled: bool = False) -> List[int]:
         mel = self.mel_from_audio(clip)
