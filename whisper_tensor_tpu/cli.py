@@ -240,7 +240,11 @@ def cmd_stt(args) -> None:
         iface = SpeechToTextInterface(enc, dec, tokenizer=tok,
                                       sot_sequence=sot, eot_token=args.eot)
     clip = AudioClip(samples, sr)
-    if tok is not None:
+    if args.beam > 1:
+        toks = iface.transcribe_beam(clip, max_new=args.max_tokens,
+                                     beam=args.beam)
+        print(tok.decode(toks) if tok is not None else json.dumps(toks))
+    elif tok is not None:
         print(iface.run_audio_in_text_out(clip, max_new=args.max_tokens))
     else:
         print(json.dumps(iface.transcribe_tokens(clip,
@@ -322,6 +326,8 @@ def main(argv=None) -> None:
     st.add_argument("--sot", help="comma-separated start-of-transcript ids "
                                   "(default: whisper 50258)")
     st.add_argument("--eot", type=int, default=50257)
+    st.add_argument("--beam", type=int, default=1,
+                    help="beam width (>1 = compiled beam search)")
     st.set_defaults(fn=cmd_stt)
 
     s = sub.add_parser("serve", help="run the WebSocket server")
