@@ -260,8 +260,14 @@ class Server:
         settings = ObserverSettings()
 
         def job(obs):
-            return {"text": iface.run_audio_in_text_out(
-                clip, max_new=int(msg.get("max_new_tokens", 64)))}
+            beam = int(msg.get("beam", 1))
+            max_new = int(msg.get("max_new_tokens", 64))
+            if beam > 1:
+                toks = iface.transcribe_beam(clip, max_new=max_new,
+                                             beam=beam)
+                return {"text": iface.tokenizer.decode(toks)}
+            return {"text": iface.run_audio_in_text_out(clip,
+                                                        max_new=max_new)}
 
         self.scheduler.submit(job, settings)
         return None
