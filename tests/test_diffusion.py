@@ -421,3 +421,147 @@ class TestCompiledDenoiseLoop:
         np.testing.assert_allclose(
             img_fast.pixels.astype(np.int32),
             img_loop.pixels.astype(np.int32), atol=1)
+
+
+class TestVAEEncoder:
+    def test_encoder_matches_torch_referee(self):
+        """build_vae_encoder vs an independently written torch forward
+        of the AutoencoderKL encoder (incl. the asymmetric bottom/right
+        downsample padding and single-head mid attention)."""
+        import torch
+        import torch.nn.functional as F
+
+        from whisper_tensor_tpu.importers.recipes.diffusion.unet import \
+            random_unet_weights
+        from whisper_tensor_tpu.importers.recipes.diffusion.vae import (
+            VAEConfig, build_vae_encoder)
+
+        cfg = VAEConfig(block_out_channels=(8, 8, 16, 16),
+                        layers_per_block=1, norm_groups=4)
+        wg = random_unet_weights(3)
+        stash = {}
+
+        def getter(name, shape):
+            arr = wg(name, shape)
+            stash[name] = np.asarray(arr, np.float32)
+            return arr
+
+        data = build_vae_encoder(getter, cfg, image_hw=(64, 64))
+        m = Model.new_from_onnx(data, name="tiny-vae-enc")
+        rng = np.random.default_rng(0)
+        img = rng.uniform(-1, 1, (1, 3, 64, 64)).astype(np.float32)
+        got = np.asarray(m.eval({"image": img})["moments"])
+
+        t = lambda n: torch.from_numpy(stash[n])
+
+        def conv(x, name, stride=1, pad=1):
+            return F.conv2d(x, t(name + ".weight"), t(name + ".bias"),
+                            stride=stride, padding=pad)
+
+        def gn(x, name):
+            return F.group_norm(x, cfg.norm_groups, t(name + ".weight"),
+                                t(name + ".bias"), eps=1e-6)
+
+        def resnet(x, name, cin, cout):
+            h = conv(F.silu(gn(x, name + ".norm1")), name + ".conv1")
+            h = conv(F.silu(gn(h, name + ".norm2")), name + ".conv2")
+            if cin != cout:
+                x = conv(x, name + ".conv_shortcut", pad=0)
+            return x + h
+
+        def attn(x, name, c):
+            h = gn(x, name + ".group_norm")
+            B, C, H, W = h.shape
+            seq = h.reshape(B, C, H * W).transpose(1, 2)
+
+            def lin(xx, nm):
+                return xx @ t(nm + ".weight").T + t(nm + ".bias")
+
+            q, k, v = (lin(seq, name + p)
+                       for p in (".to_q", ".to_k", ".to_v"))
+            att = torch.softmax(q @ k.transpose(1, 2) / np.sqrt(C), -1) @ v
+            att = lin(att, name + ".to_out.0")
+            return x + att.transpose(1, 2).reshape(B, C, H, W)
+
+        with torch.no_grad():
+            x = conv(torch.from_numpy(img), "encoder.conv_in")
+            cur = 8
+            for bi, cout in enumerate(cfg.block_out_channels):
+                x = resnet(x, f"encoder.down_blocks.{bi}.resnets.0",
+                           cur, cout)
+                cur = cout
+                if bi < 3:
+                    x = F.pad(x, (0, 1, 0, 1))
+                    x = conv(x,
+                             f"encoder.down_blocks.{bi}.downsamplers.0.conv",
+                             stride=2, pad=0)
+            x = resnet(x, "encoder.mid_block.resnets.0", cur, cur)
+            x = attn(x, "encoder.mid_block.attentions.0", cur)
+            x = resnet(x, "encoder.mid_block.resnets.1", cur, cur)
+            x = conv(F.silu(gn(x, "encoder.conv_norm_out")),
+                     "encoder.conv_out")
+            ref = conv(x, "quant_conv", pad=0).numpy()
+        assert got.shape == ref.shape == (1, 8, 8, 8)
+        np.testing.assert_allclose(got, ref, rtol=2e-3, atol=2e-4)
+
+    def test_img2img_strength_semantics(self, tiny_unet):
+        """img2img runs end to end; low strength stays closer to the
+        init image than high strength."""
+        import torch
+        from transformers import CLIPTextConfig as HFCfg
+        from transformers import CLIPTextModel
+
+        from whisper_tensor_tpu.importers.recipes.diffusion.clip import (
+            ClipTextConfig, build_clip_text)
+        from whisper_tensor_tpu.importers.recipes.diffusion.unet import \
+            random_unet_weights
+        from whisper_tensor_tpu.importers.recipes.diffusion.vae import (
+            VAEConfig, build_vae_decoder, build_vae_encoder)
+        from whisper_tensor_tpu.interfaces.image_gen import (
+            ImageGenConfig, ImageGenerationInterface)
+
+        torch.manual_seed(0)
+        hf = CLIPTextModel(HFCfg(hidden_size=12, intermediate_size=24,
+                                 num_hidden_layers=1, num_attention_heads=2,
+                                 vocab_size=100, max_position_embeddings=8))
+        sd = {k: v.float().numpy() for k, v in hf.state_dict().items()}
+        te = Model.new_from_onnx(build_clip_text(
+            lambda n: sd[n],
+            ClipTextConfig(num_hidden_layers=1, hidden_size=12,
+                           num_attention_heads=2, intermediate_size=24,
+                           vocab_size=100, max_position_embeddings=8),
+            seq_len=8), name="te")
+        vcfg = VAEConfig(block_out_channels=(8, 8, 16, 16),
+                         layers_per_block=1, norm_groups=4)
+        vae = Model.new_from_onnx(build_vae_decoder(
+            random_unet_weights(1), vcfg, latent_hw=(16, 16)), name="vae")
+        enc = Model.new_from_onnx(build_vae_encoder(
+            random_unet_weights(1), vcfg, image_hw=(128, 128)), name="venc")
+
+        iface = ImageGenerationInterface(
+            te, tiny_unet, vae, tokenizer=None, bos_token_id=1,
+            uncond_token_id=2, seq_len=8, vae_encoder=enc)
+        iface.force_loop = True   # countable per-step progress
+        rng = np.random.default_rng(5)
+        init = rng.integers(0, 255, (128, 128, 3)).astype(np.uint8)
+        cfgd = ImageGenConfig(steps=4, height=128, width=128, seed=3)
+
+        class Obs:
+            def __init__(self):
+                self.n = 0
+
+            def on_progress(self, node, f):
+                self.n += 1
+
+        # strength derives the schedule slice: 0.25 -> 1 step, 1.0 -> 4
+        o1, o2 = Obs(), Obs()
+        lo = iface.run_img2img("x", init, strength=0.25, cfg=cfgd,
+                               observer=o1)
+        hi = iface.run_img2img("x", init, strength=1.0, cfg=cfgd,
+                               observer=o2)
+        assert (o1.n, o2.n) == (1, 4)
+        assert lo.pixels.shape == hi.pixels.shape == (128, 128, 3)
+        assert not np.array_equal(lo.pixels, hi.pixels)
+        # seeded determinism
+        again = iface.run_img2img("x", init, strength=0.25, cfg=cfgd)
+        np.testing.assert_array_equal(again.pixels, lo.pixels)

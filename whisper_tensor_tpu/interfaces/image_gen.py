@@ -73,10 +73,17 @@ class ImageGenerationInterface:
     def __init__(self, text_encoder: Model, unet: Model, vae: Model,
                  tokenizer=None, latent_channels: int = 4,
                  uncond_token_id: int = 49407, bos_token_id: int = 49406,
-                 seq_len: int = 77, prediction_type: str = "epsilon"):
+                 seq_len: int = 77, prediction_type: str = "epsilon",
+                 vae_encoder: Optional[Model] = None,
+                 vae_scaling: float = 0.18215, vae_shift: float = 0.0):
+        """vae_encoder + vae_scaling/vae_shift enable run_img2img (a
+        capability the reference's txt2img-only interface lacks)."""
         self.text_encoder = text_encoder
         self.unet = unet
         self.vae = vae
+        self.vae_encoder = vae_encoder
+        self.vae_scaling = vae_scaling
+        self.vae_shift = vae_shift
         self.tokenizer = tokenizer
         self.latent_channels = latent_channels
         self.seq_len = seq_len
@@ -263,13 +270,26 @@ class ImageGenerationInterface:
         if cfg.schedule == "euler":
             latents = latents * sigmas[0]
 
+        latents = self._denoise(latents, ctx, extra_feeds, sigmas,
+                                timesteps, cfg, observer)
+
+        img = np.asarray(self._run(self.vae, {"latents": latents})["image"])
+        pixels = np.clip((img[0].transpose(1, 2, 0) + 1) / 2, 0, 1)
+        return Image((pixels * 255).round().astype(np.uint8))
+
+    def _denoise(self, latents, ctx, extra_feeds, sigmas, timesteps, cfg,
+                 observer):
+        """Run the denoise loop over the GIVEN schedule slice (run()
+        passes the full schedule; run_img2img a strength-derived tail)."""
+        n_steps = len(timesteps)
         if self._use_compiled_loop():
+            eff = ImageGenConfig(**{**cfg.__dict__, "steps": n_steps})
             latents = self._denoise_compiled(latents, ctx, extra_feeds,
-                                             sigmas, timesteps, cfg)
+                                             sigmas, timesteps, eff)
             if observer is not None:
                 observer.on_progress(self, 1.0)
         else:
-            for i in range(cfg.steps):
+            for i in range(n_steps):
                 sig = float(sigmas[i])
                 t = float(timesteps[i])
                 if cfg.schedule == "euler":
@@ -301,8 +321,48 @@ class ImageGenerationInterface:
                     # rectified flow: model predicts velocity
                     latents = latents + (float(sigmas[i + 1]) - sig) * eps
                 if observer is not None:
-                    observer.on_progress(self, (i + 1) / cfg.steps)
+                    observer.on_progress(self, (i + 1) / n_steps)
+        return latents
 
+    def run_img2img(self, prompt: str, init_image: np.ndarray,
+                    strength: float = 0.6, negative_prompt: str = "",
+                    cfg: Optional[ImageGenConfig] = None,
+                    observer=None) -> Image:
+        """Image-to-image: encode `init_image` through the VAE encoder,
+        noise it to the strength-derived schedule point, denoise the
+        remaining steps. strength in (0, 1]: 1.0 = full txt2img noise,
+        small = stay close to the input. init_image: (H, W, 3) uint8 or
+        float in [0, 1] (H/W must match cfg.height/width)."""
+        if self.vae_encoder is None:
+            raise ValueError("run_img2img needs a vae_encoder Model")
+        cfg = cfg or ImageGenConfig()
+        img = np.asarray(init_image)
+        if img.dtype == np.uint8:
+            img = img.astype(np.float32) / 255.0
+        img = (img.astype(np.float32) * 2.0 - 1.0).transpose(2, 0, 1)[None]
+        ctx, extra_feeds = self._encode_cfg(prompt, negative_prompt, cfg)
+        moments = np.asarray(self._run(self.vae_encoder,
+                                       {"image": img})["moments"])
+        lc = moments.shape[1] // 2
+        mean, logvar = moments[:, :lc], moments[:, lc:]
+        rng = np.random.default_rng(cfg.seed)
+        z = mean + np.exp(0.5 * np.clip(logvar, -30, 20)) * \
+            rng.standard_normal(mean.shape).astype(np.float32)
+        lat0 = ((z - self.vae_shift) * self.vae_scaling).astype(np.float32)
+
+        sched = (euler_discrete_schedule(cfg.steps)
+                 if cfg.schedule == "euler"
+                 else rectified_flow_schedule(cfg.steps))
+        sigmas, timesteps = sched["sigmas"], sched["timesteps"]
+        t0 = min(int(round(cfg.steps * (1.0 - strength))), cfg.steps - 1)
+        sig0 = float(sigmas[t0])
+        noise = rng.standard_normal(lat0.shape).astype(np.float32)
+        if cfg.schedule == "euler":
+            latents = lat0 + noise * np.float32(sig0)
+        else:  # rectified flow forward process
+            latents = ((1.0 - sig0) * lat0 + sig0 * noise).astype(np.float32)
+        latents = self._denoise(latents, ctx, extra_feeds,
+                                sigmas[t0:], timesteps[t0:], cfg, observer)
         img = np.asarray(self._run(self.vae, {"latents": latents})["image"])
         pixels = np.clip((img[0].transpose(1, 2, 0) + 1) / 2, 0, 1)
         return Image((pixels * 255).round().astype(np.uint8))
