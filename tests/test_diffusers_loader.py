@@ -87,8 +87,14 @@ def _write_sd_pipeline(d, xl=False):
     ucfg = UNetConfig.from_hf(ucfg_json)
     uw = _recorded_weights(build_sd_unet, ucfg, batch=2, latent_hw=(16, 16))
     _write_component(d, "unet", ucfg_json, uw)
+    from whisper_tensor_tpu.importers.recipes.diffusion.vae import \
+        build_vae_encoder
+
     vw = _recorded_weights(build_vae_decoder, VAEConfig.from_hf(VAE_CFG),
                            latent_hw=(16, 16))
+    vw.update(_recorded_weights(build_vae_encoder,
+                                VAEConfig.from_hf(VAE_CFG),
+                                image_hw=(128, 128)))
     _write_component(d, "vae", VAE_CFG, vw)
     os.makedirs(os.path.join(d, "scheduler"), exist_ok=True)
     with open(os.path.join(d, "scheduler", "scheduler_config.json"),
@@ -258,3 +264,27 @@ class TestDiffusersLoaderSD3Flux:
             steps=2, height=128, width=128, schedule="rectified_flow",
             guidance_scale=3.5, seed=5))
         assert img.pixels.shape == (128, 128, 3)
+
+
+class TestImg2Img:
+    def test_loader_builds_encoder_and_img2img_runs(self, tmp_path):
+        """img2img=1 loader config adds the VAE encoder; the bundle
+        interface then supports run_img2img through the CLI-visible
+        path."""
+        from whisper_tensor_tpu.importers.loaders import identify_and_load
+        from whisper_tensor_tpu.interfaces.image_gen import (
+            ImageGenConfig, image_interface_from_bundle)
+
+        d = _write_sd_pipeline(str(tmp_path))
+        bundle = identify_and_load(d, dtype="f32", img2img="1",
+                                   height=128, width=128)
+        assert "vae_encoder" in bundle.interfaces["image"]
+        iface = image_interface_from_bundle(bundle, mode="oracle")
+        assert iface.vae_encoder is not None
+        rng = np.random.default_rng(0)
+        init = rng.integers(0, 255, (128, 128, 3)).astype(np.uint8)
+        img = iface.run_img2img(
+            "a tpu", init, strength=0.5,
+            cfg=ImageGenConfig(steps=2, height=128, width=128, seed=1))
+        assert img.pixels.shape == (128, 128, 3)
+        assert img.pixels.dtype == np.uint8

@@ -118,9 +118,11 @@ def cmd_image(args) -> None:
     if args.model:
         from .importers.loaders import identify_and_load
 
+        extra = _parse_kv(args.config)
+        if args.init_image:
+            extra.setdefault("img2img", "1")
         bundle = identify_and_load(args.model, height=args.height,
-                                   width=args.width,
-                                   **_parse_kv(args.config))
+                                   width=args.width, **extra)
         if "image" not in bundle.interfaces:
             raise SystemExit(f"{args.model} is not an image pipeline "
                              f"(got: {sorted(bundle.interfaces) or 'none'})")
@@ -138,10 +140,16 @@ def cmd_image(args) -> None:
         tok = AnyTokenizer.load(args.tokenizer) if args.tokenizer else None
         iface = ImageGenerationInterface(te, unet, vae, tokenizer=tok)
         schedule = "euler"
-    img = iface.run(args.prompt, args.negative_prompt,
-                    ImageGenConfig(steps=args.steps, guidance_scale=args.cfg,
-                                   height=args.height, width=args.width,
-                                   seed=args.seed, schedule=schedule))
+    gcfg = ImageGenConfig(steps=args.steps, guidance_scale=args.cfg,
+                          height=args.height, width=args.width,
+                          seed=args.seed, schedule=schedule)
+    if args.init_image:
+        init = _read_ppm(args.init_image)
+        img = iface.run_img2img(args.prompt, init, strength=args.strength,
+                                negative_prompt=args.negative_prompt,
+                                cfg=gcfg)
+    else:
+        img = iface.run(args.prompt, args.negative_prompt, gcfg)
     _write_ppm(args.output, img.pixels)
     print(f"wrote {args.output} ({img.pixels.shape[1]}x{img.pixels.shape[0]})")
 
@@ -152,6 +160,34 @@ def _write_ppm(path: str, pixels) -> None:
     with open(path, "wb") as f:
         f.write(f"P6\n{w} {h}\n255\n".encode())
         f.write(pixels.tobytes())
+
+
+def _read_ppm(path: str):
+    """Dependency-free PPM P6 reader -> (H, W, 3) uint8."""
+    import numpy as np
+
+    with open(path, "rb") as f:
+        data = f.read()
+    parts = []
+    i = 0
+    while len(parts) < 4:          # magic, w, h, maxval
+        while i < len(data) and data[i:i + 1].isspace():
+            i += 1
+        if data[i:i + 1] == b"#":  # comment line
+            while i < len(data) and data[i:i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(data) and not data[j:j + 1].isspace():
+            j += 1
+        parts.append(data[i:j])
+        i = j
+    if parts[0] != b"P6":
+        raise ValueError(f"{path}: not a P6 PPM")
+    w, h = int(parts[1]), int(parts[2])
+    i += 1  # single whitespace after maxval
+    return np.frombuffer(data[i:i + w * h * 3],
+                         dtype=np.uint8).reshape(h, w, 3).copy()
 
 
 def cmd_inspect(args) -> None:
@@ -297,6 +333,9 @@ def main(argv=None) -> None:
     i.add_argument("--width", type=int, default=512)
     i.add_argument("--seed", type=int, default=0)
     i.add_argument("--output", default="out.ppm")
+    i.add_argument("--init-image", help="PPM image for img2img")
+    i.add_argument("--strength", type=float, default=0.6,
+                   help="img2img strength (1.0 = full txt2img noise)")
     i.set_defaults(fn=cmd_image)
 
     n = sub.add_parser("inspect", help="load a model and print its structure")

@@ -724,6 +724,15 @@ class DiffusersPipelineLoader(Loader):
         add("vae", build_vae_decoder(getter("vae"), vcfg,
                                      latent_hw=(h // 8, w_ // 8),
                                      dtype=dtype), f"{kind}-vae")
+        if config.get("img2img"):
+            from .recipes.diffusion.vae import build_vae_encoder
+
+            add("vae_encoder", build_vae_encoder(getter("vae"), vcfg,
+                                                 image_hw=(h, w_),
+                                                 dtype=dtype),
+                f"{kind}-vae-encoder")
+            spec["vae_scaling"] = vcfg.scaling_factor
+            spec["vae_shift"] = vcfg.shift_factor
         spec["height"], spec["width"] = h, w_
         spec["latent_channels"] = vcfg.latent_channels
         tok = os.path.join(d, "tokenizer", "tokenizer.json")

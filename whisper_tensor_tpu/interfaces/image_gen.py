@@ -588,6 +588,10 @@ def image_interface_from_bundle(bundle, mode: str = "xla"):
                   bos_token_id=spec.get("bos_token_id", 49406),
                   uncond_token_id=spec.get("eos_token_id", 49407),
                   seq_len=spec.get("seq_len", 77))
+    if spec.get("vae_encoder"):
+        common["vae_encoder"] = m[spec["vae_encoder"]]
+        common["vae_scaling"] = spec.get("vae_scaling", 0.18215)
+        common["vae_shift"] = spec.get("vae_shift", 0.0)
     if kind == "sd":
         iface = ImageGenerationInterface(
             m[spec["text_encoder"]], m[spec["unet"]], m[spec["vae"]],
