@@ -137,8 +137,23 @@ def _write_ldm_checkpoint(path):
             sd[key] = arr
         return arr
 
+    from whisper_tensor_tpu.importers.ldm import vae_encoder_diffusers_to_ldm
+    from whisper_tensor_tpu.importers.recipes.diffusion.vae import \
+        build_vae_encoder
+
+    def ve_get(name, shape=None):
+        arr = np.ascontiguousarray(base("VE" + name, shape),
+                                   dtype=np.float32)
+        key = VAE_PREFIX + vae_encoder_diffusers_to_ldm(name)
+        if "attentions" in name and name.endswith(".weight") and arr.ndim == 2:
+            sd[key] = arr[:, :, None, None]     # LDM stores 1x1 convs
+        else:
+            sd[key] = arr
+        return arr
+
     build_sd_unet(u_get, ucfg, batch=2, latent_hw=(16, 16))
     build_vae_decoder(v_get, vcfg, latent_hw=(16, 16))
+    build_vae_encoder(ve_get, vcfg, image_hw=(128, 128))
 
     torch.manual_seed(0)
     hf = CLIPTextModel(HFCfg(hidden_size=64, intermediate_size=128,
@@ -325,8 +340,23 @@ def _write_sdxl_ldm_checkpoint(path):
                        and arr.ndim == 2) else arr)
         return arr
 
+    from whisper_tensor_tpu.importers.ldm import vae_encoder_diffusers_to_ldm
+    from whisper_tensor_tpu.importers.recipes.diffusion.vae import \
+        build_vae_encoder
+
+    def ve_get(name, shape=None):
+        arr = np.ascontiguousarray(base("VE" + name, shape),
+                                   dtype=np.float32)
+        key = VAE_PREFIX + vae_encoder_diffusers_to_ldm(name)
+        if "attentions" in name and name.endswith(".weight") and arr.ndim == 2:
+            sd[key] = arr[:, :, None, None]     # LDM stores 1x1 convs
+        else:
+            sd[key] = arr
+        return arr
+
     build_sd_unet(u_get, ucfg, batch=2, latent_hw=(16, 16))
     build_vae_decoder(v_get, vcfg, latent_hw=(16, 16))
+    build_vae_encoder(ve_get, vcfg, image_hw=(128, 128))
 
     torch.manual_seed(4)
     te1 = CLIPTextModel(HFCfg(hidden_size=12, intermediate_size=24,
@@ -363,3 +393,23 @@ def test_sdxl_single_file_loads_and_generates(tmp_path):
                                                 width=128, seed=8))
     assert img.pixels.shape == (128, 128, 3)
     assert img.pixels.dtype == np.uint8
+
+
+def test_ldm_img2img(tmp_path):
+    """img2img=1 on a single-file LDM checkpoint builds the VAE encoder
+    from the first_stage_model encoder weights and generates."""
+    from whisper_tensor_tpu.importers.loaders import identify_and_load
+    from whisper_tensor_tpu.interfaces.image_gen import (
+        ImageGenConfig, image_interface_from_bundle)
+
+    path = str(tmp_path / "sd.safetensors")
+    _write_ldm_checkpoint(path)
+    bundle = identify_and_load(path, img2img="1", height=128, width=128)
+    assert "vae_encoder" in bundle.interfaces["image"]
+    iface = image_interface_from_bundle(bundle, mode="oracle")
+    rng = np.random.default_rng(0)
+    init = rng.integers(0, 255, (128, 128, 3)).astype(np.uint8)
+    img = iface.run_img2img(
+        "a tpu", init, strength=0.5,
+        cfg=ImageGenConfig(steps=2, height=128, width=128, seed=1))
+    assert img.pixels.shape == (128, 128, 3)

@@ -134,6 +134,41 @@ def vae_decoder_diffusers_to_ldm(name: str, n_blocks: int = 4) -> str:
     raise KeyError(f"no LDM mapping for vae weight {name!r}")
 
 
+def vae_encoder_diffusers_to_ldm(name: str) -> str:
+    """Translate diffusers AutoencoderKL ENCODER names to LDM keys
+    (without the first_stage_model. prefix). LDM encoder down-block
+    indices run in the same order as diffusers."""
+    if name.startswith("quant_conv."):
+        return name
+    if name.startswith("encoder.conv_in.") or \
+            name.startswith("encoder.conv_out."):
+        return name
+    if name.startswith("encoder.conv_norm_out."):
+        return name.replace("encoder.conv_norm_out.", "encoder.norm_out.")
+    if name.startswith("encoder.mid_block.resnets.0."):
+        return ("encoder.mid.block_1."
+                + name[len("encoder.mid_block.resnets.0."):]
+                .replace("conv_shortcut", "nin_shortcut"))
+    if name.startswith("encoder.mid_block.resnets.1."):
+        return ("encoder.mid.block_2."
+                + name[len("encoder.mid_block.resnets.1."):]
+                .replace("conv_shortcut", "nin_shortcut"))
+    m = re.match(r"encoder\.mid_block\.attentions\.0\.(.+)\.(weight|bias)",
+                 name)
+    if m:
+        return f"encoder.mid.attn_1.{_VAE_ATTN[m.group(1)]}.{m.group(2)}"
+    m = re.match(r"encoder\.down_blocks\.(\d+)\.resnets\.(\d+)\.(.+)", name)
+    if m:
+        i, j, rest = int(m.group(1)), int(m.group(2)), m.group(3)
+        return (f"encoder.down.{i}.block.{j}."
+                + rest.replace("conv_shortcut", "nin_shortcut"))
+    m = re.match(r"encoder\.down_blocks\.(\d+)\.downsamplers\.0\.conv\.(.+)",
+                 name)
+    if m:
+        return f"encoder.down.{m.group(1)}.downsample.conv.{m.group(2)}"
+    raise KeyError(f"no LDM mapping for vae encoder weight {name!r}")
+
+
 def detect_unet_config(has_key: Callable[[str], bool],
                        shape_of: Callable[[str], Tuple[int, ...]]):
     """Shape-probe an LDM UNet (reference sd15.rs:70-95 reads the same
@@ -216,6 +251,15 @@ class LdmWeights:
                             + vae_decoder_diffusers_to_ldm(name, n_blocks))
             # LDM VAE attention q/k/v/proj_out are 1x1 convs; the
             # diffusers layout (and our recipe) uses linear weights
+            if ("attentions" in name and name.endswith(".weight")
+                    and arr.ndim == 4):
+                arr = arr[:, :, 0, 0]
+            return arr
+        return get
+
+    def vae_encoder_getter(self):
+        def get(name, shape=None):
+            arr = self.load(VAE_PREFIX + vae_encoder_diffusers_to_ldm(name))
             if ("attentions" in name and name.endswith(".weight")
                     and arr.ndim == 4):
                 arr = arr[:, :, 0, 0]

@@ -902,6 +902,15 @@ class LdmCheckpointLoader(Loader):
         add("vae", build_vae_decoder(lw.vae_getter(len(boc)), vcfg,
                                      latent_hw=(h // 8, w_ // 8),
                                      dtype=dtype), "ldm-vae")
+        if config.get("img2img"):
+            from .recipes.diffusion.vae import build_vae_encoder
+
+            add("vae_encoder", build_vae_encoder(lw.vae_encoder_getter(),
+                                                 vcfg, image_hw=(h, w_),
+                                                 dtype=dtype),
+                "ldm-vae-encoder")
+            spec["vae_scaling"] = vcfg.scaling_factor
+            spec["vae_shift"] = vcfg.shift_factor
         return LoadedBundle(models=models, interfaces={"image": spec},
                             meta={"architecture":
                                   "ldm-sdxl" if sdxl else "ldm-sd"})
