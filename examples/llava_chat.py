@@ -39,6 +39,13 @@ def main():
     ap.add_argument("--smoke", action="store_true")
     args = ap.parse_args()
 
+    if args.smoke:
+        # hermetic smoke: force the CPU platform in-process (the env
+        # var alone is overridden by the axon sitecustomize)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     from whisper_tensor_tpu.interfaces.multimodal import \
         MultimodalLanguageInterface
     from whisper_tensor_tpu.interfaces.text import TextInferenceInterface

@@ -58,6 +58,13 @@ def main():
     ap.add_argument("--smoke", action="store_true")
     args = ap.parse_args()
 
+    if args.smoke:
+        # hermetic smoke: force the CPU platform in-process (the env
+        # var alone is overridden by the axon sitecustomize)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
     from whisper_tensor_tpu.importers.loaders import identify_and_load
     from whisper_tensor_tpu.interfaces.tts import TextToSpeechInterface
     from whisper_tensor_tpu.utils.audio import write_wav
