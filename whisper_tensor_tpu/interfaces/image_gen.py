@@ -491,6 +491,11 @@ class FluxImageGenerationInterface(ImageGenerationInterface):
         self.t5_seq_len = t5_seq_len
         self.guidance_embeds = guidance_embeds
 
+    def run_img2img(self, *a, **kw):
+        raise NotImplementedError(
+            "img2img is not wired for the flux pipeline yet (its loop "
+            "has no CFG pair); use an sd/sdxl/sd3 pipeline")
+
     def _encode(self, text: str):
         pooled = np.asarray(self._run(self.text_encoder, {
             "input_ids": self.encode_prompt(text)})["pooled"])
