@@ -288,3 +288,21 @@ class TestImg2Img:
             cfg=ImageGenConfig(steps=2, height=128, width=128, seed=1))
         assert img.pixels.shape == (128, 128, 3)
         assert img.pixels.dtype == np.uint8
+
+    def test_sdxl_img2img(self, tmp_path):
+        """run_img2img inherits into the SDXL interface (dual-encoder
+        extras flow through the shared _denoise path)."""
+        from whisper_tensor_tpu.importers.loaders import identify_and_load
+        from whisper_tensor_tpu.interfaces.image_gen import (
+            ImageGenConfig, image_interface_from_bundle)
+
+        d = _write_sd_pipeline(str(tmp_path), xl=True)
+        bundle = identify_and_load(d, dtype="f32", img2img="1",
+                                   height=128, width=128)
+        iface = image_interface_from_bundle(bundle, mode="oracle")
+        rng = np.random.default_rng(1)
+        init = rng.integers(0, 255, (128, 128, 3)).astype(np.uint8)
+        img = iface.run_img2img(
+            "a tpu", init, strength=0.5,
+            cfg=ImageGenConfig(steps=2, height=128, width=128, seed=2))
+        assert img.pixels.shape == (128, 128, 3)
