@@ -565,3 +565,96 @@ class TestVAEEncoder:
         # seeded determinism
         again = iface.run_img2img("x", init, strength=0.25, cfg=cfgd)
         np.testing.assert_array_equal(again.pixels, lo.pixels)
+
+
+class TestInpaint:
+    def _setup(self, tiny_unet):
+        import torch
+        from transformers import CLIPTextConfig as HFCfg
+        from transformers import CLIPTextModel
+
+        from whisper_tensor_tpu.importers.recipes.diffusion.clip import (
+            ClipTextConfig, build_clip_text)
+        from whisper_tensor_tpu.importers.recipes.diffusion.unet import \
+            random_unet_weights
+        from whisper_tensor_tpu.importers.recipes.diffusion.vae import (
+            VAEConfig, build_vae_decoder, build_vae_encoder)
+        from whisper_tensor_tpu.interfaces.image_gen import \
+            ImageGenerationInterface
+
+        torch.manual_seed(0)
+        hf = CLIPTextModel(HFCfg(hidden_size=12, intermediate_size=24,
+                                 num_hidden_layers=1, num_attention_heads=2,
+                                 vocab_size=100, max_position_embeddings=8))
+        sd = {k: v.float().numpy() for k, v in hf.state_dict().items()}
+        te = Model.new_from_onnx(build_clip_text(
+            lambda n: sd[n],
+            ClipTextConfig(num_hidden_layers=1, hidden_size=12,
+                           num_attention_heads=2, intermediate_size=24,
+                           vocab_size=100, max_position_embeddings=8),
+            seq_len=8), name="te")
+        vcfg = VAEConfig(block_out_channels=(8, 8, 16, 16),
+                         layers_per_block=1, norm_groups=4)
+        vae = Model.new_from_onnx(build_vae_decoder(
+            random_unet_weights(1), vcfg, latent_hw=(16, 16)), name="vae")
+        enc = Model.new_from_onnx(build_vae_encoder(
+            random_unet_weights(1), vcfg, image_hw=(128, 128)), name="venc")
+        return ImageGenerationInterface(
+            te, tiny_unet, vae, tokenizer=None, bos_token_id=1,
+            uncond_token_id=2, seq_len=8, vae_encoder=enc)
+
+    def test_mask_ones_equals_img2img_full_strength(self, tiny_unet):
+        from whisper_tensor_tpu.interfaces.image_gen import ImageGenConfig
+
+        iface = self._setup(tiny_unet)
+        rng = np.random.default_rng(8)
+        init = rng.integers(0, 255, (128, 128, 3)).astype(np.uint8)
+        cfgd = ImageGenConfig(steps=2, height=128, width=128, seed=4)
+        a = iface.run_inpaint("x", init, np.ones((128, 128), np.float32),
+                              cfg=cfgd)
+        b = iface.run_img2img("x", init, strength=1.0, cfg=cfgd)
+        np.testing.assert_array_equal(a.pixels, b.pixels)
+
+    def test_mask_zeros_reconstructs_init_latents(self, tiny_unet):
+        """sigma[-1]=0 pins unmasked latents to lat0 exactly, so an
+        all-zero mask must decode the (seed-sampled) init latents —
+        independent of the UNet entirely."""
+        from whisper_tensor_tpu.interfaces.image_gen import ImageGenConfig
+
+        iface = self._setup(tiny_unet)
+        rng = np.random.default_rng(9)
+        init = rng.integers(0, 255, (128, 128, 3)).astype(np.uint8)
+        cfgd = ImageGenConfig(steps=2, height=128, width=128, seed=6)
+        a = iface.run_inpaint("x", init, np.zeros((128, 128), np.float32),
+                              cfg=cfgd)
+        # replicate the encode + posterior sample with the same seed
+        img = (init.astype(np.float32) / 255.0 * 2 - 1).transpose(2, 0, 1)[None]
+        moments = np.asarray(iface._run(iface.vae_encoder,
+                                        {"image": img})["moments"])
+        lc = moments.shape[1] // 2
+        mean, logvar = moments[:, :lc], moments[:, lc:]
+        r2 = np.random.default_rng(6)
+        z = mean + np.exp(0.5 * np.clip(logvar, -30, 20)) * \
+            r2.standard_normal(mean.shape).astype(np.float32)
+        lat0 = ((z - iface.vae_shift) * iface.vae_scaling).astype(np.float32)
+        dec = np.asarray(iface._run(iface.vae, {"latents": lat0})["image"])
+        ref = (np.clip((dec[0].transpose(1, 2, 0) + 1) / 2, 0, 1)
+               * 255).round().astype(np.uint8)
+        np.testing.assert_allclose(a.pixels.astype(np.int32),
+                                   ref.astype(np.int32), atol=1)
+
+    def test_inpaint_compiled_matches_loop(self, tiny_unet):
+        from whisper_tensor_tpu.interfaces.image_gen import ImageGenConfig
+
+        iface = self._setup(tiny_unet)
+        rng = np.random.default_rng(2)
+        init = rng.integers(0, 255, (128, 128, 3)).astype(np.uint8)
+        mask = np.zeros((128, 128), np.float32)
+        mask[32:96, 32:96] = 1.0
+        cfgd = ImageGenConfig(steps=2, height=128, width=128, seed=5)
+        fast = iface.run_inpaint("x", init, mask, cfg=cfgd)
+        slow_if = self._setup(tiny_unet)
+        slow_if.force_loop = True
+        slow = slow_if.run_inpaint("x", init, mask, cfg=cfgd)
+        np.testing.assert_allclose(fast.pixels.astype(np.int32),
+                                   slow.pixels.astype(np.int32), atol=1)

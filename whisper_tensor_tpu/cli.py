@@ -143,7 +143,13 @@ def cmd_image(args) -> None:
     gcfg = ImageGenConfig(steps=args.steps, guidance_scale=args.cfg,
                           height=args.height, width=args.width,
                           seed=args.seed, schedule=schedule)
-    if args.init_image:
+    if args.init_image and args.mask_image:
+        init = _read_ppm(args.init_image)
+        mask = _read_ppm(args.mask_image).mean(axis=-1) / 255.0
+        img = iface.run_inpaint(args.prompt, init, mask,
+                                negative_prompt=args.negative_prompt,
+                                cfg=gcfg)
+    elif args.init_image:
         init = _read_ppm(args.init_image)
         img = iface.run_img2img(args.prompt, init, strength=args.strength,
                                 negative_prompt=args.negative_prompt,
@@ -333,9 +339,11 @@ def main(argv=None) -> None:
     i.add_argument("--width", type=int, default=512)
     i.add_argument("--seed", type=int, default=0)
     i.add_argument("--output", default="out.ppm")
-    i.add_argument("--init-image", help="PPM image for img2img")
+    i.add_argument("--init-image", help="PPM image for img2img/inpaint")
     i.add_argument("--strength", type=float, default=0.6,
                    help="img2img strength (1.0 = full txt2img noise)")
+    i.add_argument("--mask-image",
+                   help="PPM mask (white = repaint) -> inpainting")
     i.set_defaults(fn=cmd_image)
 
     n = sub.add_parser("inspect", help="load a model and print its structure")

@@ -188,11 +188,12 @@ class ImageGenerationInterface:
                 for n in self._unet_weight_names]
         return self._unet_weights_dev
 
-    def _denoise_program(self, steps, schedule, key_shapes):
+    def _denoise_program(self, steps, schedule, key_shapes, inpaint=False):
         import jax
         import jax.numpy as jnp
 
-        key = ("denoise", steps, schedule, self.prediction_type, key_shapes)
+        key = ("denoise", steps, schedule, self.prediction_type, key_shapes,
+               inpaint)
         progs = getattr(self, "_programs", None)
         if progs is None:
             self._programs = progs = {}
@@ -202,7 +203,7 @@ class ImageGenerationInterface:
         pred_type = self.prediction_type
 
         def run(latents, ctx, extra_names, extra_vals, sigmas, timesteps,
-                gscale, weights):
+                gscale, weights, mask=None, lat0=None, noise=None):
             extra = dict(zip(extra_names, extra_vals))
 
             def body(lat, i):
@@ -227,6 +228,15 @@ class ImageGenerationInterface:
                     lat = lat + d * (sigmas[i + 1] - sig)
                 else:
                     lat = lat + (sigmas[i + 1] - sig) * eps
+                if inpaint:
+                    # pin unmasked regions to the init latents re-noised
+                    # to the CURRENT noise level (RePaint-style blend)
+                    s_next = sigmas[i + 1]
+                    if schedule == "euler":
+                        ref = lat0 + noise * s_next
+                    else:
+                        ref = (1.0 - s_next) * lat0 + s_next * noise
+                    lat = mask * lat + (1.0 - mask) * ref
                 return lat, None
 
             latents, _ = jax.lax.scan(body, latents, jnp.arange(steps))
@@ -236,20 +246,25 @@ class ImageGenerationInterface:
         return progs[key]
 
     def _denoise_compiled(self, latents, ctx, extra_feeds, sigmas, timesteps,
-                          cfg) -> np.ndarray:
+                          cfg, inpaint=None) -> np.ndarray:
         import jax.numpy as jnp
 
         names = tuple(sorted(extra_feeds))
         key_shapes = (latents.shape, ctx.shape,
                       tuple((n, tuple(np.asarray(extra_feeds[n]).shape))
                             for n in names))
-        prog = self._denoise_program(cfg.steps, cfg.schedule, key_shapes)
-        out = prog(jnp.asarray(latents), jnp.asarray(ctx), names,
-                   tuple(jnp.asarray(np.asarray(extra_feeds[n]))
-                         for n in names),
-                   jnp.asarray(sigmas), jnp.asarray(timesteps),
-                   jnp.asarray(cfg.guidance_scale, jnp.float32),
-                   self._unet_weights_device())
+        prog = self._denoise_program(cfg.steps, cfg.schedule, key_shapes,
+                                     inpaint=inpaint is not None)
+        args = [jnp.asarray(latents), jnp.asarray(ctx), names,
+                tuple(jnp.asarray(np.asarray(extra_feeds[n]))
+                      for n in names),
+                jnp.asarray(sigmas), jnp.asarray(timesteps),
+                jnp.asarray(cfg.guidance_scale, jnp.float32),
+                self._unet_weights_device()]
+        if inpaint is not None:
+            args.extend(jnp.asarray(np.asarray(a, np.float32))
+                        for a in inpaint)
+        out = prog(*args)
         return np.asarray(out)
 
     # ------------------------------------------------------------------
@@ -278,14 +293,17 @@ class ImageGenerationInterface:
         return Image((pixels * 255).round().astype(np.uint8))
 
     def _denoise(self, latents, ctx, extra_feeds, sigmas, timesteps, cfg,
-                 observer):
+                 observer, inpaint=None):
         """Run the denoise loop over the GIVEN schedule slice (run()
-        passes the full schedule; run_img2img a strength-derived tail)."""
+        passes the full schedule; run_img2img a strength-derived tail).
+        inpaint: optional (mask, lat0, noise) — unmasked latent regions
+        are pinned each step to lat0 re-noised at the step's level."""
         n_steps = len(timesteps)
         if self._use_compiled_loop():
             eff = ImageGenConfig(**{**cfg.__dict__, "steps": n_steps})
             latents = self._denoise_compiled(latents, ctx, extra_feeds,
-                                             sigmas, timesteps, eff)
+                                             sigmas, timesteps, eff,
+                                             inpaint=inpaint)
             if observer is not None:
                 observer.on_progress(self, 1.0)
         else:
@@ -320,6 +338,15 @@ class ImageGenerationInterface:
                 else:
                     # rectified flow: model predicts velocity
                     latents = latents + (float(sigmas[i + 1]) - sig) * eps
+                if inpaint is not None:
+                    mask, lat0, noise = inpaint
+                    s_next = np.float32(sigmas[i + 1])
+                    if cfg.schedule == "euler":
+                        ref = lat0 + noise * s_next
+                    else:
+                        ref = (1.0 - s_next) * lat0 + s_next * noise
+                    latents = (mask * latents
+                               + (1.0 - mask) * ref).astype(np.float32)
                 if observer is not None:
                     observer.on_progress(self, (i + 1) / n_steps)
         return latents
@@ -363,6 +390,54 @@ class ImageGenerationInterface:
             latents = ((1.0 - sig0) * lat0 + sig0 * noise).astype(np.float32)
         latents = self._denoise(latents, ctx, extra_feeds,
                                 sigmas[t0:], timesteps[t0:], cfg, observer)
+        img = np.asarray(self._run(self.vae, {"latents": latents})["image"])
+        pixels = np.clip((img[0].transpose(1, 2, 0) + 1) / 2, 0, 1)
+        return Image((pixels * 255).round().astype(np.uint8))
+
+    def run_inpaint(self, prompt: str, init_image: np.ndarray,
+                    mask: np.ndarray, negative_prompt: str = "",
+                    cfg: Optional[ImageGenConfig] = None,
+                    observer=None) -> Image:
+        """Inpainting: repaint where mask==1, keep the init image where
+        mask==0 (RePaint-style: every step re-blends the unmasked
+        latents with the init re-noised to that step's level).
+        mask: (H, W) float in [0, 1] or bool, at image resolution."""
+        if self.vae_encoder is None:
+            raise ValueError("run_inpaint needs a vae_encoder Model")
+        cfg = cfg or ImageGenConfig()
+        img = np.asarray(init_image)
+        if img.dtype == np.uint8:
+            img = img.astype(np.float32) / 255.0
+        img = (img.astype(np.float32) * 2.0 - 1.0).transpose(2, 0, 1)[None]
+        ctx, extra_feeds = self._encode_cfg(prompt, negative_prompt, cfg)
+        moments = np.asarray(self._run(self.vae_encoder,
+                                       {"image": img})["moments"])
+        lc = moments.shape[1] // 2
+        mean, logvar = moments[:, :lc], moments[:, lc:]
+        rng = np.random.default_rng(cfg.seed)
+        z = mean + np.exp(0.5 * np.clip(logvar, -30, 20)) * \
+            rng.standard_normal(mean.shape).astype(np.float32)
+        lat0 = ((z - self.vae_shift) * self.vae_scaling).astype(np.float32)
+
+        # mask -> latent resolution (8x8 average pool), broadcast to lat
+        m = np.asarray(mask, np.float32)
+        H8, W8 = lat0.shape[2], lat0.shape[3]
+        m = m.reshape(H8, m.shape[0] // H8, W8,
+                      m.shape[1] // W8).mean(axis=(1, 3))
+        m = np.broadcast_to(m[None, None], lat0.shape).astype(np.float32)
+
+        sched = (euler_discrete_schedule(cfg.steps)
+                 if cfg.schedule == "euler"
+                 else rectified_flow_schedule(cfg.steps))
+        sigmas, timesteps = sched["sigmas"], sched["timesteps"]
+        noise = rng.standard_normal(lat0.shape).astype(np.float32)
+        sig0 = float(sigmas[0])
+        if cfg.schedule == "euler":
+            latents = (lat0 + noise * np.float32(sig0)).astype(np.float32)
+        else:
+            latents = ((1.0 - sig0) * lat0 + sig0 * noise).astype(np.float32)
+        latents = self._denoise(latents, ctx, extra_feeds, sigmas, timesteps,
+                                cfg, observer, inpaint=(m, lat0, noise))
         img = np.asarray(self._run(self.vae, {"latents": latents})["image"])
         pixels = np.clip((img[0].transpose(1, 2, 0) + 1) / 2, 0, 1)
         return Image((pixels * 255).round().astype(np.uint8))
