@@ -658,3 +658,73 @@ class TestInpaint:
         slow = slow_if.run_inpaint("x", init, mask, cfg=cfgd)
         np.testing.assert_allclose(fast.pixels.astype(np.int32),
                                    slow.pixels.astype(np.int32), atol=1)
+
+
+class TestKarras:
+    def test_karras_schedule_properties(self):
+        from whisper_tensor_tpu.interfaces.image_gen import (
+            euler_discrete_schedule, euler_karras_schedule)
+
+        base = euler_discrete_schedule(12)
+        k = euler_karras_schedule(12)
+        s, t = k["sigmas"], k["timesteps"]
+        assert s.shape == base["sigmas"].shape
+        assert t.shape == base["timesteps"].shape
+        assert s[-1] == 0.0
+        # endpoints preserved; strictly decreasing
+        np.testing.assert_allclose(s[0], base["sigmas"][0], rtol=1e-5)
+        np.testing.assert_allclose(s[-2], base["sigmas"][-2], rtol=1e-5)
+        assert (np.diff(s[:-1]) < 0).all()
+        assert (np.diff(t) < 0).all()
+        assert 0 <= t[-1] and t[0] <= 999
+        # rho-spacing is denser near sigma_min than the linear-t grid
+        assert s[6] < base["sigmas"][6]
+
+    def test_pipeline_euler_karras_compiled_matches_loop(self, tiny_unet):
+        from whisper_tensor_tpu.interfaces.image_gen import (
+            ImageGenConfig, ImageGenerationInterface)
+
+        import torch
+        from transformers import CLIPTextConfig as HFCfg
+        from transformers import CLIPTextModel
+
+        from whisper_tensor_tpu.importers.recipes.diffusion.clip import (
+            ClipTextConfig, build_clip_text)
+        from whisper_tensor_tpu.importers.recipes.diffusion.unet import \
+            random_unet_weights
+        from whisper_tensor_tpu.importers.recipes.diffusion.vae import (
+            VAEConfig, build_vae_decoder)
+
+        torch.manual_seed(0)
+        hf = CLIPTextModel(HFCfg(hidden_size=12, intermediate_size=24,
+                                 num_hidden_layers=1, num_attention_heads=2,
+                                 vocab_size=100, max_position_embeddings=8))
+        sd = {k: v.float().numpy() for k, v in hf.state_dict().items()}
+        te = Model.new_from_onnx(build_clip_text(
+            lambda n: sd[n],
+            ClipTextConfig(num_hidden_layers=1, hidden_size=12,
+                           num_attention_heads=2, intermediate_size=24,
+                           vocab_size=100, max_position_embeddings=8),
+            seq_len=8), name="te")
+        vae = Model.new_from_onnx(build_vae_decoder(
+            random_unet_weights(1),
+            VAEConfig(block_out_channels=(8, 8, 16, 16), layers_per_block=1,
+                      norm_groups=4), latent_hw=(16, 16)), name="vae")
+
+        def make():
+            return ImageGenerationInterface(te, tiny_unet, vae,
+                                            tokenizer=None, bos_token_id=1,
+                                            uncond_token_id=2, seq_len=8)
+
+        cfgd = ImageGenConfig(steps=3, height=128, width=128, seed=1,
+                              schedule="euler_karras")
+        ref = make()
+        ref.force_loop = True
+        img_loop = ref.run("a tpu", cfg=cfgd)
+        img_fast = make().run("a tpu", cfg=cfgd)
+        np.testing.assert_allclose(img_fast.pixels.astype(np.int32),
+                                   img_loop.pixels.astype(np.int32), atol=1)
+        # a different spacing must produce a different image
+        plain = make().run("a tpu", cfg=ImageGenConfig(
+            steps=3, height=128, width=128, seed=1))
+        assert not np.array_equal(img_fast.pixels, plain.pixels)

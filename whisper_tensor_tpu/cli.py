@@ -129,7 +129,8 @@ def cmd_image(args) -> None:
         iface = image_interface_from_bundle(bundle)
         schedule = ("rectified_flow"
                     if bundle.interfaces["image"]["pipeline"] in
-                    ("sd3", "flux") else "euler")
+                    ("sd3", "flux") else
+                    ("euler_karras" if args.karras else "euler"))
     else:
         if not (args.text_encoder and args.unet and args.vae):
             raise SystemExit("need --model <diffusers dir> OR all of "
@@ -139,7 +140,7 @@ def cmd_image(args) -> None:
         vae = Model.new_from_onnx_file(args.vae)
         tok = AnyTokenizer.load(args.tokenizer) if args.tokenizer else None
         iface = ImageGenerationInterface(te, unet, vae, tokenizer=tok)
-        schedule = "euler"
+        schedule = "euler_karras" if args.karras else "euler"
     gcfg = ImageGenConfig(steps=args.steps, guidance_scale=args.cfg,
                           height=args.height, width=args.width,
                           seed=args.seed, schedule=schedule)
@@ -344,6 +345,8 @@ def main(argv=None) -> None:
                    help="img2img strength (1.0 = full txt2img noise)")
     i.add_argument("--mask-image",
                    help="PPM mask (white = repaint) -> inpainting")
+    i.add_argument("--karras", action="store_true",
+                   help="Karras rho-spaced sigmas (euler pipelines)")
     i.set_defaults(fn=cmd_image)
 
     n = sub.add_parser("inspect", help="load a model and print its structure")

@@ -41,6 +41,46 @@ def euler_discrete_schedule(n_steps: int, num_train_timesteps: int = 1000,
             "timesteps": timesteps.astype(np.float32)}
 
 
+def karras_sigmas(sigmas: np.ndarray, rho: float = 7.0) -> np.ndarray:
+    """Re-space an euler sigma schedule with the Karras et al. (2022)
+    rho-spacing (denser near sigma_min — better quality at low step
+    counts). Keeps the endpoints and the trailing 0."""
+    s = sigmas[:-1]
+    smin, smax = float(s[-1]), float(s[0])
+    t = np.linspace(0, 1, len(s), dtype=np.float64)
+    out = (smax ** (1 / rho) + t * (smin ** (1 / rho)
+                                    - smax ** (1 / rho))) ** rho
+    return np.concatenate([out, [0.0]]).astype(np.float32)
+
+
+def euler_karras_schedule(n_steps: int, num_train_timesteps: int = 1000,
+                          beta_start: float = 0.00085,
+                          beta_end: float = 0.012,
+                          rho: float = 7.0) -> Dict[str, np.ndarray]:
+    """Euler-discrete with Karras rho-spaced sigmas; timesteps are the
+    (fractional) training timesteps matching each sigma."""
+    base = euler_discrete_schedule(n_steps, num_train_timesteps,
+                                   beta_start, beta_end)
+    sigmas = karras_sigmas(base["sigmas"], rho=rho)
+    betas = np.linspace(beta_start ** 0.5, beta_end ** 0.5,
+                        num_train_timesteps, dtype=np.float64) ** 2
+    alphas_cum = np.cumprod(1.0 - betas)
+    all_sigmas = np.sqrt((1 - alphas_cum) / alphas_cum)
+    timesteps = np.interp(sigmas[:-1], all_sigmas,
+                          np.arange(num_train_timesteps))
+    return {"sigmas": sigmas, "timesteps": timesteps.astype(np.float32)}
+
+
+def make_schedule(schedule: str, n_steps: int) -> Dict[str, np.ndarray]:
+    if schedule == "euler":
+        return euler_discrete_schedule(n_steps)
+    if schedule == "euler_karras":
+        return euler_karras_schedule(n_steps)
+    if schedule == "rectified_flow":
+        return rectified_flow_schedule(n_steps)
+    raise ValueError(f"unknown schedule {schedule!r}")
+
+
 def rectified_flow_schedule(n_steps: int, shift: float = 3.0,
                             num_train_timesteps: int = 1000) -> Dict[str, np.ndarray]:
     """Rectified-flow sigmas (SD3/Flux), with timestep shift."""
@@ -58,7 +98,7 @@ class ImageGenConfig:
     guidance_scale: float = 7.5
     height: int = 512
     width: int = 512
-    schedule: str = "euler"          # euler | rectified_flow
+    schedule: str = "euler"     # euler | euler_karras | rectified_flow
     seed: int = 0
 
 
@@ -209,7 +249,7 @@ class ImageGenerationInterface:
             def body(lat, i):
                 sig = sigmas[i]
                 t = timesteps[i]
-                if schedule == "euler":
+                if schedule != "rectified_flow":
                     scaled = lat / jnp.sqrt(sig * sig + 1.0)
                 else:
                     scaled = lat
@@ -218,7 +258,7 @@ class ImageGenerationInterface:
                            weights).astype(jnp.float32)
                 eps_u, eps_c = out[0:1], out[1:2]
                 eps = eps_u + gscale * (eps_c - eps_u)
-                if schedule == "euler":
+                if schedule != "rectified_flow":
                     if pred_type == "v_prediction":
                         pred_x0 = (eps * (-sig / jnp.sqrt(sig * sig + 1.0))
                                    + lat / (sig * sig + 1.0))
@@ -232,7 +272,7 @@ class ImageGenerationInterface:
                     # pin unmasked regions to the init latents re-noised
                     # to the CURRENT noise level (RePaint-style blend)
                     s_next = sigmas[i + 1]
-                    if schedule == "euler":
+                    if schedule != "rectified_flow":
                         ref = lat0 + noise * s_next
                     else:
                         ref = (1.0 - s_next) * lat0 + s_next * noise
@@ -275,14 +315,13 @@ class ImageGenerationInterface:
         h8, w8 = cfg.height // 8, cfg.width // 8
         ctx, extra_feeds = self._encode_cfg(prompt, negative_prompt, cfg)
 
-        sched = (euler_discrete_schedule(cfg.steps) if cfg.schedule == "euler"
-                 else rectified_flow_schedule(cfg.steps))
+        sched = make_schedule(cfg.schedule, cfg.steps)
         sigmas, timesteps = sched["sigmas"], sched["timesteps"]
 
         rng = np.random.default_rng(cfg.seed)
         latents = rng.standard_normal(
             (1, self.latent_channels, h8, w8)).astype(np.float32)
-        if cfg.schedule == "euler":
+        if cfg.schedule != "rectified_flow":
             latents = latents * sigmas[0]
 
         latents = self._denoise(latents, ctx, extra_feeds, sigmas,
@@ -310,7 +349,7 @@ class ImageGenerationInterface:
             for i in range(n_steps):
                 sig = float(sigmas[i])
                 t = float(timesteps[i])
-                if cfg.schedule == "euler":
+                if cfg.schedule != "rectified_flow":
                     scaled = latents / np.sqrt(sig * sig + 1.0)
                 else:
                     scaled = latents
@@ -320,7 +359,7 @@ class ImageGenerationInterface:
                     sample, t, ctx, extra_feeds))["out"])
                 eps_u, eps_c = out[0:1], out[1:2]
                 eps = eps_u + cfg.guidance_scale * (eps_c - eps_u)
-                if cfg.schedule == "euler":
+                if cfg.schedule != "rectified_flow":
                     if self.prediction_type == "v_prediction":
                         # SD2-768-v: model predicts v;
                         # x0 = -sig/sqrt(sig^2+1)*v + x/(sig^2+1)
@@ -341,7 +380,7 @@ class ImageGenerationInterface:
                 if inpaint is not None:
                     mask, lat0, noise = inpaint
                     s_next = np.float32(sigmas[i + 1])
-                    if cfg.schedule == "euler":
+                    if cfg.schedule != "rectified_flow":
                         ref = lat0 + noise * s_next
                     else:
                         ref = (1.0 - s_next) * lat0 + s_next * noise
@@ -377,14 +416,12 @@ class ImageGenerationInterface:
             rng.standard_normal(mean.shape).astype(np.float32)
         lat0 = ((z - self.vae_shift) * self.vae_scaling).astype(np.float32)
 
-        sched = (euler_discrete_schedule(cfg.steps)
-                 if cfg.schedule == "euler"
-                 else rectified_flow_schedule(cfg.steps))
+        sched = make_schedule(cfg.schedule, cfg.steps)
         sigmas, timesteps = sched["sigmas"], sched["timesteps"]
         t0 = min(int(round(cfg.steps * (1.0 - strength))), cfg.steps - 1)
         sig0 = float(sigmas[t0])
         noise = rng.standard_normal(lat0.shape).astype(np.float32)
-        if cfg.schedule == "euler":
+        if cfg.schedule != "rectified_flow":
             latents = lat0 + noise * np.float32(sig0)
         else:  # rectified flow forward process
             latents = ((1.0 - sig0) * lat0 + sig0 * noise).astype(np.float32)
@@ -426,13 +463,11 @@ class ImageGenerationInterface:
                       m.shape[1] // W8).mean(axis=(1, 3))
         m = np.broadcast_to(m[None, None], lat0.shape).astype(np.float32)
 
-        sched = (euler_discrete_schedule(cfg.steps)
-                 if cfg.schedule == "euler"
-                 else rectified_flow_schedule(cfg.steps))
+        sched = make_schedule(cfg.schedule, cfg.steps)
         sigmas, timesteps = sched["sigmas"], sched["timesteps"]
         noise = rng.standard_normal(lat0.shape).astype(np.float32)
         sig0 = float(sigmas[0])
-        if cfg.schedule == "euler":
+        if cfg.schedule != "rectified_flow":
             latents = (lat0 + noise * np.float32(sig0)).astype(np.float32)
         else:
             latents = ((1.0 - sig0) * lat0 + sig0 * noise).astype(np.float32)
