@@ -180,6 +180,9 @@ def bench_serving() -> None:
 
 
 def main() -> None:
+    from whisper_tensor_tpu.compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     if os.environ.get("WT_BENCH_TARGET") == "sd15":
         bench_sd15_unet()
         return

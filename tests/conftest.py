@@ -20,3 +20,10 @@ if not os.environ.get("WT_TPU_TESTS"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+# persistent XLA compile cache: repeat suite runs skip recompilation
+# (entries are keyed on platform, so CPU test entries never collide with
+# TPU bench entries)
+from whisper_tensor_tpu.compile_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache()

@@ -251,3 +251,42 @@ def test_diffusion_supergraph_matches_interface():
                                ref.pixels.astype(np.int32), atol=1)
     assert np.asarray(out["latent_trajectory"]).shape[0] == steps
     assert progress
+
+
+def test_diffusion_supergraph_fresh_process_deserialize(tmp_path):
+    """A serialized diffusion job must deserialize in a process where the
+    builder never ran (ADVICE r2: node classes must live at module scope
+    with all state in params, not in builder closures)."""
+    import os
+    import subprocess
+    import sys
+
+    ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    from whisper_tensor_tpu.super_graph.image import build_diffusion_supergraph
+    from whisper_tensor_tpu.super_graph.llm import build_llm_supergraph
+
+    import json
+
+    sg = build_diffusion_supergraph("te", "unet", "vae", steps=3,
+                                    latent_hw=(16, 16), seed=5)
+    (tmp_path / "diff.json").write_text(json.dumps(sg.to_json()))
+    llm = build_llm_supergraph("m", "byte", n_layers=2, n_kv_heads=2,
+                               max_len=16, head_dim=4, n_new=4)
+    (tmp_path / "llm.json").write_text(json.dumps(llm.to_json()))
+
+    code = (
+        "import sys, json; sys.path.insert(0, %r)\n"
+        "from whisper_tensor_tpu.super_graph import SuperGraph\n"
+        "import whisper_tensor_tpu.super_graph.image  # registers node kinds\n"
+        "import whisper_tensor_tpu.super_graph.llm\n"
+        "for name in ('diff.json', 'llm.json'):\n"
+        "    g = SuperGraph.from_json(json.load(open(%r + '/' + name)))\n"
+        "    g.validate()\n"
+        "    assert any(n.params.get('model_ref') for n in g.nodes), name\n"
+        "print('OK')\n"
+    ) % (str(ROOT), str(tmp_path))
+    out = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                         text=True, timeout=120)
+    assert out.returncode == 0, out.stderr
+    assert "OK" in out.stdout

@@ -236,6 +236,9 @@ def compile_milli(
     unselected taps cost nothing).
     """
     ensure_x64()
+    from ...compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     import jax
 
     avals = {}

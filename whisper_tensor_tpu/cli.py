@@ -304,6 +304,9 @@ def cmd_serve(args) -> None:
 
 
 def main(argv=None) -> None:
+    from .compile_cache import enable_persistent_cache
+
+    enable_persistent_cache()
     ap = argparse.ArgumentParser("whisper-tensor-tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
 

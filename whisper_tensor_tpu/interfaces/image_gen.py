@@ -66,7 +66,9 @@ def euler_karras_schedule(n_steps: int, num_train_timesteps: int = 1000,
                         num_train_timesteps, dtype=np.float64) ** 2
     alphas_cum = np.cumprod(1.0 - betas)
     all_sigmas = np.sqrt((1 - alphas_cum) / alphas_cum)
-    timesteps = np.interp(sigmas[:-1], all_sigmas,
+    # diffusers' _sigma_to_t interpolates in LOG-sigma space; linear-in-
+    # sigma interpolation diverges most at mid-schedule (ADVICE r2).
+    timesteps = np.interp(np.log(sigmas[:-1]), np.log(all_sigmas),
                           np.arange(num_train_timesteps))
     return {"sigmas": sigmas, "timesteps": timesteps.astype(np.float32)}
 

@@ -221,8 +221,21 @@ class F5Synthesizer:
                 done_compiled = True
                 if observer is not None:
                     observer.on_progress(self, 1.0)
-            except Exception:
-                pass
+            except Exception as e:
+                # expected for external ONNX exports with non-jittable
+                # ops (GraphNotJittable / unsupported-variant guards);
+                # anything else is a regression in the fused ODE program
+                # and must stay visible, not silently become a 32x
+                # slower per-step loop (ADVICE r2).
+                from ..backends.xla.compiler import GraphNotJittable
+
+                if not isinstance(e, (GraphNotJittable,
+                                      NotImplementedError)):
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "F5 fused ODE program failed (%s: %s); falling "
+                        "back to per-step loop", type(e).__name__, e)
         if not done_compiled:
             for i in range(self.nfe_steps):
                 out = self._run(self.transformer, {

@@ -26,6 +26,9 @@ from .ws import WebSocketConnection, serve_websocket
 
 class Server:
     def __init__(self):
+        from ..compile_cache import enable_persistent_cache
+
+        enable_persistent_cache()
         self.models = ModelServer()
         self.scheduler = Scheduler()
         self._conns: Set[WebSocketConnection] = set()
@@ -263,6 +266,9 @@ class Server:
             beam = int(msg.get("beam", 1))
             max_new = int(msg.get("max_new_tokens", 64))
             if beam > 1:
+                if iface.tokenizer is None:
+                    raise ValueError("no tokenizer configured for "
+                                     "text output")
                 toks = iface.transcribe_beam(clip, max_new=max_new,
                                              beam=beam)
                 return {"text": iface.tokenizer.decode(toks)}

@@ -69,6 +69,62 @@ class DiffusionStepNode(SuperNode):
         return {"state": new_state, "latents": lat}
 
 
+@register_node
+class EncodeCfgNode(SuperNode):
+    """CLIP text encode of prompt + negative, concatenated CFG pair.
+
+    params: model_ref — ExecutionContext name of the text encoder."""
+
+    def execute(self, ctx, ins):
+        te = ctx.models[self.params["model_ref"]]
+        cond = np.asarray(ctx.run_model(
+            te, {"input_ids": np.asarray(ins["ids"], np.int64)})[
+            "last_hidden_state"])
+        uncond = np.asarray(ctx.run_model(
+            te, {"input_ids": np.asarray(ins["nids"], np.int64)})[
+            "last_hidden_state"])
+        return {"ctx": np.concatenate([uncond, cond], axis=0)}
+
+
+@register_node
+class InitLatentsNode(SuperNode):
+    """Seeded gaussian latents, scaled by sigma0 for euler schedules.
+
+    params: seed, channels, hw, schedule, sigma0."""
+
+    def execute(self, ctx, ins):
+        rng = np.random.default_rng(self.params["seed"])
+        lat = rng.standard_normal(
+            (1, self.params["channels"],) + tuple(self.params["hw"])
+        ).astype(np.float32)
+        if self.params["schedule"] == "euler":
+            lat = lat * np.float32(self.params["sigma0"])
+        return {"state": {"latents": lat,
+                          "i": np.asarray(0, np.int64),
+                          "ctx": np.asarray(ins["ctx"])}}
+
+
+@register_node
+class ConstNode(SuperNode):
+    """Emit params['value'] as an int64 scalar (Scan iteration count)."""
+
+    def execute(self, ctx, ins):
+        return {"value": np.asarray(self.params["value"], np.int64)}
+
+
+@register_node
+class VaeDecodeNode(SuperNode):
+    """Final latents -> VAE decode -> (1,C,H,W) image tensor in [-1,1].
+
+    params: model_ref — ExecutionContext name of the VAE decoder."""
+
+    def execute(self, ctx, ins):
+        lat = np.asarray(ins["state"]["latents"], np.float32)
+        img = np.asarray(ctx.run_model(
+            ctx.models[self.params["model_ref"]], {"latents": lat})["image"])
+        return {"tensor": img}
+
+
 def build_diffusion_supergraph(text_encoder: str, unet: str, vae: str,
                                steps: int, guidance_scale: float = 7.5,
                                latent_channels: int = 4,
@@ -101,39 +157,14 @@ def build_diffusion_supergraph(text_encoder: str, unet: str, vae: str,
     img_t_l = g.link(LinkKind.TENSOR, "image_tensor")
     img_l = g.link(LinkKind.IMAGE, "image")
 
-    @register_node
-    class _EncodeCfgNode(SuperNode):
-        def execute(self, ctx, ins):
-            te = ctx.models[text_encoder]
-            cond = np.asarray(ctx.run_model(
-                te, {"input_ids": np.asarray(ins["ids"], np.int64)})[
-                "last_hidden_state"])
-            uncond = np.asarray(ctx.run_model(
-                te, {"input_ids": np.asarray(ins["nids"], np.int64)})[
-                "last_hidden_state"])
-            return {"ctx": np.concatenate([uncond, cond], axis=0)}
+    g.add(EncodeCfgNode(inputs={"ids": ids_in, "nids": nids_in},
+                        outputs={"ctx": ctx_l}, model_ref=text_encoder))
 
-    g.add(_EncodeCfgNode(inputs={"ids": ids_in, "nids": nids_in},
-                         outputs={"ctx": ctx_l}))
-
-    @register_node
-    class _InitLatentsNode(SuperNode):
-        def execute(self, ctx, ins):
-            rng = np.random.default_rng(self.params["seed"])
-            lat = rng.standard_normal(
-                (1, self.params["channels"],) + tuple(self.params["hw"])
-            ).astype(np.float32)
-            if self.params["schedule"] == "euler":
-                lat = lat * np.float32(self.params["sigma0"])
-            return {"state": {"latents": lat,
-                              "i": np.asarray(0, np.int64),
-                              "ctx": np.asarray(ins["ctx"])}}
-
-    g.add(_InitLatentsNode(inputs={"ctx": ctx_l},
-                           outputs={"state": state0_l},
-                           seed=seed, channels=latent_channels,
-                           hw=list(latent_hw), schedule=schedule,
-                           sigma0=sigmas[0]))
+    g.add(InitLatentsNode(inputs={"ctx": ctx_l},
+                          outputs={"state": state0_l},
+                          seed=seed, channels=latent_channels,
+                          hw=list(latent_hw), schedule=schedule,
+                          sigma0=sigmas[0]))
 
     body = SuperGraph("denoise_body")
     b_in = body.mark_input("state", body.link(LinkKind.TENSOR_MAP))
@@ -148,13 +179,7 @@ def build_diffusion_supergraph(text_encoder: str, unet: str, vae: str,
     body.mark_output("latents", b_lat)
 
     n_l = g.link(LinkKind.TENSOR, "n_steps")
-
-    @register_node
-    class _ConstNode(SuperNode):
-        def execute(self, ctx, ins):
-            return {"value": np.asarray(self.params["value"], np.int64)}
-
-    g.add(_ConstNode(outputs={"value": n_l}, value=steps))
+    g.add(ConstNode(outputs={"value": n_l}, value=steps))
     traj_l = g.link(LinkKind.TENSOR, "latent_trajectory")
     scan = ScanNode(inputs={"state": state0_l, "n_iters": n_l},
                     outputs={"final_state": final_l, "traj": traj_l},
@@ -164,15 +189,8 @@ def build_diffusion_supergraph(text_encoder: str, unet: str, vae: str,
     scan.body = body
     g.add(scan)
 
-    @register_node
-    class _VaeNode(SuperNode):
-        def execute(self, ctx, ins):
-            lat = np.asarray(ins["state"]["latents"], np.float32)
-            img = np.asarray(ctx.run_model(
-                ctx.models[vae], {"latents": lat})["image"])
-            return {"tensor": img}  # (1,C,H,W) in [-1,1]; image node converts
-
-    g.add(_VaeNode(inputs={"state": final_l}, outputs={"tensor": img_t_l}))
+    g.add(VaeDecodeNode(inputs={"state": final_l},
+                        outputs={"tensor": img_t_l}, model_ref=vae))
     g.add(TensorToImageNode(inputs={"tensor": img_t_l},
                             outputs={"image": img_l}))
     g.mark_output("image", img_l)

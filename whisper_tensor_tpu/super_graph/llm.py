@@ -50,6 +50,47 @@ class LLMDecodeStepNode(SuperNode):
         return {"tensors": new_state, "token": nxt}
 
 
+@register_node
+class LLMPrefillNode(SuperNode):
+    """Prefill the KV caches from the prompt tokens; emit first token.
+
+    params: model_ref, n_layers, n_kv_heads, max_len, head_dim,
+            cache_dtype (numpy dtype name) — all serialized so the graph
+            deserializes in a fresh process (ADVICE r2: no closure refs).
+    """
+
+    def execute(self, ctx, ins):
+        p = self.params
+        model = ctx.models[p["model_ref"]]
+        cache_dtype = np.dtype(p["cache_dtype"])
+        toks = np.asarray(ins["tokens"], dtype=np.int64).reshape(1, -1)
+        L = toks.shape[1]
+        state = {"input_ids": toks, "pos": np.asarray(0, dtype=np.int64)}
+        for i in range(int(p["n_layers"])):
+            shape = (1, int(p["n_kv_heads"]), int(p["max_len"]),
+                     int(p["head_dim"]))
+            state[f"cache_k_{i}"] = np.zeros(shape, dtype=cache_dtype)
+            state[f"cache_v_{i}"] = np.zeros(shape, dtype=cache_dtype)
+        out = ctx.run_model(model, state)
+        logits = np.asarray(out["logits"])[:, L - 1, :]
+        first = np.argmax(logits, axis=-1).astype(np.int64)
+        new_state = {k.replace("new_", ""): v for k, v in out.items()
+                     if k.startswith("new_cache_")}
+        new_state["input_ids"] = first[:, None]
+        new_state["pos"] = np.asarray(L, dtype=np.int64)
+        return {"tensors": new_state, "token": first}
+
+
+@register_node
+class JoinTokensNode(SuperNode):
+    """Prepend the prefill's first token to the scanned token column."""
+
+    def execute(self, ctx, ins):
+        first = np.asarray(ins["first"]).reshape(1, -1)     # (1,B)
+        rest = np.asarray(ins["rest"])                      # (n-1,B)
+        return {"tokens": np.concatenate([first, rest], axis=0)[:, 0]}
+
+
 def build_llm_supergraph(model_name: str, tokenizer_source: str,
                          n_layers: int, n_kv_heads: int, max_len: int,
                          head_dim: int, n_new: int,
@@ -72,28 +113,12 @@ def build_llm_supergraph(model_name: str, tokenizer_source: str,
     g.add(TokenizerEncodeNode(inputs={"tokenizer": tok_l, "text": text_in},
                               outputs={"tokens": tokens_l}))
 
-    @register_node
-    class _PrefillNode(SuperNode):
-        def execute(self, ctx, ins):
-            model = ctx.models[model_name]
-            toks = np.asarray(ins["tokens"], dtype=np.int64).reshape(1, -1)
-            L = toks.shape[1]
-            state = {"input_ids": toks, "pos": np.asarray(0, dtype=np.int64)}
-            for i in range(n_layers):
-                shape = (1, n_kv_heads, max_len, head_dim)
-                state[f"cache_k_{i}"] = np.zeros(shape, dtype=cache_dtype)
-                state[f"cache_v_{i}"] = np.zeros(shape, dtype=cache_dtype)
-            out = ctx.run_model(model, state)
-            logits = np.asarray(out["logits"])[:, L - 1, :]
-            first = np.argmax(logits, axis=-1).astype(np.int64)
-            new_state = {k.replace("new_", ""): v for k, v in out.items()
-                         if k.startswith("new_cache_")}
-            new_state["input_ids"] = first[:, None]
-            new_state["pos"] = np.asarray(L, dtype=np.int64)
-            return {"tensors": new_state, "token": first}
-
-    g.add(_PrefillNode(inputs={"tokens": tokens_l},
-                       outputs={"tensors": state0_l, "token": first_tok_l}))
+    g.add(LLMPrefillNode(inputs={"tokens": tokens_l},
+                         outputs={"tensors": state0_l, "token": first_tok_l},
+                         model_ref=model_name, n_layers=n_layers,
+                         n_kv_heads=n_kv_heads, max_len=max_len,
+                         head_dim=head_dim,
+                         cache_dtype=np.dtype(cache_dtype).name))
 
     # decode loop as a Scan over the step node
     body = SuperGraph("decode_body")
@@ -107,13 +132,9 @@ def build_llm_supergraph(model_name: str, tokenizer_source: str,
     body.mark_output("token", b_tok)
 
     n_iters_l = g.link(LinkKind.TENSOR, "n_iters")
+    from .image import ConstNode
 
-    @register_node
-    class _ConstNode(SuperNode):
-        def execute(self, ctx, ins):
-            return {"value": np.asarray(self.params["value"], dtype=np.int64)}
-
-    g.add(_ConstNode(outputs={"value": n_iters_l}, value=n_new - 1))
+    g.add(ConstNode(outputs={"value": n_iters_l}, value=n_new - 1))
     scan = ScanNode(inputs={"state": state0_l, "n_iters": n_iters_l},
                     outputs={"final_state": scan_state_l,
                              "tokens": g.link(LinkKind.TENSOR, "scan_tokens")},
@@ -124,15 +145,8 @@ def build_llm_supergraph(model_name: str, tokenizer_source: str,
     scan_tokens_l = scan.outputs["tokens"]
     g.add(scan)
 
-    @register_node
-    class _JoinTokensNode(SuperNode):
-        def execute(self, ctx, ins):
-            first = np.asarray(ins["first"]).reshape(1, -1)     # (1,B)
-            rest = np.asarray(ins["rest"])                      # (n-1,B)
-            return {"tokens": np.concatenate([first, rest], axis=0)[:, 0]}
-
-    g.add(_JoinTokensNode(inputs={"first": first_tok_l, "rest": scan_tokens_l},
-                          outputs={"tokens": toks_out_l}))
+    g.add(JoinTokensNode(inputs={"first": first_tok_l, "rest": scan_tokens_l},
+                         outputs={"tokens": toks_out_l}))
     g.add(TokenizerDecodeNode(inputs={"tokenizer": tok_l, "tokens": toks_out_l},
                               outputs={"text": text_out_l}))
     g.mark_output("text", text_out_l)

@@ -151,6 +151,10 @@ class LMTrainer:
     def _build_step(self):
         import jax
 
+        from ..compile_cache import enable_persistent_cache
+
+        enable_persistent_cache()
+
         def step(params, opt_state, ids, targets):
             loss, grads = jax.value_and_grad(self.loss_fn)(params, ids, targets)
             updates, opt_state = self.tx.update(grads, opt_state, params)
