@@ -179,10 +179,40 @@ def bench_serving() -> None:
     }))
 
 
+def bench_conformance() -> None:
+    """Run the ONNX conformance corpus on the real chip (the north-star
+    'green on the TPU backend' claim; reference expands its corpus per
+    backend, tests/onnx_testing.rs:1986-1988). Emits the on-chip pass
+    count; the paths split records how many cases ran fully jitted on
+    device vs segmented/host fallback."""
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    from conformance.tpu_runner import run_conformance
+
+    limit = int(os.environ.get("WT_CONF_LIMIT", "0")) or None
+    res = run_conformance(limit=limit)
+    for f in res["failures"][:20]:
+        print(f"# FAIL {f['name']}: {f['error'][:200]}", file=sys.stderr)
+    print(f"# paths: {res['paths']}  ({res['seconds']}s)", file=sys.stderr)
+    print(json.dumps({
+        "metric": "tpu_conformance",
+        "value": res["passed"],
+        "unit": "cases",
+        "vs_baseline": round(res["passed"] / max(res["total"], 1), 4),
+        "total": res["total"],
+        "on_chip_xla": res["paths"]["xla"],
+        "segmented": res["paths"]["segmented"],
+        "oracle_fallback": res["paths"]["oracle"],
+    }))
+
+
 def main() -> None:
     from whisper_tensor_tpu.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()
+    if os.environ.get("WT_BENCH_TARGET") == "conformance":
+        bench_conformance()
+        return
     if os.environ.get("WT_BENCH_TARGET") == "sd15":
         bench_sd15_unet()
         return

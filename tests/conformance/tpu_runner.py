@@ -1,0 +1,131 @@
+"""On-chip ONNX conformance runner.
+
+The north-star claim is "all 400+ ONNX conformance tests green on the
+TPU backend" — the pytest suite (test_conformance.py) proves the XLA
+lowering on the CPU platform, but MXU numerics differ (bf16 single-pass
+f32 matmul, transcendental LUTs), so this runner executes the same case
+corpus on the REAL chip and reports the pass count as a driver-captured
+bench metric (bench.py WT_BENCH_TARGET=conformance).
+
+Reference equivalent: tests/onnx_testing.rs:1986-1988 expands its corpus
+per backend (do_tests!(ndarray) / do_tests!(vulkan)); this is the
+do_tests!(tpu) expansion.
+
+TPU tolerance policy (documented per the VERDICT r3 ask):
+  * matmul/conv f32 run at Precision.HIGHEST (see ensure_x64 /
+    milli/ops/conv.py:_conv_precision), so linear-algebra cases keep the
+    reference tolerances (rtol=1e-3, atol=1e-7) unchanged.
+  * TPU transcendentals (tanh/erf/exp/log/...) are LUT+polynomial
+    approximations with ~1e-5-level absolute error vs libm — cases keep
+    their rtol but get an atol floor of 1e-5 (values at f32 scale are
+    unaffected; only near-zero outputs see the floor).
+Each case also records which execution path served it ("xla" on-chip /
+"segmented" partial / "oracle" host) so the headline count never
+silently claims host-executed cases as on-chip evidence.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from whisper_tensor_tpu.backends.eval_backend import EvalBackend
+
+from .harness import Case, _is_float
+
+# absolute-error floor for on-chip transcendental approximations; the
+# reference's own per-backend tolerances live at tests/onnx_testing.rs:22-28
+TPU_ATOL_FLOOR = 1e-5
+
+
+def _check_outputs(case: Case, out: Dict[str, np.ndarray]) -> None:
+    for k, expected in enumerate(case.expected):
+        got = np.asarray(out[f"out_{k}"])
+        expected = np.asarray(expected)
+        assert got.shape == expected.shape, \
+            f"{case.name}: shape {got.shape} != {expected.shape}"
+        if expected.dtype == np.dtype(object):
+            assert list(got.reshape(-1)) == list(expected.reshape(-1))
+        elif _is_float(expected.dtype) or _is_float(got.dtype):
+            np.testing.assert_allclose(
+                got.astype(np.float64), expected.astype(np.float64),
+                rtol=case.rtol, atol=max(case.atol, TPU_ATOL_FLOOR),
+                err_msg=case.name, equal_nan=True)
+        else:
+            np.testing.assert_array_equal(got, expected, err_msg=case.name)
+
+
+def run_case(case: Case) -> str:
+    """Run one case through the XLA backend; returns the execution path
+    ("xla"/"segmented"/"oracle"). Raises on mismatch."""
+    model = case.build_model()
+    feeds = {n: v for n, v in case.inputs.items()
+             if n not in case.initializer_names and v is not None}
+    be = EvalBackend("xla")
+    out = be.run(model.graph, feeds)
+    _check_outputs(case, out)
+    return be.last_path or "oracle"
+
+
+def all_cases() -> List[Case]:
+    from . import (cases_breadth, cases_dtypes, cases_elementwise,
+                   cases_misc2, cases_more, cases_nn, cases_pool,
+                   cases_reduce2, cases_shape)
+
+    return (cases_elementwise.CASES + cases_shape.CASES + cases_nn.CASES
+            + cases_dtypes.CASES + cases_reduce2.CASES + cases_pool.CASES
+            + cases_misc2.CASES + cases_more.CASES + cases_breadth.CASES)
+
+
+def run_conformance(limit: Optional[int] = None,
+                    progress_every: int = 100,
+                    workers: int = 8) -> Dict:
+    """Run every non-oracle-only case on the current JAX platform.
+
+    Cases run across a thread pool: each case's remote compile spends
+    most of its wall-clock waiting on the axon tunnel, so 8 in-flight
+    compiles overlap to ~8x sequential throughput (measured: 3.2 s/case
+    sequential). Compilation and dispatch are thread-safe in JAX; each
+    case gets its own EvalBackend so path tracking never races.
+
+    Returns {"total", "passed", "failed", "paths": {...},
+             "failures": [{"name", "error"}...], "seconds"}.
+    """
+    import concurrent.futures as cf
+    import sys
+
+    cases = [c for c in all_cases() if not c.oracle_only]
+    if limit:
+        cases = cases[:limit]
+    t0 = time.time()
+    paths = {"xla": 0, "segmented": 0, "oracle": 0}
+    failures = []
+
+    def one(case):
+        try:
+            return case.name, run_case(case), None
+        except Exception as e:
+            return case.name, None, f"{type(e).__name__}: {e}"[:500]
+
+    done = 0
+    with cf.ThreadPoolExecutor(max_workers=workers) as ex:
+        for name, path, err in ex.map(one, cases):
+            done += 1
+            if err is not None:
+                failures.append({"name": name, "error": err})
+            else:
+                paths[path] += 1
+            if progress_every and done % progress_every == 0:
+                print(f"# conformance {done}/{len(cases)} "
+                      f"({len(failures)} failed, {time.time() - t0:.0f}s)",
+                      file=sys.stderr)
+    return {
+        "total": len(cases),
+        "passed": len(cases) - len(failures),
+        "failed": len(failures),
+        "paths": paths,
+        "failures": failures,
+        "seconds": round(time.time() - t0, 1),
+    }

@@ -244,3 +244,38 @@ def test_server_concurrent_generate_ragged(tmp_path):
         for bat in srv._batchers.values():
             bat.stop()
         loop.call_soon_threadsafe(loop.stop)
+
+
+def test_batch_pow2_cliff_guard():
+    """Non-power-of-two batches sit on a measured v5e tiling cliff
+    (B=768: 33k tok/s vs 80k at B=1024 — BENCH r2). The batcher rounds
+    its slot count up; the interface pads-and-slices with a warning."""
+    cfg, m_scalar, m_ragged = _models()
+    b = ContinuousBatcher(m_ragged, max_len=64, max_batch=6, chunk=4,
+                          cache_dtype=DType.F32, prompt_buckets=(16,))
+    assert b.max_batch == 8          # rounded up, extra admission slots
+    b.start()
+    try:
+        fut = b.submit(rng.integers(0, cfg.vocab_size, (5,)).astype(np.int64), 4)
+        assert fut.result(timeout=120).shape == (4,)
+    finally:
+        b.stop()
+
+    iface = TextInferenceInterface(m_scalar, max_len=64,
+                                   prompt_buckets=(16,))
+    # drop the pad threshold so the tiny test model exercises the path
+    import whisper_tensor_tpu.interfaces.text as text_mod
+
+    old = text_mod._POW2_PAD_MIN_BATCH
+    text_mod._POW2_PAD_MIN_BATCH = 4
+    try:
+        prompts = rng.integers(0, cfg.vocab_size, (6, 5)).astype(np.int64)
+        with pytest.warns(UserWarning, match="power of two"):
+            toks = iface.generate_tokens(prompts, 4)
+        assert toks.shape == (6, 4)
+        raw = TextInferenceInterface(m_scalar, max_len=64,
+                                     prompt_buckets=(16,),
+                                     pad_batch_pow2=False)
+        np.testing.assert_array_equal(toks, raw.generate_tokens(prompts, 4))
+    finally:
+        text_mod._POW2_PAD_MIN_BATCH = old

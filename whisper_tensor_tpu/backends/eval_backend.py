@@ -56,6 +56,7 @@ class EvalBackend:
         # taps cost nothing (VERDICT r1 #8; reference streams per-tensor
         # reports regardless of backend, scheduler.rs:215-392)
         self.capture = set(capture or ())
+        self.last_path: Optional[str] = None
         self._op_milli_cache: Dict[int, Any] = {}
         self._graph_milli_cache: Dict[int, Any] = {}
         self._weights_device_cache: Dict[int, Dict[str, Any]] = {}
@@ -63,9 +64,14 @@ class EvalBackend:
     # ------------------------------------------------------------------
     def run(self, graph: SymbolicGraph, feeds: Dict[str, np.ndarray],
             outer_env: Optional[Dict[str, np.ndarray]] = None) -> Dict[str, np.ndarray]:
+        # last_path records which execution path actually served the
+        # request ("xla" | "segmented" | "oracle") — conformance reports
+        # use it to state honestly how much of a case ran on-device.
         if self.mode == "xla" and not graph.has_control_flow():
             try:
-                return self._run_xla(graph, feeds, outer_env)
+                out = self._run_xla(graph, feeds, outer_env)
+                self.last_path = "xla"
+                return out
             except Exception as e:
                 from .xla.compiler import GraphNotJittable
 
@@ -74,9 +80,12 @@ class EvalBackend:
                 # graph-partition fallback: jittable segments + oracle ops
                 # (reference v9 hybrid ExecutionPlan pattern)
                 try:
-                    return self._run_segmented(graph, feeds, outer_env)
+                    out = self._run_segmented(graph, feeds, outer_env)
+                    self.last_path = "segmented"
+                    return out
                 except Exception:
                     pass  # last resort: whole graph on the oracle
+        self.last_path = "oracle"
         return self._run_interp(graph, feeds, outer_env)
 
     def _run_segmented(self, graph: SymbolicGraph, feeds, outer_env):

@@ -37,13 +37,21 @@ _X64_DONE = False
 
 
 def ensure_x64() -> None:
-    """ONNX semantics need i64/f64 fidelity; enable once, process-wide."""
+    """ONNX semantics need i64/f64 fidelity; enable once, process-wide.
+
+    Also pins the default matmul/conv precision to HIGHEST: the TPU MXU
+    computes f32 dots as single-pass bf16 by default (~0.5% error vs the
+    oracle on-chip, which fails ONNX conformance tolerances). HIGHEST
+    forces true-f32 multi-pass decomposition for f32/f64 inputs and is a
+    no-op for bf16/f16/int inputs (natively exact on the MXU), so the
+    perf-critical bf16/int8 paths are unaffected."""
     global _X64_DONE
     with _X64_LOCK:
         if not _X64_DONE:
             import jax
 
             jax.config.update("jax_enable_x64", True)
+            jax.config.update("jax_default_matmul_precision", "highest")
             _X64_DONE = True
 
 

@@ -82,6 +82,19 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
         f"{buckets[-1]}; pass larger prompt_buckets / max_len")
 
 
+def _next_pow2(n: int) -> int:
+    return 1 << (n - 1).bit_length()
+
+
+# measured on 1x v5e (BENCH r2): B=768 decode falls off an XLA tiling
+# cliff to 33k tok/s vs 78k at B=512 / 80k at B=1024 — non-power-of-two
+# large batches must be padded up, the padded run is ~1.8x faster even
+# counting the wasted rows. Below this threshold the cliff has no
+# measurable effect, and tiny-batch callers (servers with few slots)
+# shouldn't pay pad memory.
+_POW2_PAD_MIN_BATCH = 64
+
+
 class TextInferenceInterface:
     """Drives a "unified step graph" model (see recipes.llm.*):
     inputs  input_ids(B,S), pos(), cache_k_i/cache_v_i(B,H,MAX,D), weights
@@ -95,7 +108,8 @@ class TextInferenceInterface:
                  quantize: Optional[str] = None,
                  weight_dtype: Optional[DType] = None,
                  window_models: Optional[Dict[int, Model]] = None,
-                 mesh=None, shard_rules=None):
+                 mesh=None, shard_rules=None,
+                 pad_batch_pow2: bool = True):
         """window_models: optional {window_size: step Model} built at
         SMALLER max_len values with the same weights. Decode then runs
         phased over growing cache windows — a step at position p only
@@ -112,6 +126,7 @@ class TextInferenceInterface:
         self.mesh = mesh
         self.shard_rules = shard_rules
         self.max_len = max_len
+        self.pad_batch_pow2 = pad_batch_pow2
         self.cache_dtype = cache_dtype
         # KV-cache storage dtype is independent of the packed-weight
         # dequantization target: a sub-byte cache (f8) must never drag
@@ -586,6 +601,24 @@ class TextInferenceInterface:
         if prompt_ids.ndim == 1:
             prompt_ids = prompt_ids[None]
         B, L = prompt_ids.shape
+        # guard the measured non-power-of-two batch tiling cliff (B=768
+        # decodes 2.4x slower than B=1024 on v5e): pad the batch up to
+        # the next power of two and slice the pad rows back off. Greedy
+        # outputs for the real rows are unchanged; with sampling the rng
+        # draws match what a caller using the padded batch would see.
+        if (self.pad_batch_pow2 and caches is None
+                and B >= _POW2_PAD_MIN_BATCH and B & (B - 1)):
+            Bp = _next_pow2(B)
+            import warnings
+
+            warnings.warn(
+                f"batch {B} is not a power of two (measured TPU tiling "
+                f"cliff); padding to {Bp} — pass pad_batch_pow2=False "
+                f"to run the raw shape", stacklevel=2)
+            padded_rows = np.zeros((Bp, L), dtype=np.int64)
+            padded_rows[:B] = prompt_ids
+            return self.generate_tokens(padded_rows, n_new,
+                                        sampling=sampling)[:B]
         if self._window_millis and caches is None:
             return self._generate_windowed(prompt_ids, n_new, sampling)
         Sb = _bucket(L, self.prompt_buckets)

@@ -29,6 +29,18 @@ def _conv_out_size(in_size, k, stride, dil, pad_begin, pad_end):
     return (in_size + pad_begin + pad_end - eff_k) // stride + 1
 
 
+def _conv_precision(dtype):
+    """f32/f64 convs need true-precision MXU passes: the TPU default
+    (bf16 single-pass) shows ~0.5% error vs the oracle on-chip, which
+    fails ONNX conformance tolerances. bf16/f16/int are natively exact.
+    Same rule as MatMul (basic.py) and Einsum."""
+    import jax
+    import jax.numpy as jnp
+
+    return (jax.lax.Precision.HIGHEST
+            if dtype in (jnp.float32, jnp.float64) else None)
+
+
 def _np_conv(x, w, bias, strides, pads, dilations, groups):
     """x: (N, Cin, *sp); w: (Cout, Cin/g, *k). pads: [b0..bn, e0..en]."""
     nsp = x.ndim - 2
@@ -104,7 +116,8 @@ class Conv(MilliOp):
             x, w, window_strides=strides, padding=pad_pairs,
             rhs_dilation=dil, dimension_numbers=dn,
             feature_group_count=self.groups,
-            preferred_element_type=acc)
+            preferred_element_type=acc,
+            precision=_conv_precision(x.dtype))
         out = out.astype(x.dtype)
         if len(inputs) > 2 and inputs[2] is not None:
             out = out + inputs[2].reshape((1, -1) + (1,) * nsp)
@@ -237,7 +250,8 @@ class ConvInputGrad(MilliOp):
             g, wt, window_strides=(1,) * nsp, padding=pad_pairs,
             lhs_dilation=tuple(strides), rhs_dilation=tuple(dil),
             dimension_numbers=dn, feature_group_count=gdim,
-            preferred_element_type=acc)
+            preferred_element_type=acc,
+            precision=_conv_precision(g.dtype))
         return [out.astype(g.dtype)]
 
     def infer(self, infos):
@@ -325,7 +339,8 @@ class ConvWeightGrad(MilliOp):
                     x, w, window_strides=strides_, padding=pad_pairs_,
                     rhs_dilation=dil_, dimension_numbers=dn_,
                     feature_group_count=self.groups,
-                    preferred_element_type=acc_)
+                    preferred_element_type=acc_,
+                    precision=_conv_precision(x.dtype))
 
             _, vjp = jax.vjp(fwd, jnp.zeros(w_shape, x.dtype))
             dw, = vjp(g.astype(acc_ or g.dtype))
@@ -345,7 +360,8 @@ class ConvWeightGrad(MilliOp):
         out = jax.lax.conv_general_dilated(
             x, g, window_strides=dil, padding=pad_pairs,
             rhs_dilation=strides, dimension_numbers=dn,
-            preferred_element_type=acc).astype(g.dtype)
+            preferred_element_type=acc,
+            precision=_conv_precision(x.dtype)).astype(g.dtype)
         # conv arithmetic can overshoot kernel extent by stride-remainder;
         # trim to the requested weight shape
         sl = (slice(None), slice(None)) + tuple(
