@@ -1,0 +1,173 @@
+"""LoRA adapter injection + training.
+
+Reference equivalent: examples/rwkv_lora_train.rs — low-rank adapters
+trained through the milli training artifact with the base weights
+frozen. Here the adapters come from milli graph surgery
+(milli.transforms.inject_lora) and train through BOTH paths: the
+jax.grad LMTrainer and the symbolic milli training graph.
+"""
+
+import numpy as np
+import pytest
+
+from whisper_tensor_tpu.milli.ir import MilliGraph
+from whisper_tensor_tpu.milli.ops import MatMul
+from whisper_tensor_tpu.milli.transforms import inject_lora
+
+rng = np.random.default_rng(0)
+
+
+def _linear_graph(K=6, N=5):
+    g = MilliGraph("lin")
+    x = g.add_input("x")
+    w = g.add_input("W")
+    g.mark_output("y", g.op1(MatMul(), x, w))
+    return g
+
+
+def test_lora_math_matches_torch():
+    """forward AND adapter grads pinned against torch's manual
+    x @ (W + A@B*alpha/r) formulation (the PEFT LoRA math)."""
+    import jax
+    import torch
+
+    from whisper_tensor_tpu.backends.xla.compiler import _trace_graph
+
+    W = rng.standard_normal((6, 5)).astype(np.float32)
+    g = _linear_graph()
+    ad = inject_lora(g, ["W"], rank=2, weight_getter=lambda n: W,
+                     alpha=4.0, seed=1)
+    assert sorted(ad) == ["W::lora_a", "W::lora_b"]
+    assert ad["W::lora_a"].shape == (6, 2)
+    assert ad["W::lora_b"].shape == (2, 5)
+    assert not ad["W::lora_b"].any()          # zero-init: starts at base
+    ad["W::lora_b"] = rng.standard_normal((2, 5)).astype(np.float32)
+    x = rng.standard_normal((3, 6)).astype(np.float32)
+
+    out = g.eval({"x": x, "W": W, **ad})["y"]
+    scale = 4.0 / 2
+    ref = x @ (W + ad["W::lora_a"] @ ad["W::lora_b"] * scale)
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+    xt, Wt = torch.tensor(x), torch.tensor(W)
+    At = torch.tensor(ad["W::lora_a"], requires_grad=True)
+    Bt = torch.tensor(ad["W::lora_b"], requires_grad=True)
+    ((xt @ (Wt + At @ Bt * scale)) ** 2).mean().backward()
+
+    fn = _trace_graph(g, {})
+    order = list(g.inputs)
+
+    def loss(a, b):
+        by = {"x": x, "W": W, "W::lora_a": a, "W::lora_b": b}
+        yv = dict(zip(g.outputs, fn(*[by[n] for n in order])))["y"]
+        return (yv ** 2).mean()
+
+    ga, gb = jax.grad(loss, argnums=(0, 1))(ad["W::lora_a"],
+                                            ad["W::lora_b"])
+    np.testing.assert_allclose(np.asarray(ga), At.grad.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gb), Bt.grad.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_lora_zero_init_preserves_base_outputs():
+    """With B=0 the adapted graph must equal the base graph exactly."""
+    W = rng.standard_normal((8, 4)).astype(np.float32)
+    x = rng.standard_normal((2, 8)).astype(np.float32)
+    base = _linear_graph(8, 4).eval({"x": x, "W": W})["y"]
+    g = _linear_graph(8, 4)
+    ad = inject_lora(g, ["W"], rank=3, weight_getter=lambda n: W)
+    out = g.eval({"x": x, "W": W, **ad})["y"]
+    np.testing.assert_array_equal(out, base)
+
+
+def test_lora_milli_training_artifact():
+    """Adapters train through the SYMBOLIC training graph (autodiff +
+    optimizer as milli ops): grads exist only for adapters, and they
+    match jax.grad over the same graph."""
+    import jax
+
+    from whisper_tensor_tpu.backends.xla.compiler import _trace_graph
+    from whisper_tensor_tpu.milli.training_graph import build_training_graph
+    from whisper_tensor_tpu.tensor_info import TensorInfo
+
+    W = rng.standard_normal((6, 4)).astype(np.float32)
+    g = _linear_graph(6, 4)
+    ad = inject_lora(g, ["W"], rank=2, weight_getter=lambda n: W, seed=3)
+    ad["W::lora_b"] = 0.1 * rng.standard_normal((2, 4)).astype(np.float32)
+    x = rng.standard_normal((3, 6)).astype(np.float32)
+    tgt = rng.standard_normal((3, 4)).astype(np.float32)
+
+    adapter_names = sorted(ad)
+    train, meta = build_training_graph(
+        g, adapter_names, "y", loss="mse",
+        input_infos={"x": TensorInfo.numeric(x),
+                     "W": TensorInfo.numeric(W),
+                     **{n: TensorInfo.numeric(v) for n, v in ad.items()}})
+    assert set(meta.param_to_grad) == set(adapter_names)
+    feeds = {"x": x, "W": W, "target": tgt, **ad}
+    out = train.eval(feeds)
+
+    fn = _trace_graph(g, {})
+    order = list(g.inputs)
+
+    def loss(a, b):
+        by = {"x": x, "W": W, "W::lora_a": a, "W::lora_b": b}
+        yv = dict(zip(g.outputs, fn(*[by[n] for n in order])))["y"]
+        return ((yv - tgt) ** 2).mean()
+
+    ga, gb = jax.grad(loss, argnums=(0, 1))(ad["W::lora_a"],
+                                            ad["W::lora_b"])
+    np.testing.assert_allclose(out["grad::W::lora_a"], np.asarray(ga),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(out["grad::W::lora_b"], np.asarray(gb),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_lora_trainer_only_adapters_change():
+    """LMTrainer(lora_rank=r): the trained pytree contains ONLY adapter
+    tensors, training reduces the loss, and the base weights the step
+    program uses stay bitwise identical."""
+    from whisper_tensor_tpu.importers.recipes.llm.gpt2 import (
+        GPT2Config, build_gpt2_train, random_gpt2_weights)
+    from whisper_tensor_tpu.model import Model
+    from whisper_tensor_tpu.training.trainer import LMTrainer
+
+    cfg = GPT2Config(n_layer=1, n_head=2, n_embd=32, vocab_size=64,
+                     n_positions=32)
+    model = Model.new_from_onnx(
+        build_gpt2_train(random_gpt2_weights(cfg), cfg))
+    trainer = LMTrainer(model, optimizer="adamw", lr=1e-2, lora_rank=2,
+                        lora_targets=["wqkv", "wproj", "wfc", "wmp"])
+    params = trainer.init_params()
+    assert params and all("::lora_" in n for n in params)
+    frozen_before = {n: np.asarray(v)
+                     for n, v in trainer._frozen_params().items()}
+    adapters_before = {n: np.asarray(v) for n, v in params.items()}
+    opt_state = trainer.init_opt_state(params)
+
+    r = np.random.default_rng(1)
+    # fixed batch: the loss on a constant batch must drop under adamw
+    pat = r.integers(1, 64, (4, 8))
+    seq = np.concatenate([pat, pat], axis=1)
+    losses = []
+    for _ in range(12):
+        params, opt_state, loss = trainer.train_step(
+            params, opt_state, seq[:, :-1], seq[:, 1:])
+        losses.append(float(np.asarray(loss)))
+    assert min(losses[-3:]) < losses[0]
+    assert any(not np.array_equal(np.asarray(params[n]), adapters_before[n])
+               for n in params)
+    for n, v in trainer._frozen_params().items():
+        np.testing.assert_array_equal(np.asarray(v), frozen_before[n])
+
+
+def test_lora_example_smoke():
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "examples/lora_train.py", "--smoke"],
+        capture_output=True, text=True, timeout=600)
+    assert out.returncode == 0, out.stderr
+    assert "adapters:" in out.stdout

@@ -32,7 +32,9 @@ class LMTrainer:
                  accum_steps: int = 1,
                  lr_schedule: Optional[str] = None,
                  warmup_steps: int = 0, total_steps: int = 0,
-                 remat: bool = False):
+                 remat: bool = False,
+                 lora_rank: int = 0, lora_alpha: Optional[float] = None,
+                 lora_targets: Optional[Sequence[str]] = None):
         """grad_clip: global-norm clipping before the optimizer.
         compute_dtype: mixed precision — params stay in param_dtype
         (f32 master weights) and are cast per-step for the forward/
@@ -44,7 +46,13 @@ class LMTrainer:
         remat: rematerialize the forward under jax.checkpoint — the
         backward recomputes activations instead of storing them, trading
         ~1 extra forward of FLOPs for the activation memory (the
-        standard TPU HBM-for-FLOPs lever for long-sequence training)."""
+        standard TPU HBM-for-FLOPs lever for long-sequence training).
+        lora_rank > 0: LoRA fine-tuning — low-rank A·B bypasses are
+        injected around the 2-D weight MatMuls (milli.transforms.
+        inject_lora); ONLY the adapters are trained, the base weights
+        are frozen device-side constants of the step program (reference
+        examples/rwkv_lora_train.rs). lora_targets restricts injection
+        to weight names containing any of the given substrings."""
         from ..backends.xla.compiler import _trace_graph, ensure_x64
 
         ensure_x64()
@@ -53,6 +61,23 @@ class LMTrainer:
         self.milli = milli
         self.weight_names = [n for n in milli.inputs if n in weight_inputs]
         self.data_names = [n for n in milli.inputs if n not in weight_inputs]
+        self.lora_rank = lora_rank
+        self._lora_init: Dict[str, np.ndarray] = {}
+        if lora_rank > 0:
+            from ..milli.transforms import inject_lora
+
+            targets = [n for n in self.weight_names
+                       if lora_targets is None
+                       or any(t in n for t in lora_targets)]
+            self._lora_init = inject_lora(
+                milli, targets, rank=lora_rank,
+                weight_getter=lambda n: model.graph.store.get_numeric(
+                    n, param_dtype).numpy(),
+                alpha=lora_alpha)
+            if not self._lora_init:
+                raise ValueError(
+                    "lora_rank set but no 2-D weight MatMul matched "
+                    f"lora_targets={lora_targets!r}")
         self._fn = _trace_graph(milli, {})
         self._order = list(milli.inputs)
         self.mesh = mesh
@@ -104,8 +129,15 @@ class LMTrainer:
 
     # ------------------------------------------------------------------
     def init_params(self) -> Dict[str, Any]:
+        """The TRAINED parameter pytree: all weights normally; only the
+        LoRA adapters when lora_rank is set (base weights are frozen —
+        see _frozen_params)."""
         import jax
 
+        if self.lora_rank > 0:
+            return {n: jax.device_put(
+                v.astype(self.param_dtype.to_numpy(), copy=False))
+                for n, v in self._lora_init.items()}
         params = {}
         for i, n in enumerate(self.weight_names):
             host = self.model.graph.store.get_numeric(n, self.param_dtype).numpy()
@@ -116,34 +148,61 @@ class LMTrainer:
                 params[n] = jax.device_put(host)
         return params
 
+    def _frozen_params(self) -> Dict[str, Any]:
+        """LoRA mode: the frozen base weights, uploaded once and passed
+        to the step program as non-donated inputs (never retraced,
+        never updated, no optimizer state)."""
+        import jax
+
+        if self.lora_rank == 0:
+            return {}
+        if getattr(self, "_frozen_cache", None) is None:
+            frozen = {}
+            for i, n in enumerate(self.weight_names):
+                host = self.model.graph.store.get_numeric(
+                    n, self.param_dtype).numpy()
+                host = host.astype(self.param_dtype.to_numpy(), copy=False)
+                sh = (self.param_shardings[i]
+                      if self.param_shardings is not None else None)
+                frozen[n] = (jax.device_put(host, sh) if sh is not None
+                             else jax.device_put(host))
+            self._frozen_cache = frozen
+        return self._frozen_cache
+
     def init_opt_state(self, params):
         import jax
 
         return jax.jit(self.tx.init)(params)
 
     # ------------------------------------------------------------------
-    def _forward(self, params: Dict[str, Any], ids):
+    def _forward(self, params: Dict[str, Any], ids, frozen=None):
         if self.compute_dtype is not None:
             import jax
 
             cdt = self.compute_dtype.to_jax()
-            params = {k: (v.astype(cdt) if jax.numpy.issubdtype(
-                v.dtype, jax.numpy.floating) else v)
-                for k, v in params.items()}
-        by_name = dict(params)
+
+            def cast(d):
+                return {k: (v.astype(cdt) if jax.numpy.issubdtype(
+                    v.dtype, jax.numpy.floating) else v)
+                    for k, v in d.items()}
+
+            params = cast(params)
+            frozen = cast(frozen) if frozen else frozen
+        by_name = dict(frozen or {})
+        by_name.update(params)
         by_name["input_ids"] = ids
         args = [by_name[n] for n in self._order]
         outs = self._fn(*args)
         named = dict(zip(self.milli.outputs, outs))
         return named["logits"]
 
-    def loss_fn(self, params, ids, targets):
+    def loss_fn(self, params, ids, targets, frozen=None):
         import jax
         import jax.numpy as jnp
 
         fwd = (jax.checkpoint(self._forward) if self.remat
                else self._forward)
-        logits = fwd(params, ids).astype(jnp.float32)
+        logits = fwd(params, ids, frozen).astype(jnp.float32)
         logp = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
         return nll.mean()
@@ -155,8 +214,9 @@ class LMTrainer:
 
         enable_persistent_cache()
 
-        def step(params, opt_state, ids, targets):
-            loss, grads = jax.value_and_grad(self.loss_fn)(params, ids, targets)
+        def step(params, opt_state, ids, targets, frozen):
+            loss, grads = jax.value_and_grad(self.loss_fn)(
+                params, ids, targets, frozen)
             updates, opt_state = self.tx.update(grads, opt_state, params)
             import optax
 
@@ -184,4 +244,5 @@ class LMTrainer:
             data_sh = NamedSharding(self.mesh, PartitionSpec("dp", seq_axis))
             ids = jax.device_put(ids, data_sh)
             targets = jax.device_put(targets, data_sh)
-        return self._step_fn(params, opt_state, ids, targets)
+        return self._step_fn(params, opt_state, ids, targets,
+                             self._frozen_params())
