@@ -20,13 +20,22 @@ from typing import Callable
 
 
 def pipeline_apply(stage_fn: Callable, stacked_params, x, mesh,
-                   axis: str = "pp", microbatches: int = 4):
+                   axis: str = "pp", microbatches: int = 4,
+                   param_specs=None, batch_axis: str = None):
     """Run x through all L stacked layers, layer groups sharded over
     `axis`.
 
     stage_fn(params_one_layer, h) -> h          (one layer)
     stacked_params: pytree with leading dim L (L % pp_size == 0)
     x: (B, ...) with B % microbatches == 0
+    param_specs: optional pytree of PartitionSpecs for the NON-layer
+        dims of each leaf (e.g. P(None, "tp") for a column-sharded
+        weight) — the leading pp axis is prefixed automatically. When
+        tp specs are given, stage_fn must contain the matching manual
+        collectives (shard_map is manual-SPMD land).
+    batch_axis: optional mesh axis (e.g. "dp") sharding the microbatch
+        ROWS — composes data parallelism with the pipeline in one
+        shard_map region.
     Returns the same result as sequentially applying all L layers.
     """
     import jax
@@ -39,10 +48,15 @@ def pipeline_apply(stage_fn: Callable, stacked_params, x, mesh,
     mb = B // M
     xm = x.reshape(M, mb, *x.shape[1:])
 
-    pspec = jax.tree.map(lambda _: P(axis), stacked_params)
+    if param_specs is None:
+        pspec = jax.tree.map(lambda _: P(axis), stacked_params)
+    else:
+        pspec = jax.tree.map(lambda s: P(axis, *tuple(s)), param_specs,
+                             is_leaf=lambda s: isinstance(s, P))
+    xspec = P(None, batch_axis, *([None] * (x.ndim - 1)))
 
     @partial(jax.shard_map, mesh=mesh,
-             in_specs=(pspec, P()), out_specs=P())
+             in_specs=(pspec, xspec), out_specs=xspec)
     def run(local_params, xm):
         n_dev = jax.lax.psum(1, axis)
         idx = jax.lax.axis_index(axis)
