@@ -190,7 +190,8 @@ def bench_conformance() -> None:
     from conformance.tpu_runner import run_conformance
 
     limit = int(os.environ.get("WT_CONF_LIMIT", "0")) or None
-    res = run_conformance(limit=limit)
+    res = run_conformance(limit=limit,
+                          name_filter=os.environ.get("WT_CONF_FILTER"))
     for f in res["failures"][:20]:
         print(f"# FAIL {f['name']}: {f['error'][:200]}", file=sys.stderr)
     print(f"# paths: {res['paths']}  ({res['seconds']}s)", file=sys.stderr)

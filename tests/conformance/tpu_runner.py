@@ -82,7 +82,8 @@ def all_cases() -> List[Case]:
 
 def run_conformance(limit: Optional[int] = None,
                     progress_every: int = 100,
-                    workers: int = 8) -> Dict:
+                    workers: int = 8,
+                    name_filter: Optional[str] = None) -> Dict:
     """Run every non-oracle-only case on the current JAX platform.
 
     Cases run across a thread pool: each case's remote compile spends
@@ -98,6 +99,8 @@ def run_conformance(limit: Optional[int] = None,
     import sys
 
     cases = [c for c in all_cases() if not c.oracle_only]
+    if name_filter:
+        cases = [c for c in cases if name_filter in c.name]
     if limit:
         cases = cases[:limit]
     t0 = time.time()

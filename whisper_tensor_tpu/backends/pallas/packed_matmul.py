@@ -1,0 +1,220 @@
+"""Fused sub-byte (GGUF Q4/Q8) dequant-matmul for TPU.
+
+The reference executes GGUF-quantized models without ever materializing
+float weights (src/packed_tensor.rs:96 + QuantMatMul in
+src/symbolic_graph/ops/mod.rs) — this is the TPU equivalent. Weights
+stay packed in HBM (0.5 B/weight for Q4 + 0.125 B of scales/offsets vs
+2 B for bf16: a 3.2x HBM-byte reduction on the weight stream that
+bounds batch<~64 decode), tiles are DMA'd to VMEM, nibbles unpack
+in-register on the VPU, and the dequantized tile feeds the MXU.
+
+Device layout (host-repacked once at load, `repack_packed_tensor`):
+  q_u8    (K//2, N) uint8 — nibble-packed 4-bit values; row k2 packs
+          original row k2 (low nibble) and row k2 + K//2 (high nibble),
+          so the kernel rebuilds W with one concat (no interleave).
+  scales  (K//32, N) f32 — per-32-row-block scale
+  offsets (K//32, N) f32 — per-32-row-block offset
+  with W[k, n] = q4[k, n] * scales[k // 32, n] - offsets[k // 32, n].
+  This single affine form covers Q4_0 (offset = 8 d), Q4_1 (offset =
+  -m), and Q4_K (scale = d*sc_j, offset = dmin*mn_j per sub-block).
+  Q8_0 keeps int8 rows: q_i8 (K, N), W = q * scale (offsets zero).
+
+Bit-fidelity: the repack is exact (integer nibbles + f16->f32 scale
+conversion identical to backends/cpu/dequant.py), verified bitwise in
+tests/test_packed_matmul.py; the matmul itself accumulates in f32.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+from ...packed_format import PackedFormat
+
+_ENABLED = os.environ.get("WT_PALLAS_QUANT_MATMUL", "1") != "0"
+
+TILE_N = 128
+
+
+def _f16_to_f32(u8pair: np.ndarray) -> np.ndarray:
+    return u8pair.copy().view(np.float16).astype(np.float32)
+
+
+def _q4_block_values(raw: np.ndarray, fmt: PackedFormat):
+    """raw (nb, block_bytes) -> (nibbles (nb, bs) uint8 in 0..15,
+    scales (nb, bs//32) f32, offsets (nb, bs//32) f32)."""
+    if fmt == PackedFormat.Q4_0:
+        d = _f16_to_f32(raw[:, 0:2])                      # (nb, 1)
+        q = raw[:, 2:18]
+        nib = np.concatenate([q & 0x0F, q >> 4], axis=1)  # (nb, 32)
+        return nib, d, 8.0 * d
+    if fmt == PackedFormat.Q4_1:
+        d = _f16_to_f32(raw[:, 0:2])
+        m = _f16_to_f32(raw[:, 2:4])
+        q = raw[:, 4:20]
+        nib = np.concatenate([q & 0x0F, q >> 4], axis=1)
+        return nib, d, -m
+    if fmt == PackedFormat.Q4_K:
+        from ..cpu.dequant import _unpack_k_scales
+
+        d = _f16_to_f32(raw[:, 0:2])
+        dmin = _f16_to_f32(raw[:, 2:4])
+        sc, mn = _unpack_k_scales(raw[:, 4:16])           # (nb, 8)
+        qs = raw[:, 16:144]
+        l = np.arange(256)
+        byte_idx = 32 * (l // 64) + (l % 32)
+        shift = 4 * ((l % 64) // 32)
+        nib = ((qs[:, byte_idx] >> shift) & 0x0F)         # (nb, 256)
+        return nib, d * sc, dmin * mn
+    raise ValueError(f"unsupported 4-bit format {fmt}")
+
+
+SUPPORTED_4BIT = (PackedFormat.Q4_0, PackedFormat.Q4_1, PackedFormat.Q4_K)
+SUPPORTED = SUPPORTED_4BIT + (PackedFormat.Q8_0,)
+
+
+def repack_packed_tensor(pt) -> Optional[Dict[str, np.ndarray]]:
+    """PackedTensor in GGUF orientation (N, K), blocks along K, used as
+    a matmul RHS after transpose -> TPU device arrays for the fused
+    kernel operating on W = dequant(pt).T of shape (K, N).
+
+    Returns None when the format/shape isn't kernel-eligible (caller
+    falls back to host dequantization)."""
+    if len(pt.shape) != 2:
+        return None
+    fmt = pt.fmt
+    if fmt not in SUPPORTED:
+        return None
+    N, K = pt.shape                    # GGUF orientation
+    bs = fmt.block_size
+    if K % max(bs, 64) or K % 64:
+        return None
+    raw = np.frombuffer(pt.data, dtype=np.uint8).reshape(-1, fmt.block_bytes)
+
+    if fmt == PackedFormat.Q8_0:
+        d = _f16_to_f32(raw[:, 0:2])                       # (nb, 1)
+        q = raw[:, 2:34].copy().view(np.int8)              # (nb, 32)
+        q_kn = q.reshape(N, K).T.copy()                    # (K, N) int8
+        s_kn = d.reshape(N, K // 32).T.copy()              # (K//32, N)
+        return {"q": q_kn, "scales": s_kn,
+                "offsets": np.zeros_like(s_kn), "bits": np.int8(8)}
+
+    nib, sc, off = _q4_block_values(raw, fmt)
+    groups = bs // 32
+    nib_kn = nib.reshape(N, K).T                           # (K, N) 0..15
+
+    # sc/off are (nb, 1) for Q4_0/1 and (nb, 8) for Q4_K: both expand to
+    # one value per 32-element group
+    def expand(a):
+        a = np.broadcast_to(a, (a.shape[0], groups))
+        return np.ascontiguousarray(a.reshape(N, K // 32).T)  # (K//32, N)
+
+    s_kn = expand(sc)
+    o_kn = expand(off)
+    half = K // 2
+    q_u8 = (nib_kn[:half] | (nib_kn[half:] << 4)).astype(np.uint8).copy()
+    return {"q": q_u8, "scales": s_kn, "offsets": o_kn, "bits": np.int8(4)}
+
+
+def dequant_repacked(rp: Dict[str, np.ndarray]) -> np.ndarray:
+    """Reference dequantization of the REPACKED layout (numpy, f32) —
+    the oracle the kernel and its jnp fallback are checked against.
+    Must equal backends.cpu.dequant.dequantize_blocks(...).T exactly."""
+    s = np.repeat(rp["scales"], 32, axis=0)
+    o = np.repeat(rp["offsets"], 32, axis=0)
+    if int(rp["bits"]) == 8:
+        return rp["q"].astype(np.float32) * s
+    q = rp["q"]
+    nib = np.concatenate([q & 0x0F, q >> 4], axis=0).astype(np.float32)
+    return nib * s - o
+
+
+def packed_matmul_usable(q: np.ndarray) -> bool:
+    if not _ENABLED:
+        return False
+    try:
+        import jax
+
+        if jax.devices()[0].platform != "tpu":
+            return False
+    except Exception:
+        return False
+    return q.shape[-1] % TILE_N == 0
+
+
+def packed_matmul(x, q, scales, offsets, bits: int):
+    """x (..., K) bf16/f32 @ dequant(q, scales, offsets) (K, N).
+
+    Pallas kernel on TPU; jnp fallback elsewhere (identical math)."""
+    import jax
+    import jax.numpy as jnp
+
+    lead = x.shape[:-1]
+    K = x.shape[-1]
+    N = q.shape[-1]
+    x2 = x.reshape(-1, K)
+    M = x2.shape[0]
+
+    if not packed_matmul_usable(q):
+        w = _dequant_jnp(q, scales, offsets, bits, K)
+        out = jnp.dot(x2.astype(jnp.float32), w,
+                      preferred_element_type=jnp.float32)
+        return out.astype(x.dtype).reshape(*lead, N)
+
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(x_ref, q_ref, s_ref, o_ref, out_ref):
+        s = jnp.repeat(s_ref[:], 32, axis=0)               # (K, TN)
+        if bits == 8:
+            qf = q_ref[:].astype(jnp.float32)
+            w = qf * s
+        else:
+            qb = q_ref[:]                                  # (K//2, TN)
+            nib = jnp.concatenate([qb & 0x0F, qb >> 4], axis=0)
+            w = nib.astype(jnp.float32) * s - jnp.repeat(
+                o_ref[:], 32, axis=0)
+        acc = jax.lax.dot_general(
+            x_ref[:].astype(jnp.float32), w,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out_ref[:] = acc.astype(out_ref.dtype)
+
+    Kq = K if bits == 8 else K // 2
+    qbytes = Kq * N
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            kernel,
+            grid=(N // TILE_N,),
+            in_specs=[
+                pl.BlockSpec((M, K), lambda j: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Kq, TILE_N), lambda j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K // 32, TILE_N), lambda j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K // 32, TILE_N), lambda j: (0, j),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((M, TILE_N), lambda j: (0, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * M * K * N,
+                bytes_accessed=M * K * 2 + qbytes + (K // 32) * N * 8
+                + M * N * 2,
+                transcendentals=0),
+        )(x2, q, scales, offsets)
+    return out.reshape(*lead, N)
+
+
+def _dequant_jnp(q, scales, offsets, bits: int, K: int):
+    import jax.numpy as jnp
+
+    s = jnp.repeat(scales, 32, axis=0)
+    if bits == 8:
+        return q.astype(jnp.float32) * s
+    nib = jnp.concatenate([q & 0x0F, q >> 4], axis=0).astype(jnp.float32)
+    return nib * s - jnp.repeat(offsets, 32, axis=0)

@@ -39,19 +39,19 @@ _X64_DONE = False
 def ensure_x64() -> None:
     """ONNX semantics need i64/f64 fidelity; enable once, process-wide.
 
-    Also pins the default matmul/conv precision to HIGHEST: the TPU MXU
-    computes f32 dots as single-pass bf16 by default (~0.5% error vs the
-    oracle on-chip, which fails ONNX conformance tolerances). HIGHEST
-    forces true-f32 multi-pass decomposition for f32/f64 inputs and is a
-    no-op for bf16/f16/int inputs (natively exact on the MXU), so the
-    perf-critical bf16/int8 paths are unaffected."""
+    NOTE on precision: f32 matmul/conv fidelity on the MXU (the default
+    single-pass bf16 shows ~0.5% error vs the oracle on-chip) is handled
+    PER-OP — MatMul (basic.py), Einsum, and the conv family pass
+    Precision.HIGHEST only for f32/f64 inputs. Do NOT set the global
+    jax_default_matmul_precision="highest" here: it also changes how
+    bf16 operands are handled and was measured to cut bf16 decode
+    throughput 3.5x (90.9k -> 26.2k tok/s, BENCH r3)."""
     global _X64_DONE
     with _X64_LOCK:
         if not _X64_DONE:
             import jax
 
             jax.config.update("jax_enable_x64", True)
-            jax.config.update("jax_default_matmul_precision", "highest")
             _X64_DONE = True
 
 

@@ -399,6 +399,9 @@ class GgufLoader(Loader):
             ConfigField("decode_windows", ConfigFieldType.STRING,
                         "comma-separated KV window sizes for phased "
                         "windowed decode", default=""),
+            ConfigField("packed_weights", ConfigFieldType.BOOL,
+                        "keep Q4/Q8 weights packed on device (fused "
+                        "dequant-matmul; llama-family)", default=True),
         ]
 
     def can_load(self, path: str) -> bool:
@@ -420,10 +423,33 @@ class GgufLoader(Loader):
         dtype = {"f32": DType.F32, "bf16": DType.BF16,
                  "f16": DType.F16}[config.get("dtype", "bf16")]
         ragged = bool(config.get("ragged_decode", False))
-        data, geometry = build_from_gguf(g, max_len=max_len, dtype=dtype,
-                                         pos_per_row=ragged)
         name = g.metadata.get("general.name", os.path.basename(config["path"]))
-        model = Model.new_from_onnx(data, name=name)
+        model = None
+        if bool(config.get("packed_weights", True)) and arch in (
+                "llama", "qwen2", "qwen3", "mistral"):
+            # sub-byte weights stay packed end-to-end: structure-only
+            # ONNX + TensorStore entries (lazy dense fallback + packed
+            # source for the fused dequant-matmul kernel)
+            from ..symbolic_graph.tensor_store import LazyTensor
+            from ..tensor import NumericTensor
+            from .recipes.llm.gguf_llama import build_from_gguf_packed
+
+            data, geometry, entries = build_from_gguf_packed(
+                g, max_len=max_len, dtype=dtype, pos_per_row=ragged)
+            model = Model.new_from_onnx(data, name=name)
+            store = model.graph.store
+            for wname, e in entries.items():
+                if "value" in e:
+                    store.put(wname, NumericTensor(e["value"]))
+                    continue
+                store.put(wname, LazyTensor(
+                    loader=(lambda ld=e["lazy"]: NumericTensor(ld()))))
+                if e["packed"] is not None:
+                    store.packed_sources[wname] = e["packed"]
+        if model is None:
+            data, geometry = build_from_gguf(g, max_len=max_len, dtype=dtype,
+                                             pos_per_row=ragged)
+            model = Model.new_from_onnx(data, name=name)
         models = {name: model}
         window_spec = {}
         wins = str(config.get("decode_windows", "") or "")

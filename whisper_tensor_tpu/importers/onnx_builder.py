@@ -32,11 +32,15 @@ class WeightStorage:
 
     kind: "embed" (raw_data inline), "bin" (single external .bin file),
     "none" (structure only — payloads dropped; for shape-only tests,
-    reference WeightStorageStrategy::None).
+    reference WeightStorageStrategy::None), "sink" (structure only in
+    the ONNX bytes, but every initializer VALUE lands in the given dict
+    — the caller installs them into the TensorStore directly, so large
+    payloads never round-trip through protobuf serialization).
     """
 
     kind: str = "embed"
     bin_path: Optional[str] = None
+    sink: Optional[dict] = None
 
     @staticmethod
     def embed() -> "WeightStorage":
@@ -49,6 +53,10 @@ class WeightStorage:
     @staticmethod
     def none() -> "WeightStorage":
         return WeightStorage("none")
+
+    @staticmethod
+    def to_sink(sink: dict) -> "WeightStorage":
+        return WeightStorage("sink", sink=sink)
 
 
 class LazyWeight:
@@ -244,7 +252,9 @@ class OnnxBuilder:
                 bin_f = open(storage.bin_path, "wb")
                 bin_rel = os.path.basename(storage.bin_path)
             for name, w in self.initializers.items():
-                if storage.kind == "none":
+                if storage.kind == "sink":
+                    storage.sink[name] = w
+                if storage.kind in ("none", "sink"):
                     arr_shape = w.shape
                     dt = (w.dtype if isinstance(w, LazyWeight)
                           else DType.from_numpy(w.dtype))

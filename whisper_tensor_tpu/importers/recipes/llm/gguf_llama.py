@@ -245,3 +245,87 @@ def build_from_gguf(g, max_len: int, dtype: DType = DType.BF16,
     geometry = dict(n_layers=cfg.num_hidden_layers,
                     n_kv_heads=cfg.num_key_value_heads, head_dim=cfg.hd)
     return data, geometry
+
+
+def build_from_gguf_packed(g, max_len: int, dtype: DType = DType.BF16,
+                           pos_per_row: bool = False) -> Tuple[bytes, Dict, Dict]:
+    """Like build_from_gguf (llama-family only), but big matmul weights
+    are NEVER dequantized on host: the graph serializes without their
+    payloads, and the returned `store_entries` bind each matmul weight
+    name to (a) a lazy dense transposed-dequant fallback and (b) a
+    packed source for the fused Pallas dequant-matmul
+    (milli.transforms.pack_matmul_nodes). This is what makes an 8B Q4_K
+    model loadable at ~0.6 B/weight of HBM instead of 4x that.
+
+    Returns (onnx_bytes, geometry, store_entries) where store_entries =
+    {name: {"lazy": zero-arg dense loader, "packed": zero-arg
+    PackedTensor loader or None}}."""
+    from ....backends.pallas.packed_matmul import SUPPORTED
+    from ....tensor import PackedTensor
+
+    cfg = config_from_gguf(g)
+    if g.architecture not in ("llama", "qwen2", "qwen3", "mistral"):
+        raise ValueError(
+            f"packed path supports llama-family ggufs, not {g.architecture!r}")
+
+    def resolve(hf_name: str) -> str:
+        if hf_name == "lm_head.weight" and cfg.tie_word_embeddings:
+            hf_name = "model.embed_tokens.weight"
+        return _gguf_name(hf_name)
+
+    def is_lazy_big(hf_name: str) -> bool:
+        # matmul-RHS weights routed through the recipe's weight_map
+        return hf_name.endswith(".weight") and (
+            "self_attn." in hf_name or "mlp." in hf_name
+            or hf_name == "lm_head.weight")
+
+    def getter(hf_name: str) -> np.ndarray:
+        gname = resolve(hf_name)
+        info = g.tensors[gname]
+        if is_lazy_big(hf_name):
+            # shape-faithful zeros (calloc — no pages committed, no
+            # dequantization); payload is never serialized
+            return np.zeros(tuple(info.shape), dtype=np.float32)
+        t = g.load(gname)
+        if isinstance(t, PackedTensor):
+            return t.dequantize(DType.F32).numpy()
+        arr = t.numpy()
+        return arr.astype(np.float32) if arr.dtype.kind == "f" else arr
+
+    from ...onnx_builder import WeightStorage
+
+    weight_map: Dict[str, str] = {}
+    sink: Dict[str, np.ndarray] = {}
+    data = build_llama_step(getter, cfg, max_len=max_len, dtype=dtype,
+                            pos_per_row=pos_per_row,
+                            storage=WeightStorage.to_sink(sink),
+                            weight_map=weight_map)
+
+    # sink holds every initializer VALUE (small tensors real; matmul
+    # weights as shape-only zeros). Matmul weights get lazy loaders
+    # instead; everything else installs as-is.
+    store_entries: Dict[str, Dict] = {}
+    for init_name, val in sink.items():
+        if init_name not in weight_map:
+            store_entries[init_name] = {"value": np.asarray(val)}
+            continue
+        gname = resolve(weight_map[init_name])
+        info = g.tensors[gname]
+
+        def dense_loader(gname=gname):
+            t = g.load(gname)
+            arr = (t.dequantize(DType.F32).numpy()
+                   if isinstance(t, PackedTensor) else t.numpy())
+            return np.ascontiguousarray(
+                arr.astype(np.float32, copy=False).T)
+
+        packed_loader = None
+        if info.packed is not None and info.packed in SUPPORTED \
+                and len(info.shape) == 2:
+            def packed_loader(gname=gname):
+                return g.load(gname)
+        store_entries[init_name] = {"lazy": dense_loader,
+                                    "packed": packed_loader}
+    geometry = dict(n_layers=cfg.num_hidden_layers,
+                    n_kv_heads=cfg.num_key_value_heads, head_dim=cfg.hd)
+    return data, geometry, store_entries

@@ -84,12 +84,18 @@ def rope_tables(cfg: LlamaConfig, max_len: int):
 def build_llama_step(weights: Callable[[str], np.ndarray], cfg: LlamaConfig,
                      max_len: int, dtype: DType = DType.F32,
                      storage: Optional[WeightStorage] = None,
-                     pos_per_row: bool = False) -> bytes:
+                     pos_per_row: bool = False,
+                     weight_map: Optional[dict] = None) -> bytes:
     """HF llama state-dict names; HF Linear weights are (out, in) and are
     transposed once at import into matmul-RHS layout.
 
     pos_per_row=True gives `pos` shape (batch,) — ragged continuous
-    batching (see recipes/llm/gpt2.py and server/batching.py)."""
+    batching (see recipes/llm/gpt2.py and server/batching.py).
+
+    weight_map (optional out-param): records {initializer_name:
+    hf_name} for every 2-D matmul-RHS weight — the packed-GGUF loader
+    uses it to bind those initializers to lazily-loaded packed tensors
+    instead of dense payloads."""
     E = cfg.hidden_size
     Hq = cfg.num_attention_heads
     Hkv = cfg.num_key_value_heads
@@ -104,6 +110,12 @@ def build_llama_step(weights: Callable[[str], np.ndarray], cfg: LlamaConfig,
 
     def wT(name: str) -> np.ndarray:
         return np.ascontiguousarray(w(name).T)
+
+    def lin(init_name: str, hf_name: str) -> str:
+        # matmul-RHS weight: dense transposed payload + weight_map entry
+        if weight_map is not None:
+            weight_map[init_name] = hf_name
+        return b.initializer(init_name, wT(hf_name))
 
     b = OnnxBuilder(f"{cfg.model_type}_step", opset=23, custom_opsets={"wt": 1})
     ids = b.input("input_ids", DType.I64, ["batch", "seq"])
@@ -152,9 +164,9 @@ def build_llama_step(weights: Callable[[str], np.ndarray], cfg: LlamaConfig,
         p = f"model.layers.{i}."
         h = b.rms_norm(x, b.initializer(f"in_norm_{i}", w(p + "input_layernorm.weight")),
                        epsilon=eps)
-        q = b.matmul(h, b.initializer(f"wq_{i}", wT(p + "self_attn.q_proj.weight")))
-        k = b.matmul(h, b.initializer(f"wk_{i}", wT(p + "self_attn.k_proj.weight")))
-        v = b.matmul(h, b.initializer(f"wv_{i}", wT(p + "self_attn.v_proj.weight")))
+        q = b.matmul(h, lin(f"wq_{i}", p + "self_attn.q_proj.weight"))
+        k = b.matmul(h, lin(f"wk_{i}", p + "self_attn.k_proj.weight"))
+        v = b.matmul(h, lin(f"wv_{i}", p + "self_attn.v_proj.weight"))
         if cfg.attention_bias:
             q = b.add(q, b.initializer(f"bq_{i}", w(p + "self_attn.q_proj.bias")))
             k = b.add(k, b.initializer(f"bk_{i}", w(p + "self_attn.k_proj.bias")))
@@ -181,7 +193,7 @@ def build_llama_step(weights: Callable[[str], np.ndarray], cfg: LlamaConfig,
         cache_outs.append((nk, nv))
         att = b.attention(qh, nk, nv, mask=mask, scale=1.0 / float(np.sqrt(D)))
         att = b.reshape(b.transpose(att, [0, 2, 1, 3]), [0, 0, Hq * D])
-        att = b.matmul(att, b.initializer(f"wo_{i}", wT(p + "self_attn.o_proj.weight")))
+        att = b.matmul(att, lin(f"wo_{i}", p + "self_attn.o_proj.weight"))
         x = b.add(x, att)
 
         h2 = b.rms_norm(x, b.initializer(
@@ -223,11 +235,11 @@ def build_llama_step(weights: Callable[[str], np.ndarray], cfg: LlamaConfig,
                 acc = term if acc is None else b.add(acc, term)
             mlp = acc
         else:
-            gate = b.matmul(h2, b.initializer(f"w_gate_{i}", wT(p + "mlp.gate_proj.weight")))
-            up = b.matmul(h2, b.initializer(f"w_up_{i}", wT(p + "mlp.up_proj.weight")))
+            gate = b.matmul(h2, lin(f"w_gate_{i}", p + "mlp.gate_proj.weight"))
+            up = b.matmul(h2, lin(f"w_up_{i}", p + "mlp.up_proj.weight"))
             silu = b.mul(gate, b.node("Sigmoid", [gate]))
             mlp = b.matmul(b.mul(silu, up),
-                           b.initializer(f"w_down_{i}", wT(p + "mlp.down_proj.weight")))
+                           lin(f"w_down_{i}", p + "mlp.down_proj.weight"))
         x = b.add(x, mlp)
 
     xf = b.rms_norm(x, b.initializer("final_norm", w("model.norm.weight")),
@@ -236,7 +248,7 @@ def build_llama_step(weights: Callable[[str], np.ndarray], cfg: LlamaConfig,
         lm = b.initializer("lm_head", np.ascontiguousarray(
             w("model.embed_tokens.weight").T))
     else:
-        lm = b.initializer("lm_head", wT("lm_head.weight"))
+        lm = lin("lm_head", "lm_head.weight")
     b.node("MatMul", [xf, lm], outputs=["logits"])
     b.output("logits", dtype, ["batch", "seq", V])
     for i, (nk, nv) in enumerate(cache_outs):

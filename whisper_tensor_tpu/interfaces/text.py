@@ -146,16 +146,30 @@ class TextInferenceInterface:
         milli, weight_inputs = model.graph.to_milli()
         self.milli = milli
         self._quantized = {}
+        self._packed = {}
         if quantize == "int8":
             from ..milli.transforms import quantize_matmul_weights
 
             self._quantized = quantize_matmul_weights(
                 milli, list(weight_inputs),
                 lambda n: model.graph.store.get_numeric(n).numpy())
+        elif quantize == "packed" or (
+                quantize is None
+                and getattr(model.graph.store, "packed_sources", None)):
+            # GGUF sub-byte weights stay packed in HBM and dequantize
+            # in-register via the fused Pallas kernel (reference
+            # QuantMatMul path, src/packed_tensor.rs:96). Auto-enabled
+            # when the loader recorded packed sources.
+            from ..milli.transforms import pack_matmul_nodes
+
+            self._packed = pack_matmul_nodes(milli, list(weight_inputs),
+                                             model.graph.store)
         elif quantize is not None:
             raise ValueError(f"unknown quantize mode {quantize!r}")
         self.weight_names = [n for n in milli.inputs
-                             if n in weight_inputs or n.endswith("::scale")]
+                             if n in weight_inputs or n.endswith("::scale")
+                             or n.endswith("::pscales")
+                             or n.endswith("::poffsets")]
         self.input_names = list(milli.inputs)
         self.output_names = list(milli.outputs)
         self.cache_in_names = [n for n in self.input_names if n.startswith("cache_")]
@@ -174,7 +188,14 @@ class TextInferenceInterface:
         self._window_millis: Dict[int, Any] = {}
         for w, wm in self.window_models.items():
             wmilli, w_weights = wm.graph.to_milli()
-            wnames = [n for n in wmilli.inputs if n in w_weights]
+            if self._packed:
+                from ..milli.transforms import pack_matmul_nodes
+
+                pack_matmul_nodes(wmilli, list(w_weights),
+                                  model.graph.store)
+            wnames = [n for n in wmilli.inputs
+                      if n in w_weights or n.endswith("::pscales")
+                      or n.endswith("::poffsets")]
             if wnames != self.weight_names:
                 raise ValueError(
                     f"window {w} model weight inputs differ from the "
@@ -199,6 +220,12 @@ class TextInferenceInterface:
                     arr = self._quantized[n[:-7]][1]
                 elif n in self._quantized:
                     arr = self._quantized[n][0]
+                elif n.endswith("::pscales"):
+                    arr = self._packed[n[:-9]]["scales"]
+                elif n.endswith("::poffsets"):
+                    arr = self._packed[n[:-10]]["offsets"]
+                elif n in self._packed:
+                    arr = self._packed[n]["q"]
                 else:
                     arr = self.model.graph.store.get_numeric(
                         n, self.weight_dtype).numpy()

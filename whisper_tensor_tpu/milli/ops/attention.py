@@ -107,9 +107,15 @@ class AttentionMilli(MilliOp):
         if rep > 1:
             kf = jnp.repeat(kf, rep, axis=1)
             vf = jnp.repeat(vf, rep, axis=1)
+        # f32/f16 inputs need true-precision MXU passes to match the
+        # oracle (same per-op rule as MatMul); bf16 stays single-pass
+        prec = (jax.lax.Precision.HIGHEST
+                if q.dtype in (jnp.float32, jnp.float64, jnp.float16)
+                else None)
         scores = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
                             kf.astype(jnp.float32),
-                            preferred_element_type=jnp.float32) * scale
+                            preferred_element_type=jnp.float32,
+                            precision=prec) * scale
         if self.softcap > 0:
             scores = self.softcap * jnp.tanh(scores / self.softcap)
         if mask is not None:
@@ -123,7 +129,8 @@ class AttentionMilli(MilliOp):
             scores = jnp.where(causal, scores, jnp.float32(-1e30))
         p = jax.nn.softmax(scores, axis=-1)
         out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(q.dtype), vf,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=jnp.float32,
+                         precision=prec)
         return [out.astype(q.dtype)]
 
     def infer(self, infos):

@@ -604,9 +604,11 @@ class MatMul(MilliOp):
         acc = self._acc(in_dt)
         out_dt = self.out_dtype or in_dt
         # f32/f64 inputs: force true-precision MXU passes to match the
-        # oracle; bf16/f16/int inputs are natively exact on the MXU.
+        # oracle. f16 too — the MXU would truncate its 10-bit mantissa
+        # to bf16's 7. bf16/int inputs are natively exact.
         precision = (jax.lax.Precision.HIGHEST
-                     if in_dt in (DType.F32, DType.F64) else None)
+                     if in_dt in (DType.F32, DType.F64, DType.F16)
+                     else None)
         out = jnp.matmul(a, c, preferred_element_type=acc.to_jax(),
                          precision=precision)
         return [out.astype(out_dt.to_jax())]

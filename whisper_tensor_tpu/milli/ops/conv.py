@@ -30,15 +30,16 @@ def _conv_out_size(in_size, k, stride, dil, pad_begin, pad_end):
 
 
 def _conv_precision(dtype):
-    """f32/f64 convs need true-precision MXU passes: the TPU default
+    """f32/f64/f16 convs need true-precision MXU passes: the TPU default
     (bf16 single-pass) shows ~0.5% error vs the oracle on-chip, which
-    fails ONNX conformance tolerances. bf16/f16/int are natively exact.
+    fails ONNX conformance tolerances; f16's 10-bit mantissa would
+    truncate to bf16's 7. bf16/int are natively exact.
     Same rule as MatMul (basic.py) and Einsum."""
     import jax
     import jax.numpy as jnp
 
     return (jax.lax.Precision.HIGHEST
-            if dtype in (jnp.float32, jnp.float64) else None)
+            if dtype in (jnp.float32, jnp.float64, jnp.float16) else None)
 
 
 def _np_conv(x, w, bias, strides, pads, dilations, groups):

@@ -26,7 +26,8 @@ class EinsumMilli(MilliOp):
         import jax.numpy as jnp
 
         prec = (jax.lax.Precision.HIGHEST
-                if np.dtype(inputs[0].dtype) in (np.float32, np.float64) else None)
+                if np.dtype(inputs[0].dtype) in (np.float32, np.float64,
+                                                 np.float16) else None)
         return [jnp.einsum(self.equation, *inputs, precision=prec)]
 
     def infer(self, infos):

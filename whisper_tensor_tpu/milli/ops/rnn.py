@@ -21,6 +21,22 @@ def _sig(x):
     return 1.0 / (1.0 + np.exp(-x))
 
 
+def _f32_matmuls(fn):
+    """RNN jax paths compute in f32; trace their matmuls at
+    Precision.HIGHEST so the MXU doesn't truncate f32 operands to bf16
+    (same per-op rule as MatMul/Einsum/conv — scoped here because the
+    recurrences use the `@` operator throughout)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(self, inputs, static=None):
+        import jax
+
+        with jax.default_matmul_precision("highest"):
+            return fn(self, inputs, static)
+    return wrapped
+
+
 @dataclass
 class LstmMilli(MilliOp):
     """inputs: X(S,B,I), W(nd,4H,I), R(nd,4H,H)[, B(nd,8H), seq_lens(B),
@@ -80,6 +96,7 @@ class LstmMilli(MilliOp):
         dt = inputs[0].dtype
         return [Y.astype(dt), Yh.astype(dt), Yc.astype(dt)]
 
+    @_f32_matmuls
     def to_jax(self, inputs, static=None):
         import jax
         import jax.numpy as jnp
@@ -232,6 +249,7 @@ class GruMilli(MilliOp):
         dt = inputs[0].dtype
         return [Y.astype(dt), Yh.astype(dt)]
 
+    @_f32_matmuls
     def to_jax(self, inputs, static=None):
         import jax
         import jax.numpy as jnp
@@ -351,6 +369,7 @@ class RnnMilli(MilliOp):
         dt = inputs[0].dtype
         return [Y.astype(dt), Yh.astype(dt)]
 
+    @_f32_matmuls
     def to_jax(self, inputs, static=None):
         import jax
         import jax.numpy as jnp

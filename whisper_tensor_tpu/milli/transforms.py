@@ -187,3 +187,88 @@ def inject_lora(
                 milli.outputs[oname] = t_out
         i += 1 + len(new_nodes)
     return adapters
+
+
+@dataclass
+class PackedMatMulMilli(MilliOp):
+    """x (…,K) float @ dequant(q, scales, offsets) for GGUF Q4/Q8 blocks
+    kept packed on device (backends.pallas.packed_matmul layout).
+
+    inputs: x, q (K//2,N u8 nibble-packed | K,N i8), scales (K//32,N)
+    f32, offsets (K//32,N) f32. Reference: QuantMatMul executing GGUF
+    without float materialization (src/packed_tensor.rs:96)."""
+
+    bits: int = 4
+    KIND = "PackedMatMul"
+
+    def eval(self, inputs):
+        from ..backends.pallas.packed_matmul import dequant_repacked
+
+        x, q, s, o = inputs
+        w = dequant_repacked({"q": np.asarray(q), "scales": np.asarray(s),
+                              "offsets": np.asarray(o),
+                              "bits": np.int8(self.bits)})
+        out = x.astype(np.float32) @ w
+        return [out.astype(x.dtype)]
+
+    def to_jax(self, inputs, static=None):
+        from ..backends.pallas.packed_matmul import packed_matmul
+
+        x, q, s, o = inputs
+        return [packed_matmul(x, q, s, o, self.bits)]
+
+    def infer(self, infos):
+        x, q = infos[0], infos[1]
+        dx, dq = x.dims(), q.dims()
+        if dx is not None and dq is not None:
+            return [TensorInfo.shaped(x.dtype, list(dx[:-1]) + [dq[-1]])]
+        if x.rank is not None:
+            return [TensorInfo.ranked(x.dtype, x.rank)]
+        return [TensorInfo.minimal(x.dtype)]
+
+
+def pack_matmul_nodes(
+    milli: MilliGraph,
+    weight_names: Sequence[str],
+    store,
+) -> Dict[str, Dict[str, np.ndarray]]:
+    """Mutate `milli`: every MatMul whose 2-D RHS weight has a packed
+    GGUF source recorded in ``store.packed_sources`` becomes
+    PackedMatMul with `<name>::pscales` / `<name>::poffsets` inputs;
+    the nibble/int8 array feeds under the original weight name. Returns
+    {name: repacked device arrays} for the caller to feed.
+
+    This is how GGUF Q4_0/Q4_1/Q4_K/Q8_0 weights execute WITHOUT ever
+    holding a dense float copy in HBM (reference QuantMatMul path)."""
+    from ..backends.pallas.packed_matmul import repack_packed_tensor
+    from .ops import MatMul
+
+    sources = getattr(store, "packed_sources", None) or {}
+    name_to_tid = dict(milli.inputs)
+    packed: Dict[str, Dict[str, np.ndarray]] = {}
+    extra_tids: Dict[str, Tuple[int, int]] = {}
+    for node in milli.nodes:
+        if not isinstance(node.op, MatMul) or len(node.inputs) != 2:
+            continue
+        rhs = node.inputs[1]
+        rhs_name = None
+        for name in weight_names:
+            if name_to_tid.get(name) == rhs:
+                rhs_name = name
+                break
+        if rhs_name is None or rhs_name not in sources:
+            continue
+        if rhs_name not in packed:
+            rp = repack_packed_tensor(sources[rhs_name]())
+            if rp is None:
+                continue
+            packed[rhs_name] = rp
+            extra_tids[rhs_name] = (
+                milli.add_input(f"{rhs_name}::pscales"),
+                milli.add_input(f"{rhs_name}::poffsets"))
+        if rhs_name not in packed:
+            continue
+        s_tid, o_tid = extra_tids[rhs_name]
+        node.op = PackedMatMulMilli(bits=int(packed[rhs_name]["bits"]))
+        node.inputs = [node.inputs[0], rhs, s_tid, o_tid]
+    return packed

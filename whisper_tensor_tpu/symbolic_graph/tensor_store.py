@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
-from typing import Callable, Dict, Optional, Tuple, Union
+from typing import Any, Callable, Dict, Optional, Tuple, Union
 
 import numpy as np
 
@@ -70,6 +70,12 @@ class TensorStore:
     def __init__(self) -> None:
         self._store: Dict[str, Stored] = {}
         self._cache: Dict[str, Union[NumericTensor, PackedTensor]] = {}
+        # weight name -> zero-arg loader of the ORIGINAL PackedTensor
+        # (GGUF orientation) for weights whose dense entry is a
+        # transposed dequantization — the fused packed-matmul path
+        # (milli.transforms.pack_matmul_nodes) reads these to keep
+        # sub-byte weights packed on device.
+        self.packed_sources: Dict[str, Any] = {}
 
     def put(self, name: str, t: Stored) -> None:
         self._store[name] = t
