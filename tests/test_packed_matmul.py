@@ -1,0 +1,150 @@
+"""Sub-byte GGUF execution: repack bit-parity, fused packed-matmul op,
+and the end-to-end packed loader path.
+
+Reference: the QuantMatMul execution path that runs GGUF weights
+without dense float materialization (src/packed_tensor.rs:96,
+src/symbolic_graph/ops/mod.rs QuantMatMul).
+"""
+
+import numpy as np
+import pytest
+
+from whisper_tensor_tpu.backends.cpu.dequant import (dequantize_blocks,
+                                                     quantize_blocks)
+from whisper_tensor_tpu.backends.pallas.packed_matmul import (
+    SUPPORTED, dequant_repacked, packed_matmul, repack_packed_tensor)
+from whisper_tensor_tpu.packed_format import PackedFormat
+from whisper_tensor_tpu.tensor import PackedTensor
+
+rng = np.random.default_rng(0)
+
+
+@pytest.mark.parametrize("fmt", list(SUPPORTED), ids=lambda f: f.value)
+def test_repack_bitwise_matches_cpu_dequant(fmt):
+    """The TPU device layout must dequantize to EXACTLY the same floats
+    as the CPU oracle (bit parity, arbitrary block bytes)."""
+    N, K = 8, 512
+    data = rng.integers(0, 256, fmt.storage_bytes(N * K),
+                        dtype=np.uint8).tobytes()
+    pt = PackedTensor(data, fmt, (N, K))
+    ref = dequantize_blocks(pt.data, fmt, N * K).reshape(N, K).T
+    rp = repack_packed_tensor(pt)
+    assert rp is not None
+    got = dequant_repacked(rp)
+    np.testing.assert_array_equal(got, ref)
+
+
+@pytest.mark.parametrize("fmt", [PackedFormat.Q4_0, PackedFormat.Q8_0],
+                         ids=lambda f: f.value)
+def test_packed_matmul_matches_dense(fmt):
+    """packed_matmul (jnp fallback on CPU; Pallas kernel on TPU — same
+    math) equals x @ dequant(W).T."""
+    N, K = 256, 128
+    w = (rng.standard_normal((N, K)) * 0.1).astype(np.float32)
+    pt = PackedTensor(quantize_blocks(w, fmt), fmt, (N, K))
+    wd = dequantize_blocks(pt.data, fmt, N * K).reshape(N, K).T
+    rp = repack_packed_tensor(pt)
+    x = rng.standard_normal((5, K)).astype(np.float32)
+    out = np.asarray(packed_matmul(x, rp["q"], rp["scales"],
+                                   rp["offsets"], int(rp["bits"])))
+    np.testing.assert_allclose(out, x @ wd, rtol=2e-5, atol=1e-5)
+
+
+def test_quantize_blocks_roundtrip_error_bounded():
+    x = rng.standard_normal(2048).astype(np.float32)
+    for fmt, bound in ((PackedFormat.Q4_0, 0.12), (PackedFormat.Q8_0, 0.01)):
+        deq = dequantize_blocks(quantize_blocks(x, fmt), fmt, x.size)
+        assert np.abs(deq - x).max() / np.abs(x).max() < bound
+
+
+def _write_tiny_gguf(tmp_path, fmt):
+    from whisper_tensor_tpu.importers.gguf import write_gguf
+
+    E, Hq, Hkv, D, I, V, L = 64, 2, 1, 32, 128, 96, 2
+    r = np.random.default_rng(1)
+
+    def q(shape):
+        w = (r.standard_normal(shape) * 0.05).astype(np.float32)
+        return PackedTensor(quantize_blocks(w, fmt), fmt, shape)
+
+    tensors = {
+        "token_embd.weight": (r.standard_normal((V, E)) * 0.05
+                              ).astype(np.float32),
+        "output_norm.weight": np.ones(E, np.float32),
+        "output.weight": q((V, E)),
+    }
+    for i in range(L):
+        p = f"blk.{i}."
+        tensors[p + "attn_norm.weight"] = np.ones(E, np.float32)
+        tensors[p + "attn_q.weight"] = q((Hq * D, E))
+        tensors[p + "attn_k.weight"] = q((Hkv * D, E))
+        tensors[p + "attn_v.weight"] = q((Hkv * D, E))
+        tensors[p + "attn_output.weight"] = q((E, Hq * D))
+        tensors[p + "ffn_norm.weight"] = np.ones(E, np.float32)
+        tensors[p + "ffn_gate.weight"] = q((I, E))
+        tensors[p + "ffn_up.weight"] = q((I, E))
+        tensors[p + "ffn_down.weight"] = q((E, I))
+    meta = {"general.architecture": "llama", "general.name": "tinyq",
+            "llama.block_count": L, "llama.embedding_length": E,
+            "llama.attention.head_count": Hq,
+            "llama.attention.head_count_kv": Hkv,
+            "llama.feed_forward_length": I, "llama.context_length": 64,
+            "llama.vocab_size": V,
+            "llama.attention.layer_norm_rms_epsilon": 1e-5,
+            "llama.rope.freq_base": 10000.0}
+    path = str(tmp_path / f"tiny_{fmt.value}.gguf")
+    write_gguf(path, meta, tensors)
+    return path
+
+
+@pytest.mark.parametrize("fmt", [PackedFormat.Q4_0, PackedFormat.Q8_0],
+                         ids=lambda f: f.value)
+def test_gguf_packed_path_end_to_end(tmp_path, fmt):
+    """GgufLoader(packed_weights=True): weights stay packed in the
+    store, MatMuls become PackedMatMul, and generation matches the
+    dense (host-dequantized) load of the SAME file."""
+    from whisper_tensor_tpu.dtype import DType
+    from whisper_tensor_tpu.importers.loaders import loader_registry
+    from whisper_tensor_tpu.interfaces.text import TextInferenceInterface
+
+    path = _write_tiny_gguf(tmp_path, fmt)
+    gl = loader_registry()["gguf"]
+
+    bundle_p = gl.load({"path": path, "max_len": 64,
+                        "dtype": "f32"})
+    (_, model_p), = bundle_p.models.items()
+    assert model_p.graph.store.packed_sources, "no packed sources recorded"
+    iface_p = TextInferenceInterface(model_p, max_len=64,
+                                     prompt_buckets=(16,),
+                                     cache_dtype=DType.F32,
+                                     weight_dtype=DType.F32)
+    assert iface_p._packed, "fused packed path not engaged"
+    assert any(n.op.KIND == "PackedMatMul" for n in iface_p.milli.nodes)
+
+    bundle_d = gl.load({"path": path, "max_len": 64, "dtype": "f32",
+                        "packed_weights": False})
+    (_, model_d), = bundle_d.models.items()
+    iface_d = TextInferenceInterface(model_d, max_len=64,
+                                     prompt_buckets=(16,),
+                                     cache_dtype=DType.F32,
+                                     weight_dtype=DType.F32)
+
+    prompt = np.asarray([[1, 2, 3, 4]], dtype=np.int64)
+    lp = iface_p.logits(prompt)
+    ld = iface_d.logits(prompt)
+    np.testing.assert_allclose(lp, ld, rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(iface_p.generate_tokens(prompt, 8),
+                                  iface_d.generate_tokens(prompt, 8))
+
+
+def test_gguf_packed_store_stays_packed(tmp_path):
+    """The store never materializes dense copies of packed weights
+    unless a fallback asks for them (HBM/RAM budget property)."""
+    from whisper_tensor_tpu.importers.loaders import loader_registry
+
+    path = _write_tiny_gguf(tmp_path, PackedFormat.Q4_0)
+    bundle = loader_registry()["gguf"].load({"path": path, "max_len": 64})
+    (_, model), = bundle.models.items()
+    # lazy entries: nothing dense cached yet for the matmul weights
+    for name in model.graph.store.packed_sources:
+        assert name not in model.graph.store._cache

@@ -223,3 +223,37 @@ _DEQUANT_FNS = {
     PackedFormat.Q6_K: _deq_q6_k,
     PackedFormat.Q8_K: _deq_q8_k,
 }
+
+
+# ---------------------------------------------------------------------------
+# float32 -> block quantization (the llama.cpp reference rounding), used
+# by tests and by benches that build synthetic quantized checkpoints.
+# ---------------------------------------------------------------------------
+
+def quantize_blocks(arr: np.ndarray, fmt: PackedFormat) -> bytes:
+    """Quantize a flat-able f32 array into raw GGUF block bytes
+    (inverse of dequantize_blocks; Q4_0 and Q8_0)."""
+    x = np.ascontiguousarray(arr, dtype=np.float32).reshape(-1, 32)
+    nb = x.shape[0]
+    if fmt == PackedFormat.Q8_0:
+        amax = np.abs(x).max(axis=1, keepdims=True)
+        d = np.where(amax > 0, amax / 127.0, 1.0).astype(np.float32)
+        q = np.round(x / d).clip(-127, 127).astype(np.int8)
+        out = np.empty((nb, 34), np.uint8)
+        out[:, 0:2] = d.astype(np.float16).view(np.uint8).reshape(nb, 2)
+        out[:, 2:34] = q.view(np.uint8)
+        return out.tobytes()
+    if fmt == PackedFormat.Q4_0:
+        # llama.cpp convention: d = signed_max / -8 so the extreme value
+        # maps exactly to quant level 0
+        imax = np.abs(x).argmax(axis=1)
+        vmax = x[np.arange(nb), imax]
+        d = np.where(vmax != 0, vmax / -8.0, 1.0).astype(np.float32)
+        # f16 storage round-trips BEFORE quantizing so dequant is exact
+        d = d.astype(np.float16).astype(np.float32)
+        q = np.clip(np.round(x / d[:, None]) + 8, 0, 15).astype(np.uint8)
+        out = np.empty((nb, 18), np.uint8)
+        out[:, 0:2] = d.astype(np.float16).view(np.uint8).reshape(nb, 2)
+        out[:, 2:18] = q[:, :16] | (q[:, 16:] << 4)
+        return out.tobytes()
+    raise ValueError(f"quantize_blocks: unsupported format {fmt}")

@@ -22,6 +22,14 @@ Device layout (host-repacked once at load, `repack_packed_tensor`):
 Bit-fidelity: the repack is exact (integer nibbles + f16->f32 scale
 conversion identical to backends/cpu/dequant.py), verified bitwise in
 tests/test_packed_matmul.py; the matmul itself accumulates in f32.
+
+Measured (1x v5e, 4096x4096 weights, M=64, 8-layer chain device-looped):
+~102 us/matmul for Q4_0 vs ~97 us for the XLA dense bf16 matmul — equal
+speed at 2.67x fewer HBM weight bytes. The win this buys today is HBM
+CAPACITY (an 8B Q4 model fits one 16 GB chip with room for KV) and the
+host-RAM/load-time savings; the bandwidth headroom is not yet realized
+as throughput because the kernel is VPU-relayout-bound (nibble unpack +
+per-32-row scale expansion), not HBM-bound, at these shapes.
 """
 
 from __future__ import annotations
@@ -169,13 +177,18 @@ def packed_matmul(x, q, scales, offsets, bits: int):
     def kernel(x_ref, q_ref, s_ref, o_ref, out_ref):
         s = jnp.repeat(s_ref[:], 32, axis=0)               # (K, TN)
         if bits == 8:
-            qf = q_ref[:].astype(jnp.float32)
-            w = qf * s
+            w = q_ref[:].astype(jnp.float32) * s
         else:
-            qb = q_ref[:]                                  # (K//2, TN)
-            nib = jnp.concatenate([qb & 0x0F, qb >> 4], axis=0)
+            # Mosaic has no u8 shifts or u8->f32 casts: widen to i32
+            # first (HBM traffic is still the packed u8 tile)
+            qi = q_ref[:].astype(jnp.int32)                # (K//2, TN)
+            nib = jnp.concatenate([qi & 0x0F, qi >> 4], axis=0)
             w = nib.astype(jnp.float32) * s - jnp.repeat(
                 o_ref[:], 32, axis=0)
+        # dot in f32 (operands dequantized on the VPU). Casting w to
+        # bf16 for the MXU was tried and measured 3x SLOWER (Mosaic
+        # inserts (8,128)->(16,128) relayouts for the cast) with a much
+        # longer compile; the f32 dot wins at decode's small M.
         acc = jax.lax.dot_general(
             x_ref[:].astype(jnp.float32), w,
             dimension_numbers=(((1,), (0,)), ((), ())),
