@@ -207,12 +207,165 @@ def bench_conformance() -> None:
     }))
 
 
+def bench_llama8b() -> None:
+    """Llama-3-8B-shaped decode on ONE v5e chip (BASELINE config #4 'at
+    scale'): 32 layers, d=4096, GQA 32/8, ffn 14336, vocab 128256 —
+    8.0B params, random weights. Weights ride the int8 fused
+    dequant-matmul path (~8.5 GB HBM; WT_BENCH_QUANT=q4 for the packed
+    Q4_0 path at ~4.3 GB). A truncated-depth (2-layer) referee asserts
+    the quantized logits track the bf16 logits before the big build.
+
+    Match: crates/whisper-tensor-import/src/models/llm/llama3.rs (the
+    at-scale import recipe the BASELINE configs name)."""
+    import jax
+
+    from whisper_tensor_tpu.dtype import DType
+    from whisper_tensor_tpu.importers.onnx_builder import WeightStorage
+    from whisper_tensor_tpu.importers.recipes.llm.llama import (
+        LlamaConfig, build_llama_step)
+    from whisper_tensor_tpu.interfaces.text import TextInferenceInterface
+    from whisper_tensor_tpu.model import Model
+    from whisper_tensor_tpu.symbolic_graph.tensor_store import LazyTensor
+    from whisper_tensor_tpu.tensor import NumericTensor, PackedTensor
+
+    mode = os.environ.get("WT_BENCH_QUANT", "int8")
+    B = int(os.environ.get("WT_BENCH_BATCH", "32"))
+    n_new = int(os.environ.get("WT_BENCH_NEW", "64"))
+    max_len = int(os.environ.get("WT_BENCH_MAXLEN", "128"))
+
+    def make_cfg(n_layer):
+        return LlamaConfig(
+            num_hidden_layers=n_layer, hidden_size=4096,
+            num_attention_heads=32, num_key_value_heads=8,
+            intermediate_size=14336, vocab_size=128256,
+            max_position_embeddings=8192, rope_theta=500000.0,
+            rms_norm_eps=1e-5, tie_word_embeddings=False)
+
+    def getter_for(cfg):
+        """Deterministic per-name random weights (regenerable, so the
+        q4 path never needs a dense cache)."""
+        import hashlib
+
+        shapes = _llama_shapes(cfg)
+
+        def getter(name):
+            shape = shapes[name]
+            seed = int.from_bytes(
+                hashlib.sha1(name.encode()).digest()[:4], "little")
+            r = np.random.default_rng(seed)
+            scale = 0.02 if len(shape) == 2 else 1.0
+            if name.endswith("norm.weight"):
+                return np.ones(shape, np.float32)
+            return (r.standard_normal(shape, dtype=np.float32) * scale)
+        return getter
+
+    def _llama_shapes(cfg):
+        E, Hq, Hkv, D, I, V = (cfg.hidden_size, cfg.num_attention_heads,
+                               cfg.num_key_value_heads, cfg.hd,
+                               cfg.intermediate_size, cfg.vocab_size)
+        s = {"model.embed_tokens.weight": (V, E),
+             "model.norm.weight": (E,), "lm_head.weight": (V, E)}
+        for i in range(cfg.num_hidden_layers):
+            p = f"model.layers.{i}."
+            s[p + "input_layernorm.weight"] = (E,)
+            s[p + "post_attention_layernorm.weight"] = (E,)
+            s[p + "self_attn.q_proj.weight"] = (Hq * D, E)
+            s[p + "self_attn.k_proj.weight"] = (Hkv * D, E)
+            s[p + "self_attn.v_proj.weight"] = (Hkv * D, E)
+            s[p + "self_attn.o_proj.weight"] = (E, Hq * D)
+            s[p + "mlp.gate_proj.weight"] = (I, E)
+            s[p + "mlp.up_proj.weight"] = (I, E)
+            s[p + "mlp.down_proj.weight"] = (E, I)
+        return s
+
+    def build_iface(cfg, mode, max_len, buckets):
+        from whisper_tensor_tpu.backends.cpu.dequant import quantize_blocks
+        from whisper_tensor_tpu.packed_format import PackedFormat
+
+        getter = getter_for(cfg)
+        sink, wm = {}, {}
+        data = build_llama_step(getter, cfg, max_len=max_len,
+                                dtype=DType.BF16,
+                                storage=WeightStorage.to_sink(sink),
+                                weight_map=wm)
+        model = Model.new_from_onnx(data, name=f"llama-{cfg.num_hidden_layers}L")
+        store = model.graph.store
+        for name, val in sink.items():
+            if mode == "q4" and name in wm:
+                hf = wm[name]
+
+                def packed_loader(hf=hf):
+                    w = getter(hf)           # (N, K) = HF (out, in)
+                    return PackedTensor(
+                        quantize_blocks(w, PackedFormat.Q4_0),
+                        PackedFormat.Q4_0, w.shape)
+
+                def dense_loader(hf=hf):
+                    return NumericTensor(np.ascontiguousarray(getter(hf).T))
+
+                store.put(name, LazyTensor(loader=dense_loader))
+                store.packed_sources[name] = packed_loader
+            else:
+                store.put(name, NumericTensor(np.asarray(val)))
+        del sink
+        return TextInferenceInterface(
+            model, max_len=max_len, cache_dtype=DType.BF16,
+            prompt_buckets=buckets,
+            quantize=("int8" if mode == "int8" else None))
+
+    # ---- truncated-depth logit sanity: 2-layer quantized vs bf16 ----
+    t0 = time.time()
+    small = make_cfg(2)
+    rng = np.random.default_rng(0)
+    prompt2 = rng.integers(0, 1000, (2, 16)).astype(np.int64)
+    ref_iface = build_iface(small, "bf16", 64, (16,))
+    q_iface = build_iface(small, mode, 64, (16,))
+    lr = ref_iface.logits(prompt2).astype(np.float32)
+    lq = q_iface.logits(prompt2).astype(np.float32)
+    cos = float(np.sum(lr * lq) / (np.linalg.norm(lr) * np.linalg.norm(lq)))
+    print(f"# 2-layer logit cosine (bf16 vs {mode}): {cos:.5f} "
+          f"({time.time() - t0:.0f}s)", file=sys.stderr)
+    assert cos > 0.98, f"quantized logits diverged: cosine {cos}"
+    del ref_iface, q_iface
+
+    # ---- the 8B build ----
+    t0 = time.time()
+    cfg = make_cfg(32)
+    iface = build_iface(cfg, mode, max_len, (16,))
+    print(f"# 8B build+ingest ({mode}): {time.time() - t0:.0f}s",
+          file=sys.stderr)
+
+    prompt = np.random.default_rng(0).integers(
+        0, cfg.vocab_size, (B, 16)).astype(np.int64)
+    t0 = time.time()
+    toks = iface.generate_tokens(prompt, n_new)
+    print(f"# compile+warmup: {time.time() - t0:.0f}s", file=sys.stderr)
+    runs = 3
+    t0 = time.time()
+    for _ in range(runs):
+        toks = iface.generate_tokens(prompt, n_new)
+    dt = (time.time() - t0) / runs
+    tok_s = B * n_new / dt
+    print(f"# {B}x{n_new} in {dt:.2f}s -> {tok_s:.0f} tok/s", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"llama8b_{mode}_decode",
+        "value": round(tok_s, 1),
+        "unit": "tok/s",
+        "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
+        "logit_cosine_2layer": round(cos, 5),
+        "batch": B,
+    }))
+
+
 def main() -> None:
     from whisper_tensor_tpu.compile_cache import enable_persistent_cache
 
     enable_persistent_cache()
     if os.environ.get("WT_BENCH_TARGET") == "conformance":
         bench_conformance()
+        return
+    if os.environ.get("WT_BENCH_TARGET") == "llama8b":
+        bench_llama8b()
         return
     if os.environ.get("WT_BENCH_TARGET") == "sd15":
         bench_sd15_unet()
