@@ -285,3 +285,94 @@ def test_server_generate_speech(server, tmp_path):
         assert r["result"]["sample_rate"] > 0
     finally:
         c.close()
+
+
+def test_super_graph_view_and_token_probs(server, tmp_path):
+    """WebUI explorer depth (VERDICT r2 #6): get_super_graph returns the
+    nested job graph (Scan body included) for a text model, and
+    generate_text with_probs returns per-token model probabilities for
+    the colored transcript."""
+    import json as _json
+
+    from safetensors.torch import save_file
+    import torch
+    from transformers import GPT2Config as HFConfig, GPT2LMHeadModel
+
+    torch.manual_seed(0)
+    hf = GPT2LMHeadModel(HFConfig(n_layer=1, n_head=2, n_embd=16,
+                                  vocab_size=300, n_positions=64))
+    d = tmp_path / "tiny-gpt2-sg"
+    d.mkdir()
+    (d / "config.json").write_text(_json.dumps({
+        "model_type": "gpt2", "n_layer": 1, "n_head": 2, "n_embd": 16,
+        "vocab_size": 300, "n_positions": 64}))
+    save_file({k: v.contiguous() for k, v in hf.state_dict().items()
+               if k != "lm_head.weight"}, str(d / "model.safetensors"))
+
+    srv, port = server
+    c = _WSClient("127.0.0.1", port)
+    try:
+        c.send({"type": "run_loader", "loader": "transformers",
+                "config": {"path": str(d), "dtype": "f32",
+                           "max_len": 64}})
+        mid = c.recv()["loaded"][0]
+
+        # nested SuperGraph navigation: job graph with a Scan body
+        c.send({"type": "get_super_graph", "model_id": mid, "n_new": 4})
+        r = c.recv()
+        assert r["type"] == "super_graph"
+        sg = r["graph"]
+        types = [n["type"] for n in sg["nodes"]]
+        assert "ScanNode" in types and "LLMPrefillNode" in types
+        scan = next(n for n in sg["nodes"] if n["type"] == "ScanNode")
+        assert scan["body"] and any(
+            b["type"] == "LLMDecodeStepNode" for b in scan["body"]["nodes"])
+
+        # token-probability colored transcript
+        c.send({"type": "generate_text", "model_id": mid, "prompt": "hi",
+                "max_new_tokens": 4, "tokenizer": "bytes",
+                "with_probs": True})
+        for _ in range(80):
+            r = c.recv()
+            if r["type"] in ("job_result", "job_error"):
+                break
+        assert r["type"] == "job_result", r
+        toks = r["result"]["tokens"]
+        assert len(toks) == 4
+        assert all(0.0 <= t["p"] <= 1.0 for t in toks)
+        assert "".join(t["text"] for t in toks) == r["result"]["text"]
+    finally:
+        c.close()
+
+
+def test_generate_image_live_preview(server, tmp_path):
+    """preview=true runs the introspectable diffusion SuperGraph and
+    streams a step_preview RGB frame per denoise step (reference
+    sd_explorer.rs live latents)."""
+    from tests.test_diffusers_loader import _write_sd_pipeline
+
+    d = _write_sd_pipeline(str(tmp_path))
+    srv, port = server
+    c = _WSClient("127.0.0.1", port)
+    try:
+        c.send({"type": "run_loader", "loader": "diffusers",
+                "config": {"path": d, "dtype": "f32"}})
+        mid = c.recv()["loaded"][0]
+        steps = 2
+        c.send({"type": "generate_image", "model_id": mid,
+                "prompt": "a tpu", "steps": steps, "seed": 1,
+                "height": 128, "width": 128, "preview": True})
+        previews, result = [], None
+        for _ in range(2000):
+            r = c.recv()
+            if r["type"] == "step_preview":
+                previews.append(r)
+            if r["type"] in ("job_result", "job_error"):
+                result = r
+                break
+        assert result["type"] == "job_result", result
+        assert len(previews) == steps
+        assert previews[0]["width"] == 16 and previews[0]["height"] == 16
+        assert result["result"]["width"] == 128
+    finally:
+        c.close()

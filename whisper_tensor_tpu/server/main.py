@@ -24,6 +24,22 @@ from .scheduler import ObserverSettings, Scheduler
 from .ws import WebSocketConnection, serve_websocket
 
 
+def _latent_preview_rgb(lat) -> dict:
+    """(1,C,H,W) latents -> small RGB frame dict for the live SD
+    preview stream (no VAE decode — the standard cheap latent->RGB
+    linear approximation, normalized per frame)."""
+    import base64
+
+    a = np.asarray(lat, dtype=np.float32)[0]
+    rgb = a[:3] if a.shape[0] >= 3 else np.repeat(a[:1], 3, axis=0)
+    lo, hi = float(rgb.min()), float(rgb.max())
+    u8 = ((rgb - lo) / ((hi - lo) or 1.0) * 255).astype(np.uint8)
+    u8 = u8.transpose(1, 2, 0)                      # (H, W, 3)
+    return {"width": int(u8.shape[1]), "height": int(u8.shape[0]),
+            "rgb_b64": base64.b64encode(
+                np.ascontiguousarray(u8).tobytes()).decode()}
+
+
 class Server:
     def __init__(self):
         from ..compile_cache import enable_persistent_cache
@@ -171,9 +187,32 @@ class Server:
             return self._transcribe(msg)
         if t == "get_op_milli":
             return self._get_op_milli(msg)
+        if t == "get_super_graph":
+            return self._get_super_graph(msg)
         if t == P.SUPER_GRAPH_REQUEST:
             return self._super_graph_request(msg)
         raise ValueError(f"unknown message type {t!r}")
+
+    def _get_super_graph(self, msg) -> dict:
+        """The SuperGraph-level view of a loaded text model: the full
+        tokenize -> prefill -> Scan(decode) -> detokenize job as JSON,
+        with nested Scan bodies included — the top layer of the
+        reference UI's SuperGraph -> Symbolic -> Milli navigation
+        (crates/whisper-tensor-ui/src/graph_explorer/)."""
+        from ..super_graph.llm import build_llm_supergraph
+
+        entry = self.models.get(int(msg["model_id"]))
+        cfg = entry.interfaces.get("text")
+        if cfg is None:
+            raise ValueError("model has no text interface")
+        sg = build_llm_supergraph(
+            entry.name, entry.tokenizer_source or "bytes",
+            n_layers=int(cfg["n_layers"]),
+            n_kv_heads=int(cfg["n_kv_heads"]), max_len=int(cfg["max_len"]),
+            head_dim=int(cfg["head_dim"]),
+            n_new=int(msg.get("n_new", 16)))
+        return {"type": "super_graph", "model_id": int(msg["model_id"]),
+                "graph": sg.to_json()}
 
     def _get_op_milli(self, msg) -> dict:
         """Lower ONE symbolic op to its milli ops (the nested
@@ -390,10 +429,32 @@ class Server:
         settings = ObserverSettings(
             tensor_subscriptions=set(msg.get("tensor_subscriptions", [])))
 
+        with_probs = bool(msg.get("with_probs"))
+
         def job(obs):
-            text = iface.run_string_in_string_out(msg["prompt"], n_new,
-                                                  sampling=sampling)
-            return {"text": text}
+            import numpy as _np
+
+            if not with_probs:
+                return {"text": iface.run_string_in_string_out(
+                    msg["prompt"], n_new, sampling=sampling)}
+            ids = _np.asarray(tok.encode(msg["prompt"]), dtype=_np.int64)[None]
+            toks = iface.generate_tokens(ids, n_new, sampling=sampling)[0]
+            text = tok.decode([int(t) for t in toks])
+            # token-probability coloring (reference llm_explorer.rs):
+            # one teacher-forced prefill over prompt+generated scores
+            # every emitted token under the model — p(tok_i | prefix)
+            full = _np.concatenate([ids[0], _np.asarray(toks)])[None]
+            logits = iface.logits(full[:, :-1]).astype(_np.float32)
+            start = ids.shape[1] - 1
+            token_info = []
+            for k, t in enumerate(toks):
+                lg = logits[0, start + k]
+                lg = lg - lg.max()
+                p = float(_np.exp(lg[int(t)]) / _np.exp(lg).sum())
+                token_info.append({"id": int(t),
+                                   "text": tok.decode([int(t)]),
+                                   "p": round(p, 4)})
+            return {"text": text, "tokens": token_info}
 
         job_id = self.scheduler.submit(job, settings)
         return None  # job_accepted is emitted via the report pump (FIFO with reports)
@@ -424,6 +485,55 @@ class Server:
                       else "euler"),
             seed=int(msg.get("seed", 0)))
         settings = ObserverSettings(report_progress=True)
+
+        if msg.get("preview") and spec["pipeline"] == "sd":
+            # live per-step latent previews (reference sd_explorer.rs):
+            # run the INTROSPECTABLE SuperGraph job — each denoise step
+            # executes as a node and streams its latents; the observer
+            # converts them to small RGB frames ("step_preview").
+            from ..super_graph.graph import ExecutionContext
+            from ..super_graph.image import build_diffusion_supergraph
+
+            te = bundle.models[spec["text_encoder"]]
+            unet = bundle.models[spec["unet"]]
+            vae = bundle.models[spec["vae"]]
+            sg = build_diffusion_supergraph(
+                te.name, unet.name, vae.name, steps=cfg.steps,
+                guidance_scale=cfg.guidance_scale,
+                latent_channels=spec["latent_channels"],
+                latent_hw=(cfg.height // 8, cfg.width // 8),
+                seed=cfg.seed,
+                prediction_type=spec.get("prediction_type", "epsilon"),
+                bos_token_id=spec.get("bos_token_id", 49406),
+                eos_token_id=spec.get("eos_token_id", 49407),
+                seq_len=spec.get("seq_len", 77))
+            ids = iface.encode_prompt(msg.get("prompt", ""))
+            nids = iface.encode_prompt(msg.get("negative_prompt", ""))
+
+            def preview_job(obs):
+                out_q = obs.out
+                job_id = obs.job_id
+                orig_assign = obs.on_tensor_assigned
+
+                def on_assign(link_name, value):
+                    if link_name == "step_latents":
+                        out_q.put({"type": "step_preview", "job": job_id,
+                                   **_latent_preview_rgb(value)})
+                    orig_assign(link_name, value)
+
+                obs.on_tensor_assigned = on_assign
+                ctx = ExecutionContext(
+                    models={te.name: te, unet.name: unet, vae.name: vae},
+                    backend_mode="xla", observer=obs)
+                out = sg.run(ctx, {"prompt_ids": ids, "negative_ids": nids})
+                img = out["image"]
+                return {"width": img.pixels.shape[1],
+                        "height": img.pixels.shape[0],
+                        "rgb_b64": base64.b64encode(
+                            img.pixels.tobytes()).decode()}
+
+            self.scheduler.submit(preview_job, settings)
+            return None
 
         def job(obs):
             img = iface.run(msg.get("prompt", ""),

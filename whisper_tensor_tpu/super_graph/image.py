@@ -169,7 +169,9 @@ def build_diffusion_supergraph(text_encoder: str, unet: str, vae: str,
     body = SuperGraph("denoise_body")
     b_in = body.mark_input("state", body.link(LinkKind.TENSOR_MAP))
     b_out = body.link(LinkKind.TENSOR_MAP)
-    b_lat = body.link(LinkKind.TENSOR)
+    # named so observers can stream every step's latents (the WebUI's
+    # live per-step preview; reference sd_explorer.rs)
+    b_lat = body.link(LinkKind.TENSOR, "step_latents")
     body.add(DiffusionStepNode(
         inputs={"state": b_in}, outputs={"state": b_out, "latents": b_lat},
         model_ref=unet, sigmas=sigmas, timesteps=timesteps,
