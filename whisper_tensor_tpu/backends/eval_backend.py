@@ -43,13 +43,16 @@ class SymbolicObserver:
 class EvalBackend:
     """mode: "oracle" (numpy interpreter) | "xla" (jit whole graph)."""
 
-    def __init__(self, mode: str = "oracle", validate: bool = False,
+    def __init__(self, mode: str = "oracle", validate: Optional[bool] = None,
                  observer: Optional[SymbolicObserver] = None,
                  capture: Optional[set] = None):
         if mode not in ("oracle", "xla"):
             raise ValueError(mode)
         self.mode = mode
-        self.validate = validate
+        # reference eval_backend.rs validates every assignment in its
+        # interpreter (:230-270); match that default on the oracle path
+        # (the XLA path validates structurally at trace time instead)
+        self.validate = (mode == "oracle") if validate is None else validate
         self.observer = observer
         # intermediate tensor names to report via the observer even in
         # compiled (XLA) mode — selected at COMPILE time so unselected
