@@ -256,7 +256,17 @@ def bench_llama8b() -> None:
             scale = 0.02 if len(shape) == 2 else 1.0
             if name.endswith("norm.weight"):
                 return np.ones(shape, np.float32)
-            return (r.standard_normal(shape, dtype=np.float32) * scale)
+            # tile a 1M-element random block: generating 8B true random
+            # samples costs ~8 min of host RNG; tiled values measure
+            # identically (no data-dependent compute on the chip) while
+            # keeping real float statistics per column block
+            n = int(np.prod(shape))
+            base = r.standard_normal(min(n, 1 << 20),
+                                     dtype=np.float32) * scale
+            if base.size >= n:
+                return base[:n].reshape(shape)
+            reps = -(-n // base.size)
+            return np.tile(base, reps)[:n].reshape(shape)
         return getter
 
     def _llama_shapes(cfg):

@@ -197,21 +197,25 @@ def packed_matmul(x, q, scales, offsets, bits: int):
 
     Kq = K if bits == 8 else K // 2
     qbytes = Kq * N
+    # tile over M too (see quant_matmul.py): big-M prefill x-blocks
+    # otherwise exceed the 16 MB scoped-VMEM budget
+    TM = M if M <= 128 else next(
+        t for t in (128, 64, 32, 16, 8, 4, 2, 1) if M % t == 0)
     with jax.enable_x64(False):
         out = pl.pallas_call(
             kernel,
-            grid=(N // TILE_N,),
+            grid=(N // TILE_N, M // TM),
             in_specs=[
-                pl.BlockSpec((M, K), lambda j: (0, 0),
+                pl.BlockSpec((TM, K), lambda j, i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((Kq, TILE_N), lambda j: (0, j),
+                pl.BlockSpec((Kq, TILE_N), lambda j, i: (0, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((K // 32, TILE_N), lambda j: (0, j),
+                pl.BlockSpec((K // 32, TILE_N), lambda j, i: (0, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((K // 32, TILE_N), lambda j: (0, j),
+                pl.BlockSpec((K // 32, TILE_N), lambda j, i: (0, j),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((M, TILE_N), lambda j: (0, j),
+            out_specs=pl.BlockSpec((TM, TILE_N), lambda j, i: (i, j),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
             cost_estimate=pl.CostEstimate(

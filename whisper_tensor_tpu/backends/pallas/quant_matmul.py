@@ -74,25 +74,33 @@ def int8_matmul(x, w_i8, scale):
     from jax.experimental.pallas import tpu as pltpu
 
     def kernel(x_ref, w_ref, s_ref, o_ref):
-        xb = x_ref[:]                                   # (M, K)
+        xb = x_ref[:]                                   # (TM, K)
         wb = w_ref[:].astype(xb.dtype)                  # (K, TILE_N)
         acc = jax.lax.dot_general(
             xb, wb, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         o_ref[:] = (acc * s_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
 
+    # tile over M too: a (M, K) x-block at prefill shapes (e.g. 512 x
+    # 14336 bf16 = 14.7 MB) exceeds the 16 MB scoped-VMEM budget once
+    # the weight tile joins it — decode's tiny M keeps one tile
+    TM = M if M <= 256 else next(
+        t for t in (256, 128, 64, 32, 16, 8, 4, 2, 1) if M % t == 0)
     # Mosaic cannot legalize i64 index-map returns; keep the kernel
     # region in 32-bit mode even when the session enables x64.
     with jax.enable_x64(False):
         out = pl.pallas_call(
             kernel,
-            grid=(N // TILE_N,),
+            grid=(N // TILE_N, M // TM),
             in_specs=[
-                pl.BlockSpec((M, K), lambda j: (0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((K, TILE_N), lambda j: (0, j), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, TILE_N), lambda j: (0, j), memory_space=pltpu.VMEM),
+                pl.BlockSpec((TM, K), lambda j, i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((K, TILE_N), lambda j, i: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, TILE_N), lambda j, i: (0, j),
+                             memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((M, TILE_N), lambda j: (0, j),
+            out_specs=pl.BlockSpec((TM, TILE_N), lambda j, i: (i, j),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
             cost_estimate=pl.CostEstimate(
