@@ -233,11 +233,11 @@ def bench_llama8b() -> None:
     n_new = int(os.environ.get("WT_BENCH_NEW", "64"))
     max_len = int(os.environ.get("WT_BENCH_MAXLEN", "128"))
 
-    def make_cfg(n_layer):
+    def make_cfg(n_layer, vocab=128256):
         return LlamaConfig(
             num_hidden_layers=n_layer, hidden_size=4096,
             num_attention_heads=32, num_key_value_heads=8,
-            intermediate_size=14336, vocab_size=128256,
+            intermediate_size=14336, vocab_size=vocab,
             max_position_embeddings=8192, rope_theta=500000.0,
             rms_norm_eps=1e-5, tie_word_embeddings=False)
 
@@ -324,8 +324,10 @@ def bench_llama8b() -> None:
             quantize=("int8" if mode == "int8" else None))
 
     # ---- truncated-depth logit sanity: 2-layer quantized vs bf16 ----
+    # (small vocab: the check exercises the quantized matmul math; the
+    # 128k-vocab head would only add ~10 min of build/upload)
     t0 = time.time()
-    small = make_cfg(2)
+    small = make_cfg(2, vocab=8192)
     rng = np.random.default_rng(0)
     prompt2 = rng.integers(0, 1000, (2, 16)).astype(np.int64)
     ref_iface = build_iface(small, "bf16", 64, (16,))
