@@ -146,3 +146,28 @@ def test_supergraph_example_smoke():
                        timeout=600)
     assert r.returncode == 0, r.stderr
     assert "accuracy" in r.stdout
+
+
+def test_serde_registry_covers_all_op_kinds():
+    """Every milli op class in the package must be serializable (the
+    reference's milli layer serializes completely)."""
+    import importlib
+    import inspect
+    import pkgutil
+
+    import whisper_tensor_tpu.milli.ops as ops_pkg
+    from whisper_tensor_tpu.milli.ir import MilliOp
+    from whisper_tensor_tpu.milli.serde import op_registry
+
+    reg = op_registry()
+    missing = []
+    for info in pkgutil.iter_modules(ops_pkg.__path__):
+        mod = importlib.import_module(f"whisper_tensor_tpu.milli.ops.{info.name}")
+        for name in dir(mod):
+            c = getattr(mod, name)
+            if (inspect.isclass(c) and issubclass(c, MilliOp)
+                    and c is not MilliOp
+                    and getattr(c, "KIND", "?") != "?"
+                    and c.KIND not in reg):
+                missing.append((info.name, c.KIND))
+    assert not missing, missing
