@@ -42,7 +42,29 @@ def _pad_to(x, mult):
     return ((x + mult - 1) // mult) * mult
 
 
+import contextlib
+import threading
+
+_NO_KERNEL = threading.local()
+
+
+@contextlib.contextmanager
+def pallas_attention_disabled():
+    """Trace-time guard: the flash kernel has no JVP/VJP rule, so code
+    that will be DIFFERENTIATED (LMTrainer forwards) traces inside this
+    context and takes the XLA einsum-softmax path, whose backward XLA
+    derives itself."""
+    prev = getattr(_NO_KERNEL, "on", False)
+    _NO_KERNEL.on = True
+    try:
+        yield
+    finally:
+        _NO_KERNEL.on = prev
+
+
 def flash_attention_usable(q, k, v, mask, softcap: float) -> bool:
+    if getattr(_NO_KERNEL, "on", False):
+        return False
     if not _ENABLED or softcap > 0:
         return False
     try:

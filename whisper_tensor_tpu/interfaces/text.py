@@ -680,10 +680,17 @@ class TextInferenceInterface:
         Sb = _bucket(L, self.prompt_buckets)
         padded = np.zeros((B, Sb), dtype=np.int64)
         padded[:, :L] = prompt_ids
-        step = self._traced_step(B, Sb)
-        jitted = jax.jit(lambda ids, caches, weights: step(
-            ids, jnp.asarray(0, dtype=jnp.int64), caches, weights)[0])
-        out = jitted(jnp.asarray(padded), self.fresh_cache(B), self._weights())
+        # cache the jitted program: a fresh jit(lambda) per call would
+        # retrace + recompile EVERY forward (measured 57 s/call on the
+        # 124M prefill before this was keyed)
+        key = ("logits", B, Sb)
+        prog = self._programs.get(key)
+        if prog is None:
+            step = self._traced_step(B, Sb)
+            prog = jax.jit(lambda ids, caches, weights: step(
+                ids, jnp.asarray(0, dtype=jnp.int64), caches, weights)[0])
+            self._programs[key] = prog
+        out = prog(jnp.asarray(padded), self.fresh_cache(B), self._weights())
         return np.asarray(out)[:, :L, :]
 
     # ------------------------------------------------------------------

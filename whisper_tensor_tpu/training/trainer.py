@@ -192,7 +192,12 @@ class LMTrainer:
         by_name.update(params)
         by_name["input_ids"] = ids
         args = [by_name[n] for n in self._order]
-        outs = self._fn(*args)
+        # the forward will be differentiated: the Pallas flash-attention
+        # kernel has no VJP rule, so trace the XLA attention path here
+        from ..backends.pallas.attention import pallas_attention_disabled
+
+        with pallas_attention_disabled():
+            outs = self._fn(*args)
         named = dict(zip(self.milli.outputs, outs))
         return named["logits"]
 
