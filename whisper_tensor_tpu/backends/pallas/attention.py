@@ -6,20 +6,24 @@ max/sum). Used by AttentionMilli.to_jax when applicable; the jnp
 einsum-softmax path remains the fallback (and XLA's own fusion is
 already decent at small sequence lengths).
 
-Round-2 extensions (VERDICT r1 weak #4): GQA (Hq = g * Hkv indexed in
+Round-2 extensions (VERDICT r1 weak #4; r3 NOTE: the kernel is now
+OPT-IN — full-model prefill benches measured XLA faster at every shape
+tried, see flash_attention_usable): GQA (Hq = g * Hkv indexed in
 the grid — no repeated K/V materialization), additive masks streamed
 per q-tile (broadcast over batch/heads), and ragged Sq/Skv via caller
 padding with in-kernel key masking — so llama-family GQA prefill and
 masked decode shapes hit the kernel.
 
 v5e measurements (causal, bf16, vs XLA's fused attention):
-  MHA  Hq=Hkv=12 S=1024 D=64 : 1.25x faster   <- enabled
-  GQA  32/8      S=2048 D=128: 1.02x (parity) <- enabled
-  GQA  32/8      S=1024 D=128: 0.90x          <- XLA path kept
-  GQA  32/8 B=4  S=1024 D=128: 0.80x          <- XLA path kept
-The dispatch gate below encodes these: plain MHA always, GQA only from
-Skv >= 2048 where the repeated-K/V materialization XLA does starts to
-cost HBM. Override with WT_PALLAS_ATTENTION_FORCE=1 to always use it.
+  isolated op: MHA S=1024 D=64 1.25x; GQA 32/8 S=2048 parity; GQA
+  shorter: 0.8-0.9x.
+  FULL MODEL (r3 prefill bench, the measurement that matters): XLA
+  1.86x faster at S=1024 (MFU 37.6% vs 20.1%) and 2.1x at S=2048 —
+  XLA fuses surrounding ops into its attention and its materialized
+  scores fit HBM fine at these lengths.
+The gate therefore keeps the kernel OPT-IN (WT_PALLAS_ATTENTION_FORCE=1)
+for very-long-context shapes where score materialization stops fitting;
+the infrastructure (GQA grid, masks, ragged padding) remains tested.
 """
 
 from __future__ import annotations
@@ -78,9 +82,14 @@ def flash_attention_usable(q, k, v, mask, softcap: float) -> bool:
     Hkv, Skv = k.shape[1], k.shape[2]
     if Hq % Hkv != 0:
         return False
-    # empirical gate (see module docstring): GQA wins only at long Skv
-    if Hq != Hkv and Skv < 2048 \
-            and os.environ.get("WT_PALLAS_ATTENTION_FORCE") != "1":
+    # empirical gate, re-tuned at FULL-MODEL level (r3 prefill bench):
+    # XLA's fused attention beat this kernel 1.86x at S=1024 (276.7k vs
+    # 148.8k tok/s, MFU 37.4% vs 20.1%) AND 2.1x at S=2048 — the
+    # earlier isolated-op 1.25x MHA win did not survive in context
+    # (XLA fuses the surrounding ops into its attention). The kernel
+    # stays OPT-IN (WT_PALLAS_ATTENTION_FORCE=1) for shapes where
+    # XLA's materialized (B,H,Sq,Skv) scores would not fit HBM.
+    if os.environ.get("WT_PALLAS_ATTENTION_FORCE") != "1":
         return False
     if v.shape[-1] != D:
         return False   # padding dispatch assumes Dv == D (see caller)
