@@ -99,3 +99,22 @@ class TestInt8Quant:
         ql = qi.logits(prompt)
         rel = np.abs(base - ql).max() / np.abs(base).max()
         assert rel < 0.03, rel
+
+
+def test_select_tiles():
+    import os
+
+    from whisper_tensor_tpu.backends.pallas.quant_matmul import (
+        TILE_N, select_tiles)
+
+    # decode: tiny M kept whole; prefill: M capped for VMEM
+    assert select_tiles(32, 14336) == (32, TILE_N)
+    assert select_tiles(512, 4096) == (256, TILE_N)
+    assert select_tiles(96, 512) == (96, TILE_N)
+    # env override honored only when it divides N
+    os.environ["WT_QMM_TN"] = "512"
+    try:
+        assert select_tiles(32, 14336) == (32, 512)
+        assert select_tiles(32, 14336 + 256) == (32, TILE_N)
+    finally:
+        del os.environ["WT_QMM_TN"]

@@ -51,6 +51,20 @@ def int8_matmul_usable(x, w_i8) -> bool:
     return N % TILE_N == 0 and K % 128 == 0
 
 
+def select_tiles(M: int, N: int) -> Tuple[int, int]:
+    """(TM, TN) for the kernel grid. TM caps the x block so prefill
+    shapes stay inside scoped VMEM; TN=256 measured best at decode
+    shapes (365 us vs 377-378 for 512/1024 at M=32, K=4096, N=14336
+    on v5e) — wider tiles do NOT amortize per-tile costs, so keep the
+    fixed tile and leave WT_QMM_TN as a shape-specific override."""
+    TM = M if M <= 256 else next(
+        t for t in (256, 128, 64, 32, 16, 8, 4, 2, 1) if M % t == 0)
+    TN = int(os.environ.get("WT_QMM_TN", TILE_N))
+    if N % TN:
+        TN = TILE_N
+    return TM, TN
+
+
 def int8_matmul(x, w_i8, scale):
     """x (..., K) bf16/f32, w_i8 (K, N) int8, scale (N,) f32 -> (..., N).
 
@@ -84,23 +98,22 @@ def int8_matmul(x, w_i8, scale):
     # tile over M too: a (M, K) x-block at prefill shapes (e.g. 512 x
     # 14336 bf16 = 14.7 MB) exceeds the 16 MB scoped-VMEM budget once
     # the weight tile joins it — decode's tiny M keeps one tile
-    TM = M if M <= 256 else next(
-        t for t in (256, 128, 64, 32, 16, 8, 4, 2, 1) if M % t == 0)
+    TM, TN = select_tiles(M, N)
     # Mosaic cannot legalize i64 index-map returns; keep the kernel
     # region in 32-bit mode even when the session enables x64.
     with jax.enable_x64(False):
         out = pl.pallas_call(
             kernel,
-            grid=(N // TILE_N, M // TM),
+            grid=(N // TN, M // TM),
             in_specs=[
                 pl.BlockSpec((TM, K), lambda j, i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((K, TILE_N), lambda j, i: (0, j),
+                pl.BlockSpec((K, TN), lambda j, i: (0, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, TILE_N), lambda j, i: (0, j),
+                pl.BlockSpec((1, TN), lambda j, i: (0, j),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((TM, TILE_N), lambda j, i: (i, j),
+            out_specs=pl.BlockSpec((TM, TN), lambda j, i: (i, j),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
             cost_estimate=pl.CostEstimate(
