@@ -279,3 +279,30 @@ def test_batch_pow2_cliff_guard():
         np.testing.assert_array_equal(toks, raw.generate_tokens(prompts, 4))
     finally:
         text_mod._POW2_PAD_MIN_BATCH = old
+
+
+def test_pipelined_slot_churn_matches_sequential():
+    """Stress the pipelined scheduler: many short ragged requests churn
+    through few slots (admissions land while a chunk is in flight, and
+    finished rows keep decoding until their park update applies) — every
+    request must still match the sequential reference exactly."""
+    cfg, m_scalar, m_ragged = _models()
+    ref_iface = TextInferenceInterface(m_scalar, max_len=64,
+                                       prompt_buckets=(16,))
+    batcher = ContinuousBatcher(m_ragged, max_len=64, max_batch=2, chunk=5,
+                                cache_dtype=DType.F32,
+                                prompt_buckets=(16,)).start()
+    try:
+        r = np.random.default_rng(11)
+        jobs = []
+        for k in range(9):
+            p = r.integers(0, cfg.vocab_size, (int(r.integers(2, 14)),)
+                           ).astype(np.int64)
+            n = int(r.integers(1, 12))
+            jobs.append((p, n, batcher.submit(p, n)))
+        for p, n, f in jobs:
+            out = f.result(timeout=180)
+            ref = ref_iface.generate_tokens(p[None], n)[0]
+            np.testing.assert_array_equal(out, ref)
+    finally:
+        batcher.stop()

@@ -7,9 +7,16 @@ don't serialize — each occupies a SLOT (row) of a persistent batched KV
 cache. Prefill runs per-request at B=1 on a bucketed length, its caches
 are spliced into the slot, and all active rows then advance together
 through a jitted `chunk`-step lax.scan (per-row positions via the
-pos_per_row step graph; the chunk amortizes the ~0.75 s axon dispatch
-latency). Rows park at a reserved scratch position when idle, so the
-program shape never changes and XLA keeps one executable.
+pos_per_row step graph; the chunk amortizes dispatch latency). Rows
+park at a reserved scratch position when idle, so the program shape
+never changes and XLA keeps one executable.
+
+The scheduler loop is PIPELINED: row state (cur/pos/active) lives on
+the device between chunks, host-side slot updates (admissions, parks)
+ride into the NEXT chunk dispatch as in-graph scatters, and the host
+fetches chunk k's tokens only after dispatching chunk k+1 — so the
+device->host sync (~0.1-0.3 s through a remote-dispatch tunnel)
+overlaps the next chunk's execution instead of serializing the loop.
 """
 
 from __future__ import annotations
@@ -40,6 +47,11 @@ class _Request:
 class _Slot:
     req: Optional[_Request] = None
     emitted: List[int] = field(default_factory=list)
+    # index of the first decode chunk that includes this request (its
+    # admission update rides in with that chunk's dispatch); None until
+    # dispatched — earlier chunks' rows for this slot belong to a
+    # previous tenant and must not be emitted
+    dispatched: Optional[int] = None
 
 
 class ContinuousBatcher:
@@ -75,9 +87,11 @@ class ContinuousBatcher:
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._slots = [_Slot() for _ in range(max_batch)]
         self._caches = None               # persistent batched KV caches
-        self._cur = np.zeros(max_batch, np.int64)
-        self._pos = np.full(max_batch, self.park_pos, np.int64)
-        self._active = np.zeros(max_batch, bool)
+        # row state (cur token / position / active) lives ON DEVICE
+        # between chunks; the host queues slot updates (admissions,
+        # parks) that the NEXT chunk program applies in-graph — so the
+        # host never re-uploads state and the loop can pipeline
+        self._pending: Dict[int, tuple] = {}   # slot -> (cur, pos, active)
         self._programs: Dict[Any, Any] = {}
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
@@ -133,6 +147,11 @@ class ContinuousBatcher:
         return self._programs[key]
 
     def _chunk_program(self):
+        """The decode-chunk program. Slot updates (admissions / parks)
+        queued on the host since the LAST dispatch ride in as scatter
+        inputs and apply in-graph before the scan — row state never
+        round-trips through the host, so the scheduler loop can keep a
+        chunk in flight while it post-processes the previous one."""
         import jax
         import jax.numpy as jnp
 
@@ -144,7 +163,19 @@ class ContinuousBatcher:
         eos = self.eos_token_id
         park = self.park_pos
 
-        def run(cur, pos, active, caches, weights, rng_key):
+        def run(cur, pos, active, caches, weights, rng_key,
+                upd_slots, upd_cur, upd_pos, upd_active):
+            # canonicalize: the initial state buffers may predate the
+            # compiler enabling x64, and the scan carry must be stable
+            cur = cur.astype(jnp.int64)
+            pos = pos.astype(jnp.int64)
+            # out-of-range slot index (== max_batch) pads unused rows
+            cur = cur.at[upd_slots].set(upd_cur.astype(cur.dtype),
+                                        mode="drop")
+            pos = pos.at[upd_slots].set(upd_pos.astype(pos.dtype),
+                                        mode="drop")
+            active = active.at[upd_slots].set(upd_active, mode="drop")
+
             def body(carry, i):
                 cur, pos, active, caches = carry
                 logits, caches = step(cur[:, None], pos, caches, weights)
@@ -199,13 +230,14 @@ class ContinuousBatcher:
                 slot = self._slots[slot_idx]
                 slot.req = req
                 slot.emitted = [first]
+                slot.dispatched = None
                 if req.on_token is not None:
                     req.on_token(first)
-                self._cur[slot_idx] = first
-                self._pos[slot_idx] = min(lens[row], self.park_pos)
                 eos_hit = (self.eos_token_id is not None
                            and first == self.eos_token_id)
-                self._active[slot_idx] = not eos_hit and req.n_new > 1
+                self._pending[slot_idx] = (
+                    first, min(lens[row], self.park_pos),
+                    not eos_hit and req.n_new > 1)
                 if req.n_new <= 1 or eos_hit:
                     self._finish(slot_idx)
 
@@ -217,10 +249,18 @@ class ContinuousBatcher:
                                              np.int64))
         slot.req = None
         slot.emitted = []
-        self._active[slot_idx] = False
-        self._pos[slot_idx] = self.park_pos
+        slot.dispatched = None
+        # park the device row at the next dispatch (harmless if it keeps
+        # decoding for one in-flight chunk first — its writes land at
+        # positions no future tenant will read below its own pos)
+        self._pending[slot_idx] = (0, self.park_pos, False)
 
     def _loop(self):
+        """Pipelined scheduler: dispatch chunk k+1 (with queued slot
+        updates applied in-graph) BEFORE blocking on chunk k's host
+        fetch — the ~0.1-0.3 s device->host sync through the dispatch
+        tunnel overlaps the next chunk's execution instead of
+        serializing with it."""
         import jax
         import jax.numpy as jnp
 
@@ -228,6 +268,12 @@ class ContinuousBatcher:
             self._caches = self.iface.fresh_cache(self.max_batch)
         rng = jax.random.PRNGKey(self.sampling.seed if self.sampling else 0)
         step_count = 0
+        mb = self.max_batch
+        # device-resident row state
+        dcur = jnp.zeros(mb, jnp.int64)
+        dpos = jnp.full(mb, self.park_pos, jnp.int64)
+        dact = jnp.zeros(mb, bool)
+        inflight = None                  # (toks, actives, pos) handles
         while not self._stop.is_set():
             # admit queued requests into free slots (batched prefill;
             # sorted by length so groups share a bucket)
@@ -247,38 +293,69 @@ class ContinuousBatcher:
                     for _, req in pairs:
                         if not req.future.done():
                             req.future.set_exception(e)
-            if not self._active.any():
+            work = any(s.req is not None for s in self._slots)
+            new_inflight = None
+            if work:
+                # fold queued slot updates into fixed-shape scatter
+                # inputs (index mb == out of range -> dropped pad)
+                upd_s = np.full(mb, mb, np.int32)
+                upd_c = np.zeros(mb, np.int64)
+                upd_p = np.full(mb, self.park_pos, np.int64)
+                upd_a = np.zeros(mb, bool)
+                for j, (s, (c, p, a)) in enumerate(self._pending.items()):
+                    upd_s[j], upd_c[j], upd_p[j], upd_a[j] = s, c, p, a
+                    slot = self._slots[s]
+                    if slot.req is not None and slot.dispatched is None:
+                        slot.dispatched = step_count
+                self._pending = {}
+                prog = self._chunk_program()
+                dcur, dpos, dact, self._caches, toks, actives = prog(
+                    dcur, dpos, dact, self._caches, self.iface._weights(),
+                    jax.random.fold_in(rng, step_count),
+                    jnp.asarray(upd_s), jnp.asarray(upd_c),
+                    jnp.asarray(upd_p), jnp.asarray(upd_a))
+                new_inflight = (step_count, toks, actives, dpos)
+                step_count += 1
+            if inflight is not None:
+                # ONE host fetch per chunk; blocks until THAT chunk is
+                # done while the freshly dispatched one keeps the device
+                # busy
+                chunk_idx = inflight[0]
+                toks, actives_np, pos_np = jax.device_get(inflight[1:])
+                self._drain_chunk(chunk_idx, toks, actives_np, pos_np)
+            elif not work:
                 self._wake.wait(timeout=0.05)
                 self._wake.clear()
+            inflight = new_inflight
+
+    def _drain_chunk(self, chunk_idx, toks, actives_np, pos_np):
+        """Emit a fetched chunk's tokens and retire finished slots.
+
+        Bookkeeping lags the device by one in-flight chunk: a row that
+        hits its n_new cap keeps decoding until its park update lands.
+        Those extra tokens are dropped here, and the cache-write
+        discipline (a tenant only reads positions below its own pos,
+        all freshly written) keeps stale rows harmless."""
+        for i, slot in enumerate(self._slots):
+            req = slot.req
+            if req is None:
                 continue
-            prog = self._chunk_program()
-            cur, pos, active, self._caches, toks, actives = prog(
-                jnp.asarray(self._cur), jnp.asarray(self._pos),
-                jnp.asarray(self._active), self._caches,
-                self.iface._weights(), jax.random.fold_in(rng, step_count))
-            step_count += 1
-            # ONE host fetch for everything the bookkeeping needs (each
-            # np.asarray is a separate device->host roundtrip otherwise)
-            cur, pos, active, toks, actives_np = jax.device_get(
-                (cur, pos, active, toks, actives))
-            # copies: numpy views of jax buffers are read-only
-            self._cur = np.array(cur)
-            self._pos = np.array(pos)
-            self._active = np.array(active)
-            for i, slot in enumerate(self._slots):
-                req = slot.req
-                if req is None:
-                    continue
-                was_active = True
-                for j in range(self.chunk):
-                    if not was_active or len(slot.emitted) >= req.n_new:
-                        break
-                    tok = int(toks[i, j])
-                    slot.emitted.append(tok)
-                    if req.on_token is not None:
-                        req.on_token(tok)
-                    was_active = bool(actives_np[i, j])
-                if len(slot.emitted) >= req.n_new or not was_active \
-                        or not self._active[i] \
-                        or self._pos[i] >= self.park_pos:
-                    self._finish(i)
+            if req.future.done():           # failed admission cleanup
+                self._finish(i)
+                continue
+            if slot.dispatched is None or chunk_idx < slot.dispatched:
+                # admitted after this chunk was dispatched — these rows
+                # belong to the slot's previous tenant
+                continue
+            was_active = True
+            for j in range(self.chunk):
+                if not was_active or len(slot.emitted) >= req.n_new:
+                    break
+                tok = int(toks[i, j])
+                slot.emitted.append(tok)
+                if req.on_token is not None:
+                    req.on_token(tok)
+                was_active = bool(actives_np[i, j])
+            if len(slot.emitted) >= req.n_new or not was_active \
+                    or pos_np[i] >= self.park_pos:
+                self._finish(i)
