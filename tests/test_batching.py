@@ -281,6 +281,43 @@ def test_batch_pow2_cliff_guard():
         text_mod._POW2_PAD_MIN_BATCH = old
 
 
+def test_tick_failure_fails_futures_and_recovers():
+    """A failure inside the scheduler tick (poisoned program, OOM, a
+    dropped device tunnel) must fail every outstanding future with the
+    cause — not hang them — and the batcher must recover and serve
+    later requests correctly (reference scheduler.rs reports per-job
+    Err the same way instead of dying)."""
+    cfg, m_scalar, m_ragged = _models()
+    ref_iface = TextInferenceInterface(m_scalar, max_len=64,
+                                       prompt_buckets=(16,))
+    batcher = ContinuousBatcher(m_ragged, max_len=64, max_batch=2, chunk=4,
+                                cache_dtype=DType.F32, prompt_buckets=(16,))
+
+    real = batcher._chunk_program
+    state = {"boom": 1}
+
+    def poisoned():
+        if state["boom"]:
+            state["boom"] -= 1
+            raise RuntimeError("injected device failure")
+        return real()
+
+    batcher._chunk_program = poisoned
+    batcher.start()
+    try:
+        p = rng.integers(0, cfg.vocab_size, (5,)).astype(np.int64)
+        fut = batcher.submit(p, 6)
+        with pytest.raises(RuntimeError, match="injected device failure"):
+            fut.result(timeout=120)
+        # recovered: fresh caches + row state, later requests are exact
+        p2 = rng.integers(0, cfg.vocab_size, (7,)).astype(np.int64)
+        out = batcher.submit(p2, 5).result(timeout=120)
+        np.testing.assert_array_equal(
+            out, ref_iface.generate_tokens(p2[None], 5)[0])
+    finally:
+        batcher.stop()
+
+
 def test_pipelined_slot_churn_matches_sequential():
     """Stress the pipelined scheduler: many short ragged requests churn
     through few slots (admissions land while a chunk is in flight, and

@@ -92,6 +92,7 @@ class ContinuousBatcher:
         # parks) that the NEXT chunk program applies in-graph — so the
         # host never re-uploads state and the loop can pipeline
         self._pending: Dict[int, tuple] = {}   # slot -> (cur, pos, active)
+        self._row_state = None            # (rng, step, cur, pos, active)
         self._programs: Dict[Any, Any] = {}
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
@@ -260,73 +261,112 @@ class ContinuousBatcher:
         updates applied in-graph) BEFORE blocking on chunk k's host
         fetch — the ~0.1-0.3 s device->host sync through the dispatch
         tunnel overlaps the next chunk's execution instead of
-        serializing with it."""
-        import jax
-        import jax.numpy as jnp
+        serializing with it.
 
-        if self._caches is None:
-            self._caches = self.iface.fresh_cache(self.max_batch)
-        rng = jax.random.PRNGKey(self.sampling.seed if self.sampling else 0)
-        step_count = 0
-        mb = self.max_batch
-        # device-resident row state
-        dcur = jnp.zeros(mb, jnp.int64)
-        dpos = jnp.full(mb, self.park_pos, jnp.int64)
-        dact = jnp.zeros(mb, bool)
-        inflight = None                  # (toks, actives, pos) handles
+        A tick failure (OOM, a poisoned program, a dropped device
+        tunnel) fails every outstanding future with the cause and
+        resets to an empty state — mirroring the reference scheduler's
+        per-job error reporting (crates/whisper-tensor-server/src/
+        scheduler.rs job Err arm) instead of killing the serving
+        thread."""
+        inflight = None                  # (idx, toks, actives, pos) handles
         while not self._stop.is_set():
-            # admit queued requests into free slots (batched prefill;
-            # sorted by length so groups share a bucket)
-            pairs = []
-            for i, slot in enumerate(self._slots):
-                if slot.req is None:
+            try:
+                inflight = self._tick(inflight)
+            except Exception as e:  # noqa: BLE001 — keep serving
+                for slot in self._slots:
+                    if slot.req is not None and not slot.req.future.done():
+                        slot.req.future.set_exception(e)
+                    slot.req = None
+                    slot.emitted = []
+                    slot.dispatched = None
+                while True:
                     try:
                         req = self._queue.get_nowait()
                     except queue.Empty:
                         break
-                    pairs.append((i, req))
-            if pairs:
-                pairs.sort(key=lambda p: p[1].prompt_ids.shape[0])
-                try:
-                    self._admit_group(pairs)
-                except Exception as e:  # noqa: BLE001
-                    for _, req in pairs:
-                        if not req.future.done():
-                            req.future.set_exception(e)
-            work = any(s.req is not None for s in self._slots)
-            new_inflight = None
-            if work:
-                # fold queued slot updates into fixed-shape scatter
-                # inputs (index mb == out of range -> dropped pad)
-                upd_s = np.full(mb, mb, np.int32)
-                upd_c = np.zeros(mb, np.int64)
-                upd_p = np.full(mb, self.park_pos, np.int64)
-                upd_a = np.zeros(mb, bool)
-                for j, (s, (c, p, a)) in enumerate(self._pending.items()):
-                    upd_s[j], upd_c[j], upd_p[j], upd_a[j] = s, c, p, a
-                    slot = self._slots[s]
-                    if slot.req is not None and slot.dispatched is None:
-                        slot.dispatched = step_count
+                    if not req.future.done():
+                        req.future.set_exception(e)
                 self._pending = {}
-                prog = self._chunk_program()
-                dcur, dpos, dact, self._caches, toks, actives = prog(
-                    dcur, dpos, dact, self._caches, self.iface._weights(),
-                    jax.random.fold_in(rng, step_count),
-                    jnp.asarray(upd_s), jnp.asarray(upd_c),
-                    jnp.asarray(upd_p), jnp.asarray(upd_a))
-                new_inflight = (step_count, toks, actives, dpos)
-                step_count += 1
-            if inflight is not None:
-                # ONE host fetch per chunk; blocks until THAT chunk is
-                # done while the freshly dispatched one keeps the device
-                # busy
-                chunk_idx = inflight[0]
-                toks, actives_np, pos_np = jax.device_get(inflight[1:])
-                self._drain_chunk(chunk_idx, toks, actives_np, pos_np)
-            elif not work:
-                self._wake.wait(timeout=0.05)
-                self._wake.clear()
-            inflight = new_inflight
+                # the chunk program donates the caches, so after a
+                # failed dispatch they may be invalid — rebuild row
+                # state and caches from scratch on the next tick
+                self._caches = None
+                self._row_state = None
+                inflight = None
+
+    def _tick(self, inflight):
+        """One scheduler iteration: admit, dispatch, drain the
+        previously in-flight chunk. Returns the new in-flight handles
+        (dispatched this tick, fetched next tick)."""
+        import jax
+        import jax.numpy as jnp
+
+        mb = self.max_batch
+        if self._caches is None:
+            self._caches = self.iface.fresh_cache(mb)
+        if self._row_state is None:
+            self._row_state = (
+                jax.random.PRNGKey(self.sampling.seed if self.sampling
+                                   else 0),
+                0,                                     # step_count
+                jnp.zeros(mb, jnp.int64),              # cur token
+                jnp.full(mb, self.park_pos, jnp.int64),  # pos
+                jnp.zeros(mb, bool))                   # active
+        rng, step_count, dcur, dpos, dact = self._row_state
+        # admit queued requests into free slots (batched prefill;
+        # sorted by length so groups share a bucket)
+        pairs = []
+        for i, slot in enumerate(self._slots):
+            if slot.req is None:
+                try:
+                    req = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                pairs.append((i, req))
+        if pairs:
+            pairs.sort(key=lambda p: p[1].prompt_ids.shape[0])
+            try:
+                self._admit_group(pairs)
+            except Exception as e:  # noqa: BLE001
+                for _, req in pairs:
+                    if not req.future.done():
+                        req.future.set_exception(e)
+        work = any(s.req is not None for s in self._slots)
+        new_inflight = None
+        if work:
+            # fold queued slot updates into fixed-shape scatter
+            # inputs (index mb == out of range -> dropped pad)
+            upd_s = np.full(mb, mb, np.int32)
+            upd_c = np.zeros(mb, np.int64)
+            upd_p = np.full(mb, self.park_pos, np.int64)
+            upd_a = np.zeros(mb, bool)
+            for j, (s, (c, p, a)) in enumerate(self._pending.items()):
+                upd_s[j], upd_c[j], upd_p[j], upd_a[j] = s, c, p, a
+                slot = self._slots[s]
+                if slot.req is not None and slot.dispatched is None:
+                    slot.dispatched = step_count
+            self._pending = {}
+            prog = self._chunk_program()
+            dcur, dpos, dact, self._caches, toks, actives = prog(
+                dcur, dpos, dact, self._caches, self.iface._weights(),
+                jax.random.fold_in(rng, step_count),
+                jnp.asarray(upd_s), jnp.asarray(upd_c),
+                jnp.asarray(upd_p), jnp.asarray(upd_a))
+            new_inflight = (step_count, toks, actives, dpos)
+            step_count += 1
+        self._row_state = (rng, step_count, dcur, dpos, dact)
+        if inflight is not None:
+            # ONE host fetch per chunk; blocks until THAT chunk is
+            # done while the freshly dispatched one keeps the device
+            # busy
+            chunk_idx = inflight[0]
+            toks, actives_np, pos_np = jax.device_get(inflight[1:])
+            self._drain_chunk(chunk_idx, toks, actives_np, pos_np)
+        elif not work:
+            self._wake.wait(timeout=0.05)
+            self._wake.clear()
+        return new_inflight
 
     def _drain_chunk(self, chunk_idx, toks, actives_np, pos_np):
         """Emit a fetched chunk's tokens and retire finished slots.
