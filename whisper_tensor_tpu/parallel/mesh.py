@@ -109,6 +109,49 @@ def weight_shardings(names: Sequence[str], mesh,
     return out
 
 
+def fsdp_shardings(names: Sequence[str], shapes: Sequence[Tuple[int, ...]],
+                   mesh, rules: Optional[List[Tuple[str, Optional[Tuple]]]]
+                   = None, axis: str = "dp", min_size: int = 2 ** 16):
+    """ZeRO-3 / FSDP-style parameter shardings: every sufficiently
+    large weight is sharded over the data-parallel axis (in addition
+    to any tensor-parallel split from `rules`), so parameters,
+    gradients, and optimizer state all cost 1/dp of their replicated
+    HBM. GSPMD then inserts the per-layer all-gather (forward/backward)
+    and reduce-scatter (grad) collectives that hand-written FSDP
+    implementations schedule manually.
+
+    Net-new vs the reference (single-device — SURVEY.md §2.6); the
+    sharded-optimizer role of torch FSDP/ZeRO expressed as nothing but
+    placement: pick a dim, annotate, let XLA do the wrapping.
+
+    For each weight: start from the first matching TP rule spec (or
+    replicated), then place `axis` on the LARGEST dim that is still
+    unsharded and divides evenly. Weights smaller than min_size
+    elements stay on their base spec (norms/biases — the all-gather
+    latency isn't worth the bytes, same heuristic as torch FSDP's
+    min_num_params wrapping policy)."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    n_shard = dict(zip(mesh.axis_names, mesh.devices.shape)).get(axis, 1)
+    out = []
+    for name, shape in zip(names, shapes):
+        spec: Optional[Tuple] = None
+        for pat, s in (rules or []):
+            if re.search(pat, name):
+                spec = s
+                break
+        base = list(spec) if spec is not None else [None] * len(shape)
+        base += [None] * (len(shape) - len(base))
+        if n_shard > 1 and int(np.prod(shape, dtype=np.int64)) >= min_size:
+            cands = [d for d in range(len(shape))
+                     if base[d] is None and shape[d] % n_shard == 0]
+            if cands:
+                d = max(cands, key=lambda d: shape[d])
+                base[d] = axis
+        out.append(NamedSharding(mesh, PartitionSpec(*base)))
+    return out
+
+
 def shard_array(arr, sharding):
     import jax
 

@@ -32,7 +32,8 @@ class LMTrainer:
                  accum_steps: int = 1,
                  lr_schedule: Optional[str] = None,
                  warmup_steps: int = 0, total_steps: int = 0,
-                 remat: bool = False,
+                 remat: bool = False, fsdp: bool = False,
+                 fsdp_min_size: int = 2 ** 16,
                  lora_rank: int = 0, lora_alpha: Optional[float] = None,
                  lora_targets: Optional[Sequence[str]] = None):
         """grad_clip: global-norm clipping before the optimizer.
@@ -47,6 +48,12 @@ class LMTrainer:
         backward recomputes activations instead of storing them, trading
         ~1 extra forward of FLOPs for the activation memory (the
         standard TPU HBM-for-FLOPs lever for long-sequence training).
+        fsdp: ZeRO-3-style sharded training — every large parameter
+        (and, by GSPMD propagation, its gradient and optimizer state)
+        is sharded over the `dp` mesh axis ON TOP of any tp split from
+        `rules` (parallel.mesh.fsdp_shardings), cutting weight+Adam HBM
+        to 1/dp per device; XLA inserts the per-layer all-gathers and
+        grad reduce-scatters that torch FSDP schedules by hand.
         lora_rank > 0: LoRA fine-tuning — low-rank A·B bypasses are
         injected around the 2-D weight MatMuls (milli.transforms.
         inject_lora); ONLY the adapters are trained, the base weights
@@ -118,11 +125,18 @@ class LMTrainer:
         if accum_steps > 1:
             self.tx = optax.MultiSteps(self.tx, accum_steps)
 
+        self.fsdp = fsdp and mesh is not None
+        self.fsdp_min_size = fsdp_min_size
         if mesh is not None:
             from ..parallel.mesh import GPT2_RULES, weight_shardings
 
-            self.param_shardings = weight_shardings(
-                self.weight_names, mesh, rules if rules is not None else GPT2_RULES)
+            self._rules = rules if rules is not None else GPT2_RULES
+            if self.fsdp:
+                # needs weight shapes — resolved lazily in init_params
+                self.param_shardings = None
+            else:
+                self.param_shardings = weight_shardings(
+                    self.weight_names, mesh, self._rules)
         else:
             self.param_shardings = None
         self._step_fn = None
@@ -138,10 +152,18 @@ class LMTrainer:
             return {n: jax.device_put(
                 v.astype(self.param_dtype.to_numpy(), copy=False))
                 for n, v in self._lora_init.items()}
-        params = {}
-        for i, n in enumerate(self.weight_names):
+        hosts = []
+        for n in self.weight_names:
             host = self.model.graph.store.get_numeric(n, self.param_dtype).numpy()
-            host = host.astype(self.param_dtype.to_numpy(), copy=False)
+            hosts.append(host.astype(self.param_dtype.to_numpy(), copy=False))
+        if self.fsdp and self.param_shardings is None:
+            from ..parallel.mesh import fsdp_shardings
+
+            self.param_shardings = fsdp_shardings(
+                self.weight_names, [h.shape for h in hosts], self.mesh,
+                rules=self._rules, min_size=self.fsdp_min_size)
+        params = {}
+        for i, (n, host) in enumerate(zip(self.weight_names, hosts)):
             if self.param_shardings is not None:
                 params[n] = jax.device_put(host, self.param_shardings[i])
             else:
@@ -157,11 +179,20 @@ class LMTrainer:
         if self.lora_rank == 0:
             return {}
         if getattr(self, "_frozen_cache", None) is None:
-            frozen = {}
-            for i, n in enumerate(self.weight_names):
+            hosts = []
+            for n in self.weight_names:
                 host = self.model.graph.store.get_numeric(
                     n, self.param_dtype).numpy()
-                host = host.astype(self.param_dtype.to_numpy(), copy=False)
+                hosts.append(host.astype(self.param_dtype.to_numpy(),
+                                         copy=False))
+            if self.fsdp and self.param_shardings is None:
+                from ..parallel.mesh import fsdp_shardings
+
+                self.param_shardings = fsdp_shardings(
+                    self.weight_names, [h.shape for h in hosts], self.mesh,
+                    rules=self._rules, min_size=self.fsdp_min_size)
+            frozen = {}
+            for i, (n, host) in enumerate(zip(self.weight_names, hosts)):
                 sh = (self.param_shardings[i]
                       if self.param_shardings is not None else None)
                 frozen[n] = (jax.device_put(host, sh) if sh is not None
@@ -226,6 +257,13 @@ class LMTrainer:
             import optax
 
             params = optax.apply_updates(params, updates)
+            if self.fsdp and self.param_shardings is not None:
+                # pin updated params to their dp-sharded placement so
+                # GSPMD reduce-scatters grads and keeps weights + Adam
+                # state at 1/dp per device instead of re-replicating
+                sh = dict(zip(self.weight_names, self.param_shardings))
+                params = {k: jax.lax.with_sharding_constraint(v, sh[k])
+                          for k, v in params.items()}
             return params, opt_state, loss
 
         self._step_fn = jax.jit(step, donate_argnums=(0, 1))
