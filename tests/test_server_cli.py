@@ -210,6 +210,25 @@ def test_cli_inspect_and_generate(tmp_path, capsys):
     out = capsys.readouterr().out
     assert isinstance(out, str)
 
+    # speculative decoding path: a second tiny model as draft; greedy
+    # output must equal the plain greedy generation above
+    torch.manual_seed(1)
+    hf2 = GPT2LMHeadModel(HFConfig(n_layer=1, n_head=1, n_embd=8,
+                                   vocab_size=300, n_positions=64))
+    d2 = tmp_path / "tiny-draft"
+    d2.mkdir()
+    (d2 / "config.json").write_text(_json.dumps({
+        "model_type": "gpt2", "n_layer": 1, "n_head": 1, "n_embd": 8,
+        "vocab_size": 300, "n_positions": 64}))
+    save_file({k: v.contiguous() for k, v in hf2.state_dict().items()
+               if k != "lm_head.weight"}, str(d2 / "model.safetensors"))
+    cli_main(["generate", "--model", str(d), "--prompt", "hi",
+              "--max-new-tokens", "4", "--max-len", "64",
+              "-c", "dtype=f32", "--tokenizer", "bytes",
+              "--draft-model", str(d2), "--draft-k", "3"])
+    spec_out = capsys.readouterr().out
+    assert spec_out == out
+
 
 def test_op_milli_lowering_and_stored_tensor(server, tmp_path):
     """Graph-explorer introspection: lower one op to milli ops and fetch

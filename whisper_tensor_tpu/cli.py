@@ -88,6 +88,26 @@ def cmd_generate(args) -> None:
         toks = iface.beam_search_tokens(ids, args.max_new_tokens,
                                         beam=args.num_beams)[0]
         text = iface.tokenizer.decode([int(t) for t in toks])
+    elif getattr(args, "draft_model", None):
+        # speculative decoding: a small draft model proposes blocks the
+        # target verifies in one forward — greedy, token-exact vs plain
+        from .interfaces.speculative import SpeculativeDecoder
+
+        if args.loader == "auto":
+            dbundle = identify_and_load(args.draft_model, **cfg)
+        else:
+            dbundle = loader_registry()[args.loader].load(
+                {"path": args.draft_model, **cfg})
+        dname = (dbundle.interfaces.get("text") or {}).get("model") \
+            or next(iter(dbundle.models))
+        draft = TextInferenceInterface(
+            dbundle.models[dname],
+            max_len=int(iface_cfg.get("max_len", args.max_len)))
+        dec = SpeculativeDecoder(iface, draft, k=args.draft_k)
+        ids = np.asarray(iface.tokenizer.encode(args.prompt),
+                         dtype=np.int64)
+        toks = dec.generate_tokens(ids, args.max_new_tokens)[0]
+        text = iface.tokenizer.decode([int(t) for t in toks])
     else:
         sampling = None
         if args.temperature > 0 or args.repetition_penalty != 1.0:
@@ -322,6 +342,11 @@ def main(argv=None) -> None:
     g.add_argument("--top-p", type=float, default=1.0)
     g.add_argument("--repetition-penalty", type=float, default=1.0)
     g.add_argument("--num-beams", type=int, default=1)
+    g.add_argument("--draft-model",
+                   help="speculative decoding: path to a small draft "
+                        "model sharing the target's vocab (greedy only)")
+    g.add_argument("--draft-k", type=int, default=4,
+                   help="speculation block length (k-1 proposals/round)")
     g.add_argument("--seed", type=int, default=0)
     g.add_argument("-c", "--config", action="append", default=[],
                    help="loader config key=value")
