@@ -59,3 +59,8 @@ def test_llava_chat_smoke():
 def test_multihost_train_smoke():
     out = run_example("multihost_train.py", "--smoke", timeout=600)
     assert "both workers finished" in out
+
+
+def test_speculative_decode_smoke():
+    out = run_example("speculative_decode.py", "--smoke", "--k", "3")
+    assert "token-exact" in out and "ok" in out
