@@ -44,6 +44,26 @@ def _uses_seen(sp: Optional[SamplingParams]) -> bool:
     return sp is not None and sp.repetition_penalty != 1.0
 
 
+def _filtered_logits(logits, sp: SamplingParams):
+    """Temperature/top-k/top-p-adjusted (B, V) f32 logits — softmax of
+    the result IS the sampling distribution _pick_token draws from."""
+    import jax
+    import jax.numpy as jnp
+
+    lg = logits.astype(jnp.float32) / sp.temperature
+    if sp.top_k:
+        kth = jax.lax.top_k(lg, sp.top_k)[0][..., -1:]
+        lg = jnp.where(lg < kth, -jnp.inf, lg)
+    if sp.top_p < 1.0:
+        srt = jnp.sort(lg, axis=-1)[..., ::-1]
+        probs = jax.nn.softmax(srt, axis=-1)
+        keep = (jnp.cumsum(probs, axis=-1) - probs) <= sp.top_p
+        thresh = jnp.min(jnp.where(keep, srt, jnp.inf), axis=-1,
+                         keepdims=True)
+        lg = jnp.where(lg < thresh, -jnp.inf, lg)
+    return lg
+
+
 def _pick_token(logits, key, sp: Optional[SamplingParams], seen=None):
     """(B, V) logits -> (B,) token ids, inside jit. `seen` is the (B, V)
     bool already-emitted mask for repetition_penalty."""
@@ -57,18 +77,7 @@ def _pick_token(logits, key, sp: Optional[SamplingParams], seen=None):
         logits = jnp.where(seen, pen, lg0)
     if sp is None or sp.temperature <= 0.0:
         return jnp.argmax(logits, axis=-1)
-    lg = logits.astype(jnp.float32) / sp.temperature
-    if sp.top_k:
-        kth = jax.lax.top_k(lg, sp.top_k)[0][..., -1:]
-        lg = jnp.where(lg < kth, -jnp.inf, lg)
-    if sp.top_p < 1.0:
-        srt = jnp.sort(lg, axis=-1)[..., ::-1]
-        probs = jax.nn.softmax(srt, axis=-1)
-        keep = (jnp.cumsum(probs, axis=-1) - probs) <= sp.top_p
-        thresh = jnp.min(jnp.where(keep, srt, jnp.inf), axis=-1,
-                         keepdims=True)
-        lg = jnp.where(lg < thresh, -jnp.inf, lg)
-    return jax.random.categorical(key, lg, axis=-1)
+    return jax.random.categorical(key, _filtered_logits(logits, sp), axis=-1)
 
 DEFAULT_PROMPT_BUCKETS = (16, 32, 64, 128, 256, 512, 1024)
 
