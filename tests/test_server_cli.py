@@ -364,6 +364,58 @@ def test_super_graph_view_and_token_probs(server, tmp_path):
         c.close()
 
 
+def test_server_speculative_generate(server, tmp_path):
+    """generate_text with draft_model_id routes through the
+    SpeculativeDecoder; greedy output must equal the plain path."""
+    import json as _json
+
+    from safetensors.torch import save_file
+    import torch
+    from transformers import GPT2Config as HFConfig, GPT2LMHeadModel
+
+    def mk(name, seed, n_embd, n_head):
+        torch.manual_seed(seed)
+        hf = GPT2LMHeadModel(HFConfig(n_layer=1, n_head=n_head,
+                                      n_embd=n_embd, vocab_size=300,
+                                      n_positions=64))
+        d = tmp_path / name
+        d.mkdir()
+        (d / "config.json").write_text(_json.dumps({
+            "model_type": "gpt2", "n_layer": 1, "n_head": n_head,
+            "n_embd": n_embd, "vocab_size": 300, "n_positions": 64}))
+        save_file({k: v.contiguous() for k, v in hf.state_dict().items()
+                   if k != "lm_head.weight"}, str(d / "model.safetensors"))
+        return d
+
+    srv, port = server
+    c = _WSClient("127.0.0.1", port)
+    try:
+        ids = []
+        for name, seed, e, h in (("spec-tgt", 0, 16, 2),
+                                 ("spec-drf", 1, 8, 1)):
+            c.send({"type": "run_loader", "loader": "transformers",
+                    "config": {"path": str(mk(name, seed, e, h)),
+                               "dtype": "f32", "max_len": 64}})
+            ids.append(c.recv()["loaded"][0])
+
+        def gen(extra):
+            c.send({"type": "generate_text", "model_id": ids[0],
+                    "prompt": "hello", "max_new_tokens": 5,
+                    "tokenizer": "bytes", **extra})
+            for _ in range(80):
+                r = c.recv()
+                if r["type"] in ("job_result", "job_error"):
+                    break
+            assert r["type"] == "job_result", r
+            return r["result"]["text"]
+
+        plain = gen({})
+        spec = gen({"draft_model_id": ids[1], "draft_k": 3})
+        assert spec == plain
+    finally:
+        c.close()
+
+
 def test_generate_image_live_preview(server, tmp_path):
     """preview=true runs the introspectable diffusion SuperGraph and
     streams a step_preview RGB frame per denoise step (reference

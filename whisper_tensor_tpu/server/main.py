@@ -411,6 +411,38 @@ class Server:
 
             self.scheduler.submit(beam_job, ObserverSettings())
             return None
+        if msg.get("draft_model_id") is not None:
+            # speculative decoding: a second loaded model drafts token
+            # blocks the target verifies (greedy token-exact; sampled
+            # distribution-exact — interfaces/speculative.py)
+            from ..interfaces.speculative import SpeculativeDecoder
+            from ..interfaces.text import SamplingParams
+
+            dentry = self.models.get(int(msg["draft_model_id"]))
+            if dentry.interfaces.get("text") is None:
+                raise ValueError("draft model has no text interface")
+            target = self._text_iface(entry)
+            draft = self._text_iface(dentry)
+            dec = SpeculativeDecoder(target, draft,
+                                     k=int(msg.get("draft_k", 4)))
+            sampling = None
+            if float(msg.get("temperature", 0.0)) > 0.0:
+                sampling = SamplingParams(
+                    temperature=float(msg.get("temperature", 1.0)),
+                    top_k=int(msg.get("top_k", 0)),
+                    top_p=float(msg.get("top_p", 1.0)),
+                    seed=int(msg.get("seed", 0)))
+
+            def spec_job(obs):
+                import numpy as _np
+
+                ids = _np.asarray(tok.encode(msg["prompt"]),
+                                  dtype=_np.int64)
+                toks = dec.generate_tokens(ids, n_new, sampling=sampling)[0]
+                return {"text": tok.decode([int(t) for t in toks])}
+
+            self.scheduler.submit(spec_job, ObserverSettings())
+            return None
         if iface_cfg.get("ragged") and float(msg.get("temperature", 0.0)) <= 0:
             self._generate_text_ragged(msg, entry, tok, n_new)
             return None
