@@ -219,7 +219,7 @@ def test_server_concurrent_generate_ragged(tmp_path):
     try:
         c.send({"type": "run_loader", "loader": "transformers",
                 "config": {"path": str(d), "dtype": "f32", "max_len": 64,
-                           "ragged_decode": True}})
+                           "ragged_decode": True, "prefill_chunk": 8}})
         resp = c.recv()
         assert resp["type"] == "models_report", resp
         mid = resp["loaded"][0]
@@ -279,6 +279,37 @@ def test_batch_pow2_cliff_guard():
         np.testing.assert_array_equal(toks, raw.generate_tokens(prompts, 4))
     finally:
         text_mod._POW2_PAD_MIN_BATCH = old
+
+
+def test_chunked_prefill_matches_sequential():
+    """prefill_chunk: long prompts admit in fixed-width pieces, one
+    per scheduler tick (decode chunks interleave between pieces) —
+    outputs must still equal the sequential reference exactly, for
+    ragged lengths crossing piece boundaries and for short prompts
+    that take the monolithic path."""
+    cfg, m_scalar, m_ragged = _models(max_len=64)
+    ref_iface = TextInferenceInterface(m_scalar, max_len=64,
+                                       prompt_buckets=(8, 16, 32))
+    b = ContinuousBatcher(m_ragged, max_len=64, max_batch=4, chunk=3,
+                          cache_dtype=DType.F32,
+                          prompt_buckets=(8, 16, 32),
+                          prefill_chunk=8).start()
+    try:
+        r = np.random.default_rng(13)
+        # lengths straddle piece boundaries: 3 (short path), 9, 16, 23
+        jobs = []
+        for L, n in ((3, 6), (9, 8), (16, 5), (23, 7), (14, 9), (5, 4)):
+            p = r.integers(0, cfg.vocab_size, (L,)).astype(np.int64)
+            jobs.append((p, n, b.submit(p, n)))
+        for p, n, f in jobs:
+            out = f.result(timeout=180)
+            ref = ref_iface.generate_tokens(p[None], n)[0]
+            np.testing.assert_array_equal(out, ref, err_msg=f"L={len(p)}")
+        # the piece path really ran (some bucket > prefill_chunk)
+        assert any(k[0] == "piece" for k in b._programs)
+        assert any(k[0] == "splice" for k in b._programs)
+    finally:
+        b.stop()
 
 
 def test_tick_failure_fails_futures_and_recovers():

@@ -123,6 +123,9 @@ class TransformersLoader(Loader):
             ConfigField("ragged_decode", ConfigFieldType.BOOL,
                         "per-row positions for continuous batching "
                         "(gpt2/llama-family)", default=False),
+            ConfigField("prefill_chunk", ConfigFieldType.INT,
+                        "chunked-prefill piece width for the serving "
+                        "batcher (0 = whole-bucket prefill)", default=0),
             ConfigField("decode_windows", ConfigFieldType.STRING,
                         "comma-separated KV window sizes (e.g. 256,1024) "
                         "for phased windowed decode — cuts HBM cache "
@@ -376,6 +379,7 @@ class TransformersLoader(Loader):
                             interfaces={"text": {"model": name,
                                                  "max_len": max_len,
                                                  "ragged": ragged,
+                                                 "prefill_chunk": int(config.get("prefill_chunk", 0) or 0),
                                                  "windows": window_spec,
                                                  **geometry}},
                             tokenizer_source=tok,
@@ -396,6 +400,9 @@ class GgufLoader(Loader):
             ConfigField("ragged_decode", ConfigFieldType.BOOL,
                         "per-row positions for continuous batching",
                         default=False),
+            ConfigField("prefill_chunk", ConfigFieldType.INT,
+                        "chunked-prefill piece width for the serving "
+                        "batcher (0 = whole-bucket prefill)", default=0),
             ConfigField("decode_windows", ConfigFieldType.STRING,
                         "comma-separated KV window sizes for phased "
                         "windowed decode", default=""),
@@ -469,6 +476,7 @@ class GgufLoader(Loader):
                             interfaces={"text": {"model": name,
                                                  "max_len": max_len,
                                                  "ragged": ragged,
+                                                 "prefill_chunk": int(config.get("prefill_chunk", 0) or 0),
                                                  "windows": window_spec,
                                                  **geometry}},
                             meta={"architecture": arch,

@@ -66,7 +66,13 @@ class ContinuousBatcher:
                  chunk: int = 16, cache_dtype: DType = DType.BF16,
                  prompt_buckets: Sequence[int] = (16, 32, 64, 128, 256),
                  eos_token_id: Optional[int] = None,
-                 sampling: Optional[SamplingParams] = None):
+                 sampling: Optional[SamplingParams] = None,
+                 prefill_chunk: Optional[int] = None):
+        """prefill_chunk: chunked prefill (vLLM-style admission QoS) —
+        prompts longer than this are prefilled in prefill_chunk-token
+        pieces, ONE piece per scheduler tick, so in-flight decode rows
+        keep emitting between pieces instead of stalling behind a long
+        monolithic prefill dispatch. None = whole-bucket prefill."""
         self.iface = TextInferenceInterface(
             model, max_len=max_len, cache_dtype=cache_dtype,
             prompt_buckets=prompt_buckets)
@@ -93,6 +99,9 @@ class ContinuousBatcher:
         # host never re-uploads state and the loop can pipeline
         self._pending: Dict[int, tuple] = {}   # slot -> (cur, pos, active)
         self._row_state = None            # (rng, step, cur, pos, active)
+        self.prefill_chunk = prefill_chunk
+        self._admission: Optional[dict] = None   # in-flight chunked prefill
+        self._admit_backlog: List[tuple] = []    # (slot, req) not yet started
         self._programs: Dict[Any, Any] = {}
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
@@ -145,6 +154,48 @@ class ContinuousBatcher:
             return logits, big2
 
         self._programs[key] = jax.jit(prefill, donate_argnums=(1,))
+        return self._programs[key]
+
+    def _piece_program(self, w: int, k: int):
+        """One prefill PIECE: consume w prompt tokens at offset `pos`
+        into the admission group's private k-row caches, and harvest
+        each row's first-token logits when its last prompt token falls
+        inside this piece (per-row lens). Pieces run one per scheduler
+        tick so decode chunks interleave with long prefills."""
+        import jax
+        import jax.numpy as jnp
+
+        key = ("piece", w, k)
+        if key in self._programs:
+            return self._programs[key]
+        step = self.iface._traced_step(k, w)
+
+        def piece(ids_w, pos, lens, flg, small, weights):
+            logits, small = step(ids_w, jnp.full(k, pos, jnp.int64),
+                                 small, weights)
+            idx = lens - 1 - pos                     # (k,) in-piece offset
+            hit = (idx >= 0) & (idx < w)
+            g = logits[jnp.arange(k), jnp.clip(idx, 0, w - 1), :]
+            flg = jnp.where(hit[:, None], g.astype(flg.dtype), flg)
+            return flg, small
+
+        self._programs[key] = jax.jit(piece, donate_argnums=(3, 4))
+        return self._programs[key]
+
+    def _splice_program(self, k: int):
+        """Scatter a finished admission's k-row caches into the big
+        batched cache at `slots` (donating the big buffers)."""
+        import jax
+
+        key = ("splice", k)
+        if key in self._programs:
+            return self._programs[key]
+
+        def splice(big, small, slots):
+            return [b.at[slots].set(s.astype(b.dtype))
+                    for b, s in zip(big, small)]
+
+        self._programs[key] = jax.jit(splice, donate_argnums=(0,))
         return self._programs[key]
 
     def _chunk_program(self):
@@ -226,21 +277,103 @@ class ContinuousBatcher:
             last = jnp.stack([logits[row, lens[row] - 1, :]
                               for row in range(k)])
             firsts = np.asarray(_pick_token(last, rng, self.sampling))
-            for row, (slot_idx, req) in enumerate(grp):
-                first = int(firsts[row])
-                slot = self._slots[slot_idx]
-                slot.req = req
-                slot.emitted = [first]
-                slot.dispatched = None
-                if req.on_token is not None:
-                    req.on_token(first)
-                eos_hit = (self.eos_token_id is not None
-                           and first == self.eos_token_id)
-                self._pending[slot_idx] = (
-                    first, min(lens[row], self.park_pos),
-                    not eos_hit and req.n_new > 1)
-                if req.n_new <= 1 or eos_hit:
-                    self._finish(slot_idx)
+            self._install_admitted(grp, lens, firsts)
+
+    def _install_admitted(self, grp, lens, firsts):
+        """Common admission tail: record each row's first token, queue
+        its device slot update, and retire single-token/EOS requests."""
+        for row, (slot_idx, req) in enumerate(grp):
+            first = int(firsts[row])
+            slot = self._slots[slot_idx]
+            slot.req = req
+            slot.emitted = [first]
+            slot.dispatched = None
+            if req.on_token is not None:
+                req.on_token(first)
+            eos_hit = (self.eos_token_id is not None
+                       and first == self.eos_token_id)
+            self._pending[slot_idx] = (
+                first, min(int(lens[row]), self.park_pos),
+                not eos_hit and req.n_new > 1)
+            if req.n_new <= 1 or eos_hit:
+                self._finish(slot_idx)
+
+    def _advance_admission(self):
+        """Chunked-prefill admission state machine: start a group when
+        idle, then run ONE prefill piece per tick; on the final piece,
+        splice the group's caches into the batched cache and install
+        the rows. Decode chunks for already-running rows dispatch in
+        the same ticks, so a long prompt never stalls token emission
+        by more than one piece. A device failure mid-admission is
+        handled by the _loop reset (all state rebuilt)."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..interfaces.text import _bucket as bucket_of
+
+        W = self.prefill_chunk
+        if self._admission is None:
+            for i, slot in enumerate(self._slots):
+                if slot.req is None and all(s != i for s, _ in
+                                            self._admit_backlog):
+                    try:
+                        req = self._queue.get_nowait()
+                    except queue.Empty:
+                        break
+                    self._admit_backlog.append((i, req))
+            if not self._admit_backlog:
+                return
+            self._admit_backlog.sort(key=lambda p: p[1].prompt_ids.shape[0])
+            k = 1
+            while (k * 2 <= len(self._admit_backlog)
+                   and k * 2 <= self.max_batch):
+                k *= 2
+            grp = self._admit_backlog[:k]
+            self._admit_backlog = self._admit_backlog[k:]
+            max_l = max(r.prompt_ids.shape[0] for _, r in grp)
+            if bucket_of(max_l, self.iface.prompt_buckets) <= W:
+                # short group — the monolithic path is already one
+                # small dispatch
+                try:
+                    self._admit_group(grp)
+                except Exception as e:  # noqa: BLE001
+                    for _, req in grp:
+                        if not req.future.done():
+                            req.future.set_exception(e)
+                return
+            n_pieces = -(-max_l // W)
+            padded = np.zeros((k, n_pieces * W), np.int64)
+            lens = np.zeros(k, np.int64)
+            for row, (i, req) in enumerate(grp):
+                L = req.prompt_ids.shape[0]
+                padded[row, :L] = req.prompt_ids
+                lens[row] = L
+                # reserve the slot (dispatched stays None, so drains
+                # skip it and decode updates don't touch it)
+                self._slots[i].req = req
+                self._slots[i].emitted = []
+                self._slots[i].dispatched = None
+            self._admission = dict(
+                grp=grp, k=k, piece=0, n=n_pieces, padded=padded,
+                lens_np=lens, lens=jnp.asarray(lens),
+                flg=jnp.zeros((k, self.iface._vocab_size()), jnp.float32),
+                small=self.iface.fresh_cache(k))
+        st = self._admission
+        j = st["piece"]
+        st["flg"], st["small"] = self._piece_program(W, st["k"])(
+            jnp.asarray(st["padded"][:, j * W:(j + 1) * W]),
+            jnp.asarray(j * W, jnp.int64), st["lens"], st["flg"],
+            st["small"], self.iface._weights())
+        st["piece"] += 1
+        if st["piece"] < st["n"]:
+            return
+        self._admission = None
+        slots_np = np.asarray([s for s, _ in st["grp"]], np.int32)
+        self._caches = self._splice_program(st["k"])(
+            self._caches, st["small"], jnp.asarray(slots_np))
+        rng = jax.random.PRNGKey(self.sampling.seed if self.sampling else 0)
+        firsts = np.asarray(_pick_token(st["flg"], rng, self.sampling))
+        self._install_admitted(st["grp"], st["lens_np"], firsts)
 
     def _finish(self, slot_idx: int):
         slot = self._slots[slot_idx]
@@ -287,6 +420,11 @@ class ContinuousBatcher:
                         break
                     if not req.future.done():
                         req.future.set_exception(e)
+                for _, req in self._admit_backlog:
+                    if not req.future.done():
+                        req.future.set_exception(e)
+                self._admit_backlog = []
+                self._admission = None
                 self._pending = {}
                 # the chunk program donates the caches, so after a
                 # failed dispatch they may be invalid — rebuild row
@@ -316,23 +454,30 @@ class ContinuousBatcher:
         rng, step_count, dcur, dpos, dact = self._row_state
         # admit queued requests into free slots (batched prefill;
         # sorted by length so groups share a bucket)
-        pairs = []
-        for i, slot in enumerate(self._slots):
-            if slot.req is None:
+        if self.prefill_chunk is not None:
+            self._advance_admission()
+        else:
+            pairs = []
+            for i, slot in enumerate(self._slots):
+                if slot.req is None:
+                    try:
+                        req = self._queue.get_nowait()
+                    except queue.Empty:
+                        break
+                    pairs.append((i, req))
+            if pairs:
+                pairs.sort(key=lambda p: p[1].prompt_ids.shape[0])
                 try:
-                    req = self._queue.get_nowait()
-                except queue.Empty:
-                    break
-                pairs.append((i, req))
-        if pairs:
-            pairs.sort(key=lambda p: p[1].prompt_ids.shape[0])
-            try:
-                self._admit_group(pairs)
-            except Exception as e:  # noqa: BLE001
-                for _, req in pairs:
-                    if not req.future.done():
-                        req.future.set_exception(e)
-        work = any(s.req is not None for s in self._slots)
+                    self._admit_group(pairs)
+                except Exception as e:  # noqa: BLE001
+                    for _, req in pairs:
+                        if not req.future.done():
+                            req.future.set_exception(e)
+        # a slot reserved by an in-flight chunked admission (dispatched
+        # None, no pending update yet) is not decodable work
+        work = any(s.req is not None
+                   and (s.dispatched is not None or i in self._pending)
+                   for i, s in enumerate(self._slots))
         new_inflight = None
         if work:
             # fold queued slot updates into fixed-shape scatter
@@ -363,7 +508,8 @@ class ContinuousBatcher:
             chunk_idx = inflight[0]
             toks, actives_np, pos_np = jax.device_get(inflight[1:])
             self._drain_chunk(chunk_idx, toks, actives_np, pos_np)
-        elif not work:
+        elif not work and self._admission is None \
+                and not self._admit_backlog:
             self._wake.wait(timeout=0.05)
             self._wake.clear()
         return new_inflight

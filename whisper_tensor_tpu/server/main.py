@@ -348,11 +348,13 @@ class Server:
             from .batching import ContinuousBatcher
 
             cfg = entry.interfaces["text"]
+            pc = cfg.get("prefill_chunk")
             bat = ContinuousBatcher(
                 entry.model, max_len=int(cfg["max_len"]),
                 max_batch=int(cfg.get("max_batch", 8)),
                 chunk=int(cfg.get("chunk", 16)),
-                cache_dtype=DType.BF16).start()
+                cache_dtype=DType.BF16,
+                prefill_chunk=int(pc) if pc else None).start()
             self._batchers[entry.id] = bat
         return bat
 
