@@ -22,6 +22,8 @@ def main():
     ap.add_argument("--clients", type=int, default=8)
     ap.add_argument("--tokens", type=int, default=32)
     ap.add_argument("--chunk", type=int, default=8)
+    ap.add_argument("--prefill-chunk", type=int, default=0,
+                    help="chunked prefill piece width (0 = whole bucket)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -57,7 +59,8 @@ def main():
     srv = ContinuousBatcher(model, max_len=max_len,
                             max_batch=args.clients, chunk=args.chunk,
                             cache_dtype=dtype,
-                            prompt_buckets=(16, 32, 64)).start()
+                            prompt_buckets=(16, 32, 64),
+                            prefill_chunk=args.prefill_chunk or None).start()
     rng = np.random.default_rng(0)
     prompts = [rng.integers(0, 500, (int(rng.integers(4, 16)),))
                .astype(np.int64) for _ in range(args.clients)]
