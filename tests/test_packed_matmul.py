@@ -148,3 +148,51 @@ def test_gguf_packed_store_stays_packed(tmp_path):
     # lazy entries: nothing dense cached yet for the matmul weights
     for name in model.graph.store.packed_sources:
         assert name not in model.graph.store._cache
+
+
+def test_host_quantize_q4_0_any_checkpoint():
+    """quantize="q4_0" host-quantizes a DENSE (non-GGUF) model's 2-D
+    MatMul weights into Q4_0 blocks and runs the fused packed kernel;
+    logits must match a referee running the plain graph with the same
+    quantize->dequantize-degraded weights, and ineligible weights
+    (K % 64 != 0, 1-D) must stay dense."""
+    from whisper_tensor_tpu.backends.cpu.dequant import quantize_blocks
+    from whisper_tensor_tpu.dtype import DType
+    from whisper_tensor_tpu.importers.recipes.llm.gpt2 import (
+        GPT2Config, build_gpt2_step, random_gpt2_weights)
+    from whisper_tensor_tpu.interfaces.text import TextInferenceInterface
+    from whisper_tensor_tpu.model import Model
+    from whisper_tensor_tpu.tensor import as_tensor
+
+    cfg = GPT2Config(n_layer=2, n_head=2, n_embd=64, vocab_size=160,
+                     n_positions=64)
+    data = build_gpt2_step(random_gpt2_weights(cfg, seed=2), cfg,
+                           max_len=64, dtype=DType.F32)
+    m = Model.new_from_onnx(data)
+    iface = TextInferenceInterface(m, max_len=64, prompt_buckets=(16,),
+                                   quantize="q4_0")
+    assert iface._packed, "no weight took the packed path"
+
+    m2 = Model.new_from_onnx(data)
+    for n in iface._packed:
+        w = m2.graph.store.get_numeric(n, DType.F32).numpy()
+        pt = PackedTensor(
+            quantize_blocks(np.ascontiguousarray(w.T), PackedFormat.Q4_0),
+            PackedFormat.Q4_0, (w.shape[1], w.shape[0]))
+        deg = pt.dequantize(DType.F32).numpy().T     # back to (K, N)
+        m2.graph.store.put(n, as_tensor(np.ascontiguousarray(deg)))
+    ref = TextInferenceInterface(m2, max_len=64, prompt_buckets=(16,))
+
+    rng = np.random.default_rng(4)
+    p = rng.integers(0, cfg.vocab_size, (1, 7)).astype(np.int64)
+    np.testing.assert_allclose(iface.logits(p), ref.logits(p),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(iface.generate_tokens(p, 8),
+                                  ref.generate_tokens(p, 8))
+    # degradation is real but bounded: still correlated with f32
+    f32 = TextInferenceInterface(Model.new_from_onnx(data), max_len=64,
+                                 prompt_buckets=(16,))
+    a = np.asarray(iface.logits(p), np.float64).ravel()
+    b = np.asarray(f32.logits(p), np.float64).ravel()
+    cos = (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
+    assert cos > 0.98, cos

@@ -173,6 +173,33 @@ class TextInferenceInterface:
 
             self._packed = pack_matmul_nodes(milli, list(weight_inputs),
                                              model.graph.store)
+        elif quantize in ("q4_0", "q8_0"):
+            # host-quantize ANY dense checkpoint into GGUF Q4_0/Q8_0
+            # blocks and execute through the same fused packed kernel —
+            # 4-bit (or 8-bit) weight HBM without needing a GGUF file.
+            # Ineligible weights (non-2-D, K not a multiple of 64) stay
+            # dense.
+            from ..backends.cpu.dequant import quantize_blocks
+            from ..milli.transforms import pack_matmul_nodes
+            from ..packed_format import PackedFormat
+            from ..tensor import PackedTensor
+
+            fmt = PackedFormat[quantize.upper()]
+            store = model.graph.store
+
+            def _q_source(n):
+                def make():
+                    w = store.get_numeric(n, DType.F32).numpy()
+                    if w.ndim != 2 or w.shape[0] % 64:
+                        return None
+                    return PackedTensor(
+                        quantize_blocks(np.ascontiguousarray(w.T), fmt),
+                        fmt, (w.shape[1], w.shape[0]))  # GGUF (N, K)
+                return make
+
+            self._packed = pack_matmul_nodes(
+                milli, list(weight_inputs), store,
+                sources={n: _q_source(n) for n in weight_inputs})
         elif quantize is not None:
             raise ValueError(f"unknown quantize mode {quantize!r}")
         self.weight_names = [n for n in milli.inputs

@@ -231,6 +231,7 @@ def pack_matmul_nodes(
     milli: MilliGraph,
     weight_names: Sequence[str],
     store,
+    sources: Optional[Dict[str, Any]] = None,
 ) -> Dict[str, Dict[str, np.ndarray]]:
     """Mutate `milli`: every MatMul whose 2-D RHS weight has a packed
     GGUF source recorded in ``store.packed_sources`` becomes
@@ -239,11 +240,16 @@ def pack_matmul_nodes(
     {name: repacked device arrays} for the caller to feed.
 
     This is how GGUF Q4_0/Q4_1/Q4_K/Q8_0 weights execute WITHOUT ever
-    holding a dense float copy in HBM (reference QuantMatMul path)."""
+    holding a dense float copy in HBM (reference QuantMatMul path).
+
+    `sources` overrides store.packed_sources: {name: () -> PackedTensor
+    | None} — used by the interface's host-quantize path (quantize=
+    "q4_0"/"q8_0" on ANY dense checkpoint, not just GGUF files)."""
     from ..backends.pallas.packed_matmul import repack_packed_tensor
     from .ops import MatMul
 
-    sources = getattr(store, "packed_sources", None) or {}
+    if sources is None:
+        sources = getattr(store, "packed_sources", None) or {}
     name_to_tid = dict(milli.inputs)
     packed: Dict[str, Dict[str, np.ndarray]] = {}
     extra_tids: Dict[str, Tuple[int, int]] = {}
@@ -259,7 +265,8 @@ def pack_matmul_nodes(
         if rhs_name is None or rhs_name not in sources:
             continue
         if rhs_name not in packed:
-            rp = repack_packed_tensor(sources[rhs_name]())
+            pt = sources[rhs_name]()
+            rp = repack_packed_tensor(pt) if pt is not None else None
             if rp is None:
                 continue
             packed[rhs_name] = rp
