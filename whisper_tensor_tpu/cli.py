@@ -79,7 +79,9 @@ def cmd_generate(args) -> None:
     iface = TextInferenceInterface(model,
                                    max_len=int(iface_cfg.get("max_len",
                                                              args.max_len)),
-                                   window_models=window_models or None)
+                                   window_models=window_models or None,
+                                   quantize=iface_cfg.get("quantize")
+                                   or None)
     iface.tokenizer = AnyTokenizer.load(tok_src)
     t1 = time.time()
     if getattr(args, "num_beams", 1) and args.num_beams > 1:

@@ -126,6 +126,9 @@ class TransformersLoader(Loader):
             ConfigField("prefill_chunk", ConfigFieldType.INT,
                         "chunked-prefill piece width for the serving "
                         "batcher (0 = whole-bucket prefill)", default=0),
+            ConfigField("quantize", ConfigFieldType.ENUM,
+                        "weight quantization for the text interface",
+                        default="", choices=["", "int8", "q4_0", "q8_0"]),
             ConfigField("decode_windows", ConfigFieldType.STRING,
                         "comma-separated KV window sizes (e.g. 256,1024) "
                         "for phased windowed decode — cuts HBM cache "
@@ -380,6 +383,7 @@ class TransformersLoader(Loader):
                                                  "max_len": max_len,
                                                  "ragged": ragged,
                                                  "prefill_chunk": int(config.get("prefill_chunk", 0) or 0),
+                                                 "quantize": config.get("quantize") or "",
                                                  "windows": window_spec,
                                                  **geometry}},
                             tokenizer_source=tok,
@@ -477,6 +481,7 @@ class GgufLoader(Loader):
                                                  "max_len": max_len,
                                                  "ragged": ragged,
                                                  "prefill_chunk": int(config.get("prefill_chunk", 0) or 0),
+                                                 "quantize": config.get("quantize") or "",
                                                  "windows": window_spec,
                                                  **geometry}},
                             meta={"architecture": arch,

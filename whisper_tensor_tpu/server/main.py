@@ -334,7 +334,9 @@ class Server:
             iface = TextInferenceInterface(entry.model,
                                            max_len=int(cfg["max_len"]),
                                            cache_dtype=DType.BF16,
-                                           window_models=window_models)
+                                           window_models=window_models,
+                                           quantize=cfg.get("quantize")
+                                           or None)
             self._text_ifaces[entry.id] = iface
         return iface
 
