@@ -246,6 +246,80 @@ def test_server_concurrent_generate_ragged(tmp_path):
         loop.call_soon_threadsafe(loop.stop)
 
 
+def test_server_cancel_batched_job(tmp_path):
+    """cancel_request on a batched (ragged) generation: the job must
+    come back as job_result with the partial text instead of hanging."""
+    import asyncio
+    import json as _json
+    import socket
+    import threading
+    import time as _time
+
+    import torch
+    from safetensors.torch import save_file
+    from transformers import GPT2Config as HFConfig, GPT2LMHeadModel
+
+    from whisper_tensor_tpu.server.main import Server
+
+    torch.manual_seed(0)
+    hf = GPT2LMHeadModel(HFConfig(n_layer=1, n_head=2, n_embd=16,
+                                  vocab_size=300, n_positions=256))
+    d = tmp_path / "tiny-gpt2c"
+    d.mkdir()
+    (d / "config.json").write_text(_json.dumps({
+        "model_type": "gpt2", "n_layer": 1, "n_head": 2, "n_embd": 16,
+        "vocab_size": 300, "n_positions": 256}))
+    save_file({k: v.contiguous() for k, v in hf.state_dict().items()
+               if k != "lm_head.weight"}, str(d / "model.safetensors"))
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    srv = Server()
+    loop = asyncio.new_event_loop()
+
+    def run():
+        asyncio.set_event_loop(loop)
+        loop.run_until_complete(srv.run(port=port))
+
+    threading.Thread(target=run, daemon=True).start()
+    _time.sleep(0.3)
+    from tests.test_server_cli import _WSClient
+
+    c = _WSClient("127.0.0.1", port)
+    try:
+        c.send({"type": "run_loader", "loader": "transformers",
+                "config": {"path": str(d), "dtype": "f32", "max_len": 256,
+                           "ragged_decode": True}})
+        mid = c.recv()["loaded"][0]
+        c.send({"type": "generate_text", "model_id": mid, "prompt": "hi",
+                "max_new_tokens": 200, "tokenizer": "bytes"})
+        job = None
+        tokens_seen = 0
+        result = None
+        for _ in range(400):
+            r = c.recv()
+            if r["type"] == "job_accepted":
+                job = r["job"]
+            elif r["type"] == "progress" and r.get("job") == job:
+                tokens_seen += 1
+                if tokens_seen == 3:
+                    c.send({"type": "cancel_request", "job": job})
+            elif r["type"] == "cancel_ack":
+                assert r["ok"] is True
+            elif r["type"] == "job_result":
+                result = r
+                break
+            assert r["type"] != "job_error", r
+        assert result is not None
+        assert 0 < len(result["result"]["text"]) < 200
+    finally:
+        c.close()
+        for bat in srv._batchers.values():
+            bat.stop()
+        loop.call_soon_threadsafe(loop.stop)
+
+
 def test_batch_pow2_cliff_guard():
     """Non-power-of-two batches sit on a measured v5e tiling cliff
     (B=768: 33k tok/s vs 80k at B=1024 — BENCH r2). The batcher rounds
@@ -279,6 +353,42 @@ def test_batch_pow2_cliff_guard():
         np.testing.assert_array_equal(toks, raw.generate_tokens(prompts, 4))
     finally:
         text_mod._POW2_PAD_MIN_BATCH = old
+
+
+def test_cancel_mid_generation_and_queued():
+    """Cancellation (reference scheduler cancellation registry): a
+    cancelled running request resolves with the tokens emitted so far
+    (a prefix of the sequential reference) and frees its slot; a
+    cancelled queued request resolves empty; the batcher keeps serving
+    afterwards."""
+    import time
+
+    cfg, m_scalar, m_ragged = _models()
+    ref_iface = TextInferenceInterface(m_scalar, max_len=64,
+                                       prompt_buckets=(16,))
+    b = ContinuousBatcher(m_ragged, max_len=64, max_batch=1, chunk=2,
+                          cache_dtype=DType.F32, prompt_buckets=(16,)).start()
+    try:
+        p = rng.integers(0, cfg.vocab_size, (5,)).astype(np.int64)
+        got = []
+        fut = b.submit(p, 40, on_token=lambda t: got.append(t))
+        # a queued request behind it (max_batch=1), cancelled in queue
+        fq = b.submit(p, 10)
+        assert b.cancel(fq)
+        while len(got) < 4:               # let it stream a bit
+            time.sleep(0.01)
+        assert b.cancel(fut)
+        out = fut.result(timeout=60)
+        assert 0 < len(out) < 40
+        ref = ref_iface.generate_tokens(p[None], 40)[0]
+        np.testing.assert_array_equal(out, ref[:len(out)])
+        assert fq.result(timeout=60).shape == (0,)
+        assert not b.cancel(fut)          # already finished
+        # slot is reusable and results are unpolluted
+        out2 = b.submit(p, 6).result(timeout=60)
+        np.testing.assert_array_equal(out2, ref[:6])
+    finally:
+        b.stop()
 
 
 def test_chunked_prefill_matches_sequential():

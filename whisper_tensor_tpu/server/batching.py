@@ -41,6 +41,7 @@ class _Request:
     n_new: int
     future: Future = field(default_factory=Future)
     on_token: Optional[Any] = None       # callback(token_id) for streaming
+    cancelled: threading.Event = field(default_factory=threading.Event)
 
 
 @dataclass
@@ -91,6 +92,7 @@ class ContinuousBatcher:
         self.sampling = sampling
         self.park_pos = max_len - 1       # reserved scratch slot position
         self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._requests: Dict[Future, _Request] = {}   # for cancel()
         self._slots = [_Slot() for _ in range(max_batch)]
         self._caches = None               # persistent batched KV caches
         # row state (cur token / position / active) lives ON DEVICE
@@ -112,9 +114,23 @@ class ContinuousBatcher:
                on_token=None) -> Future:
         req = _Request(np.asarray(prompt_ids, np.int64).reshape(-1), n_new,
                        on_token=on_token)
+        self._requests[req.future] = req
         self._queue.put(req)
         self._wake.set()
         return req.future
+
+    def cancel(self, future: Future) -> bool:
+        """Cancel a submitted request (reference scheduler cancellation,
+        src/scheduler.rs cancellation registry). The request's future
+        resolves with the tokens emitted SO FAR (possibly empty) at the
+        next scheduler tick; its slot frees for reuse. Returns False
+        for unknown or already-finished futures."""
+        req = self._requests.get(future)
+        if req is None or future.done():
+            return False
+        req.cancelled.set()
+        self._wake.set()
+        return True
 
     def start(self):
         if self._thread is None:
@@ -283,8 +299,16 @@ class ContinuousBatcher:
         """Common admission tail: record each row's first token, queue
         its device slot update, and retire single-token/EOS requests."""
         for row, (slot_idx, req) in enumerate(grp):
-            first = int(firsts[row])
             slot = self._slots[slot_idx]
+            if req.cancelled.is_set() or req.future.done():
+                # cancelled while its admission was in flight: resolve
+                # with nothing emitted, park the (already written) slot
+                slot.req = req
+                slot.emitted = []
+                slot.dispatched = None
+                self._finish(slot_idx)
+                continue
+            first = int(firsts[row])
             slot.req = req
             slot.emitted = [first]
             slot.dispatched = None
@@ -320,6 +344,11 @@ class ContinuousBatcher:
                         req = self._queue.get_nowait()
                     except queue.Empty:
                         break
+                    if req.cancelled.is_set():
+                        if not req.future.done():
+                            req.future.set_result(np.zeros(0, np.int64))
+                        self._requests.pop(req.future, None)
+                        continue
                     self._admit_backlog.append((i, req))
             if not self._admit_backlog:
                 return
@@ -381,6 +410,8 @@ class ContinuousBatcher:
         if req is not None and not req.future.done():
             req.future.set_result(np.asarray(slot.emitted[:req.n_new],
                                              np.int64))
+        if req is not None:
+            self._requests.pop(req.future, None)
         slot.req = None
         slot.emitted = []
         slot.dispatched = None
@@ -426,6 +457,7 @@ class ContinuousBatcher:
                 self._admit_backlog = []
                 self._admission = None
                 self._pending = {}
+                self._requests = {}
                 # the chunk program donates the caches, so after a
                 # failed dispatch they may be invalid — rebuild row
                 # state and caches from scratch on the next tick
@@ -452,6 +484,12 @@ class ContinuousBatcher:
                 jnp.full(mb, self.park_pos, jnp.int64),  # pos
                 jnp.zeros(mb, bool))                   # active
         rng, step_count, dcur, dpos, dact = self._row_state
+        # retire cancelled rows first: their future resolves with the
+        # tokens emitted so far and the slot parks/frees
+        for i, slot in enumerate(self._slots):
+            if (slot.req is not None and slot.req.cancelled.is_set()
+                    and slot.dispatched is not None):
+                self._finish(i)
         # admit queued requests into free slots (batched prefill;
         # sorted by length so groups share a bucket)
         if self.prefill_chunk is not None:
@@ -464,6 +502,11 @@ class ContinuousBatcher:
                         req = self._queue.get_nowait()
                     except queue.Empty:
                         break
+                    if req.cancelled.is_set():     # cancelled in queue
+                        if not req.future.done():
+                            req.future.set_result(np.zeros(0, np.int64))
+                        self._requests.pop(req.future, None)
+                        continue
                     pairs.append((i, req))
             if pairs:
                 pairs.sort(key=lambda p: p[1].prompt_ids.shape[0])

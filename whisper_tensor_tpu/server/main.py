@@ -54,6 +54,7 @@ class Server:
         self._text_ifaces: dict = {}
         # per-model continuous batchers (ragged-decode models)
         self._batchers: dict = {}
+        self._batch_jobs: dict = {}       # job_id -> (batcher, future)
 
     # -- report pump: scheduler queue -> all sockets ----------------------
     def _start_report_pump(self):
@@ -127,7 +128,13 @@ class Server:
             return {"type": P.STORED_TENSOR, "name": msg["name"],
                     "tensor": P.encode_tensor(arr)}
         if t == P.CANCEL_REQUEST:
-            ok = self.scheduler.cancel(int(msg["job"]))
+            jid = int(msg["job"])
+            batched = self._batch_jobs.get(jid)
+            if batched is not None:
+                bat, fut = batched
+                ok = bat.cancel(fut)
+            else:
+                ok = self.scheduler.cancel(jid)
             return {"type": "cancel_ack", "job": msg["job"], "ok": ok}
         if t == P.UPDATE_OBSERVER_SETTINGS:
             ok = self.scheduler.update_settings(int(msg["job"]),
@@ -373,8 +380,10 @@ class Server:
                                         "token": int(t)})
 
         fut = bat.submit(ids, n_new, on_token=on_tok)
+        self._batch_jobs[job_id] = (bat, fut)
 
         def done(f):
+            self._batch_jobs.pop(job_id, None)
             try:
                 toks = f.result()
                 text = tok.decode([int(x) for x in toks])
