@@ -355,6 +355,36 @@ def test_batch_pow2_cliff_guard():
         text_mod._POW2_PAD_MIN_BATCH = old
 
 
+@pytest.mark.parametrize("pchunk", [None, 8])
+def test_shared_prefix_kv_caching(pchunk):
+    """prefix_ids (system-prompt KV caching): the prefix is prefilled
+    once and broadcast into every admission; outputs must equal a
+    plain batcher fed prefix+prompt, in both monolithic and chunked
+    admission modes."""
+    cfg, m_scalar, m_ragged = _models()
+    ref_iface = TextInferenceInterface(m_scalar, max_len=64,
+                                       prompt_buckets=(8, 16, 32))
+    r = np.random.default_rng(17)
+    prefix = r.integers(0, cfg.vocab_size, (11,)).astype(np.int64)
+    b = ContinuousBatcher(m_ragged, max_len=64, max_batch=2, chunk=3,
+                          cache_dtype=DType.F32,
+                          prompt_buckets=(8, 16, 32),
+                          prefill_chunk=pchunk,
+                          prefix_ids=prefix).start()
+    try:
+        jobs = []
+        for L, n in ((3, 7), (9, 5), (6, 8), (13, 4)):
+            s = r.integers(0, cfg.vocab_size, (L,)).astype(np.int64)
+            jobs.append((s, n, b.submit(s, n)))
+        for s, n, f in jobs:
+            out = f.result(timeout=180)
+            full = np.concatenate([prefix, s])
+            ref = ref_iface.generate_tokens(full[None], n)[0]
+            np.testing.assert_array_equal(out, ref, err_msg=f"L={len(s)}")
+    finally:
+        b.stop()
+
+
 def test_cancel_mid_generation_and_queued():
     """Cancellation (reference scheduler cancellation registry): a
     cancelled running request resolves with the tokens emitted so far

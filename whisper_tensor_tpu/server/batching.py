@@ -68,12 +68,22 @@ class ContinuousBatcher:
                  prompt_buckets: Sequence[int] = (16, 32, 64, 128, 256),
                  eos_token_id: Optional[int] = None,
                  sampling: Optional[SamplingParams] = None,
-                 prefill_chunk: Optional[int] = None):
+                 prefill_chunk: Optional[int] = None,
+                 prefix_ids: Optional[np.ndarray] = None):
         """prefill_chunk: chunked prefill (vLLM-style admission QoS) —
         prompts longer than this are prefilled in prefill_chunk-token
         pieces, ONE piece per scheduler tick, so in-flight decode rows
         keep emitting between pieces instead of stalling behind a long
-        monolithic prefill dispatch. None = whole-bucket prefill."""
+        monolithic prefill dispatch. None = whole-bucket prefill.
+
+        prefix_ids: shared-prefix KV caching (system-prompt caching;
+        generalizes the reference's longest-prefix RNN state cache,
+        src/super_graph caches). The prefix is prefilled ONCE at B=1;
+        every admission starts from a broadcast of its KV rows and
+        prefills only the request's own tokens at pos=len(prefix).
+        submit() prompts then EXCLUDE the prefix — outputs equal a
+        plain batcher fed prefix+prompt, at a fraction of the
+        admission compute."""
         self.iface = TextInferenceInterface(
             model, max_len=max_len, cache_dtype=cache_dtype,
             prompt_buckets=prompt_buckets)
@@ -104,6 +114,11 @@ class ContinuousBatcher:
         self.prefill_chunk = prefill_chunk
         self._admission: Optional[dict] = None   # in-flight chunked prefill
         self._admit_backlog: List[tuple] = []    # (slot, req) not yet started
+        self.prefix_ids = (None if prefix_ids is None else
+                           np.asarray(prefix_ids, np.int64).reshape(-1))
+        self.prefix_len = 0 if self.prefix_ids is None \
+            else int(self.prefix_ids.shape[0])
+        self._prefix_caches = None        # B=1 KV rows for the prefix
         self._programs: Dict[Any, Any] = {}
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
@@ -147,29 +162,29 @@ class ContinuousBatcher:
 
     # -- compiled programs --------------------------------------------------
     def _prefill_insert_program(self, bucket: int, k: int):
-        """One dispatch admits k requests: prefill at B=k (fresh zero
-        caches created IN-graph) and scatter the k cache rows into the
-        batched cache at `slots` — admission cost amortizes over k
-        (power-of-2 group sizes bound the compile count)."""
+        """One dispatch admits k requests: prefill at B=k into the
+        passed admission caches (zeros, or a broadcast of the shared
+        prefix's KV at pos=prefix_len) and scatter the k cache rows
+        into the batched cache at `slots` — admission cost amortizes
+        over k (power-of-2 group sizes bound the compile count)."""
         import jax
         import jax.numpy as jnp
 
-        key = ("prefill", bucket, k)
+        plen = self.prefix_len
+        key = ("prefill", bucket, k, plen)
         if key in self._programs:
             return self._programs[key]
         step = self.iface._traced_step(k, bucket)
-        shapes = [(tuple(c.shape), c.dtype)
-                  for c in self.iface.fresh_cache(k)]
 
-        def prefill(ids_padded, big, weights, slots):
-            fresh = [jnp.zeros(s, d) for s, d in shapes]
-            logits, small = step(ids_padded, jnp.zeros(k, dtype=jnp.int64),
-                                 fresh, weights)
+        def prefill(ids_padded, big, weights, slots, small):
+            logits, small = step(ids_padded,
+                                 jnp.full(k, plen, dtype=jnp.int64),
+                                 small, weights)
             big2 = [b.at[slots].set(s.astype(b.dtype))
                     for b, s in zip(big, small)]
             return logits, big2
 
-        self._programs[key] = jax.jit(prefill, donate_argnums=(1,))
+        self._programs[key] = jax.jit(prefill, donate_argnums=(1, 4))
         return self._programs[key]
 
     def _piece_program(self, w: int, k: int):
@@ -213,6 +228,40 @@ class ContinuousBatcher:
 
         self._programs[key] = jax.jit(splice, donate_argnums=(0,))
         return self._programs[key]
+
+    def _ensure_prefix(self):
+        """Prefill the shared prefix once (B=1) and keep its KV rows on
+        device; admissions broadcast from them instead of starting at
+        zero."""
+        if self._prefix_caches is not None or self.prefix_ids is None:
+            return
+        import jax
+        import jax.numpy as jnp
+
+        plen = self.prefix_len
+        sb = _bucket(plen, self.iface.prompt_buckets)
+        step = self.iface._traced_step(1, sb)
+        padded = np.zeros((1, sb), np.int64)
+        padded[0, :plen] = self.prefix_ids
+
+        def pre(ids, caches, weights):
+            _, caches = step(ids, jnp.zeros(1, jnp.int64), caches, weights)
+            return caches
+
+        self._prefix_caches = jax.jit(pre, donate_argnums=(1,))(
+            jnp.asarray(padded), self.iface.fresh_cache(1),
+            self.iface._weights())
+
+    def _prefix_small(self, k: int):
+        """k-row admission caches seeded from the prefix KV (fresh
+        zeros when no prefix is configured)."""
+        if self.prefix_ids is None:
+            return self.iface.fresh_cache(k)
+        import jax.numpy as jnp
+
+        self._ensure_prefix()
+        return [jnp.tile(c, (k,) + (1,) * (c.ndim - 1))
+                for c in self._prefix_caches]
 
     def _chunk_program(self):
         """The decode-chunk program. Slot updates (admissions / parks)
@@ -289,11 +338,12 @@ class ContinuousBatcher:
             slots = np.asarray([s for s, _ in grp], np.int32)
             logits, self._caches = self._prefill_insert_program(Sb, k)(
                 jnp.asarray(padded), self._caches, self.iface._weights(),
-                jnp.asarray(slots))
+                jnp.asarray(slots), self._prefix_small(k))
             last = jnp.stack([logits[row, lens[row] - 1, :]
                               for row in range(k)])
             firsts = np.asarray(_pick_token(last, rng, self.sampling))
-            self._install_admitted(grp, lens, firsts)
+            self._install_admitted(
+                grp, [self.prefix_len + L for L in lens], firsts)
 
     def _install_admitted(self, grp, lens, firsts):
         """Common admission tail: record each row's first token, queue
@@ -376,7 +426,7 @@ class ContinuousBatcher:
             for row, (i, req) in enumerate(grp):
                 L = req.prompt_ids.shape[0]
                 padded[row, :L] = req.prompt_ids
-                lens[row] = L
+                lens[row] = self.prefix_len + L   # absolute position
                 # reserve the slot (dispatched stays None, so drains
                 # skip it and decode updates don't touch it)
                 self._slots[i].req = req
@@ -386,13 +436,13 @@ class ContinuousBatcher:
                 grp=grp, k=k, piece=0, n=n_pieces, padded=padded,
                 lens_np=lens, lens=jnp.asarray(lens),
                 flg=jnp.zeros((k, self.iface._vocab_size()), jnp.float32),
-                small=self.iface.fresh_cache(k))
+                small=self._prefix_small(k))
         st = self._admission
         j = st["piece"]
         st["flg"], st["small"] = self._piece_program(W, st["k"])(
             jnp.asarray(st["padded"][:, j * W:(j + 1) * W]),
-            jnp.asarray(j * W, jnp.int64), st["lens"], st["flg"],
-            st["small"], self.iface._weights())
+            jnp.asarray(self.prefix_len + j * W, jnp.int64), st["lens"],
+            st["flg"], st["small"], self.iface._weights())
         st["piece"] += 1
         if st["piece"] < st["n"]:
             return
