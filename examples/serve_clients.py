@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--chunk", type=int, default=8)
     ap.add_argument("--prefill-chunk", type=int, default=0,
                     help="chunked prefill piece width (0 = whole bucket)")
+    ap.add_argument("--prefix", type=int, default=0,
+                    help="shared system-prompt length: prefill its KV "
+                         "once, reuse for every request")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -60,7 +63,9 @@ def main():
                             max_batch=args.clients, chunk=args.chunk,
                             cache_dtype=dtype,
                             prompt_buckets=(16, 32, 64),
-                            prefill_chunk=args.prefill_chunk or None).start()
+                            prefill_chunk=args.prefill_chunk or None,
+                            prefix_ids=(np.arange(args.prefix) % 97
+                                        if args.prefix else None)).start()
     rng = np.random.default_rng(0)
     prompts = [rng.integers(0, 500, (int(rng.integers(4, 16)),))
                .astype(np.int64) for _ in range(args.clients)]
