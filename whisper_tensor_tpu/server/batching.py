@@ -176,7 +176,27 @@ class ContinuousBatcher:
             return self._programs[key]
         step = self.iface._traced_step(k, bucket)
 
+        if plen == 0:
+            # no prefix: zero caches created IN-graph (no extra host
+            # dispatches per admission through the tunnel)
+            shapes = [(tuple(c.shape), c.dtype)
+                      for c in self.iface.fresh_cache(k)]
+
+            def prefill0(ids_padded, big, weights, slots):
+                fresh = [jnp.zeros(s, d) for s, d in shapes]
+                logits, small = step(ids_padded,
+                                     jnp.zeros(k, dtype=jnp.int64),
+                                     fresh, weights)
+                big2 = [b.at[slots].set(s.astype(b.dtype))
+                        for b, s in zip(big, small)]
+                return logits, big2
+
+            self._programs[key] = jax.jit(prefill0, donate_argnums=(1,))
+            return self._programs[key]
+
         def prefill(ids_padded, big, weights, slots, small):
+            # prefix mode: `small` is a k-row broadcast of the shared
+            # prefix's KV; the suffix prefills at pos=prefix_len
             logits, small = step(ids_padded,
                                  jnp.full(k, plen, dtype=jnp.int64),
                                  small, weights)
@@ -336,9 +356,11 @@ class ContinuousBatcher:
                 padded[row, :L] = req.prompt_ids
                 lens.append(L)
             slots = np.asarray([s for s, _ in grp], np.int32)
-            logits, self._caches = self._prefill_insert_program(Sb, k)(
-                jnp.asarray(padded), self._caches, self.iface._weights(),
-                jnp.asarray(slots), self._prefix_small(k))
+            args = [jnp.asarray(padded), self._caches,
+                    self.iface._weights(), jnp.asarray(slots)]
+            if self.prefix_len:
+                args.append(self._prefix_small(k))
+            logits, self._caches = self._prefill_insert_program(Sb, k)(*args)
             last = jnp.stack([logits[row, lens[row] - 1, :]
                               for row in range(k)])
             firsts = np.asarray(_pick_token(last, rng, self.sampling))
