@@ -239,6 +239,12 @@ def test_server_concurrent_generate_ragged(tmp_path):
         assert len(results) == 3
         for r in results:
             assert isinstance(r["result"]["text"], str)
+        # live scheduler observability
+        c.send({"type": "get_batcher_stats", "model_id": mid})
+        st = c.recv()
+        assert st["type"] == "batcher_stats"
+        assert st["stats"]["tokens_emitted"] >= 15
+        assert st["stats"]["slots"] == 8
     finally:
         c.close()
         for bat in srv._batchers.values():

@@ -114,6 +114,8 @@ class ContinuousBatcher:
         self.prefill_chunk = prefill_chunk
         self._admission: Optional[dict] = None   # in-flight chunked prefill
         self._admit_backlog: List[tuple] = []    # (slot, req) not yet started
+        self._chunks_dispatched = 0
+        self._tokens_emitted = 0
         self.prefix_ids = (None if prefix_ids is None else
                            np.asarray(prefix_ids, np.int64).reshape(-1))
         self.prefix_len = 0 if self.prefix_ids is None \
@@ -133,6 +135,21 @@ class ContinuousBatcher:
         self._queue.put(req)
         self._wake.set()
         return req.future
+
+    def stats(self) -> dict:
+        """Live scheduler snapshot (reference server's job/queue
+        observability): slot occupancy, queue depth, emitted-token and
+        chunk counters."""
+        active = sum(1 for s in self._slots if s.req is not None)
+        return {"slots": self.max_batch, "active": active,
+                "queued": self._queue.qsize()
+                + len(self._admit_backlog),
+                "admitting": self._admission is not None,
+                "chunks_dispatched": self._chunks_dispatched,
+                "tokens_emitted": self._tokens_emitted,
+                "prefix_len": self.prefix_len,
+                "prefill_chunk": self.prefill_chunk,
+                "chunk": self.chunk}
 
     def cancel(self, future: Future) -> bool:
         """Cancel a submitted request (reference scheduler cancellation,
@@ -384,6 +401,7 @@ class ContinuousBatcher:
             slot.req = req
             slot.emitted = [first]
             slot.dispatched = None
+            self._tokens_emitted += 1
             if req.on_token is not None:
                 req.on_token(first)
             eos_hit = (self.eos_token_id is not None
@@ -615,6 +633,7 @@ class ContinuousBatcher:
                 jnp.asarray(upd_p), jnp.asarray(upd_a))
             new_inflight = (step_count, toks, actives, dpos)
             step_count += 1
+            self._chunks_dispatched += 1
         self._row_state = (rng, step_count, dcur, dpos, dact)
         if inflight is not None:
             # ONE host fetch per chunk; blocks until THAT chunk is
@@ -654,6 +673,7 @@ class ContinuousBatcher:
                     break
                 tok = int(toks[i, j])
                 slot.emitted.append(tok)
+                self._tokens_emitted += 1
                 if req.on_token is not None:
                     req.on_token(tok)
                 was_active = bool(actives_np[i, j])

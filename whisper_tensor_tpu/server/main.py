@@ -116,6 +116,10 @@ class Server:
             return {"type": P.MODELS_REPORT, "models": self.models.list_models()}
         if t == P.LIST_MODELS:
             return {"type": P.MODELS_REPORT, "models": self.models.list_models()}
+        if t == "get_batcher_stats":
+            bat = self._batchers.get(int(msg["model_id"]))
+            return {"type": "batcher_stats", "model_id": msg["model_id"],
+                    "stats": bat.stats() if bat is not None else None}
         if t == P.GET_MODEL_GRAPH:
             return {"type": P.MODEL_GRAPH,
                     "graph": self.models.graph_json(int(msg["model_id"]))}
