@@ -427,7 +427,7 @@ def test_generate_image_live_preview(server, tmp_path):
     c = _WSClient("127.0.0.1", port)
     try:
         c.send({"type": "run_loader", "loader": "diffusers",
-                "config": {"path": d, "dtype": "f32"}})
+                "config": {"path": d, "dtype": "f32", "img2img": "1"}})
         mid = c.recv()["loaded"][0]
         steps = 2
         c.send({"type": "generate_image", "model_id": mid,
@@ -445,5 +445,33 @@ def test_generate_image_live_preview(server, tmp_path):
         assert len(previews) == steps
         assert previews[0]["width"] == 16 and previews[0]["height"] == 16
         assert result["result"]["width"] == 128
+
+        # img2img + inpaint over the wire: feed the result back as the
+        # init image (reference CLI --init-image/--mask-image, now a
+        # server capability too)
+        import base64 as _b64
+
+        import numpy as _np
+
+        init = {"rgb_b64": result["result"]["rgb_b64"],
+                "width": 128, "height": 128}
+        mask = _np.zeros((128, 128, 3), _np.uint8)
+        mask[:, 64:] = 255
+        for extra in ({"init_image": init, "strength": 0.5},
+                      {"init_image": init,
+                       "mask_image": {"rgb_b64": _b64.b64encode(
+                           mask.tobytes()).decode(),
+                           "width": 128, "height": 128}}):
+            c.send({"type": "generate_image", "model_id": mid,
+                    "prompt": "a tpu", "steps": 2, "seed": 2,
+                    "height": 128, "width": 128, **extra})
+            res = None
+            for _ in range(2000):
+                r = c.recv()
+                if r["type"] in ("job_result", "job_error"):
+                    res = r
+                    break
+            assert res["type"] == "job_result", res
+            assert res["result"]["width"] == 128
     finally:
         c.close()

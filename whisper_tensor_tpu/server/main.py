@@ -584,10 +584,36 @@ class Server:
             self.scheduler.submit(preview_job, settings)
             return None
 
+        init = msg.get("init_image")     # {rgb_b64, width, height}
+        mask = msg.get("mask_image")
+        strength = float(msg.get("strength", 0.6))
+
+        def _decode_rgb(d):
+            import numpy as _np
+
+            raw = base64.b64decode(d["rgb_b64"])
+            return _np.frombuffer(raw, _np.uint8).reshape(
+                int(d["height"]), int(d["width"]), 3)
+
         def job(obs):
-            img = iface.run(msg.get("prompt", ""),
-                            msg.get("negative_prompt", ""), cfg,
-                            observer=obs)
+            if init is not None and mask is not None:
+                import numpy as _np
+
+                m = _decode_rgb(mask).astype(_np.float32).mean(-1) / 255.0
+                img = iface.run_inpaint(
+                    msg.get("prompt", ""), _decode_rgb(init), m,
+                    negative_prompt=msg.get("negative_prompt", ""),
+                    cfg=cfg, observer=obs)
+            elif init is not None:
+                img = iface.run_img2img(
+                    msg.get("prompt", ""), _decode_rgb(init),
+                    strength=strength,
+                    negative_prompt=msg.get("negative_prompt", ""),
+                    cfg=cfg, observer=obs)
+            else:
+                img = iface.run(msg.get("prompt", ""),
+                                msg.get("negative_prompt", ""), cfg,
+                                observer=obs)
             return {"width": img.pixels.shape[1],
                     "height": img.pixels.shape[0],
                     "rgb_b64": base64.b64encode(
