@@ -475,3 +475,19 @@ def test_generate_image_live_preview(server, tmp_path):
             assert res["result"]["width"] == 128
     finally:
         c.close()
+
+
+def test_webui_page_serves_controls(server):
+    """The embedded WebUI page serves over plain HTTP with its
+    interactive controls present (explorer, generate + draft selector,
+    image init round trip, audio, jobs + batcher stats)."""
+    import urllib.request
+
+    srv, port = server
+    html = urllib.request.urlopen(
+        f"http://127.0.0.1:{port}/", timeout=10).read().decode()
+    for elem in ('id="tab_explorer"', 'id="tab_generate"', 'id="tab_audio"',
+                 'id="tab_jobs"', 'id="draft"', 'id="draftk"',
+                 'id="img_useinit"', 'id="img_preview"',
+                 'id="batcher_stats"', 'id="cancel_job"', "WebSocket"):
+        assert elem in html, elem
