@@ -162,6 +162,39 @@ def test_lora_trainer_only_adapters_change():
         np.testing.assert_array_equal(np.asarray(v), frozen_before[n])
 
 
+def test_lora_with_fsdp_mesh():
+    """fsdp=True + lora_rank: frozen base weights shard over dp, tiny
+    adapters stay replicated, and the step runs (regression: the
+    sharding-constraint block used to KeyError on adapter names)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from whisper_tensor_tpu.importers.recipes.llm.gpt2 import (
+        GPT2Config, build_gpt2_train, random_gpt2_weights)
+    from whisper_tensor_tpu.model import Model
+    from whisper_tensor_tpu.parallel.mesh import make_mesh
+    from whisper_tensor_tpu.training.trainer import LMTrainer
+
+    cfg = GPT2Config(n_layer=1, n_head=4, n_embd=64, vocab_size=64,
+                     n_positions=32)
+    model = Model.new_from_onnx(
+        build_gpt2_train(random_gpt2_weights(cfg), cfg))
+    mesh = make_mesh(dp=4, sp=1, tp=2)
+    tr = LMTrainer(model, optimizer="adamw", lr=1e-2, mesh=mesh,
+                   fsdp=True, fsdp_min_size=4096, lora_rank=2,
+                   lora_targets=["wqkv", "wproj"])
+    params = tr.init_params()
+    opt = tr.init_opt_state(params)
+    r = np.random.default_rng(2)
+    ids = r.integers(0, 64, (4, 9))
+    params, opt, loss = tr.train_step(params, opt, ids[:, :-1], ids[:, 1:])
+    assert np.isfinite(float(np.asarray(loss)))
+    frozen = tr._frozen_params()
+    assert any("dp" in tuple(v.sharding.spec)
+               for v in frozen.values() if v.ndim == 2)
+
+
 def test_lora_example_smoke():
     import subprocess
     import sys

@@ -196,3 +196,36 @@ def test_host_quantize_q4_0_any_checkpoint():
     b = np.asarray(f32.logits(p), np.float64).ravel()
     cos = (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b))
     assert cos > 0.98, cos
+
+
+def test_host_quantize_with_windowed_decode():
+    """quantize="q4_0" composes with window_models: the window graphs
+    pack from the same memoized quantized sources, and windowed output
+    equals the plain q4_0 generation exactly."""
+    from whisper_tensor_tpu.dtype import DType
+    from whisper_tensor_tpu.importers.onnx_builder import WeightStorage
+    from whisper_tensor_tpu.importers.recipes.llm.gpt2 import (
+        GPT2Config, build_gpt2_step, random_gpt2_weights)
+    from whisper_tensor_tpu.interfaces.text import TextInferenceInterface
+    from whisper_tensor_tpu.model import Model
+
+    cfg = GPT2Config(n_layer=1, n_head=2, n_embd=64, vocab_size=128,
+                     n_positions=64)
+    wg = random_gpt2_weights(cfg, seed=5)
+    m64 = Model.new_from_onnx(build_gpt2_step(wg, cfg, max_len=64,
+                                              dtype=DType.F32))
+    m32 = Model.new_from_onnx(build_gpt2_step(
+        wg, cfg, max_len=32, dtype=DType.F32,
+        storage=WeightStorage.none()))
+    m32.graph.store = m64.graph.store
+
+    plain = TextInferenceInterface(m64, max_len=64, prompt_buckets=(8,),
+                                   quantize="q4_0")
+    windowed = TextInferenceInterface(m64, max_len=64, prompt_buckets=(8,),
+                                      quantize="q4_0",
+                                      window_models={32: m32})
+    assert plain._packed and windowed._packed
+    rng = np.random.default_rng(6)
+    p = rng.integers(0, 128, (2, 5)).astype(np.int64)
+    np.testing.assert_array_equal(plain.generate_tokens(p, 30),
+                                  windowed.generate_tokens(p, 30))

@@ -106,9 +106,21 @@ def cmd_generate(args) -> None:
             dbundle.models[dname],
             max_len=int(iface_cfg.get("max_len", args.max_len)))
         dec = SpeculativeDecoder(iface, draft, k=args.draft_k)
+        sampling = None
+        if args.temperature > 0 or args.repetition_penalty != 1.0:
+            from .interfaces.text import SamplingParams
+
+            # rejection-sampling speculative path; repetition_penalty
+            # is rejected by the decoder with a clear error
+            sampling = SamplingParams(
+                temperature=args.temperature, top_k=args.top_k,
+                top_p=args.top_p,
+                repetition_penalty=args.repetition_penalty,
+                seed=args.seed)
         ids = np.asarray(iface.tokenizer.encode(args.prompt),
                          dtype=np.int64)
-        toks = dec.generate_tokens(ids, args.max_new_tokens)[0]
+        toks = dec.generate_tokens(ids, args.max_new_tokens,
+                                   sampling=sampling)[0]
         text = iface.tokenizer.decode([int(t) for t in toks])
     else:
         sampling = None

@@ -186,20 +186,26 @@ class TextInferenceInterface:
 
             fmt = PackedFormat[quantize.upper()]
             store = model.graph.store
+            _q_memo: Dict[str, Any] = {}
 
             def _q_source(n):
                 def make():
-                    w = store.get_numeric(n, DType.F32).numpy()
-                    if w.ndim != 2 or w.shape[0] % 64:
-                        return None
-                    return PackedTensor(
-                        quantize_blocks(np.ascontiguousarray(w.T), fmt),
-                        fmt, (w.shape[1], w.shape[0]))  # GGUF (N, K)
+                    if n not in _q_memo:   # window graphs reuse the
+                        w = store.get_numeric(n, DType.F32).numpy()
+                        if w.ndim != 2 or w.shape[0] % 64:
+                            _q_memo[n] = None
+                        else:
+                            _q_memo[n] = PackedTensor(
+                                quantize_blocks(
+                                    np.ascontiguousarray(w.T), fmt),
+                                fmt, (w.shape[1], w.shape[0]))  # (N, K)
+                    return _q_memo[n]
                 return make
 
+            self._pack_sources = {n: _q_source(n) for n in weight_inputs}
             self._packed = pack_matmul_nodes(
                 milli, list(weight_inputs), store,
-                sources={n: _q_source(n) for n in weight_inputs})
+                sources=self._pack_sources)
         elif quantize is not None:
             raise ValueError(f"unknown quantize mode {quantize!r}")
         self.weight_names = [n for n in milli.inputs
@@ -227,8 +233,13 @@ class TextInferenceInterface:
             if self._packed:
                 from ..milli.transforms import pack_matmul_nodes
 
+                # same sources (GGUF store entries, or the host-
+                # quantize callables) as the main milli, so window
+                # graphs get identical ::pscales/::poffsets inputs
                 pack_matmul_nodes(wmilli, list(w_weights),
-                                  model.graph.store)
+                                  model.graph.store,
+                                  sources=getattr(self, "_pack_sources",
+                                                  None))
             wnames = [n for n in wmilli.inputs
                       if n in w_weights or n.endswith("::pscales")
                       or n.endswith("::poffsets")]

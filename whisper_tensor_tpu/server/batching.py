@@ -69,7 +69,8 @@ class ContinuousBatcher:
                  eos_token_id: Optional[int] = None,
                  sampling: Optional[SamplingParams] = None,
                  prefill_chunk: Optional[int] = None,
-                 prefix_ids: Optional[np.ndarray] = None):
+                 prefix_ids: Optional[np.ndarray] = None,
+                 quantize: Optional[str] = None):
         """prefill_chunk: chunked prefill (vLLM-style admission QoS) —
         prompts longer than this are prefilled in prefill_chunk-token
         pieces, ONE piece per scheduler tick, so in-flight decode rows
@@ -86,7 +87,7 @@ class ContinuousBatcher:
         admission compute."""
         self.iface = TextInferenceInterface(
             model, max_len=max_len, cache_dtype=cache_dtype,
-            prompt_buckets=prompt_buckets)
+            prompt_buckets=prompt_buckets, quantize=quantize)
         self.max_len = max_len
         # the decode chunk program is shaped (max_batch, ...): round the
         # slot count up to a power of two so the program never sits on
@@ -153,14 +154,24 @@ class ContinuousBatcher:
 
     def cancel(self, future: Future) -> bool:
         """Cancel a submitted request (reference scheduler cancellation,
-        src/scheduler.rs cancellation registry). The request's future
-        resolves with the tokens emitted SO FAR (possibly empty) at the
-        next scheduler tick; its slot frees for reuse. Returns False
-        for unknown or already-finished futures."""
+        src/scheduler.rs cancellation registry). A request not yet in a
+        slot resolves immediately with zero tokens; a running request
+        resolves with the tokens emitted SO FAR at the next scheduler
+        tick and its slot frees for reuse. Returns False for unknown or
+        already-finished futures."""
         req = self._requests.get(future)
         if req is None or future.done():
             return False
         req.cancelled.set()
+        in_slot = any(s.req is req for s in self._slots)
+        adm = self._admission
+        in_adm = adm is not None and any(r is req for _, r in adm["grp"])
+        if not in_slot and not in_adm:
+            # still queued/backlogged: don't make the caller wait for a
+            # slot to free — the admission loops will skip it later
+            if not future.done():
+                future.set_result(np.zeros(0, np.int64))
+            self._requests.pop(future, None)
         self._wake.set()
         return True
 
@@ -439,10 +450,14 @@ class ContinuousBatcher:
                             req.future.set_result(np.zeros(0, np.int64))
                         self._requests.pop(req.future, None)
                         continue
+                    self._requests.setdefault(req.future, req)
                     self._admit_backlog.append((i, req))
             if not self._admit_backlog:
                 return
-            self._admit_backlog.sort(key=lambda p: p[1].prompt_ids.shape[0])
+            # FIFO: take the OLDEST pow-2 group (a global sort-by-length
+            # would starve a long prompt under sustained short load —
+            # similar lengths still tend to cluster via the shared
+            # bucket, and fairness beats marginal bucketing efficiency)
             k = 1
             while (k * 2 <= len(self._admit_backlog)
                    and k * 2 <= self.max_batch):
@@ -597,6 +612,10 @@ class ContinuousBatcher:
                             req.future.set_result(np.zeros(0, np.int64))
                         self._requests.pop(req.future, None)
                         continue
+                    # re-register: a tick-failure reset may have swapped
+                    # the registry while submit() was between its two
+                    # statements (registry add, queue put)
+                    self._requests.setdefault(req.future, req)
                     pairs.append((i, req))
             if pairs:
                 pairs.sort(key=lambda p: p[1].prompt_ids.shape[0])

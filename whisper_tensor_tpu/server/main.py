@@ -55,6 +55,7 @@ class Server:
         # per-model continuous batchers (ragged-decode models)
         self._batchers: dict = {}
         self._batch_jobs: dict = {}       # job_id -> (batcher, future)
+        self._spec_decoders: dict = {}    # (target, draft, k) -> decoder
 
     # -- report pump: scheduler queue -> all sockets ----------------------
     def _start_report_pump(self):
@@ -112,6 +113,12 @@ class Server:
             if bat is not None:
                 bat.stop()
             self._text_ifaces.pop(mid, None)
+            self._spec_decoders = {k: v for k, v in
+                                   self._spec_decoders.items()
+                                   if mid not in k[:2]}
+            bat = self._batchers.pop(mid, None)
+            if bat is not None:
+                bat.stop()
             self.models.unload(mid)
             return {"type": P.MODELS_REPORT, "models": self.models.list_models()}
         if t == P.LIST_MODELS:
@@ -367,7 +374,8 @@ class Server:
                 max_batch=int(cfg.get("max_batch", 8)),
                 chunk=int(cfg.get("chunk", 16)),
                 cache_dtype=DType.BF16,
-                prefill_chunk=int(pc) if pc else None).start()
+                prefill_chunk=int(pc) if pc else None,
+                quantize=cfg.get("quantize") or None).start()
             self._batchers[entry.id] = bat
         return bat
 
@@ -438,10 +446,16 @@ class Server:
             dentry = self.models.get(int(msg["draft_model_id"]))
             if dentry.interfaces.get("text") is None:
                 raise ValueError("draft model has no text interface")
-            target = self._text_iface(entry)
-            draft = self._text_iface(dentry)
-            dec = SpeculativeDecoder(target, draft,
-                                     k=int(msg.get("draft_k", 4)))
+            dkey = (entry.id, dentry.id, int(msg.get("draft_k", 4)))
+            dec = self._spec_decoders.get(dkey)
+            if dec is None:
+                dec = SpeculativeDecoder(self._text_iface(entry),
+                                         self._text_iface(dentry),
+                                         k=dkey[2])
+                # cache the decoder: its jitted draft-verify program is
+                # the expensive part, and a fresh instance per request
+                # would recompile it every time
+                self._spec_decoders[dkey] = dec
             sampling = None
             if float(msg.get("temperature", 0.0)) > 0.0:
                 sampling = SamplingParams(

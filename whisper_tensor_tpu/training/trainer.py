@@ -152,23 +152,32 @@ class LMTrainer:
             return {n: jax.device_put(
                 v.astype(self.param_dtype.to_numpy(), copy=False))
                 for n, v in self._lora_init.items()}
-        hosts = []
-        for n in self.weight_names:
-            host = self.model.graph.store.get_numeric(n, self.param_dtype).numpy()
-            hosts.append(host.astype(self.param_dtype.to_numpy(), copy=False))
-        if self.fsdp and self.param_shardings is None:
-            from ..parallel.mesh import fsdp_shardings
-
-            self.param_shardings = fsdp_shardings(
-                self.weight_names, [h.shape for h in hosts], self.mesh,
-                rules=self._rules, min_size=self.fsdp_min_size)
         params = {}
-        for i, (n, host) in enumerate(zip(self.weight_names, hosts)):
-            if self.param_shardings is not None:
-                params[n] = jax.device_put(host, self.param_shardings[i])
-            else:
-                params[n] = jax.device_put(host)
+        for i, n in enumerate(self.weight_names):
+            host = self.model.graph.store.get_numeric(
+                n, self.param_dtype).numpy()
+            host = host.astype(self.param_dtype.to_numpy(), copy=False)
+            sh = self._shard_for(i, n, host.shape)
+            params[n] = (jax.device_put(host, sh) if sh is not None
+                         else jax.device_put(host))
         return params
+
+    def _shard_for(self, i: int, name: str, shape):
+        """Per-weight sharding, computed lazily and streamed (fsdp needs
+        the shape, which is only known once the weight loads; one weight
+        is resident on the host at a time)."""
+        if self.fsdp:
+            if self.param_shardings is None:
+                self.param_shardings = [None] * len(self.weight_names)
+            if self.param_shardings[i] is None:
+                from ..parallel.mesh import fsdp_shardings
+
+                self.param_shardings[i] = fsdp_shardings(
+                    [name], [shape], self.mesh, rules=self._rules,
+                    min_size=self.fsdp_min_size)[0]
+            return self.param_shardings[i]
+        return (self.param_shardings[i]
+                if self.param_shardings is not None else None)
 
     def _frozen_params(self) -> Dict[str, Any]:
         """LoRA mode: the frozen base weights, uploaded once and passed
@@ -179,22 +188,12 @@ class LMTrainer:
         if self.lora_rank == 0:
             return {}
         if getattr(self, "_frozen_cache", None) is None:
-            hosts = []
-            for n in self.weight_names:
+            frozen = {}
+            for i, n in enumerate(self.weight_names):
                 host = self.model.graph.store.get_numeric(
                     n, self.param_dtype).numpy()
-                hosts.append(host.astype(self.param_dtype.to_numpy(),
-                                         copy=False))
-            if self.fsdp and self.param_shardings is None:
-                from ..parallel.mesh import fsdp_shardings
-
-                self.param_shardings = fsdp_shardings(
-                    self.weight_names, [h.shape for h in hosts], self.mesh,
-                    rules=self._rules, min_size=self.fsdp_min_size)
-            frozen = {}
-            for i, (n, host) in enumerate(zip(self.weight_names, hosts)):
-                sh = (self.param_shardings[i]
-                      if self.param_shardings is not None else None)
+                host = host.astype(self.param_dtype.to_numpy(), copy=False)
+                sh = self._shard_for(i, n, host.shape)
                 frozen[n] = (jax.device_put(host, sh) if sh is not None
                              else jax.device_put(host))
             self._frozen_cache = frozen
@@ -260,9 +259,14 @@ class LMTrainer:
             if self.fsdp and self.param_shardings is not None:
                 # pin updated params to their dp-sharded placement so
                 # GSPMD reduce-scatters grads and keeps weights + Adam
-                # state at 1/dp per device instead of re-replicating
-                sh = dict(zip(self.weight_names, self.param_shardings))
-                params = {k: jax.lax.with_sharding_constraint(v, sh[k])
+                # state at 1/dp per device instead of re-replicating.
+                # LoRA adapters aren't in weight_names (they're tiny and
+                # replicated) — only constrain keys that have a sharding
+                sh = {k: s for k, s in zip(self.weight_names,
+                                           self.param_shardings)
+                      if s is not None}
+                params = {k: (jax.lax.with_sharding_constraint(v, sh[k])
+                              if k in sh else v)
                           for k, v in params.items()}
             return params, opt_state, loss
 
