@@ -491,3 +491,112 @@ def test_webui_page_serves_controls(server):
                  'id="img_useinit"', 'id="img_preview"',
                  'id="batcher_stats"', 'id="cancel_job"', "WebSocket"):
         assert elem in html, elem
+
+
+def test_generate_text_stop_sequences(server, tmp_path):
+    """generate_text honors `stop` sequences on both the direct path and
+    the ragged ContinuousBatcher path: the returned text is truncated at
+    the first occurrence of any stop string (reference parity: OpenAI-style
+    stop, plus the batcher frees the slot early instead of decoding the
+    full budget)."""
+    import json as _json
+
+    from safetensors.torch import save_file
+    import torch
+    from transformers import GPT2Config as HFConfig, GPT2LMHeadModel
+
+    torch.manual_seed(7)
+    hf = GPT2LMHeadModel(HFConfig(n_layer=1, n_head=2, n_embd=16,
+                                  vocab_size=300, n_positions=64))
+    d = tmp_path / "tiny-gpt2-stop"
+    d.mkdir()
+    (d / "config.json").write_text(_json.dumps({
+        "model_type": "gpt2", "n_layer": 1, "n_head": 2, "n_embd": 16,
+        "vocab_size": 300, "n_positions": 64}))
+    save_file({k: v.contiguous() for k, v in hf.state_dict().items()
+               if k != "lm_head.weight"}, str(d / "model.safetensors"))
+
+    srv, port = server
+    c = _WSClient("127.0.0.1", port)
+
+    def gen(mid, **kw):
+        c.send({"type": "generate_text", "model_id": mid, "prompt": "hi",
+                "max_new_tokens": 8, "tokenizer": "bytes", **kw})
+        for _ in range(200):
+            r = c.recv()
+            if r["type"] in ("job_result", "job_error"):
+                break
+        assert r["type"] == "job_result", r
+        return r["result"]
+
+    try:
+        for ragged in (False, True):
+            cfg = {"path": str(d), "dtype": "f32", "max_len": 64}
+            if ragged:
+                cfg["ragged"] = True
+            c.send({"type": "run_loader", "loader": "transformers",
+                    "config": cfg})
+            mid = c.recv()["loaded"][0]
+
+            full = gen(mid)["text"]
+            assert len(full) >= 2, f"greedy output too short: {full!r}"
+
+            # a stop string that never occurs: text unchanged
+            assert gen(mid, stop=["\x00NOPE"])["text"] == full
+
+            # stop at the first occurrence of a real substring
+            stop = full[1]
+            want = full[:full.find(stop)]
+            assert gen(mid, stop=[stop])["text"] == want, ragged
+    finally:
+        c.close()
+
+
+def test_generate_text_stop_with_probs(server, tmp_path):
+    """with_probs + stop: the probability table is trimmed consistently
+    with the returned text (joined token texts == text before trim)."""
+    import json as _json
+
+    from safetensors.torch import save_file
+    import torch
+    from transformers import GPT2Config as HFConfig, GPT2LMHeadModel
+
+    torch.manual_seed(9)
+    hf = GPT2LMHeadModel(HFConfig(n_layer=1, n_head=2, n_embd=16,
+                                  vocab_size=300, n_positions=64))
+    d = tmp_path / "tiny-gpt2-stopp"
+    d.mkdir()
+    (d / "config.json").write_text(_json.dumps({
+        "model_type": "gpt2", "n_layer": 1, "n_head": 2, "n_embd": 16,
+        "vocab_size": 300, "n_positions": 64}))
+    save_file({k: v.contiguous() for k, v in hf.state_dict().items()
+               if k != "lm_head.weight"}, str(d / "model.safetensors"))
+
+    srv, port = server
+    c = _WSClient("127.0.0.1", port)
+    try:
+        c.send({"type": "run_loader", "loader": "transformers",
+                "config": {"path": str(d), "dtype": "f32", "max_len": 64}})
+        mid = c.recv()["loaded"][0]
+
+        def gen(**kw):
+            c.send({"type": "generate_text", "model_id": mid,
+                    "prompt": "hi", "max_new_tokens": 8,
+                    "tokenizer": "bytes", "with_probs": True, **kw})
+            for _ in range(200):
+                r = c.recv()
+                if r["type"] in ("job_result", "job_error"):
+                    break
+            assert r["type"] == "job_result", r
+            return r["result"]
+
+        full = gen()
+        assert "".join(t["text"] for t in full["tokens"]) == full["text"]
+        assert len(full["text"]) >= 2
+        stop = full["text"][1]
+        res = gen(stop=[stop])
+        assert stop not in res["text"]
+        assert "".join(t["text"] for t in res["tokens"]) == res["text"]
+        assert all(0.0 <= t["p"] <= 1.0 for t in res["tokens"])
+    finally:
+        c.close()

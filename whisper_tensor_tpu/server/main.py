@@ -386,19 +386,47 @@ class Server:
         ids = _np.asarray(tok.encode(msg["prompt"]), dtype=_np.int64)
         job_id = next(self.scheduler._next)
         self.scheduler.reports.put({"type": P.JOB_ACCEPTED, "job": job_id})
+        stops = [s for s in (msg.get("stop") or []) if s]
+        state = {"toks": [], "hit": None, "fut": None}
 
         def on_tok(t):
             self.scheduler.reports.put({"type": P.PROGRESS, "job": job_id,
                                         "token": int(t)})
+            if stops and state["hit"] is None:
+                state["toks"].append(int(t))
+                text = tok.decode(state["toks"])
+                for s in stops:
+                    i = text.find(s)
+                    if i >= 0:
+                        state["hit"] = text[:i]
+                        # a hit also stops the row on the device — the
+                        # batcher frees the slot instead of decoding
+                        # the remaining budget (state["fut"] can lag
+                        # the first streamed token by one race window;
+                        # the result is trimmed either way)
+                        if state["fut"] is not None:
+                            bat.cancel(state["fut"])
+                        return
 
         fut = bat.submit(ids, n_new, on_token=on_tok)
+        state["fut"] = fut
+        if state["hit"] is not None:       # hit during the race window
+            bat.cancel(fut)
         self._batch_jobs[job_id] = (bat, fut)
 
         def done(f):
             self._batch_jobs.pop(job_id, None)
             try:
                 toks = f.result()
-                text = tok.decode([int(x) for x in toks])
+                if state["hit"] is not None:
+                    text = state["hit"]
+                else:
+                    text = tok.decode([int(x) for x in toks])
+                    for s in stops:
+                        i = text.find(s)
+                        if i >= 0:
+                            text = text[:i]
+                            break
                 self.scheduler.reports.put({"type": P.JOB_RESULT,
                                             "job": job_id,
                                             "result": {"text": text}})
@@ -494,19 +522,42 @@ class Server:
 
         with_probs = bool(msg.get("with_probs"))
 
+        stops = [s for s in (msg.get("stop") or []) if s]
+
+        def _trim(text):
+            for s in stops:
+                i = text.find(s)
+                if i >= 0:
+                    return text[:i]
+            return text
+
         def job(obs):
             import numpy as _np
 
             if not with_probs:
-                return {"text": iface.run_string_in_string_out(
-                    msg["prompt"], n_new, sampling=sampling)}
+                return {"text": _trim(iface.run_string_in_string_out(
+                    msg["prompt"], n_new, sampling=sampling))}
             ids = _np.asarray(tok.encode(msg["prompt"]), dtype=_np.int64)[None]
             toks = iface.generate_tokens(ids, n_new, sampling=sampling)[0]
-            text = tok.decode([int(t) for t in toks])
+            if stops:
+                # trim the token list at the first stop hit so the
+                # probability table matches the returned text
+                kept, acc = [], ""
+                for t in toks:
+                    nxt = tok.decode([int(x) for x in kept] + [int(t)])
+                    if any(s in nxt for s in stops):
+                        break
+                    kept.append(int(t))
+                    acc = nxt
+                toks = kept
+                text = _trim(acc)
+            else:
+                text = tok.decode([int(t) for t in toks])
             # token-probability coloring (reference llm_explorer.rs):
             # one teacher-forced prefill over prompt+generated scores
             # every emitted token under the model — p(tok_i | prefix)
-            full = _np.concatenate([ids[0], _np.asarray(toks)])[None]
+            full = _np.concatenate(
+                [ids[0], _np.asarray(toks, dtype=_np.int64)])[None]
             logits = iface.logits(full[:, :-1]).astype(_np.float32)
             start = ids.shape[1] - 1
             token_info = []
