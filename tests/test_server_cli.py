@@ -210,6 +210,16 @@ def test_cli_inspect_and_generate(tmp_path, capsys):
     out = capsys.readouterr().out
     assert isinstance(out, str)
 
+    # --stop truncates at the first occurrence of the sequence
+    gen = out.rstrip("\n")
+    if len(gen) >= 2:
+        stop = gen[1]
+        cli_main(["generate", "--model", str(d), "--prompt", "hi",
+                  "--max-new-tokens", "4", "--max-len", "64",
+                  "-c", "dtype=f32", "--tokenizer", "bytes",
+                  "--stop", stop])
+        assert capsys.readouterr().out.rstrip("\n") == gen[:gen.find(stop)]
+
     # speculative decoding path: a second tiny model as draft; greedy
     # output must equal the plain greedy generation above
     torch.manual_seed(1)
@@ -488,7 +498,7 @@ def test_webui_page_serves_controls(server):
         f"http://127.0.0.1:{port}/", timeout=10).read().decode()
     for elem in ('id="tab_explorer"', 'id="tab_generate"', 'id="tab_audio"',
                  'id="tab_jobs"', 'id="draft"', 'id="draftk"',
-                 'id="img_useinit"', 'id="img_preview"',
+                 'id="img_useinit"', 'id="img_preview"', 'id="stopseq"',
                  'id="batcher_stats"', 'id="cancel_job"', "WebSocket"):
         assert elem in html, elem
 

@@ -134,6 +134,10 @@ def cmd_generate(args) -> None:
         text = iface.run_string_in_string_out(args.prompt,
                                               args.max_new_tokens,
                                               sampling=sampling)
+    for s in (getattr(args, "stop", None) or []):
+        i = text.find(s)
+        if i >= 0:
+            text = text[:i]
     dt = time.time() - t1
     print(text)
     print(f"[{args.max_new_tokens} tokens in {dt:.2f}s "
@@ -362,6 +366,9 @@ def main(argv=None) -> None:
     g.add_argument("--draft-k", type=int, default=4,
                    help="speculation block length (k-1 proposals/round)")
     g.add_argument("--seed", type=int, default=0)
+    g.add_argument("--stop", action="append", default=[],
+                   help="stop sequence: truncate the output at its first "
+                        "occurrence (repeatable)")
     g.add_argument("-c", "--config", action="append", default=[],
                    help="loader config key=value")
     g.set_defaults(fn=cmd_generate)
