@@ -135,3 +135,64 @@ class TestSampling:
         hot = iface.generate_tokens(p, 16, sampling=SamplingParams(
             temperature=5.0, seed=11))
         assert not np.array_equal(greedy, hot)
+
+    def test_min_p_1_equals_greedy(self, iface):
+        # min_p=1.0 keeps only tokens at the max probability — the
+        # categorical draw collapses to argmax
+        from whisper_tensor_tpu.interfaces.text import SamplingParams
+
+        p = self._prompt()
+        greedy = iface.generate_tokens(p, 10)
+        mp = iface.generate_tokens(p, 10, sampling=SamplingParams(
+            temperature=1.0, min_p=1.0, seed=13))
+        np.testing.assert_array_equal(greedy, mp)
+
+    def test_min_p_filter_matches_reference(self):
+        # _filtered_logits min-p mask vs an independent numpy formula
+        import jax
+
+        from whisper_tensor_tpu.interfaces.text import (SamplingParams,
+                                                        _filtered_logits)
+
+        rng = np.random.default_rng(3)
+        lg = rng.normal(size=(4, 50)).astype(np.float32) * 3
+        sp = SamplingParams(temperature=0.7, min_p=0.15)
+        out = np.asarray(jax.jit(
+            lambda x: _filtered_logits(x, sp))(lg))
+        t = lg / 0.7
+        probs = np.exp(t - t.max(-1, keepdims=True))
+        probs /= probs.sum(-1, keepdims=True)
+        keep = probs >= 0.15 * probs.max(-1, keepdims=True)
+        assert np.array_equal(np.isfinite(out), keep)
+        np.testing.assert_allclose(out[keep], t[keep], rtol=1e-6)
+        assert 0 < keep.sum() < keep.size  # the filter actually bites
+
+    def test_presence_frequency_penalties_match_reference(self, iface):
+        # greedy decode with OpenAI-style additive penalties vs an
+        # independent teacher-forced numpy loop over iface.logits
+        from whisper_tensor_tpu.interfaces.text import SamplingParams
+
+        p = self._prompt()
+        n_new = 10
+        a_pres, a_freq = 1.5, 0.9
+        got = iface.generate_tokens(p, n_new, sampling=SamplingParams(
+            temperature=0.0, presence_penalty=a_pres, frequency_penalty=a_freq))
+
+        V = 97
+        want = np.zeros((p.shape[0], n_new), np.int64)
+        for b in range(p.shape[0]):
+            seq = list(p[b])
+            cnt = np.zeros(V, np.float32)
+            for t in seq:
+                cnt[int(t)] += 1
+            for i in range(n_new):
+                lg = np.asarray(iface.logits(
+                    np.asarray(seq, np.int64)[None])[0, -1], np.float32)
+                lg = lg - a_pres * (cnt > 0) - a_freq * cnt
+                nxt = int(np.argmax(lg))
+                want[b, i] = nxt
+                seq.append(nxt)
+                cnt[nxt] += 1
+        np.testing.assert_array_equal(got, want)
+        # and the penalties actually change the greedy output
+        assert not np.array_equal(got, iface.generate_tokens(p, n_new))

@@ -124,13 +124,17 @@ def cmd_generate(args) -> None:
         text = iface.tokenizer.decode([int(t) for t in toks])
     else:
         sampling = None
-        if args.temperature > 0 or args.repetition_penalty != 1.0:
+        if (args.temperature > 0 or args.repetition_penalty != 1.0
+                or args.presence_penalty != 0.0
+                or args.frequency_penalty != 0.0):
             from .interfaces.text import SamplingParams
 
             sampling = SamplingParams(
                 temperature=args.temperature, top_k=args.top_k,
-                top_p=args.top_p,
-                repetition_penalty=args.repetition_penalty, seed=args.seed)
+                top_p=args.top_p, min_p=args.min_p,
+                repetition_penalty=args.repetition_penalty,
+                presence_penalty=args.presence_penalty,
+                frequency_penalty=args.frequency_penalty, seed=args.seed)
         text = iface.run_string_in_string_out(args.prompt,
                                               args.max_new_tokens,
                                               sampling=sampling)
@@ -358,7 +362,10 @@ def main(argv=None) -> None:
     g.add_argument("--temperature", type=float, default=0.0)
     g.add_argument("--top-k", type=int, default=0)
     g.add_argument("--top-p", type=float, default=1.0)
+    g.add_argument("--min-p", type=float, default=0.0)
     g.add_argument("--repetition-penalty", type=float, default=1.0)
+    g.add_argument("--presence-penalty", type=float, default=0.0)
+    g.add_argument("--frequency-penalty", type=float, default=0.0)
     g.add_argument("--num-beams", type=int, default=1)
     g.add_argument("--draft-model",
                    help="speculative decoding: path to a small draft "

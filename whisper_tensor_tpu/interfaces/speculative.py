@@ -243,8 +243,12 @@ class SpeculativeDecoder:
         import jax
         import jax.numpy as jnp
 
-        if sampling is not None and sampling.repetition_penalty != 1.0:
-            raise ValueError("repetition_penalty is not supported in "
+        if sampling is not None and (sampling.repetition_penalty != 1.0
+                                     or sampling.presence_penalty != 0.0
+                                     or sampling.frequency_penalty != 0.0):
+            raise ValueError("history-dependent penalties "
+                             "(repetition_penalty / presence_penalty / "
+                             "frequency_penalty) are not supported in "
                              "speculative decoding")
         ids = np.asarray(prompt_ids, np.int64)
         if ids.ndim == 1:

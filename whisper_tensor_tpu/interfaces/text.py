@@ -27,26 +27,36 @@ from ..model import Model
 class SamplingParams:
     """Sampling for the jitted decode loop (reference: the scheduler's
     live generation settings, src/scheduler.rs). temperature==0 means
-    greedy. top_k/top_p restrict the candidate set before the
+    greedy. top_k/top_p/min_p restrict the candidate set before the
     categorical draw; repetition_penalty divides positive / multiplies
     negative logits of already-seen tokens (prompt + generated, HF
-    semantics, tracked as a (B, V) mask in the scan carry); all of it
-    runs inside the compiled scan."""
+    semantics); presence_penalty subtracts a flat amount from every
+    seen token's logit and frequency_penalty subtracts per occurrence
+    (OpenAI mu[j] -= c[j]*alpha_freq + 1[c[j]>0]*alpha_pres, counted
+    over prompt + generated text, tracked as a (B, V) int32 count array
+    in the scan carry); all of it runs inside the compiled scan."""
 
     temperature: float = 1.0
     top_k: int = 0                   # 0 = disabled
     top_p: float = 1.0               # 1.0 = disabled
+    min_p: float = 0.0               # 0.0 = disabled
     repetition_penalty: float = 1.0  # 1.0 = disabled
+    presence_penalty: float = 0.0    # 0.0 = disabled (additive, OpenAI-style)
+    frequency_penalty: float = 0.0   # 0.0 = disabled (additive, per count)
     seed: int = 0
 
 
 def _uses_seen(sp: Optional[SamplingParams]) -> bool:
-    return sp is not None and sp.repetition_penalty != 1.0
+    """True when the decode scan must carry the (B, V) token-count array
+    (repetition / presence / frequency penalties)."""
+    return sp is not None and (sp.repetition_penalty != 1.0
+                               or sp.presence_penalty != 0.0
+                               or sp.frequency_penalty != 0.0)
 
 
 def _filtered_logits(logits, sp: SamplingParams):
-    """Temperature/top-k/top-p-adjusted (B, V) f32 logits — softmax of
-    the result IS the sampling distribution _pick_token draws from."""
+    """Temperature/top-k/top-p/min-p-adjusted (B, V) f32 logits — softmax
+    of the result IS the sampling distribution _pick_token draws from."""
     import jax
     import jax.numpy as jnp
 
@@ -61,20 +71,37 @@ def _filtered_logits(logits, sp: SamplingParams):
         thresh = jnp.min(jnp.where(keep, srt, jnp.inf), axis=-1,
                          keepdims=True)
         lg = jnp.where(lg < thresh, -jnp.inf, lg)
+    if sp.min_p > 0.0:
+        # keep tokens whose probability is at least min_p times the top
+        # token's probability (applied after top-k/top-p, HF warper order)
+        probs = jax.nn.softmax(lg, axis=-1)
+        cut = sp.min_p * jnp.max(probs, axis=-1, keepdims=True)
+        lg = jnp.where(probs < cut, -jnp.inf, lg)
     return lg
 
 
 def _pick_token(logits, key, sp: Optional[SamplingParams], seen=None):
     """(B, V) logits -> (B,) token ids, inside jit. `seen` is the (B, V)
-    bool already-emitted mask for repetition_penalty."""
+    int32 occurrence-count array (prompt + generated) for the
+    repetition / presence / frequency penalties."""
     import jax
     import jax.numpy as jnp
 
-    if sp is not None and sp.repetition_penalty != 1.0 and seen is not None:
+    if sp is not None and seen is not None and _uses_seen(sp):
         lg0 = logits.astype(jnp.float32)
-        pen = jnp.where(lg0 > 0, lg0 / sp.repetition_penalty,
-                        lg0 * sp.repetition_penalty)
-        logits = jnp.where(seen, pen, lg0)
+        cnt = seen.astype(jnp.float32)
+        emitted = seen > 0
+        if sp.repetition_penalty != 1.0:
+            pen = jnp.where(lg0 > 0, lg0 / sp.repetition_penalty,
+                            lg0 * sp.repetition_penalty)
+            lg0 = jnp.where(emitted, pen, lg0)
+        # OpenAI-formula additive penalties: presence fires once per
+        # distinct seen token, frequency scales with its count
+        if sp.presence_penalty != 0.0:
+            lg0 = lg0 - sp.presence_penalty * emitted.astype(jnp.float32)
+        if sp.frequency_penalty != 0.0:
+            lg0 = lg0 - sp.frequency_penalty * cnt
+        logits = lg0
     if sp is None or sp.temperature <= 0.0:
         return jnp.argmax(logits, axis=-1)
     return jax.random.categorical(key, _filtered_logits(logits, sp), axis=-1)
@@ -363,13 +390,14 @@ class TextInferenceInterface:
             if _uses_seen(sp):
                 # prompt tokens count as seen (only the real prefix)
                 valid = jnp.arange(ids_padded.shape[1])[None] < prompt_len
-                seen = jnp.zeros((B, V), bool).at[
-                    jnp.arange(B)[:, None], ids_padded].max(
-                    jnp.broadcast_to(valid, ids_padded.shape))
+                seen = jnp.zeros((B, V), jnp.int32).at[
+                    jnp.arange(B)[:, None], ids_padded].add(
+                    jnp.broadcast_to(valid, ids_padded.shape)
+                    .astype(jnp.int32))
             first_tok = _pick_token(last, jax.random.fold_in(rng_key, 0), sp,
                                     seen)
             if seen is not None:
-                seen = seen.at[jnp.arange(B), first_tok].set(True)
+                seen = seen.at[jnp.arange(B), first_tok].add(1)
 
             def body(carry, i):
                 cur, pos, caches, seen = carry
@@ -378,7 +406,7 @@ class TextInferenceInterface:
                                   jax.random.fold_in(rng_key, i + 1), sp,
                                   seen)
                 if seen is not None:
-                    seen = seen.at[jnp.arange(seen.shape[0]), nxt].set(True)
+                    seen = seen.at[jnp.arange(seen.shape[0]), nxt].add(1)
                 return (nxt, pos + 1, caches, seen), cur
 
             (final_tok, _, caches, _), toks = jax.lax.scan(
@@ -411,9 +439,9 @@ class TextInferenceInterface:
             seen = None
             if _uses_seen(sp):
                 # no prompt visibility here (embeds prefill hand-off):
-                # the seen mask starts from the first token
-                seen = jnp.zeros((batch, vocab), bool).at[
-                    jnp.arange(batch), first_tok].set(True)
+                # the count array starts from the first token
+                seen = jnp.zeros((batch, vocab), jnp.int32).at[
+                    jnp.arange(batch), first_tok].add(1)
 
             def body(carry, i):
                 cur, p, caches, seen = carry
@@ -422,7 +450,7 @@ class TextInferenceInterface:
                                   jax.random.fold_in(rng_key, i + 1), sp,
                                   seen)
                 if seen is not None:
-                    seen = seen.at[jnp.arange(seen.shape[0]), nxt].set(True)
+                    seen = seen.at[jnp.arange(seen.shape[0]), nxt].add(1)
                 return (nxt, p + 1, caches, seen), cur
 
             (_, _, caches, _), toks = jax.lax.scan(
@@ -579,12 +607,13 @@ class TextInferenceInterface:
             seen = None
             if _uses_seen(sp):
                 valid = jnp.arange(ids_padded.shape[1])[None] < prompt_len
-                seen = jnp.zeros((B, V), bool).at[
-                    jnp.arange(B)[:, None], ids_padded].max(
-                    jnp.broadcast_to(valid, ids_padded.shape))
+                seen = jnp.zeros((B, V), jnp.int32).at[
+                    jnp.arange(B)[:, None], ids_padded].add(
+                    jnp.broadcast_to(valid, ids_padded.shape)
+                    .astype(jnp.int32))
             cur = _pick_token(last, jax.random.fold_in(rng_key, 0), sp, seen)
             if seen is not None:
-                seen = seen.at[jnp.arange(B), cur].set(True)
+                seen = seen.at[jnp.arange(B), cur].add(1)
 
             pos = jnp.asarray(prompt_len, dtype=jnp.int64)
             off = 0
@@ -606,7 +635,7 @@ class TextInferenceInterface:
                                       seen)
                     if seen is not None:
                         seen = seen.at[jnp.arange(seen.shape[0]),
-                                       nxt].set(True)
+                                       nxt].add(1)
                     return (nxt, pos + 1, caches, seen), cur
 
                 (cur, pos, caches, seen), toks = jax.lax.scan(

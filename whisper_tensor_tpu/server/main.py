@@ -490,6 +490,7 @@ class Server:
                     temperature=float(msg.get("temperature", 1.0)),
                     top_k=int(msg.get("top_k", 0)),
                     top_p=float(msg.get("top_p", 1.0)),
+                    min_p=float(msg.get("min_p", 0.0)),
                     seed=int(msg.get("seed", 0)))
 
             def spec_job(obs):
@@ -508,14 +509,21 @@ class Server:
         iface = self._text_iface(entry)
         iface.tokenizer = tok
         sampling = None
-        if float(msg.get("temperature", 0.0)) > 0.0:
+        if (float(msg.get("temperature", 0.0)) > 0.0
+                or float(msg.get("repetition_penalty", 1.0)) != 1.0
+                or float(msg.get("presence_penalty", 0.0)) != 0.0
+                or float(msg.get("frequency_penalty", 0.0)) != 0.0):
             from ..interfaces.text import SamplingParams
 
             sampling = SamplingParams(
-                temperature=float(msg.get("temperature", 1.0)),
+                temperature=float(msg.get("temperature", 1.0))
+                if float(msg.get("temperature", 0.0)) > 0.0 else 0.0,
                 top_k=int(msg.get("top_k", 0)),
                 top_p=float(msg.get("top_p", 1.0)),
+                min_p=float(msg.get("min_p", 0.0)),
                 repetition_penalty=float(msg.get("repetition_penalty", 1.0)),
+                presence_penalty=float(msg.get("presence_penalty", 0.0)),
+                frequency_penalty=float(msg.get("frequency_penalty", 0.0)),
                 seed=int(msg.get("seed", 0)))
         settings = ObserverSettings(
             tensor_subscriptions=set(msg.get("tensor_subscriptions", [])))
