@@ -610,3 +610,53 @@ def test_generate_text_stop_with_probs(server, tmp_path):
         assert all(0.0 <= t["p"] <= 1.0 for t in res["tokens"])
     finally:
         c.close()
+
+
+def test_generate_text_chat_messages(server, tmp_path):
+    """generate_text accepts a `messages` chat list: the server renders
+    the tokenizer's chat template (ChatML fallback for plain tokenizers)
+    and the result equals generating from the rendered prompt."""
+    import json as _json
+
+    from safetensors.torch import save_file
+    import torch
+    from transformers import GPT2Config as HFConfig, GPT2LMHeadModel
+
+    from whisper_tensor_tpu.tokenizer import ByteTokenizer, apply_chat_template
+
+    torch.manual_seed(11)
+    hf = GPT2LMHeadModel(HFConfig(n_layer=1, n_head=2, n_embd=16,
+                                  vocab_size=300, n_positions=128))
+    d = tmp_path / "tiny-gpt2-chat"
+    d.mkdir()
+    (d / "config.json").write_text(_json.dumps({
+        "model_type": "gpt2", "n_layer": 1, "n_head": 2, "n_embd": 16,
+        "vocab_size": 300, "n_positions": 128}))
+    save_file({k: v.contiguous() for k, v in hf.state_dict().items()
+               if k != "lm_head.weight"}, str(d / "model.safetensors"))
+
+    srv, port = server
+    c = _WSClient("127.0.0.1", port)
+    try:
+        c.send({"type": "run_loader", "loader": "transformers",
+                "config": {"path": str(d), "dtype": "f32",
+                           "max_len": 128}})
+        mid = c.recv()["loaded"][0]
+
+        def run(payload):
+            c.send({"type": "generate_text", "model_id": mid,
+                    "max_new_tokens": 4, "tokenizer": "bytes", **payload})
+            for _ in range(200):
+                r = c.recv()
+                if r["type"] in ("job_result", "job_error"):
+                    break
+            assert r["type"] == "job_result", r
+            return r["result"]["text"]
+
+        msgs = [{"role": "system", "content": "terse"},
+                {"role": "user", "content": "hi"}]
+        chat_out = run({"messages": msgs})
+        rendered = apply_chat_template(ByteTokenizer(), msgs)
+        assert chat_out == run({"prompt": rendered})
+    finally:
+        c.close()

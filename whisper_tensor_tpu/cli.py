@@ -83,6 +83,13 @@ def cmd_generate(args) -> None:
                                    quantize=iface_cfg.get("quantize")
                                    or None)
     iface.tokenizer = AnyTokenizer.load(tok_src)
+    if getattr(args, "chat", False):
+        from .tokenizer import apply_chat_template
+
+        messages = ([{"role": "system", "content": args.system}]
+                    if getattr(args, "system", None) else [])
+        messages.append({"role": "user", "content": args.prompt})
+        args.prompt = apply_chat_template(iface.tokenizer, messages)
     t1 = time.time()
     if getattr(args, "num_beams", 1) and args.num_beams > 1:
         ids = np.asarray(iface.tokenizer.encode(args.prompt),
@@ -376,6 +383,10 @@ def main(argv=None) -> None:
     g.add_argument("--stop", action="append", default=[],
                    help="stop sequence: truncate the output at its first "
                         "occurrence (repeatable)")
+    g.add_argument("--chat", action="store_true",
+                   help="treat --prompt as a user message and render the "
+                        "tokenizer's chat template (ChatML fallback)")
+    g.add_argument("--system", help="system message for --chat")
     g.add_argument("-c", "--config", action="append", default=[],
                    help="loader config key=value")
     g.set_defaults(fn=cmd_generate)

@@ -446,6 +446,12 @@ class Server:
 
         tok_src = msg.get("tokenizer") or entry.tokenizer_source or "bytes"
         tok = AnyTokenizer.load(tok_src)
+        if msg.get("messages") and not msg.get("prompt"):
+            # chat form: render the tokenizer's chat template (or the
+            # ChatML fallback) into the prompt every path below uses
+            from ..tokenizer import apply_chat_template
+
+            msg["prompt"] = apply_chat_template(tok, msg["messages"])
         n_new = int(msg.get("max_new_tokens", 32))
         beams = int(msg.get("num_beams", 1))
         if beams > 1:

@@ -9,8 +9,93 @@ fallback that needs no assets.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import List, Optional
+
+
+# chat templating ------------------------------------------------------------
+#
+# HF-ecosystem checkpoints ship a jinja `chat_template` in
+# tokenizer_config.json; rendering one turns a [{role, content}] message
+# list into the model's prompt string. The reference has no chat layer
+# (its CLI takes raw prompts) — this is serving-parity beyond it. The
+# rendering environment mirrors transformers' (ImmutableSandboxed jinja,
+# raise_exception/strftime_now globals, special-token variables) so a
+# template renders byte-identically to tokenizer.apply_chat_template.
+
+_CHATML_FALLBACK = (
+    "{%- for message in messages %}"
+    "{{- '<|im_start|>' + message['role'] + '\n' + message['content']"
+    " + '<|im_end|>' + '\n' }}"
+    "{%- endfor %}"
+    "{%- if add_generation_prompt %}{{- '<|im_start|>assistant\n' }}"
+    "{%- endif %}")
+
+
+def render_chat_template(template: str, messages, *,
+                         add_generation_prompt: bool = True,
+                         **special_tokens) -> str:
+    """Render a jinja chat template exactly like transformers does
+    (sandboxed env, raise_exception / strftime_now helpers, special
+    tokens as plain variables)."""
+    from datetime import datetime
+
+    from jinja2.sandbox import ImmutableSandboxedEnvironment
+
+    def _raise(message):
+        raise ValueError(f"chat template error: {message}")
+
+    env = ImmutableSandboxedEnvironment(trim_blocks=True, lstrip_blocks=True)
+    env.globals["raise_exception"] = _raise
+    env.globals["strftime_now"] = lambda fmt: datetime.now().strftime(fmt)
+    env.policies["json.dumps_kwargs"] = {"sort_keys": False,
+                                         "ensure_ascii": False}
+    return env.from_string(template).render(
+        messages=messages, add_generation_prompt=add_generation_prompt,
+        **special_tokens)
+
+
+def apply_chat_template(tokenizer, messages, *,
+                        add_generation_prompt: bool = True) -> str:
+    """[{role, content}] -> prompt string using the tokenizer's own
+    template when it has one, else the ChatML fallback."""
+    template = getattr(tokenizer, "chat_template", None) or _CHATML_FALLBACK
+    special = dict(getattr(tokenizer, "special_tokens", None) or {})
+    special.setdefault("bos_token", "")
+    special.setdefault("eos_token", "")
+    return render_chat_template(template, messages,
+                                add_generation_prompt=add_generation_prompt,
+                                **special)
+
+
+def _read_tokenizer_config(dir_path: str) -> dict:
+    p = os.path.join(dir_path, "tokenizer_config.json")
+    if not os.path.exists(p):
+        return {}
+    try:
+        with open(p, "r", encoding="utf-8") as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _attach_chat_config(tok, cfg: dict) -> None:
+    """Hang chat_template + special token strings off a tokenizer."""
+    template = cfg.get("chat_template")
+    if isinstance(template, list):  # named-template list form
+        named = {t.get("name"): t.get("template") for t in template
+                 if isinstance(t, dict)}
+        template = named.get("default") or next(iter(named.values()), None)
+    tok.chat_template = template
+    special = {}
+    for k in ("bos_token", "eos_token", "unk_token", "pad_token"):
+        v = cfg.get(k)
+        if isinstance(v, dict):  # AddedToken serialized form
+            v = v.get("content")
+        if isinstance(v, str):
+            special[k] = v
+    tok.special_tokens = special
 
 
 class ByteTokenizer:
@@ -125,7 +210,9 @@ class AnyTokenizer:
         if os.path.isdir(source):
             p = os.path.join(source, "tokenizer.json")
             if os.path.exists(p):
-                return HFTokenizer.from_file(p)
+                tok = HFTokenizer.from_file(p)
+                _attach_chat_config(tok, _read_tokenizer_config(source))
+                return tok
             raise FileNotFoundError(f"no tokenizer.json in {source}")
         if source.endswith(".json"):
             return HFTokenizer.from_file(source)
