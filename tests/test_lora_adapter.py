@@ -1,0 +1,166 @@
+"""PEFT LoRA adapter loading: `-c lora=<dir>` merges adapters into base
+weights at import, pinned against peft's own merge_and_unload().
+
+Reference seam: examples/rwkv_lora_train.rs (adapter training); this is
+the consuming side for standard PEFT checkpoints.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+MAXLEN = 64
+
+
+def _save_base(hf, d, cfg_json):
+    from safetensors.torch import save_file
+
+    d.mkdir()
+    (d / "config.json").write_text(json.dumps(cfg_json))
+    save_file({k: v.contiguous() for k, v in hf.state_dict().items()
+               if k != "lm_head.weight"}, str(d / "model.safetensors"))
+
+
+def _randomize_lora(peft_model):
+    import torch
+
+    # peft zero-inits lora_B (merge would be a no-op) — randomize both
+    with torch.no_grad():
+        for n, p in peft_model.named_parameters():
+            if "lora_" in n:
+                p.copy_(torch.randn_like(p) * 0.3)
+
+
+def _our_logits(base_dir, adapter_dir, ids):
+    from whisper_tensor_tpu.importers.loaders import loader_registry
+    from whisper_tensor_tpu.interfaces.text import TextInferenceInterface
+
+    bundle = loader_registry()["transformers"].load(
+        {"path": str(base_dir), "dtype": "f32", "max_len": MAXLEN,
+         "lora": str(adapter_dir)})
+    name = bundle.interfaces["text"]["model"]
+    iface = TextInferenceInterface(bundle.models[name], max_len=MAXLEN,
+                                   prompt_buckets=(16,))
+    return iface.logits(ids)
+
+
+def test_gpt2_conv1d_adapter_matches_peft_merge(tmp_path):
+    # GPT-2 Conv1D targets store weights (in, out): the fan_in_fan_out
+    # transpose path
+    import torch
+    from peft import LoraConfig, get_peft_model
+    from transformers import GPT2Config as HFConfig, GPT2LMHeadModel
+
+    torch.manual_seed(0)
+    cfg = dict(n_layer=2, n_head=2, n_embd=32, vocab_size=211,
+               n_positions=MAXLEN)
+    hf = GPT2LMHeadModel(HFConfig(**cfg))
+    base = tmp_path / "base-gpt2"
+    _save_base(hf, base, {"model_type": "gpt2", **cfg})
+
+    pm = get_peft_model(hf, LoraConfig(
+        r=4, lora_alpha=16, lora_dropout=0.0, fan_in_fan_out=True,
+        target_modules=["c_attn", "c_proj"]))
+    _randomize_lora(pm)
+    adapter = tmp_path / "adapter-gpt2"
+    pm.save_pretrained(str(adapter))
+    merged = pm.merge_and_unload()
+    merged.eval()
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(0, 211, (1, 9)).astype(np.int64)
+    with torch.no_grad():
+        want = merged(torch.from_numpy(ids)).logits.numpy()
+    got = _our_logits(base, adapter, ids)
+    np.testing.assert_allclose(got, want, rtol=3e-3, atol=3e-4)
+
+    # and the adapter actually changed the function
+    with torch.no_grad():
+        torch.manual_seed(0)
+        plain = GPT2LMHeadModel(HFConfig(**cfg))
+        plain.eval()
+        base_lg = plain(torch.from_numpy(ids)).logits.numpy()
+    assert np.abs(want - base_lg).max() > 1e-3
+
+
+def test_llama_linear_adapter_matches_peft_merge(tmp_path):
+    import torch
+    from peft import LoraConfig, get_peft_model
+    from transformers import LlamaConfig as HFConfig, LlamaForCausalLM
+
+    torch.manual_seed(1)
+    cfg = dict(num_hidden_layers=2, num_attention_heads=4,
+               num_key_value_heads=2, hidden_size=32, intermediate_size=64,
+               vocab_size=173, max_position_embeddings=MAXLEN,
+               attention_dropout=0.0, tie_word_embeddings=True)
+    hf = LlamaForCausalLM(HFConfig(**cfg))
+    base = tmp_path / "base-llama"
+    _save_base(hf, base, {"model_type": "llama", **cfg,
+                          "rms_norm_eps": 1e-6, "rope_theta": 10000.0})
+
+    pm = get_peft_model(hf, LoraConfig(
+        r=2, lora_alpha=8, lora_dropout=0.0,
+        target_modules=["q_proj", "v_proj", "down_proj"]))
+    _randomize_lora(pm)
+    adapter = tmp_path / "adapter-llama"
+    pm.save_pretrained(str(adapter))
+    merged = pm.merge_and_unload()
+    merged.eval()
+
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, 173, (1, 8)).astype(np.int64)
+    with torch.no_grad():
+        want = merged(torch.from_numpy(ids)).logits.numpy()
+    got = _our_logits(base, adapter, ids)
+    np.testing.assert_allclose(got, want, rtol=3e-3, atol=3e-4)
+
+
+def test_rslora_scaling(tmp_path):
+    # use_rslora scales by alpha/sqrt(r) instead of alpha/r
+    import torch
+    from peft import LoraConfig, get_peft_model
+    from transformers import LlamaConfig as HFConfig, LlamaForCausalLM
+
+    torch.manual_seed(2)
+    cfg = dict(num_hidden_layers=1, num_attention_heads=2,
+               num_key_value_heads=2, hidden_size=16, intermediate_size=32,
+               vocab_size=97, max_position_embeddings=MAXLEN,
+               attention_dropout=0.0, tie_word_embeddings=True)
+    hf = LlamaForCausalLM(HFConfig(**cfg))
+    base = tmp_path / "base-rs"
+    _save_base(hf, base, {"model_type": "llama", **cfg,
+                          "rms_norm_eps": 1e-6, "rope_theta": 10000.0})
+    pm = get_peft_model(hf, LoraConfig(
+        r=4, lora_alpha=8, lora_dropout=0.0, use_rslora=True,
+        target_modules=["q_proj"]))
+    _randomize_lora(pm)
+    adapter = tmp_path / "adapter-rs"
+    pm.save_pretrained(str(adapter))
+    merged = pm.merge_and_unload()
+    merged.eval()
+    ids = np.random.default_rng(2).integers(0, 97, (1, 6)).astype(np.int64)
+    with torch.no_grad():
+        want = merged(torch.from_numpy(ids)).logits.numpy()
+    got = _our_logits(base, adapter, ids)
+    np.testing.assert_allclose(got, want, rtol=3e-3, atol=3e-4)
+
+
+def test_missing_adapter_pair_raises(tmp_path):
+    from safetensors.numpy import save_file as np_save
+
+    from whisper_tensor_tpu.importers.lora import LoraMergedStore
+
+    d = tmp_path / "bad-adapter"
+    d.mkdir()
+    (d / "adapter_config.json").write_text(json.dumps({"r": 2,
+                                                       "lora_alpha": 4}))
+    np_save({"base_model.model.x.lora_A.weight":
+             np.zeros((2, 4), np.float32)}, str(d / "adapter_model.safetensors"))
+    with pytest.raises(ValueError, match="missing A or B"):
+        LoraMergedStore(_FakeStore(), str(d))
+
+
+class _FakeStore:
+    def names(self):
+        return []

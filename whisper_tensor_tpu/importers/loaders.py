@@ -134,6 +134,10 @@ class TransformersLoader(Loader):
                         "for phased windowed decode — cuts HBM cache "
                         "traffic on early tokens (gpt2/llama-family)",
                         default=""),
+            ConfigField("lora", ConfigFieldType.FILE_PATH,
+                        "PEFT adapter dir (adapter_config.json + "
+                        "adapter_model.safetensors) merged into the base "
+                        "weights at load", default=""),
         ]
 
     def can_load(self, path: str) -> bool:
@@ -150,6 +154,10 @@ class TransformersLoader(Loader):
                  "f16": DType.F16}[config.get("dtype", "bf16")]
         max_len = int(config.get("max_len", 1024))
         store = SafetensorsStore.from_dir(d)
+        if config.get("lora"):
+            from .lora import LoraMergedStore
+
+            store = LoraMergedStore(store, config["lora"])
 
         ragged = bool(config.get("ragged_decode", False))
         window_builder = None

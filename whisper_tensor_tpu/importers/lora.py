@@ -1,0 +1,118 @@
+"""PEFT LoRA adapter loading: merge low-rank adapters into base weights
+at import time.
+
+A PEFT adapter directory holds `adapter_config.json` (r, lora_alpha,
+fan_in_fan_out, use_rslora) and `adapter_model.safetensors` with keys
+like `base_model.model.<module>.lora_A.weight` (r, in) and
+`...lora_B.weight` (out, r). Merging computes
+`W <- W + (alpha/r) * transpose(B @ A, fan_in_fan_out)` — exactly
+PEFT's `merge_and_unload()` — so inference costs nothing at runtime.
+
+Reference seam: examples/rwkv_lora_train.rs trains adapters through the
+milli training artifact (mirrored by `milli.transforms.inject_lora` +
+`LMTrainer(lora_rank=...)`); this module closes the loop by consuming
+standard PEFT checkpoints in every loader (`-c lora=<adapter_dir>`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Tuple
+
+import numpy as np
+
+from .safetensors_io import SafetensorsStore
+
+
+def _strip_adapter_key(key: str) -> Tuple[str, str] | None:
+    """'base_model.model.<mod>.lora_A[.default].weight' -> (<mod>, 'A')."""
+    for side in ("A", "B"):
+        for mid in (f".lora_{side}.weight", f".lora_{side}.default.weight"):
+            if key.endswith(mid):
+                mod = key[: -len(mid)]
+                for prefix in ("base_model.model.", "base_model."):
+                    if mod.startswith(prefix):
+                        mod = mod[len(prefix):]
+                        break
+                return mod, side
+    return None
+
+
+class LoraMergedStore:
+    """Wraps a weight store; `load(name)` returns the base weight with
+    the adapter's low-rank delta merged in (f32 accumulate, cast back).
+
+    Duck-types the SafetensorsStore surface the loaders use
+    (load / __contains__ / names / meta / getter / zeros_getter).
+    """
+
+    def __init__(self, base: SafetensorsStore, adapter_dir: str):
+        self.base = base
+        cfg_path = os.path.join(adapter_dir, "adapter_config.json")
+        with open(cfg_path, "r", encoding="utf-8") as f:
+            cfg = json.load(f)
+        r = int(cfg.get("r", 8))
+        alpha = float(cfg.get("lora_alpha", r))
+        self.scale = (alpha / np.sqrt(r) if cfg.get("use_rslora")
+                      else alpha / r)
+        self.fan_in_fan_out = bool(cfg.get("fan_in_fan_out", False))
+
+        st = os.path.join(adapter_dir, "adapter_model.safetensors")
+        if os.path.exists(st):
+            self._adapter = SafetensorsStore([st])
+        else:
+            raise FileNotFoundError(
+                f"no adapter_model.safetensors in {adapter_dir}")
+        # module path -> {"A": key, "B": key}
+        self._ab: Dict[str, Dict[str, str]] = {}
+        for key in self._adapter.names():
+            hit = _strip_adapter_key(key)
+            if hit is None:
+                continue
+            mod, side = hit
+            self._ab.setdefault(mod, {})[side] = key
+        incomplete = [m for m, s in self._ab.items() if len(s) != 2]
+        if incomplete:
+            raise ValueError(f"adapter pairs missing A or B: {incomplete}")
+        self.merged_modules = sorted(self._ab)
+
+    # -- store surface -------------------------------------------------
+    def names(self):
+        return self.base.names()
+
+    def __contains__(self, name):
+        return name in self.base
+
+    def meta(self, name: str):
+        return self.base.meta(name)
+
+    def load(self, name: str) -> np.ndarray:
+        arr = self.base.load(name)
+        if not name.endswith(".weight"):
+            return arr
+        mod = name[: -len(".weight")]
+        keys = self._ab.get(mod)
+        if keys is None:
+            return arr
+        a = self._adapter.load(keys["A"]).astype(np.float32)  # (r, in)
+        b = self._adapter.load(keys["B"]).astype(np.float32)  # (out, r)
+        delta = self.scale * (b @ a)                          # (out, in)
+        if self.fan_in_fan_out:   # Conv1D layout: base weight is (in, out)
+            delta = delta.T
+        if delta.shape != arr.shape:
+            raise ValueError(
+                f"adapter delta {delta.shape} does not match base weight "
+                f"{name} {arr.shape} (fan_in_fan_out="
+                f"{self.fan_in_fan_out})")
+        return (arr.astype(np.float32) + delta).astype(arr.dtype)
+
+    def getter(self, transform=None):
+        def get(name: str) -> np.ndarray:
+            arr = self.load(name)
+            return transform(name, arr) if transform else arr
+
+        return get
+
+    def zeros_getter(self):
+        return self.base.zeros_getter()
