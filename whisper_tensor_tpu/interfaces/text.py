@@ -106,6 +106,35 @@ def _pick_token(logits, key, sp: Optional[SamplingParams], seen=None):
         return jnp.argmax(logits, axis=-1)
     return jax.random.categorical(key, _filtered_logits(logits, sp), axis=-1)
 
+def _dfa_mask(logits, row, acc_state, eos: int):
+    """Constrained decoding (net-new vs the reference): keep only tokens
+    the TokenDFA admits from each row's state; eos is admitted exactly
+    in accepting states. row: (B, V) int32 next-state table slice,
+    acc_state: (B,) bool."""
+    import jax.numpy as jnp
+
+    allowed = row >= 0
+    allowed = allowed.at[:, eos].set(acc_state)
+    return jnp.where(allowed, logits.astype(jnp.float32), -jnp.inf)
+
+
+def _dfa_advance(row, tok, eos: int, done: int):
+    """Next DFA state after emitting `tok`; eos parks the row in the
+    `done` sink (which admits only further eos)."""
+    import jax.numpy as jnp
+
+    nxt = jnp.take_along_axis(row, tok[:, None], axis=1)[:, 0]
+    return jnp.where(tok == eos, done, nxt).astype(jnp.int32)
+
+
+def _dfa_sig(constraint) -> Optional[Tuple[int, int]]:
+    """Program-cache signature: two constraints with the same state count
+    and eos id share one compiled program (the tables are data args)."""
+    if constraint is None:
+        return None
+    return (constraint.n_states, constraint.eos_token_id)
+
+
 DEFAULT_PROMPT_BUCKETS = (16, 32, 64, 128, 256, 512, 1024)
 
 
@@ -245,6 +274,8 @@ class TextInferenceInterface:
         self.cache_out_names = [n for n in self.output_names if n.startswith("new_cache_")]
         self._weights_dev: Optional[List[Any]] = None
         self._programs: Dict[Tuple, Any] = {}
+        self._dfa_device: Dict[Tuple, Any] = {}
+        self._dfa_cache: Dict[Tuple, Any] = {}
         # infer cache geometry from declared input info
         info = model.graph.tensors[model.graph.by_name[self.cache_in_names[0]]].info
         dims = info.dims()
@@ -370,17 +401,22 @@ class TextInferenceInterface:
         return step
 
     def _program(self, batch: int, prompt_bucket: int, n_new: int,
-                 sampling: Optional[SamplingParams] = None):
+                 sampling: Optional[SamplingParams] = None,
+                 constraint=None):
         import jax
         import jax.numpy as jnp
 
-        key = (batch, prompt_bucket, n_new, sampling)
+        key = (batch, prompt_bucket, n_new, sampling, _dfa_sig(constraint))
         if key in self._programs:
             return self._programs[key]
         step = self._traced_step(batch, prompt_bucket)
         sp = sampling
+        use_dfa = constraint is not None
+        eos = constraint.eos_token_id if use_dfa else 0
+        done = constraint.done if use_dfa else 0
 
-        def full(ids_padded, prompt_len, caches, weights, rng_key):
+        def full(ids_padded, prompt_len, caches, weights, rng_key,
+                 dfa_trans, dfa_acc):
             # prefill at bucket length
             logits, caches = step(ids_padded, jnp.asarray(0, dtype=jnp.int64),
                                   caches, weights)
@@ -394,23 +430,36 @@ class TextInferenceInterface:
                     jnp.arange(B)[:, None], ids_padded].add(
                     jnp.broadcast_to(valid, ids_padded.shape)
                     .astype(jnp.int32))
+            dstate = jnp.zeros((B,), jnp.int32) if use_dfa else None
+            if use_dfa:
+                row = dfa_trans[dstate]
+                last = _dfa_mask(last, row, dfa_acc[dstate], eos)
             first_tok = _pick_token(last, jax.random.fold_in(rng_key, 0), sp,
                                     seen)
             if seen is not None:
                 seen = seen.at[jnp.arange(B), first_tok].add(1)
+            if use_dfa:
+                dstate = _dfa_advance(row, first_tok, eos, done)
 
             def body(carry, i):
-                cur, pos, caches, seen = carry
+                cur, pos, caches, seen, dstate = carry
                 lg, caches = step(cur[:, None], pos, caches, weights)
-                nxt = _pick_token(lg[:, -1, :],
+                last = lg[:, -1, :]
+                if use_dfa:
+                    row = dfa_trans[dstate]
+                    last = _dfa_mask(last, row, dfa_acc[dstate], eos)
+                nxt = _pick_token(last,
                                   jax.random.fold_in(rng_key, i + 1), sp,
                                   seen)
                 if seen is not None:
                     seen = seen.at[jnp.arange(seen.shape[0]), nxt].add(1)
-                return (nxt, pos + 1, caches, seen), cur
+                if use_dfa:
+                    dstate = _dfa_advance(row, nxt, eos, done)
+                return (nxt, pos + 1, caches, seen, dstate), cur
 
-            (final_tok, _, caches, _), toks = jax.lax.scan(
-                body, (first_tok, prompt_len.astype(jnp.int64), caches, seen),
+            (final_tok, _, caches, _, _), toks = jax.lax.scan(
+                body, (first_tok, prompt_len.astype(jnp.int64), caches, seen,
+                       dstate),
                 jnp.arange(n_new))
             # toks: (n_new, B) of emitted tokens (first is first_tok)
             return jnp.swapaxes(toks, 0, 1), caches
@@ -421,40 +470,55 @@ class TextInferenceInterface:
         return jitted
 
     def _decode_program(self, batch: int, n_new: int,
-                        sampling: Optional[SamplingParams] = None):
+                        sampling: Optional[SamplingParams] = None,
+                        constraint=None):
         """Decode-only program: continue from existing caches (the
         multimodal inputs_embeds prefill hands off here)."""
         import jax
         import jax.numpy as jnp
 
-        key = ("decode", batch, n_new, sampling)
+        key = ("decode", batch, n_new, sampling, _dfa_sig(constraint))
         if key in self._programs:
             return self._programs[key]
         step = self._traced_step(batch, 1)
         sp = sampling
+        use_dfa = constraint is not None
+        eos = constraint.eos_token_id if use_dfa else 0
+        done = constraint.done if use_dfa else 0
 
         vocab = self._vocab_size()
 
-        def dec(first_tok, pos, caches, weights, rng_key):
+        def dec(first_tok, pos, caches, weights, rng_key,
+                dfa_trans, dfa_acc):
             seen = None
             if _uses_seen(sp):
                 # no prompt visibility here (embeds prefill hand-off):
                 # the count array starts from the first token
                 seen = jnp.zeros((batch, vocab), jnp.int32).at[
                     jnp.arange(batch), first_tok].add(1)
+            # the hand-off's first token was sampled unconstrained; the
+            # constraint governs every token this program emits
+            dstate = (jnp.zeros((batch,), jnp.int32) if use_dfa else None)
 
             def body(carry, i):
-                cur, p, caches, seen = carry
+                cur, p, caches, seen, dstate = carry
                 lg, caches = step(cur[:, None], p, caches, weights)
-                nxt = _pick_token(lg[:, -1, :],
+                last = lg[:, -1, :]
+                if use_dfa:
+                    row = dfa_trans[dstate]
+                    last = _dfa_mask(last, row, dfa_acc[dstate], eos)
+                nxt = _pick_token(last,
                                   jax.random.fold_in(rng_key, i + 1), sp,
                                   seen)
                 if seen is not None:
                     seen = seen.at[jnp.arange(seen.shape[0]), nxt].add(1)
-                return (nxt, p + 1, caches, seen), cur
+                if use_dfa:
+                    dstate = _dfa_advance(row, nxt, eos, done)
+                return (nxt, p + 1, caches, seen, dstate), cur
 
-            (_, _, caches, _), toks = jax.lax.scan(
-                body, (first_tok, pos.astype(jnp.int64), caches, seen),
+            (_, _, caches, _, _), toks = jax.lax.scan(
+                body, (first_tok, pos.astype(jnp.int64), caches, seen,
+                       dstate),
                 jnp.arange(n_new))
             return jnp.swapaxes(toks, 0, 1), caches
 
@@ -551,28 +615,53 @@ class TextInferenceInterface:
                     self.fresh_cache(B), self._weights())
         return np.asarray(toks)
 
+    def _dfa_tables(self, constraint):
+        """(dfa_trans, dfa_acc) device arrays for a TokenDFA, uploaded
+        once per (pattern, shape) and reused across calls; (None, None)
+        when unconstrained."""
+        if constraint is None:
+            return None, None
+        import jax.numpy as jnp
+
+        key = (constraint.pattern, constraint.trans.shape,
+               constraint.eos_token_id)
+        hit = self._dfa_device.get(key)
+        if hit is None:
+            V = self._vocab_size()
+            trans = constraint.trans
+            if trans.shape[1] != V:
+                raise ValueError(
+                    f"constraint vocab width {trans.shape[1]} != model "
+                    f"vocab {V}; pass vocab_size={V} to compile_token_dfa")
+            hit = (jnp.asarray(trans),
+                   jnp.asarray(constraint.accepting))
+            self._dfa_device[key] = hit
+        return hit
+
     def decode_tokens(self, first_tok: np.ndarray, pos: int, caches,
                       n_new: int,
-                      sampling: Optional[SamplingParams] = None
-                      ) -> np.ndarray:
+                      sampling: Optional[SamplingParams] = None,
+                      constraint=None) -> np.ndarray:
         """Continue generation from caches: emits n_new tokens starting
         with first_tok (which is included in the output)."""
         import jax
         import jax.numpy as jnp
 
         first_tok = np.asarray(first_tok, dtype=np.int64).reshape(-1)
-        prog = self._decode_program(first_tok.shape[0], n_new, sampling)
+        prog = self._decode_program(first_tok.shape[0], n_new, sampling,
+                                    constraint)
         rng = jax.random.PRNGKey(sampling.seed if sampling else 0)
+        dt, da = self._dfa_tables(constraint)
         toks, _ = prog(jnp.asarray(first_tok),
                        jnp.asarray(pos, dtype=jnp.int64), caches,
-                       self._weights(), rng)
+                       self._weights(), rng, dt, da)
         return np.asarray(toks)
 
     # ------------------------------------------------------------------
     # windowed decode: growing cache windows, fused into one program
     # ------------------------------------------------------------------
     def _unified_windowed_program(self, batch, bucket, prompt_len, n_new,
-                                  phases, sampling):
+                                  phases, sampling, constraint=None):
         """ONE jitted program running every window phase: prefill at
         `bucket` inside the first window, then for each later phase the
         caches are zero-padded to the next window size *inside the
@@ -588,15 +677,18 @@ class TextInferenceInterface:
         import jax.numpy as jnp
 
         key = ("uwin", batch, bucket, prompt_len, n_new, tuple(phases),
-               sampling)
+               sampling, _dfa_sig(constraint))
         if key in self._programs:
             return self._programs[key]
         sp = sampling
+        use_dfa = constraint is not None
+        eos = constraint.eos_token_id if use_dfa else 0
+        done = constraint.done if use_dfa else 0
         prefill = self._traced_step(batch, bucket, window=phases[0][1])
         dsteps = {w: self._traced_step(batch, 1, window=w)
                   for _, w in phases}
 
-        def run(ids_padded, weights, rng_key):
+        def run(ids_padded, weights, rng_key, dfa_trans, dfa_acc):
             k0, w0 = phases[0]
             caches = self._fresh_cache_w_traced(batch, w0)
             logits, caches = prefill(ids_padded,
@@ -611,9 +703,15 @@ class TextInferenceInterface:
                     jnp.arange(B)[:, None], ids_padded].add(
                     jnp.broadcast_to(valid, ids_padded.shape)
                     .astype(jnp.int32))
+            dstate = jnp.zeros((B,), jnp.int32) if use_dfa else None
+            if use_dfa:
+                row = dfa_trans[dstate]
+                last = _dfa_mask(last, row, dfa_acc[dstate], eos)
             cur = _pick_token(last, jax.random.fold_in(rng_key, 0), sp, seen)
             if seen is not None:
                 seen = seen.at[jnp.arange(B), cur].add(1)
+            if use_dfa:
+                dstate = _dfa_advance(row, cur, eos, done)
 
             pos = jnp.asarray(prompt_len, dtype=jnp.int64)
             off = 0
@@ -628,18 +726,25 @@ class TextInferenceInterface:
                 step = dsteps[w]
 
                 def body(carry, i, step=step):
-                    cur, pos, caches, seen = carry
+                    cur, pos, caches, seen, dstate = carry
                     lg, caches = step(cur[:, None], pos, caches, weights)
-                    nxt = _pick_token(lg[:, -1, :],
+                    last = lg[:, -1, :]
+                    if use_dfa:
+                        row = dfa_trans[dstate]
+                        last = _dfa_mask(last, row, dfa_acc[dstate], eos)
+                    nxt = _pick_token(last,
                                       jax.random.fold_in(rng_key, i + 1), sp,
                                       seen)
                     if seen is not None:
                         seen = seen.at[jnp.arange(seen.shape[0]),
                                        nxt].add(1)
-                    return (nxt, pos + 1, caches, seen), cur
+                    if use_dfa:
+                        dstate = _dfa_advance(row, nxt, eos, done)
+                    return (nxt, pos + 1, caches, seen, dstate), cur
 
-                (cur, pos, caches, seen), toks = jax.lax.scan(
-                    body, (cur, pos, caches, seen), jnp.arange(off, off + k))
+                (cur, pos, caches, seen, dstate), toks = jax.lax.scan(
+                    body, (cur, pos, caches, seen, dstate),
+                    jnp.arange(off, off + k))
                 toks_out.append(jnp.swapaxes(toks, 0, 1))
                 off += k
             return jnp.concatenate(toks_out, axis=1)
@@ -660,7 +765,8 @@ class TextInferenceInterface:
         return out
 
     def _generate_windowed(self, prompt_ids: np.ndarray, n_new: int,
-                           sampling: Optional[SamplingParams]) -> np.ndarray:
+                           sampling: Optional[SamplingParams],
+                           constraint=None) -> np.ndarray:
         import jax
         import jax.numpy as jnp
 
@@ -686,17 +792,21 @@ class TextInferenceInterface:
             pos += k
             remaining -= k
         prog = self._unified_windowed_program(B, Sb, L, n_new,
-                                              tuple(phases), sampling)
-        return np.asarray(prog(jnp.asarray(padded), weights, rng))
+                                              tuple(phases), sampling,
+                                              constraint)
+        dt, da = self._dfa_tables(constraint)
+        return np.asarray(prog(jnp.asarray(padded), weights, rng, dt, da))
 
     # ------------------------------------------------------------------
     def generate_tokens(self, prompt_ids: np.ndarray, n_new: int,
                         caches=None,
-                        sampling: Optional[SamplingParams] = None
-                        ) -> np.ndarray:
+                        sampling: Optional[SamplingParams] = None,
+                        constraint=None) -> np.ndarray:
         """prompt_ids: (B, L) int64, same L per row. Returns (B, n_new).
         sampling=None -> greedy; else temperature/top-k/top-p categorical
-        draws inside the compiled scan (seeded, reproducible)."""
+        draws inside the compiled scan (seeded, reproducible).
+        constraint: a constrained.TokenDFA — every emitted token is
+        masked so the output text matches the compiled regex/schema."""
         import jax
         import jax.numpy as jnp
 
@@ -721,16 +831,18 @@ class TextInferenceInterface:
             padded_rows = np.zeros((Bp, L), dtype=np.int64)
             padded_rows[:B] = prompt_ids
             return self.generate_tokens(padded_rows, n_new,
-                                        sampling=sampling)[:B]
+                                        sampling=sampling,
+                                        constraint=constraint)[:B]
         if self._window_millis and caches is None:
-            return self._generate_windowed(prompt_ids, n_new, sampling)
+            return self._generate_windowed(prompt_ids, n_new, sampling,
+                                           constraint)
         Sb = _bucket(L, self.prompt_buckets)
         padded = np.zeros((B, Sb), dtype=np.int64)
         padded[:, :L] = prompt_ids
         weights = self._weights()
         if caches is None:
             caches = self.fresh_cache(B)
-        prog = self._program(B, Sb, n_new, sampling)
+        prog = self._program(B, Sb, n_new, sampling, constraint)
         rng = jax.random.PRNGKey(sampling.seed if sampling else 0)
         ids_dev = jnp.asarray(padded)
         if self.mesh is not None:
@@ -740,8 +852,9 @@ class TextInferenceInterface:
                      and B % self.mesh.shape["dp"] == 0)
             ids_dev = jax.device_put(ids_dev, NamedSharding(
                 self.mesh, P("dp" if dp_ok else None, None)))
+        dt, da = self._dfa_tables(constraint)
         toks, _ = prog(ids_dev, jnp.asarray(L, dtype=jnp.int64),
-                       caches, weights, rng)
+                       caches, weights, rng, dt, da)
         return np.asarray(toks)
 
     def logits(self, prompt_ids: np.ndarray) -> np.ndarray:
@@ -770,15 +883,53 @@ class TextInferenceInterface:
         return np.asarray(out)[:, :L, :]
 
     # ------------------------------------------------------------------
+    def compile_constraint(self, regex: Optional[str] = None,
+                           json_schema=None):
+        """Compile a regex or JSON schema into a TokenDFA bound to this
+        interface's tokenizer + vocab width (cached per pattern)."""
+        from ..constrained import compile_token_dfa, json_schema_to_regex
+
+        if (regex is None) == (json_schema is None):
+            raise ValueError("pass exactly one of regex / json_schema")
+        if json_schema is not None:
+            regex = json_schema_to_regex(json_schema)
+        if self.tokenizer is None:
+            raise ValueError("constrained decoding needs a tokenizer")
+        if self.eos_token_id is None:
+            from ..tokenizer import ByteTokenizer
+
+            if isinstance(self.tokenizer, ByteTokenizer):
+                self.eos_token_id = ByteTokenizer.EOS
+            else:
+                raise ValueError(
+                    "constrained decoding needs eos_token_id (the DFA "
+                    "stops generation by emitting eos once the pattern "
+                    "is complete)")
+        key = (regex, self.eos_token_id)
+        hit = self._dfa_cache.get(key)
+        if hit is None:
+            hit = compile_token_dfa(regex, self.tokenizer,
+                                    self.eos_token_id,
+                                    vocab_size=self._vocab_size())
+            self._dfa_cache[key] = hit
+        return hit
+
     def run_string_in_string_out(self, text: str, n_new: int = 32,
-                                 sampling: Optional[SamplingParams] = None
-                                 ) -> str:
+                                 sampling: Optional[SamplingParams] = None,
+                                 regex: Optional[str] = None,
+                                 json_schema=None) -> str:
         if self.tokenizer is None:
             raise ValueError("no tokenizer configured")
+        constraint = None
+        if regex is not None or json_schema is not None:
+            constraint = self.compile_constraint(regex, json_schema)
         ids = np.asarray(self.tokenizer.encode(text), dtype=np.int64)[None]
-        toks = self.generate_tokens(ids, n_new, sampling=sampling)[0]
-        if self.eos_token_id is not None:
-            eos = np.nonzero(toks == self.eos_token_id)[0]
+        toks = self.generate_tokens(ids, n_new, sampling=sampling,
+                                    constraint=constraint)[0]
+        eos_id = (constraint.eos_token_id if constraint is not None
+                  else self.eos_token_id)
+        if eos_id is not None:
+            eos = np.nonzero(toks == eos_id)[0]
             if eos.size:
                 toks = toks[:eos[0]]
         return self.tokenizer.decode([int(t) for t in toks])
