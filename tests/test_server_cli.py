@@ -498,6 +498,7 @@ def test_webui_page_serves_controls(server):
         f"http://127.0.0.1:{port}/", timeout=10).read().decode()
     for elem in ('id="tab_explorer"', 'id="tab_generate"', 'id="tab_audio"',
                  'id="tab_jobs"', 'id="draft"', 'id="draftk"',
+                 'id="cregex"', 'id="cschema"',
                  'id="img_useinit"', 'id="img_preview"', 'id="stopseq"',
                  'id="batcher_stats"', 'id="cancel_job"', "WebSocket"):
         assert elem in html, elem
@@ -658,5 +659,74 @@ def test_generate_text_chat_messages(server, tmp_path):
         chat_out = run({"messages": msgs})
         rendered = apply_chat_template(ByteTokenizer(), msgs)
         assert chat_out == run({"prompt": rendered})
+    finally:
+        c.close()
+
+
+def test_generate_text_constrained(server, tmp_path):
+    """generate_text accepts regex / json_schema constraints: output
+    matches the pattern, a ragged (batcher-backed) model routes the
+    constrained request through the exact direct path, and with_probs
+    returns a token table consistent with the constrained text.
+    Net-new vs the reference (no structured output there)."""
+    import json as _json
+    import re as _re
+
+    from safetensors.torch import save_file
+    import torch
+    from transformers import GPT2Config as HFConfig, GPT2LMHeadModel
+
+    torch.manual_seed(13)
+    hf = GPT2LMHeadModel(HFConfig(n_layer=1, n_head=2, n_embd=16,
+                                  vocab_size=300, n_positions=64))
+    d = tmp_path / "tiny-gpt2-dfa"
+    d.mkdir()
+    (d / "config.json").write_text(_json.dumps({
+        "model_type": "gpt2", "n_layer": 1, "n_head": 2, "n_embd": 16,
+        "vocab_size": 300, "n_positions": 64}))
+    save_file({k: v.contiguous() for k, v in hf.state_dict().items()
+               if k != "lm_head.weight"}, str(d / "model.safetensors"))
+
+    srv, port = server
+    c = _WSClient("127.0.0.1", port)
+
+    def gen(mid, **kw):
+        c.send({"type": "generate_text", "model_id": mid, "prompt": "hi",
+                "max_new_tokens": 12, "tokenizer": "bytes", **kw})
+        for _ in range(200):
+            r = c.recv()
+            if r["type"] in ("job_result", "job_error"):
+                return r
+
+    try:
+        for ragged in (False, True):
+            cfg = {"path": str(d), "dtype": "f32", "max_len": 64}
+            if ragged:
+                cfg["ragged"] = True
+            c.send({"type": "run_loader", "loader": "transformers",
+                    "config": cfg})
+            mid = c.recv()["loaded"][0]
+
+            # bounded repetition: the DFA masks 'b' after 4 so the match
+            # must complete inside the 12-token budget
+            r = gen(mid, regex=r"ab{1,4}c")
+            assert r["type"] == "job_result", r
+            assert _re.fullmatch(r"ab{1,4}c", r["result"]["text"]), r
+
+            r = gen(mid, json_schema={"type": "integer"})
+            assert r["type"] == "job_result", r
+            int(r["result"]["text"])
+
+        # with_probs: token table joins to the constrained text
+        r = gen(mid, regex=r"[xy]{3}", with_probs=True)
+        assert r["type"] == "job_result", r
+        res = r["result"]
+        assert _re.fullmatch(r"[xy]{3}", res["text"]), res
+        assert "".join(t["text"] for t in res["tokens"]) == res["text"]
+        assert all(0.0 <= t["p"] <= 1.0 for t in res["tokens"])
+
+        # unsupported combinations produce a clean job_error
+        r = gen(mid, regex=r"a+", num_beams=2)
+        assert r["type"] == "job_error", r
     finally:
         c.close()

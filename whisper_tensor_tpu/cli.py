@@ -91,6 +91,11 @@ def cmd_generate(args) -> None:
         messages.append({"role": "user", "content": args.prompt})
         args.prompt = apply_chat_template(iface.tokenizer, messages)
     t1 = time.time()
+    if (getattr(args, "regex", None) or getattr(args, "json_schema", None)) \
+            and (getattr(args, "num_beams", 1) > 1
+                 or getattr(args, "draft_model", None)):
+        raise SystemExit("--regex/--json-schema are not supported with "
+                         "--num-beams or --draft-model")
     if getattr(args, "num_beams", 1) and args.num_beams > 1:
         ids = np.asarray(iface.tokenizer.encode(args.prompt),
                          dtype=np.int64)[None]
@@ -142,9 +147,17 @@ def cmd_generate(args) -> None:
                 repetition_penalty=args.repetition_penalty,
                 presence_penalty=args.presence_penalty,
                 frequency_penalty=args.frequency_penalty, seed=args.seed)
+        schema = None
+        if getattr(args, "json_schema", None):
+            import json as _json
+
+            schema = _json.loads(args.json_schema)
         text = iface.run_string_in_string_out(args.prompt,
                                               args.max_new_tokens,
-                                              sampling=sampling)
+                                              sampling=sampling,
+                                              regex=getattr(args, "regex",
+                                                            None),
+                                              json_schema=schema)
     for s in (getattr(args, "stop", None) or []):
         i = text.find(s)
         if i >= 0:
@@ -383,6 +396,12 @@ def main(argv=None) -> None:
     g.add_argument("--stop", action="append", default=[],
                    help="stop sequence: truncate the output at its first "
                         "occurrence (repeatable)")
+    g.add_argument("--regex",
+                   help="constrain output to match this regex "
+                        "(token-DFA guided decoding)")
+    g.add_argument("--json-schema",
+                   help="constrain output to a JSON document matching "
+                        "this schema (JSON string)")
     g.add_argument("--chat", action="store_true",
                    help="treat --prompt as a user message and render the "
                         "tokenizer's chat template (ChatML fallback)")

@@ -454,6 +454,11 @@ class Server:
             msg["prompt"] = apply_chat_template(tok, msg["messages"])
         n_new = int(msg.get("max_new_tokens", 32))
         beams = int(msg.get("num_beams", 1))
+        if (msg.get("regex") is not None
+                or msg.get("json_schema") is not None) \
+                and (beams > 1 or msg.get("draft_model_id") is not None):
+            raise ValueError("regex/json_schema constraints are not "
+                             "supported with num_beams or draft_model_id")
         if beams > 1:
             iface = self._text_iface(entry)
 
@@ -509,7 +514,14 @@ class Server:
 
             self.scheduler.submit(spec_job, ObserverSettings())
             return None
-        if iface_cfg.get("ragged") and float(msg.get("temperature", 0.0)) <= 0:
+        regex = msg.get("regex")
+        json_schema = msg.get("json_schema")
+        constrained = regex is not None or json_schema is not None
+        if (iface_cfg.get("ragged") and float(msg.get("temperature", 0.0)) <= 0
+                and not constrained):
+            # constrained requests take the direct path: the ragged
+            # batcher shares one decode program across rows and has no
+            # per-row DFA state
             self._generate_text_ragged(msg, entry, tok, n_new)
             return None
         iface = self._text_iface(entry)
@@ -550,9 +562,20 @@ class Server:
 
             if not with_probs:
                 return {"text": _trim(iface.run_string_in_string_out(
-                    msg["prompt"], n_new, sampling=sampling))}
+                    msg["prompt"], n_new, sampling=sampling,
+                    regex=regex, json_schema=json_schema))}
+            constraint = (iface.compile_constraint(regex, json_schema)
+                          if constrained else None)
             ids = _np.asarray(tok.encode(msg["prompt"]), dtype=_np.int64)[None]
-            toks = iface.generate_tokens(ids, n_new, sampling=sampling)[0]
+            toks = iface.generate_tokens(ids, n_new, sampling=sampling,
+                                         constraint=constraint)[0]
+            if constraint is not None:
+                # the DFA emits its own eos once the pattern completes;
+                # trim so text + probability table cover only the match
+                eos = _np.nonzero(toks == constraint.eos_token_id)[0]
+                if eos.size:
+                    toks = toks[:int(eos[0])]
+                toks = [int(t) for t in toks]
             if stops:
                 # trim the token list at the first stop hit so the
                 # probability table matches the returned text
