@@ -473,11 +473,11 @@ def test_tick_failure_fails_futures_and_recovers():
     real = batcher._chunk_program
     state = {"boom": 1}
 
-    def poisoned():
+    def poisoned(flags):
         if state["boom"]:
             state["boom"] -= 1
             raise RuntimeError("injected device failure")
-        return real()
+        return real(flags)
 
     batcher._chunk_program = poisoned
     batcher.start()
@@ -518,5 +518,76 @@ def test_pipelined_slot_churn_matches_sequential():
             out = f.result(timeout=180)
             ref = ref_iface.generate_tokens(p[None], n)[0]
             np.testing.assert_array_equal(out, ref)
+    finally:
+        batcher.stop()
+
+
+def test_per_request_sampling():
+    """Per-row sampling params inside the shared chunk program
+    (net-beyond the reference scheduler's shared generation config):
+    greedy, top_k=1 sampled, and tiny-temperature rows must all equal
+    the sequential greedy reference while batched together with a
+    hot-temperature row, and a huge-presence-penalty row never repeats
+    a token (counts track prompt + generated per row)."""
+    from whisper_tensor_tpu.interfaces.text import SamplingParams
+
+    cfg, m_scalar, m_ragged = _models()
+    ref_iface = TextInferenceInterface(m_scalar, max_len=64,
+                                       prompt_buckets=(16, 32))
+    batcher = ContinuousBatcher(m_ragged, max_len=64, max_batch=4, chunk=4,
+                                cache_dtype=DType.F32,
+                                prompt_buckets=(16, 32)).start()
+    try:
+        prompts = [rng.integers(0, cfg.vocab_size, (n,)).astype(np.int64)
+                   for n in (5, 8, 3, 6)]
+        sps = [None,                                     # plain greedy row
+               SamplingParams(temperature=0.7, top_k=1, seed=3),
+               SamplingParams(temperature=1e-5, seed=9),
+               SamplingParams(temperature=1.3, top_p=0.9, seed=11)]
+        futs = [batcher.submit(p, 10, sampling=sp)
+                for p, sp in zip(prompts, sps)]
+        outs = [f.result(timeout=180) for f in futs]
+        for i in (0, 1, 2):    # all three are greedy-equivalent
+            ref = ref_iface.generate_tokens(prompts[i][None], 10)[0]
+            np.testing.assert_array_equal(outs[i], ref, err_msg=f"row {i}")
+        assert outs[3].shape == (10,)
+        assert ((outs[3] >= 0) & (outs[3] < cfg.vocab_size)).all()
+
+        # presence penalty -> no token (prompt or generated) repeats
+        p = rng.integers(0, cfg.vocab_size, (6,)).astype(np.int64)
+        p = np.unique(p)  # distinct prompt tokens
+        sp = SamplingParams(temperature=1e-5, presence_penalty=1e9, seed=2)
+        out = batcher.submit(p, 12, sampling=sp).result(timeout=180)
+        emitted = list(p) + list(out)
+        assert len(set(emitted)) == len(emitted), emitted
+
+        # slot reuse after a penalty tenant: a fresh greedy request in
+        # (possibly) the same slot is unaffected by stale counts
+        q = rng.integers(0, cfg.vocab_size, (5,)).astype(np.int64)
+        ref = ref_iface.generate_tokens(q[None], 8)[0]
+        np.testing.assert_array_equal(
+            batcher.submit(q, 8).result(timeout=180), ref)
+    finally:
+        batcher.stop()
+
+
+def test_per_request_sampling_chunked_prefill():
+    """Per-row sampling composes with chunked-prefill admission: the
+    admission-tail first token honors the request's own params."""
+    from whisper_tensor_tpu.interfaces.text import SamplingParams
+
+    cfg, m_scalar, m_ragged = _models()
+    ref_iface = TextInferenceInterface(m_scalar, max_len=64,
+                                       prompt_buckets=(16, 32))
+    batcher = ContinuousBatcher(m_ragged, max_len=64, max_batch=2, chunk=4,
+                                cache_dtype=DType.F32, prefill_chunk=8,
+                                prompt_buckets=(16, 32)).start()
+    try:
+        p = rng.integers(0, cfg.vocab_size, (20,)).astype(np.int64)
+        ref = ref_iface.generate_tokens(p[None], 6)[0]
+        out = batcher.submit(
+            p, 6, sampling=SamplingParams(temperature=0.5, top_k=1,
+                                          seed=4)).result(timeout=180)
+        np.testing.assert_array_equal(out, ref)
     finally:
         batcher.stop()

@@ -544,7 +544,7 @@ def test_generate_text_stop_sequences(server, tmp_path):
         for ragged in (False, True):
             cfg = {"path": str(d), "dtype": "f32", "max_len": 64}
             if ragged:
-                cfg["ragged"] = True
+                cfg["ragged_decode"] = True
             c.send({"type": "run_loader", "loader": "transformers",
                     "config": cfg})
             mid = c.recv()["loaded"][0]
@@ -702,7 +702,7 @@ def test_generate_text_constrained(server, tmp_path):
         for ragged in (False, True):
             cfg = {"path": str(d), "dtype": "f32", "max_len": 64}
             if ragged:
-                cfg["ragged"] = True
+                cfg["ragged_decode"] = True
             c.send({"type": "run_loader", "loader": "transformers",
                     "config": cfg})
             mid = c.recv()["loaded"][0]
@@ -728,5 +728,58 @@ def test_generate_text_constrained(server, tmp_path):
         # unsupported combinations produce a clean job_error
         r = gen(mid, regex=r"a+", num_beams=2)
         assert r["type"] == "job_error", r
+    finally:
+        c.close()
+
+
+def test_generate_text_sampled_ragged(server, tmp_path):
+    """Sampled requests on a ragged model route through the
+    ContinuousBatcher (per-row sampling params in the shared chunk
+    program): top_k=1 sampling equals the greedy output, and a hot
+    temperature still returns a decodable result."""
+    import json as _json
+
+    from safetensors.torch import save_file
+    import torch
+    from transformers import GPT2Config as HFConfig, GPT2LMHeadModel
+
+    torch.manual_seed(17)
+    hf = GPT2LMHeadModel(HFConfig(n_layer=1, n_head=2, n_embd=16,
+                                  vocab_size=300, n_positions=64))
+    d = tmp_path / "tiny-gpt2-rsamp"
+    d.mkdir()
+    (d / "config.json").write_text(_json.dumps({
+        "model_type": "gpt2", "n_layer": 1, "n_head": 2, "n_embd": 16,
+        "vocab_size": 300, "n_positions": 64}))
+    save_file({k: v.contiguous() for k, v in hf.state_dict().items()
+               if k != "lm_head.weight"}, str(d / "model.safetensors"))
+
+    srv, port = server
+    c = _WSClient("127.0.0.1", port)
+
+    def gen(mid, **kw):
+        c.send({"type": "generate_text", "model_id": mid, "prompt": "hi",
+                "max_new_tokens": 8, "tokenizer": "bytes", **kw})
+        for _ in range(200):
+            r = c.recv()
+            if r["type"] in ("job_result", "job_error"):
+                break
+        assert r["type"] == "job_result", r
+        return r["result"]["text"]
+
+    try:
+        c.send({"type": "run_loader", "loader": "transformers",
+                "config": {"path": str(d), "dtype": "f32", "max_len": 64,
+                           "ragged_decode": True}})
+        mid = c.recv()["loaded"][0]
+
+        greedy = gen(mid)
+        assert gen(mid, temperature=0.7, top_k=1, seed=5) == greedy
+        hot = gen(mid, temperature=1.2, seed=5)
+        assert isinstance(hot, str) and len(hot) >= 1
+        # the batcher actually served these (not the direct path)
+        c.send({"type": "get_batcher_stats", "model_id": mid})
+        st = c.recv()
+        assert st["stats"]["tokens_emitted"] >= 16, st
     finally:
         c.close()

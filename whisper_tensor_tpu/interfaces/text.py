@@ -106,6 +106,92 @@ def _pick_token(logits, key, sp: Optional[SamplingParams], seen=None):
         return jnp.argmax(logits, axis=-1)
     return jax.random.categorical(key, _filtered_logits(logits, sp), axis=-1)
 
+def _rows_neutral(sp: Optional[SamplingParams]) -> tuple:
+    """Per-row sampling parameter vector for one row: the row's own
+    SamplingParams, or the neutral (greedy) settings when None."""
+    if sp is None:
+        return (0.0, 0, 1.0, 0.0, 1.0, 0.0, 0.0, 0)
+    return (sp.temperature, sp.top_k, sp.top_p, sp.min_p,
+            sp.repetition_penalty, sp.presence_penalty,
+            sp.frequency_penalty, sp.seed)
+
+
+def _rows_flags(sps) -> tuple:
+    """Static program-specialization flags over a set of per-row
+    SamplingParams: (any_sampled, any_topk, any_topp, any_minp,
+    any_pen). The all-False variant compiles to a pure argmax — batched
+    greedy traffic pays nothing for per-row sampling support."""
+    live = [sp for sp in sps if sp is not None]
+    return (any(sp.temperature > 0.0 for sp in live),
+            any(sp.top_k > 0 for sp in live),
+            any(sp.top_p < 1.0 for sp in live),
+            any(sp.min_p > 0.0 for sp in live),
+            any(_uses_seen(sp) for sp in live))
+
+
+def _rows_arrays(sps) -> tuple:
+    """Stack per-row SamplingParams into the 8 (B,) arrays
+    _pick_token_rows consumes (host numpy; cheap data args that never
+    shape-specialize the compiled program)."""
+    cols = list(zip(*[_rows_neutral(sp) for sp in sps]))
+    return (np.asarray(cols[0], np.float32), np.asarray(cols[1], np.int32),
+            np.asarray(cols[2], np.float32), np.asarray(cols[3], np.float32),
+            np.asarray(cols[4], np.float32), np.asarray(cols[5], np.float32),
+            np.asarray(cols[6], np.float32), np.asarray(cols[7], np.uint32))
+
+
+def _pick_token_rows(logits, key, rows, flags, seen=None):
+    """Per-row sampling: (B, V) logits -> (B,) tokens where EVERY
+    sampling knob (temperature/top-k/top-p/min-p/penalties/seed) is a
+    per-row array — vLLM-style per-request params inside one batched
+    decode program (net-beyond the reference, whose scheduler shares
+    one generation config per job; crates/whisper-tensor-server/src/
+    scheduler.rs). `flags` is the static specialization tuple from
+    _rows_flags; `rows` the arrays from _rows_arrays."""
+    import jax
+    import jax.numpy as jnp
+
+    temp, topk, topp, minp, rep, pres, freq, seed = rows
+    any_sampled, any_topk, any_topp, any_minp, any_pen = flags
+    lg = logits.astype(jnp.float32)
+    if any_pen and seen is not None:
+        cnt = seen.astype(jnp.float32)
+        emitted = seen > 0
+        pen = jnp.where(lg > 0, lg / rep[:, None], lg * rep[:, None])
+        lg = jnp.where(emitted, pen, lg)
+        lg = lg - pres[:, None] * emitted.astype(jnp.float32)
+        lg = lg - freq[:, None] * cnt
+    greedy = jnp.argmax(lg, axis=-1)
+    if not any_sampled:
+        return greedy
+    t = jnp.where(temp > 0, temp, 1.0)
+    slg = lg / t[:, None]
+    V = lg.shape[-1]
+    if any_topk:
+        srt = jnp.sort(slg, axis=-1)[:, ::-1]
+        kth = jnp.take_along_axis(
+            srt, jnp.clip(topk - 1, 0, V - 1).astype(jnp.int32)[:, None],
+            axis=1)
+        slg = jnp.where((topk[:, None] > 0) & (slg < kth), -jnp.inf, slg)
+    if any_topp:
+        # HF warper order: top-p ranks the post-top-k distribution
+        srt = jnp.sort(slg, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(srt, axis=-1)
+        keep = (jnp.cumsum(probs, axis=-1) - probs) <= topp[:, None]
+        thresh = jnp.min(jnp.where(keep, srt, jnp.inf), axis=-1,
+                         keepdims=True)
+        slg = jnp.where(slg < thresh, -jnp.inf, slg)
+    if any_minp:
+        probs = jax.nn.softmax(slg, axis=-1)
+        cut = minp[:, None] * jnp.max(probs, axis=-1, keepdims=True)
+        slg = jnp.where((minp[:, None] > 0) & (probs < cut), -jnp.inf, slg)
+    # per-row streams: each row's seed folds into the chunk key, so a
+    # request's draws are independent of its slot neighbours
+    keys = jax.vmap(lambda s: jax.random.fold_in(key, s))(seed)
+    sampled = jax.vmap(jax.random.categorical)(keys, slg)
+    return jnp.where(temp > 0.0, sampled, greedy)
+
+
 def _dfa_mask(logits, row, acc_state, eos: int):
     """Constrained decoding (net-new vs the reference): keep only tokens
     the TokenDFA admits from each row's state; eos is admitted exactly
@@ -387,8 +473,21 @@ class TextInferenceInterface:
         cache_ins = [n for n in order if n.startswith("cache_")]
         out_names = list(milli.outputs)
         cache_outs = [n for n in out_names if n.startswith("new_cache_")]
+        # a pos_per_row step graph (built for the ContinuousBatcher)
+        # takes pos as (B,); broadcast the interface's scalar pos so the
+        # direct paths (constrained / with_probs / beam) work on the
+        # same ragged model the batcher serves
+        pos_tid = milli.inputs.get("pos")
+        pos_info = (milli.tensors[pos_tid].info
+                    if pos_tid is not None else None)
+        pos_per_row = pos_info is not None and pos_info.rank == 1
 
         def step(ids, pos, caches, weights):
+            import jax.numpy as _jnp
+
+            if pos_per_row:
+                pos = _jnp.broadcast_to(_jnp.asarray(pos, _jnp.int64),
+                                        (ids.shape[0],))
             by_name = {"input_ids": ids, "pos": pos}
             by_name.update(dict(zip(cache_ins, caches)))
             by_name.update(dict(zip(self.weight_names, weights)))

@@ -31,7 +31,8 @@ import numpy as np
 
 from ..dtype import DType
 from ..interfaces.text import (SamplingParams, TextInferenceInterface,
-                               _bucket, _pick_token)
+                               _bucket, _pick_token_rows, _rows_arrays,
+                               _rows_flags)
 from ..model import Model
 
 
@@ -42,6 +43,8 @@ class _Request:
     future: Future = field(default_factory=Future)
     on_token: Optional[Any] = None       # callback(token_id) for streaming
     cancelled: threading.Event = field(default_factory=threading.Event)
+    # per-request sampling (vLLM-style): None = the batcher default
+    sampling: Optional[SamplingParams] = None
 
 
 @dataclass
@@ -58,9 +61,16 @@ class _Slot:
 class ContinuousBatcher:
     """model must be built with pos_per_row=True (per-row `pos` input).
 
-    Greedy or one shared SamplingParams for all rows (per-row sampling
-    parameters would shape-specialize the compiled chunk; the reference
-    scheduler shares its generation settings the same way).
+    Sampling is PER REQUEST (submit(..., sampling=...)): every knob —
+    temperature, top-k/top-p/min-p, the three penalties, and the seed —
+    is a per-row device array inside the shared chunk program, so
+    greedy and sampled requests batch together (net-beyond the
+    reference, whose scheduler shares one generation config per job;
+    crates/whisper-tensor-server/src/scheduler.rs). The program is
+    lazily specialized on which features any live row actually uses
+    (_rows_flags), so all-greedy traffic compiles to the same pure
+    argmax program as before. The constructor `sampling` is the
+    default for requests that don't pass their own.
     """
 
     def __init__(self, model: Model, max_len: int, max_batch: int = 8,
@@ -112,6 +122,7 @@ class ContinuousBatcher:
         # host never re-uploads state and the loop can pipeline
         self._pending: Dict[int, tuple] = {}   # slot -> (cur, pos, active)
         self._row_state = None            # (rng, step, cur, pos, active)
+        self._seen = None                 # (B, V) int32 penalty counts
         self.prefill_chunk = prefill_chunk
         self._admission: Optional[dict] = None   # in-flight chunked prefill
         self._admit_backlog: List[tuple] = []    # (slot, req) not yet started
@@ -129,9 +140,10 @@ class ContinuousBatcher:
 
     # -- public API --------------------------------------------------------
     def submit(self, prompt_ids: np.ndarray, n_new: int,
-               on_token=None) -> Future:
+               on_token=None,
+               sampling: Optional[SamplingParams] = None) -> Future:
         req = _Request(np.asarray(prompt_ids, np.int64).reshape(-1), n_new,
-                       on_token=on_token)
+                       on_token=on_token, sampling=sampling)
         self._requests[req.future] = req
         self._queue.put(req)
         self._wake.set()
@@ -187,6 +199,71 @@ class ContinuousBatcher:
         if self._thread is not None:
             self._thread.join(timeout=30)
             self._thread = None
+
+    # -- per-row sampling helpers -------------------------------------------
+    def _slot_sp(self, slot: _Slot) -> Optional[SamplingParams]:
+        """Effective SamplingParams for a slot's current tenant (its own,
+        else the batcher default); None (greedy) for empty slots."""
+        if slot.req is None:
+            return None
+        return slot.req.sampling or self.sampling
+
+    def _ensure_seen(self):
+        """The (B, V) per-row token-occurrence counts backing the
+        repetition / presence / frequency penalties. Device-resident;
+        admissions scatter prompt counts in, pen-variant chunks add
+        each emitted token in-graph. Rows whose params are neutral
+        never read it, so stale counts from earlier tenants are
+        harmless."""
+        if self._seen is None:
+            import jax.numpy as jnp
+
+            self._seen = jnp.zeros(
+                (self.max_batch, self.iface._vocab_size()), jnp.int32)
+        return self._seen
+
+    def _seed_seen_rows(self, grp, firsts):
+        """Scatter prefix+prompt+first-token occurrence counts into the
+        admitted rows of the device seen array (only called when the
+        group has a penalty-using request)."""
+        import jax.numpy as jnp
+
+        V = self.iface._vocab_size()
+        rows = np.zeros((len(grp), V), np.int32)
+        for r, (_, req) in enumerate(grp):
+            ids = req.prompt_ids
+            if self.prefix_ids is not None:
+                ids = np.concatenate([self.prefix_ids, ids])
+            np.add.at(rows[r], np.clip(ids, 0, V - 1), 1)
+            rows[r, int(firsts[r])] += 1
+        slots = np.asarray([s for s, _ in grp], np.int32)
+        self._seen = self._ensure_seen().at[jnp.asarray(slots)].set(
+            jnp.asarray(rows))
+
+    def _first_tokens(self, grp, last, rng):
+        """Admission-time first token for each admitted row, honoring
+        every per-request sampling knob (eager ops; admissions are not
+        the hot path)."""
+        import jax.numpy as jnp
+
+        sps = [req.sampling or self.sampling for _, req in grp]
+        flags = _rows_flags(sps)
+        rows = tuple(jnp.asarray(a) for a in _rows_arrays(sps))
+        seen = None
+        if flags[4]:
+            V = self.iface._vocab_size()
+            cnt = np.zeros((len(grp), V), np.int32)
+            for r, (_, req) in enumerate(grp):
+                ids = req.prompt_ids
+                if self.prefix_ids is not None:
+                    ids = np.concatenate([self.prefix_ids, ids])
+                np.add.at(cnt[r], np.clip(ids, 0, V - 1), 1)
+            seen = jnp.asarray(cnt)
+        firsts = np.asarray(_pick_token_rows(jnp.asarray(last), rng, rows,
+                                             flags, seen))
+        if flags[4]:
+            self._seed_seen_rows(grp, firsts)
+        return firsts
 
     # -- compiled programs --------------------------------------------------
     def _prefill_insert_program(self, bucket: int, k: int):
@@ -311,25 +388,32 @@ class ContinuousBatcher:
         return [jnp.tile(c, (k,) + (1,) * (c.ndim - 1))
                 for c in self._prefix_caches]
 
-    def _chunk_program(self):
+    def _chunk_program(self, flags):
         """The decode-chunk program. Slot updates (admissions / parks)
         queued on the host since the LAST dispatch ride in as scatter
         inputs and apply in-graph before the scan — row state never
         round-trips through the host, so the scheduler loop can keep a
-        chunk in flight while it post-processes the previous one."""
+        chunk in flight while it post-processes the previous one.
+
+        `flags` (_rows_flags over the live rows' SamplingParams)
+        statically specializes the program: the all-False variant is
+        pure argmax, and each feature (categorical draw, top-k sort,
+        top-p sort, min-p, the (B, V) seen-count carry for penalties)
+        is only traced into variants that need it."""
         import jax
         import jax.numpy as jnp
 
-        key = ("chunk", self.max_batch, self.chunk, self.sampling)
+        key = ("chunk", self.max_batch, self.chunk, flags)
         if key in self._programs:
             return self._programs[key]
         step = self.iface._traced_step(self.max_batch, 1)
-        sp = self.sampling
         eos = self.eos_token_id
         park = self.park_pos
+        mb = self.max_batch
+        any_pen = flags[4]
 
-        def run(cur, pos, active, caches, weights, rng_key,
-                upd_slots, upd_cur, upd_pos, upd_active):
+        def run(cur, pos, active, caches, weights, rng_key, rows,
+                upd_slots, upd_cur, upd_pos, upd_active, seen=None):
             # canonicalize: the initial state buffers may predate the
             # compiler enabling x64, and the scan carry must be stable
             cur = cur.astype(jnp.int64)
@@ -342,23 +426,39 @@ class ContinuousBatcher:
             active = active.at[upd_slots].set(upd_active, mode="drop")
 
             def body(carry, i):
-                cur, pos, active, caches = carry
+                cur, pos, active, caches, seen = carry
                 logits, caches = step(cur[:, None], pos, caches, weights)
-                nxt = _pick_token(logits[:, -1, :],
-                                  jax.random.fold_in(rng_key, i), sp)
+                nxt = _pick_token_rows(logits[:, -1, :],
+                                       jax.random.fold_in(rng_key, i),
+                                       rows, flags, seen)
                 nxt = jnp.where(active, nxt, cur)
+                if any_pen:
+                    seen = seen.at[jnp.arange(mb), nxt].add(
+                        active.astype(seen.dtype))
                 if eos is not None:
                     active = active & (nxt != eos)
                 pos = jnp.where(active, jnp.minimum(pos + 1, park), pos)
-                return (nxt, pos, active, caches), (nxt, active)
+                return (nxt, pos, active, caches, seen), (nxt, active)
 
-            (cur, pos, active, caches), (toks, actives) = jax.lax.scan(
-                body, (cur, pos, active, caches), jnp.arange(self.chunk))
-            return (cur, pos, active, caches,
-                    jnp.swapaxes(toks, 0, 1), jnp.swapaxes(actives, 0, 1))
+            (cur, pos, active, caches, seen), (toks, actives) = jax.lax.scan(
+                body, (cur, pos, active, caches, seen),
+                jnp.arange(self.chunk))
+            out = (cur, pos, active, caches,
+                   jnp.swapaxes(toks, 0, 1), jnp.swapaxes(actives, 0, 1))
+            return out + (seen,) if any_pen else out
 
-        self._programs[key] = jax.jit(run, donate_argnums=(3,))
-        return self._programs[key]
+        donate = (3, 11) if any_pen else (3,)
+        if not any_pen:
+            # keep the carry pytree static: a None leaf in/out
+            def run_nopen(cur, pos, active, caches, weights, rng_key, rows,
+                          upd_slots, upd_cur, upd_pos, upd_active):
+                return run(cur, pos, active, caches, weights, rng_key,
+                           rows, upd_slots, upd_cur, upd_pos, upd_active)
+            prog = jax.jit(run_nopen, donate_argnums=(3,))
+        else:
+            prog = jax.jit(run, donate_argnums=donate)
+        self._programs[key] = prog
+        return prog
 
     # -- scheduler loop ------------------------------------------------------
     def _admit_group(self, pairs):
@@ -391,7 +491,7 @@ class ContinuousBatcher:
             logits, self._caches = self._prefill_insert_program(Sb, k)(*args)
             last = jnp.stack([logits[row, lens[row] - 1, :]
                               for row in range(k)])
-            firsts = np.asarray(_pick_token(last, rng, self.sampling))
+            firsts = self._first_tokens(grp, last, rng)
             self._install_admitted(
                 grp, [self.prefix_len + L for L in lens], firsts)
 
@@ -506,7 +606,7 @@ class ContinuousBatcher:
         self._caches = self._splice_program(st["k"])(
             self._caches, st["small"], jnp.asarray(slots_np))
         rng = jax.random.PRNGKey(self.sampling.seed if self.sampling else 0)
-        firsts = np.asarray(_pick_token(st["flg"], rng, self.sampling))
+        firsts = self._first_tokens(st["grp"], st["flg"], rng)
         self._install_admitted(st["grp"], st["lens_np"], firsts)
 
     def _finish(self, slot_idx: int):
@@ -568,6 +668,7 @@ class ContinuousBatcher:
                 # state and caches from scratch on the next tick
                 self._caches = None
                 self._row_state = None
+                self._seen = None
                 inflight = None
 
     def _tick(self, inflight):
@@ -644,12 +745,21 @@ class ContinuousBatcher:
                 if slot.req is not None and slot.dispatched is None:
                     slot.dispatched = step_count
             self._pending = {}
-            prog = self._chunk_program()
-            dcur, dpos, dact, self._caches, toks, actives = prog(
-                dcur, dpos, dact, self._caches, self.iface._weights(),
-                jax.random.fold_in(rng, step_count),
-                jnp.asarray(upd_s), jnp.asarray(upd_c),
-                jnp.asarray(upd_p), jnp.asarray(upd_a))
+            # per-row sampling params for every slot (parked rows are
+            # neutral/greedy — their picks are discarded by `active`)
+            sps = [self._slot_sp(s) for s in self._slots]
+            flags = _rows_flags(sps)
+            rows = tuple(jnp.asarray(a) for a in _rows_arrays(sps))
+            prog = self._chunk_program(flags)
+            args = (dcur, dpos, dact, self._caches, self.iface._weights(),
+                    jax.random.fold_in(rng, step_count), rows,
+                    jnp.asarray(upd_s), jnp.asarray(upd_c),
+                    jnp.asarray(upd_p), jnp.asarray(upd_a))
+            if flags[4]:
+                (dcur, dpos, dact, self._caches, toks, actives,
+                 self._seen) = prog(*args, self._ensure_seen())
+            else:
+                dcur, dpos, dact, self._caches, toks, actives = prog(*args)
             new_inflight = (step_count, toks, actives, dpos)
             step_count += 1
             self._chunks_dispatched += 1

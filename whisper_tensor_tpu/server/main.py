@@ -379,7 +379,8 @@ class Server:
             self._batchers[entry.id] = bat
         return bat
 
-    def _generate_text_ragged(self, msg, entry, tok, n_new) -> None:
+    def _generate_text_ragged(self, msg, entry, tok, n_new,
+                              sampling=None) -> None:
         import numpy as _np
 
         bat = self._batcher(entry)
@@ -408,7 +409,7 @@ class Server:
                             bat.cancel(state["fut"])
                         return
 
-        fut = bat.submit(ids, n_new, on_token=on_tok)
+        fut = bat.submit(ids, n_new, on_token=on_tok, sampling=sampling)
         state["fut"] = fut
         if state["hit"] is not None:       # hit during the race window
             bat.cancel(fut)
@@ -517,15 +518,6 @@ class Server:
         regex = msg.get("regex")
         json_schema = msg.get("json_schema")
         constrained = regex is not None or json_schema is not None
-        if (iface_cfg.get("ragged") and float(msg.get("temperature", 0.0)) <= 0
-                and not constrained):
-            # constrained requests take the direct path: the ragged
-            # batcher shares one decode program across rows and has no
-            # per-row DFA state
-            self._generate_text_ragged(msg, entry, tok, n_new)
-            return None
-        iface = self._text_iface(entry)
-        iface.tokenizer = tok
         sampling = None
         if (float(msg.get("temperature", 0.0)) > 0.0
                 or float(msg.get("repetition_penalty", 1.0)) != 1.0
@@ -543,6 +535,17 @@ class Server:
                 presence_penalty=float(msg.get("presence_penalty", 0.0)),
                 frequency_penalty=float(msg.get("frequency_penalty", 0.0)),
                 seed=int(msg.get("seed", 0)))
+        if (iface_cfg.get("ragged") and not constrained
+                and not msg.get("with_probs")):
+            # sampled requests batch too: every sampling knob is a
+            # per-row array inside the shared chunk program. Constrained
+            # requests take the direct path (no per-row DFA state), and
+            # with_probs needs the direct path's teacher-forced rescore.
+            self._generate_text_ragged(msg, entry, tok, n_new,
+                                       sampling=sampling)
+            return None
+        iface = self._text_iface(entry)
+        iface.tokenizer = tok
         settings = ObserverSettings(
             tensor_subscriptions=set(msg.get("tensor_subscriptions", [])))
 
