@@ -361,8 +361,20 @@ def cmd_serve(args) -> None:
 
     from .server.main import Server
 
+    srv = Server()
+    if getattr(args, "model", None):
+        cfg = dict(kv.split("=", 1) for kv in (args.config or []))
+        cfg["path"] = args.model
+        entries = srv.models.run_loader(args.loader, cfg)
+        for e in entries:
+            print(f"loaded model #{e.id} {e.name}", file=sys.stderr)
+    if getattr(args, "http_port", None) is not None:
+        from .server.openai_api import OpenAIApi
+
+        api = OpenAIApi(srv, args.host, args.http_port).start()
+        print(f"OpenAI-compatible API on http://{args.host}:{api.port}/v1")
     print(f"whisper-tensor-tpu server on ws://{args.host}:{args.port}")
-    asyncio.run(Server().run(args.host, args.port))
+    asyncio.run(srv.run(args.host, args.port))
 
 
 def main(argv=None) -> None:
@@ -469,6 +481,14 @@ def main(argv=None) -> None:
     s = sub.add_parser("serve", help="run the WebSocket server")
     s.add_argument("--host", default="127.0.0.1")
     s.add_argument("--port", type=int, default=3000)
+    s.add_argument("--http-port", type=int,
+                   help="also serve an OpenAI-compatible HTTP API "
+                        "(/v1/completions, /v1/chat/completions) on this "
+                        "port (0 = auto-pick)")
+    s.add_argument("--model", help="preload a model at startup")
+    s.add_argument("--loader", default="auto")
+    s.add_argument("-c", "--config", action="append", default=[],
+                   help="loader config key=value (repeatable)")
     s.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)

@@ -1,0 +1,400 @@
+"""OpenAI-compatible HTTP API over the serving stack.
+
+Net-beyond the reference (whisper-tensor exposes only its own
+WebSocket protocol, crates/whisper-tensor-server/src/main.rs): this
+module serves `/v1/models`, `/v1/completions`, and
+`/v1/chat/completions` — the de-facto LLM serving interface — on the
+Python stdlib (`http.server`, no third-party deps), so any
+OpenAI-client SDK or curl script talks to the framework directly.
+
+Routing mirrors the WebSocket server: requests against a
+ragged-decode model go through the ContinuousBatcher (per-request
+sampling params batch greedy and sampled traffic together), everything
+else through the direct compiled interface. Structured output maps
+OpenAI's `response_format` onto the token-DFA constrained decoder:
+`{"type": "json_object"}` constrains to a JSON document,
+`{"type": "json_schema", "json_schema": {"schema": ...}}` to that
+schema. `stream: true` answers with server-sent events.
+"""
+
+from __future__ import annotations
+
+import json
+import queue as _queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+# a permissive JSON-document regex for response_format json_object
+_JSON_VALUE = (
+    r'\s*(-?(0|[1-9][0-9]*)(\.[0-9]+)?([eE][+-]?[0-9]+)?|true|false|null'
+    r'|"([^"\\\x00-\x1f]|\\["\\/bfnrt]|\\u[0-9a-fA-F]{4})*")\s*')
+_JSON_OBJECT_REGEX = (
+    r'\s*\{(\s*"([^"\\\x00-\x1f]|\\["\\/bfnrt]|\\u[0-9a-fA-F]{4})*"\s*:'
+    + _JSON_VALUE +
+    r'(,\s*"([^"\\\x00-\x1f]|\\["\\/bfnrt]|\\u[0-9a-fA-F]{4})*"\s*:'
+    + _JSON_VALUE + r')*)?\s*\}\s*')
+
+
+class ApiError(Exception):
+    def __init__(self, status: int, message: str, etype: str = "invalid_request_error"):
+        super().__init__(message)
+        self.status = status
+        self.etype = etype
+
+
+def _sampling_from(body: Dict[str, Any]):
+    """OpenAI request fields -> SamplingParams (None = greedy).
+    temperature=0 is greedy; extensions: top_k, min_p,
+    repetition_penalty (common llama.cpp/vLLM extensions)."""
+    from ..interfaces.text import SamplingParams
+
+    temp = float(body.get("temperature", 1.0))
+    pres = float(body.get("presence_penalty", 0.0))
+    freq = float(body.get("frequency_penalty", 0.0))
+    rep = float(body.get("repetition_penalty", 1.0))
+    if temp <= 0.0 and pres == 0.0 and freq == 0.0 and rep == 1.0:
+        return None
+    return SamplingParams(
+        temperature=max(temp, 0.0),
+        top_k=int(body.get("top_k", 0)),
+        top_p=float(body.get("top_p", 1.0)),
+        min_p=float(body.get("min_p", 0.0)),
+        repetition_penalty=rep,
+        presence_penalty=pres,
+        frequency_penalty=freq,
+        seed=int(body.get("seed", 0)))
+
+
+def _stops_from(body: Dict[str, Any]) -> List[str]:
+    stop = body.get("stop")
+    if stop is None:
+        return []
+    if isinstance(stop, str):
+        return [stop] if stop else []
+    return [s for s in stop if s]
+
+
+def _constraint_from(body: Dict[str, Any]):
+    """-> (regex, json_schema) from response_format / regex extension."""
+    if body.get("regex") is not None:
+        return body["regex"], None
+    rf = body.get("response_format")
+    if not rf:
+        return None, None
+    kind = rf.get("type")
+    if kind in (None, "text"):
+        return None, None
+    if kind == "json_object":
+        return _JSON_OBJECT_REGEX, None
+    if kind == "json_schema":
+        js = rf.get("json_schema") or {}
+        schema = js.get("schema", js if "type" in js else None)
+        if schema is None:
+            raise ApiError(400, "response_format.json_schema.schema missing")
+        return None, schema
+    raise ApiError(400, f"unsupported response_format type {kind!r}")
+
+
+class _Generator:
+    """One request's execution: resolves the model, runs through the
+    batcher (ragged, unconstrained) or the direct interface, and yields
+    text deltas for streaming."""
+
+    def __init__(self, server, body: Dict[str, Any], prompt: str):
+        from ..tokenizer import AnyTokenizer
+
+        self.server = server
+        self.body = body
+        self.entry = self._resolve_model(body.get("model"))
+        self.cfg = self.entry.interfaces.get("text")
+        if self.cfg is None:
+            raise ApiError(400, f"model {self.entry.name!r} has no text "
+                                "interface")
+        self.tok = AnyTokenizer.load(self.entry.tokenizer_source or "bytes")
+        self.prompt = prompt
+        self.n_new = int(body.get("max_tokens",
+                                  body.get("max_completion_tokens", 16)))
+        if int(body.get("n", 1)) != 1:
+            raise ApiError(400, "only n=1 is supported")
+        self.sampling = _sampling_from(body)
+        self.stops = _stops_from(body)
+        self.regex, self.schema = _constraint_from(body)
+        self.prompt_ids = np.asarray(self.tok.encode(prompt), np.int64)
+
+    def _resolve_model(self, name):
+        models = self.server.models._models
+        if name is None:
+            if len(models) == 1:
+                return next(iter(models.values()))
+            raise ApiError(400, "model field required (several loaded)")
+        for e in models.values():
+            if e.name == name or str(e.id) == str(name):
+                return e
+        raise ApiError(404, f"model {name!r} not found", "not_found_error")
+
+    # ------------------------------------------------------------------
+    def run(self, on_delta=None) -> Dict[str, Any]:
+        """Generate to completion. on_delta(text_piece) streams decoded
+        increments. Returns {"text", "finish_reason", "usage"}."""
+        constrained = self.regex is not None or self.schema is not None
+        if self.cfg.get("ragged") and not constrained:
+            toks, finish = self._run_batched(on_delta)
+        else:
+            toks, finish = self._run_direct(on_delta)
+        text = self.tok.decode([int(t) for t in toks])
+        for s in self.stops:
+            i = text.find(s)
+            if i >= 0:
+                text, finish = text[:i], "stop"
+        return {"text": text, "finish_reason": finish,
+                "usage": {"prompt_tokens": int(self.prompt_ids.shape[0]),
+                          "completion_tokens": len(toks),
+                          "total_tokens": int(self.prompt_ids.shape[0])
+                          + len(toks)}}
+
+    def _trim_eos(self, toks, eos_id):
+        toks = [int(t) for t in toks]
+        if eos_id is not None and eos_id in toks:
+            return toks[:toks.index(eos_id)], "stop"
+        return toks, ("length" if len(toks) >= self.n_new else "stop")
+
+    def _run_batched(self, on_delta):
+        bat = self.server._batcher(self.entry)
+        state = {"decoded": 0, "toks": [], "hit": False, "fut": None}
+        lock = threading.Lock()
+
+        def on_tok(t):
+            with lock:
+                if state["hit"]:
+                    return
+                state["toks"].append(int(t))
+                text = self.tok.decode(state["toks"])
+                if self.stops and any(s in text for s in self.stops):
+                    state["hit"] = True
+                    if state["fut"] is not None:
+                        bat.cancel(state["fut"])
+                    return
+                if on_delta is not None and len(text) > state["decoded"]:
+                    on_delta(text[state["decoded"]:])
+                    state["decoded"] = len(text)
+
+        fut = bat.submit(self.prompt_ids, self.n_new,
+                         on_token=None if on_delta is None and not self.stops
+                         else on_tok,
+                         sampling=self.sampling)
+        with lock:
+            state["fut"] = fut
+        if state["hit"]:
+            bat.cancel(fut)
+        toks = fut.result(timeout=float(self.body.get("timeout", 600)))
+        return self._trim_eos(toks, bat.eos_token_id)
+
+    def _run_direct(self, on_delta):
+        iface = self.server._text_iface(self.entry)
+        iface.tokenizer = self.tok
+        constraint = None
+        if self.regex is not None or self.schema is not None:
+            constraint = iface.compile_constraint(self.regex, self.schema)
+        toks = iface.generate_tokens(self.prompt_ids[None], self.n_new,
+                                     sampling=self.sampling,
+                                     constraint=constraint)[0]
+        eos = (constraint.eos_token_id if constraint is not None
+               else getattr(iface, "eos_token_id", None))
+        toks, finish = self._trim_eos(toks, eos)
+        if on_delta is not None:
+            # the direct decode is ONE compiled program — tokens exist
+            # only when it returns; stream the decoded pieces after
+            text = self.tok.decode(toks)
+            if text:
+                on_delta(text)
+        return toks, finish
+
+
+class _Handler(BaseHTTPRequestHandler):
+    protocol_version = "HTTP/1.1"
+    server_version = "whisper-tensor-tpu"
+
+    # quiet request logging (tests / production both prefer silence here)
+    def log_message(self, fmt, *args):  # noqa: D102
+        pass
+
+    @property
+    def api(self):
+        return self.server.api     # type: ignore[attr-defined]
+
+    def _json(self, status: int, obj: Dict[str, Any]):
+        data = json.dumps(obj).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def _error(self, e: Exception):
+        if isinstance(e, ApiError):
+            self._json(e.status, {"error": {"message": str(e),
+                                            "type": e.etype}})
+        else:
+            self._json(500, {"error": {"message": f"{type(e).__name__}: {e}",
+                                       "type": "server_error"}})
+
+    def do_GET(self):  # noqa: N802
+        if self.path.split("?")[0] == "/v1/models":
+            models = [{"id": m["name"], "object": "model",
+                       "owned_by": "whisper-tensor-tpu",
+                       "created": 0}
+                      for m in self.api.server.models.list_models()]
+            return self._json(200, {"object": "list", "data": models})
+        self._json(404, {"error": {"message": f"no route {self.path}",
+                                   "type": "not_found_error"}})
+
+    def do_POST(self):  # noqa: N802
+        path = self.path.split("?")[0]
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(n) or b"{}")
+            if path == "/v1/completions":
+                return self._completions(body, chat=False)
+            if path == "/v1/chat/completions":
+                return self._completions(body, chat=True)
+            raise ApiError(404, f"no route {path}", "not_found_error")
+        except Exception as e:  # noqa: BLE001
+            try:
+                self._error(e)
+            except (BrokenPipeError, ConnectionError):
+                pass
+
+    # ------------------------------------------------------------------
+    def _completions(self, body: Dict[str, Any], chat: bool):
+        from ..tokenizer import apply_chat_template
+
+        if chat:
+            messages = body.get("messages")
+            if not messages:
+                raise ApiError(400, "messages required")
+            # render AFTER model resolution needs the tokenizer; build
+            # the generator with a placeholder then re-render
+            gen = _Generator(self.api.server, body, "")
+            gen.prompt = apply_chat_template(gen.tok, messages)
+            gen.prompt_ids = np.asarray(gen.tok.encode(gen.prompt), np.int64)
+        else:
+            prompt = body.get("prompt")
+            if isinstance(prompt, list):
+                if len(prompt) != 1:
+                    raise ApiError(400, "only a single prompt is supported")
+                prompt = prompt[0]
+            if not isinstance(prompt, str):
+                raise ApiError(400, "prompt must be a string")
+            gen = _Generator(self.api.server, body, prompt)
+
+        kind = "chat.completion" if chat else "text_completion"
+        rid = f"cmpl-{int(time.time() * 1000):x}"
+        if body.get("stream"):
+            return self._stream(gen, rid, kind, chat)
+        res = gen.run()
+        choice: Dict[str, Any] = {"index": 0,
+                                  "finish_reason": res["finish_reason"],
+                                  "logprobs": None}
+        if chat:
+            choice["message"] = {"role": "assistant",
+                                 "content": res["text"]}
+        else:
+            choice["text"] = res["text"]
+        self._json(200, {"id": rid, "object": kind,
+                         "created": int(time.time()),
+                         "model": gen.entry.name,
+                         "choices": [choice], "usage": res["usage"]})
+
+    def _stream(self, gen: _Generator, rid: str, kind: str, chat: bool):
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.send_header("Cache-Control", "no-cache")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+
+        def write_chunk(payload: bytes):
+            self.wfile.write(f"{len(payload):x}\r\n".encode()
+                             + payload + b"\r\n")
+
+        def emit(obj):
+            write_chunk(b"data: " + json.dumps(obj).encode() + b"\n\n")
+
+        def delta_obj(piece: Optional[str], finish=None):
+            d: Dict[str, Any] = {"index": 0, "finish_reason": finish}
+            if chat:
+                d["delta"] = ({"content": piece} if piece is not None
+                              else {})
+            else:
+                d["text"] = piece or ""
+            return {"id": rid, "object": kind + ".chunk",
+                    "created": int(time.time()),
+                    "model": gen.entry.name, "choices": [d]}
+
+        q: "_queue.Queue" = _queue.Queue()
+        done: Dict[str, Any] = {}
+
+        def work():
+            try:
+                done["res"] = gen.run(on_delta=lambda s: q.put(s))
+            except Exception as e:  # noqa: BLE001
+                done["err"] = e
+            finally:
+                q.put(None)
+
+        threading.Thread(target=work, daemon=True).start()
+        try:
+            if chat:
+                emit(delta_obj(None) | {"choices": [{
+                    "index": 0, "finish_reason": None,
+                    "delta": {"role": "assistant", "content": ""}}]})
+            while True:
+                piece = q.get()
+                if piece is None:
+                    break
+                emit(delta_obj(piece))
+            if "err" in done:
+                emit({"error": {"message": str(done["err"]),
+                                "type": "server_error"}})
+            else:
+                res = done["res"]
+                emit(delta_obj(None, finish=res["finish_reason"])
+                     | {"usage": res["usage"]})
+            write_chunk(b"data: [DONE]\n\n")
+            write_chunk(b"")               # terminating chunk
+        except (BrokenPipeError, ConnectionError):
+            pass
+
+
+class OpenAIApi:
+    """The OpenAI-compatible HTTP front end. Shares the WebSocket
+    Server's model registry, interfaces, and batchers — load models over
+    the WS protocol (or CLI `serve --load`) and query them over HTTP."""
+
+    def __init__(self, server, host: str = "127.0.0.1", port: int = 8000):
+        self.server = server
+        self.host = host
+        self.port = port
+        self._httpd: Optional[ThreadingHTTPServer] = None
+        self._thread: Optional[threading.Thread] = None
+
+    def start(self) -> "OpenAIApi":
+        self._httpd = ThreadingHTTPServer((self.host, self.port), _Handler)
+        self._httpd.api = self           # type: ignore[attr-defined]
+        self.port = self._httpd.server_address[1]
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self):
+        if self._httpd is not None:
+            self._httpd.shutdown()
+            self._httpd.server_close()
+            self._httpd = None
+        if self._thread is not None:
+            self._thread.join(timeout=10)
+            self._thread = None
