@@ -173,6 +173,125 @@ def test_constrained_response_format(api):
     int(json.loads(d)["choices"][0]["message"]["content"])
 
 
+@pytest.fixture(scope="module")
+def media_api(tmp_path_factory):
+    """A server with image (SD pipeline), TTS (piper), and STT (tiny
+    whisper) bundles for the media endpoints."""
+    import json as _json
+
+    import torch
+    from safetensors.torch import save_file
+
+    from tests.test_diffusers_loader import _write_sd_pipeline
+    from tests.test_tts_loaders import _write_piper_voice
+    from whisper_tensor_tpu.server.main import Server
+    from whisper_tensor_tpu.server.openai_api import OpenAIApi
+
+    root = tmp_path_factory.mktemp("oai_media")
+    srv = Server()
+    srv.models.run_loader("diffusers", {
+        "path": _write_sd_pipeline(str(root)), "dtype": "f32"})
+    srv.models.run_loader("piper", {"path": _write_piper_voice(str(root))})
+
+    from transformers import WhisperConfig as HFCfg
+    from transformers import WhisperForConditionalGeneration
+
+    torch.manual_seed(7)
+    wcfg = dict(d_model=32, encoder_layers=2, decoder_layers=2,
+                encoder_attention_heads=4, decoder_attention_heads=4,
+                encoder_ffn_dim=64, decoder_ffn_dim=64, num_mel_bins=16,
+                max_source_positions=100, max_target_positions=64,
+                vocab_size=120)
+    hf = WhisperForConditionalGeneration(HFCfg(
+        **wcfg, dropout=0.0, attention_dropout=0.0, pad_token_id=0,
+        bos_token_id=1, eos_token_id=2, decoder_start_token_id=5))
+    d = root / "tiny-whisper"
+    d.mkdir()
+    (d / "config.json").write_text(_json.dumps(
+        {"model_type": "whisper", "decoder_start_token_id": 5,
+         "eos_token_id": 2} | wcfg))
+    save_file({k: v.clone().contiguous()
+               for k, v in hf.state_dict().items() if k != "proj_out.weight"},
+              str(d / "model.safetensors"))
+    srv.models.run_loader("transformers", {"path": str(d), "dtype": "f32"})
+
+    a = OpenAIApi(srv, "127.0.0.1", 0).start()
+    yield a
+    a.stop()
+
+
+def test_images_generations(media_api):
+    import base64
+
+    from whisper_tensor_tpu.utils.image import png_to_array
+
+    s, d = _req(media_api, "POST", "/v1/images/generations",
+                {"prompt": "a tpu", "size": "128x128", "steps": 2,
+                 "seed": 3, "n": 1})
+    assert s == 200, d
+    data = json.loads(d)["data"]
+    assert len(data) == 1
+    img = png_to_array(base64.b64decode(data[0]["b64_json"]))
+    assert img.shape == (128, 128, 3) and img.dtype == np.uint8
+
+    s, d = _req(media_api, "POST", "/v1/images/generations",
+                {"prompt": "x", "response_format": "url"})
+    assert s == 400
+
+
+def test_audio_speech(media_api):
+    c = http.client.HTTPConnection("127.0.0.1", media_api.port, timeout=180)
+    c.request("POST", "/v1/audio/speech",
+              body=json.dumps({"input": "hi", "voice": "alloy"}),
+              headers={"Content-Type": "application/json"})
+    r = c.getresponse()
+    wav = r.read()
+    assert r.status == 200
+    assert r.getheader("Content-Type") == "audio/wav"
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+    assert int(r.getheader("X-Sample-Rate")) > 0
+    c.close()
+
+    s, d = _req(media_api, "POST", "/v1/audio/speech", {"input": ""})
+    assert s == 400
+
+
+def test_audio_transcriptions(media_api):
+    from whisper_tensor_tpu.utils.audio import wav_bytes
+
+    rng = np.random.default_rng(0)
+    wav = wav_bytes(0.1 * rng.standard_normal(8000).astype(np.float32),
+                    16000)
+    boundary = "wtboundary42"
+    body = (
+        (f"--{boundary}\r\n"
+         'Content-Disposition: form-data; name="response_format"\r\n\r\n'
+         f"json\r\n--{boundary}\r\n"
+         'Content-Disposition: form-data; name="max_new_tokens"\r\n\r\n'
+         f"4\r\n--{boundary}\r\n"
+         'Content-Disposition: form-data; name="file"; '
+         'filename="a.wav"\r\nContent-Type: audio/wav\r\n\r\n').encode()
+        + wav + f"\r\n--{boundary}--\r\n".encode())
+    c = http.client.HTTPConnection("127.0.0.1", media_api.port, timeout=300)
+    c.request("POST", "/v1/audio/transcriptions", body=body, headers={
+        "Content-Type": f"multipart/form-data; boundary={boundary}"})
+    r = c.getresponse()
+    d = r.read()
+    c.close()
+    assert r.status == 200, d
+    out = json.loads(d)
+    assert isinstance(out["text"], str)
+
+    # JSON + audio_b64 extension path gives the same answer
+    import base64
+
+    s2, d2 = _req(media_api, "POST", "/v1/audio/transcriptions",
+                  {"audio_b64": base64.b64encode(wav).decode(),
+                   "max_new_tokens": 4})
+    assert s2 == 200, d2
+    assert json.loads(d2)["text"] == out["text"]
+
+
 def test_stop_sequences_and_errors(api):
     name = _names(api)[0]
     _, d = _req(api, "POST", "/v1/completions",

@@ -236,12 +236,15 @@ class TransformersLoader(Loader):
 
             cfg = WhisperConfig.from_hf(hf_cfg)
             dec_len = min(max_len, cfg.max_target_positions)
+            n_frames = 2 * cfg.max_source_positions  # conv stride-2 stack
             enc = Model.new_from_onnx(
-                build_whisper_encoder(store.getter(), cfg, dtype=dtype),
+                build_whisper_encoder(store.getter(), cfg,
+                                      n_frames=n_frames, dtype=dtype),
                 name="whisper-encoder")
             dec = Model.new_from_onnx(
                 build_whisper_decoder_step(store.getter(), cfg,
-                                           max_len=dec_len, dtype=dtype),
+                                           max_len=dec_len,
+                                           n_frames=n_frames, dtype=dtype),
                 name="whisper-decoder")
             tok = d if os.path.exists(os.path.join(d, "tokenizer.json")) \
                 else None
@@ -251,6 +254,7 @@ class TransformersLoader(Loader):
                     "encoder": "whisper-encoder",
                     "decoder": "whisper-decoder",
                     "n_mels": cfg.num_mel_bins, "max_len": dec_len,
+                    "n_frames": n_frames,
                     "sot": hf_cfg.get("decoder_start_token_id", 50258),
                     "eot": hf_cfg.get("eos_token_id", 50257)}},
                 tokenizer_source=tok,

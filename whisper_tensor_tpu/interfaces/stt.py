@@ -284,5 +284,6 @@ class SpeechToTextInterface:
         return cls(bundle.models[spec["encoder"]],
                    bundle.models[spec["decoder"]], tokenizer=tok,
                    max_len=spec.get("max_len"), n_mels=spec.get("n_mels", 80),
+                   n_frames=spec.get("n_frames", 3000),
                    sot_sequence=[spec.get("sot", 50258)],
                    eot_token=spec.get("eot", 50257))

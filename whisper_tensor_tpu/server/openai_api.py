@@ -2,9 +2,10 @@
 
 Net-beyond the reference (whisper-tensor exposes only its own
 WebSocket protocol, crates/whisper-tensor-server/src/main.rs): this
-module serves `/v1/models`, `/v1/completions`, and
-`/v1/chat/completions` — the de-facto LLM serving interface — on the
-Python stdlib (`http.server`, no third-party deps), so any
+module serves `/v1/models`, `/v1/completions`,
+`/v1/chat/completions`, `/v1/images/generations`, `/v1/audio/speech`,
+and `/v1/audio/transcriptions` — the de-facto LLM serving interface —
+on the Python stdlib (`http.server`, no third-party deps), so any
 OpenAI-client SDK or curl script talks to the framework directly.
 
 Routing mirrors the WebSocket server: requests against a
@@ -97,6 +98,53 @@ def _constraint_from(body: Dict[str, Any]):
             raise ApiError(400, "response_format.json_schema.schema missing")
         return None, schema
     raise ApiError(400, f"unsupported response_format type {kind!r}")
+
+
+def _resolve_entry(server, name, iface_kind: str):
+    """Find a loaded model entry by name/id that exposes `iface_kind`.
+
+    With no name: unique by bundle (several entries can share one
+    bundle — e.g. a diffusers pipeline loads te/unet/vae entries)."""
+    models = [e for e in server.models._models.values()
+              if iface_kind in (e.interfaces or {})]
+    if not models:
+        raise ApiError(404, f"no loaded model has a {iface_kind!r} "
+                            "interface", "not_found_error")
+    if name is None:
+        bundles = {e.meta.get("bundle_id") for e in models}
+        if len(bundles) == 1:
+            return models[0]
+        raise ApiError(400, "model field required (several loaded)")
+    for e in models:
+        if e.name == name or str(e.id) == str(name):
+            return e
+    raise ApiError(404, f"model {name!r} not found", "not_found_error")
+
+
+def _parse_multipart(raw: bytes, content_type: str) -> Dict[str, Any]:
+    """multipart/form-data -> {name: str | bytes}. File parts (those
+    with a filename) stay bytes; plain fields decode to str. Stdlib
+    email parser does the boundary/header work."""
+    from email import policy
+    from email.parser import BytesParser
+
+    msg = BytesParser(policy=policy.default).parsebytes(
+        b"Content-Type: " + content_type.encode() + b"\r\n\r\n" + raw)
+    if not msg.is_multipart():
+        raise ApiError(400, "malformed multipart body")
+    out: Dict[str, Any] = {}
+    for part in msg.iter_parts():
+        name = part.get_param("name", header="content-disposition")
+        if not name:
+            continue
+        payload = part.get_payload(decode=True) or b""
+        if part.get_filename() is None:
+            try:
+                payload = payload.decode()
+            except UnicodeDecodeError:
+                pass
+        out[name] = payload
+    return out
 
 
 class _Generator:
@@ -234,6 +282,15 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(data)
 
+    def _binary(self, status: int, ctype: str, data: bytes, headers=()):
+        self.send_response(status)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(data)))
+        for k, v in headers:
+            self.send_header(k, v)
+        self.end_headers()
+        self.wfile.write(data)
+
     def _error(self, e: Exception):
         if isinstance(e, ApiError):
             self._json(e.status, {"error": {"message": str(e),
@@ -256,17 +313,140 @@ class _Handler(BaseHTTPRequestHandler):
         path = self.path.split("?")[0]
         try:
             n = int(self.headers.get("Content-Length", 0))
-            body = json.loads(self.rfile.read(n) or b"{}")
+            raw = self.rfile.read(n)
+            if path == "/v1/audio/transcriptions":
+                return self._transcriptions(
+                    raw, self.headers.get("Content-Type", ""))
+            body = json.loads(raw or b"{}")
             if path == "/v1/completions":
                 return self._completions(body, chat=False)
             if path == "/v1/chat/completions":
                 return self._completions(body, chat=True)
+            if path == "/v1/images/generations":
+                return self._images(body)
+            if path == "/v1/audio/speech":
+                return self._speech(body)
             raise ApiError(404, f"no route {path}", "not_found_error")
         except Exception as e:  # noqa: BLE001
             try:
                 self._error(e)
             except (BrokenPipeError, ConnectionError):
                 pass
+
+    # ------------------------------------------------------------------
+    def _images(self, body: Dict[str, Any]):
+        """/v1/images/generations: diffusion bundle -> b64 PNGs."""
+        import base64
+
+        from ..interfaces.image_gen import (ImageGenConfig,
+                                             image_interface_from_bundle)
+        from ..utils.image import png_bytes
+
+        server = self.api.server
+        prompt = body.get("prompt")
+        if not isinstance(prompt, str) or not prompt:
+            raise ApiError(400, "prompt must be a non-empty string")
+        rf = body.get("response_format", "b64_json")
+        if rf != "b64_json":
+            raise ApiError(400, "only response_format='b64_json' is "
+                                "supported (no URL hosting)")
+        entry = _resolve_entry(server, body.get("model"), "image")
+        bundle = server.models.bundle(int(entry.meta["bundle_id"]))
+        iface = image_interface_from_bundle(bundle)
+        spec = bundle.interfaces["image"]
+        size = body.get("size")
+        if size:
+            try:
+                w, h = (int(p) for p in str(size).lower().split("x"))
+            except ValueError:
+                raise ApiError(400, f"bad size {size!r} (want 'WxH')")
+        else:
+            w, h = spec.get("width", 512), spec.get("height", 512)
+        seed = int(body.get("seed", 0))
+        data = []
+        for i in range(int(body.get("n", 1))):
+            cfg = ImageGenConfig(
+                steps=int(body.get("steps", 20)),
+                guidance_scale=float(body.get("guidance_scale", 7.5)),
+                height=h, width=w,
+                schedule=("rectified_flow"
+                          if spec["pipeline"] in ("sd3", "flux")
+                          else "euler"),
+                seed=seed + i)
+            img = iface.run(prompt,
+                            negative_prompt=body.get("negative_prompt", ""),
+                            cfg=cfg)
+            data.append({"b64_json": base64.b64encode(
+                png_bytes(img.pixels)).decode()})
+        self._json(200, {"created": int(time.time()), "data": data})
+
+    def _speech(self, body: Dict[str, Any]):
+        """/v1/audio/speech: TTS bundle -> WAV (or s16le PCM) bytes."""
+        from ..interfaces.tts import TextToSpeechInterface
+        from ..utils.audio import wav_bytes
+
+        server = self.api.server
+        text = body.get("input")
+        if not isinstance(text, str) or not text:
+            raise ApiError(400, "input must be a non-empty string")
+        rf = body.get("response_format", "wav")
+        if rf not in ("wav", "pcm"):
+            raise ApiError(400, f"unsupported response_format {rf!r} "
+                                "(wav|pcm)")
+        entry = _resolve_entry(server, body.get("model"), "tts")
+        bundle = server.models.bundle(int(entry.meta["bundle_id"]))
+        iface = TextToSpeechInterface.from_bundle(bundle)
+        voice = body.get("voice", 0)
+        if isinstance(voice, str) and not voice.isdigit():
+            # OpenAI's named voices have no analogue; kokoro-style
+            # bundles carry their own names
+            names = getattr(iface, "voice_names", []) or []
+            voice = names.index(voice) if voice in names else 0
+        clip = iface.run_text_to_audio(text, voice=int(voice))
+        sr = [("X-Sample-Rate", str(clip.sample_rate))]
+        if rf == "pcm":
+            pcm = np.clip(np.asarray(clip.samples, np.float32), -1.0, 1.0)
+            self._binary(200, "audio/pcm",
+                         (pcm * 32767.0).astype("<i2").tobytes(), sr)
+        else:
+            self._binary(200, "audio/wav",
+                         wav_bytes(clip.samples, clip.sample_rate), sr)
+
+    def _transcriptions(self, raw: bytes, ctype: str):
+        """/v1/audio/transcriptions: multipart (or JSON+audio_b64) WAV
+        upload -> text via the STT interface."""
+        import base64
+
+        from ..interfaces.stt import SpeechToTextInterface
+        from ..super_graph.links import AudioClip
+        from ..tokenizer import AnyTokenizer
+        from ..utils.audio import read_wav_bytes
+
+        if "multipart/form-data" in (ctype or ""):
+            fields = _parse_multipart(raw, ctype)
+        else:
+            fields = json.loads(raw or b"{}")
+            if "audio_b64" in fields:
+                fields["file"] = base64.b64decode(fields.pop("audio_b64"))
+        wav = fields.get("file")
+        if not isinstance(wav, (bytes, bytearray)):
+            raise ApiError(400, "file field required (WAV bytes)")
+        try:
+            samples, rate = read_wav_bytes(bytes(wav))
+        except Exception as e:  # noqa: BLE001
+            raise ApiError(400, f"could not read WAV: {e}")
+        server = self.api.server
+        entry = _resolve_entry(server, fields.get("model") or None, "stt")
+        bundle = server.models.bundle(int(entry.meta["bundle_id"]))
+        tok = AnyTokenizer.load(entry.tokenizer_source or "bytes")
+        iface = SpeechToTextInterface.from_bundle(bundle, tokenizer=tok)
+        text = iface.run_audio_in_text_out(
+            AudioClip(samples, rate),
+            max_new=int(fields.get("max_new_tokens", 64) or 64))
+        if fields.get("response_format") == "text":
+            return self._binary(200, "text/plain; charset=utf-8",
+                                text.encode())
+        self._json(200, {"text": text})
 
     # ------------------------------------------------------------------
     def _completions(self, body: Dict[str, Any], chat: bool):

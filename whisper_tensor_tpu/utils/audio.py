@@ -109,8 +109,16 @@ def write_wav(path: str, samples: np.ndarray, sample_rate: int) -> None:
         f.write(wav_bytes(samples, sample_rate))
 
 
-def read_wav(path: str):
-    """Read a WAV file to (float32 mono samples in [-1, 1], sample_rate)."""
+def read_wav_bytes(data: bytes):
+    """WAV bytes -> (float32 mono samples in [-1, 1], sample_rate)."""
+    import io
+
+    return read_wav(io.BytesIO(data))
+
+
+def read_wav(path):
+    """Read a WAV file (path or file-like) to (float32 mono samples in
+    [-1, 1], sample_rate)."""
     import wave
 
     with wave.open(path, "rb") as w:
