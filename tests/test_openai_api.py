@@ -173,6 +173,49 @@ def test_constrained_response_format(api):
     int(json.loads(d)["choices"][0]["message"]["content"])
 
 
+def test_logprobs(api):
+    name = _names(api)[0]
+    s, d = _req(api, "POST", "/v1/completions",
+                {"model": name, "prompt": "hi", "max_tokens": 6,
+                 "temperature": 0, "logprobs": 2})
+    assert s == 200, d
+    ch = json.loads(d)["choices"][0]
+    lp = ch["logprobs"]
+    assert "".join(lp["tokens"]) == ch["text"]
+    assert len(lp["token_logprobs"]) == len(lp["tokens"])
+    assert all(v <= 0 for v in lp["token_logprobs"])
+    assert lp["text_offset"][0] == 0
+    for i, (tok_lp, top) in enumerate(zip(lp["token_logprobs"],
+                                          lp["top_logprobs"])):
+        assert len(top) <= 2
+        # greedy: the chosen token IS the argmax, so its logprob equals
+        # the best alternative's
+        assert abs(tok_lp - max(top.values())) < 1e-4
+
+    s, d = _req(api, "POST", "/v1/chat/completions",
+                {"model": name,
+                 "messages": [{"role": "user", "content": "hey"}],
+                 "max_tokens": 4, "temperature": 0,
+                 "logprobs": True, "top_logprobs": 3})
+    assert s == 200, d
+    ch = json.loads(d)["choices"][0]
+    content = ch["logprobs"]["content"]
+    assert "".join(r["token"] for r in content) == ch["message"]["content"]
+    for r in content:
+        assert len(r["top_logprobs"]) == 3
+        assert bytes(r["bytes"]).decode() == r["token"]
+
+    # stop trimming happens at token level so the table still aligns
+    full = json.loads(d)["choices"][0]["message"]["content"]
+    if len(full) >= 2:
+        s, d = _req(api, "POST", "/v1/completions",
+                    {"model": name, "prompt": "hi", "max_tokens": 6,
+                     "temperature": 0, "logprobs": 0, "stop": full[1]})
+        ch = json.loads(d)["choices"][0]
+        if ch["logprobs"]["tokens"]:
+            assert "".join(ch["logprobs"]["tokens"]) == ch["text"]
+
+
 @pytest.fixture(scope="module")
 def media_api(tmp_path_factory):
     """A server with image (SD pipeline), TTS (piper), and STT (tiny

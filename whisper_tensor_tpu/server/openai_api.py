@@ -15,7 +15,9 @@ else through the direct compiled interface. Structured output maps
 OpenAI's `response_format` onto the token-DFA constrained decoder:
 `{"type": "json_object"}` constrains to a JSON document,
 `{"type": "json_schema", "json_schema": {"schema": ...}}` to that
-schema. `stream: true` answers with server-sent events.
+schema. `stream: true` answers with server-sent events. `logprobs`
+(legacy int form, or chat's bool + `top_logprobs`) reports per-token
+log-probabilities from one teacher-forced rescoring prefill.
 """
 
 from __future__ import annotations
@@ -171,6 +173,10 @@ class _Generator:
         self.sampling = _sampling_from(body)
         self.stops = _stops_from(body)
         self.regex, self.schema = _constraint_from(body)
+        # logprobs: the handler normalizes chat's bool+top_logprobs and
+        # completions' int into one Optional[int] (N top alternatives)
+        lp = body.get("logprobs")
+        self.want_logprobs = None if lp in (None, False) else int(lp)
         self.prompt_ids = np.asarray(self.tok.encode(prompt), np.int64)
 
     def _resolve_model(self, name):
@@ -193,16 +199,63 @@ class _Generator:
             toks, finish = self._run_batched(on_delta)
         else:
             toks, finish = self._run_direct(on_delta)
-        text = self.tok.decode([int(t) for t in toks])
-        for s in self.stops:
-            i = text.find(s)
-            if i >= 0:
-                text, finish = text[:i], "stop"
+        logprobs = None
+        if self.want_logprobs is not None:
+            # token-level stop trim so the table aligns with the text
+            toks, finish = self._stop_trim_tokens(toks, finish)
+            text = self.tok.decode([int(t) for t in toks])
+            logprobs = self._rescore(toks)
+        else:
+            text = self.tok.decode([int(t) for t in toks])
+            for s in self.stops:
+                i = text.find(s)
+                if i >= 0:
+                    text, finish = text[:i], "stop"
         return {"text": text, "finish_reason": finish,
+                "logprobs": logprobs,
                 "usage": {"prompt_tokens": int(self.prompt_ids.shape[0]),
                           "completion_tokens": len(toks),
                           "total_tokens": int(self.prompt_ids.shape[0])
                           + len(toks)}}
+
+    def _stop_trim_tokens(self, toks, finish):
+        if not self.stops:
+            return toks, finish
+        kept: List[int] = []
+        for t in toks:
+            nxt = self.tok.decode(kept + [int(t)])
+            if any(s in nxt for s in self.stops):
+                return kept, "stop"
+            kept.append(int(t))
+        return kept, finish
+
+    def _rescore(self, toks):
+        """One teacher-forced prefill over prompt+generated scores every
+        emitted token under the model: logprob + top-N alternatives
+        (same rescore the WS server's with_probs path uses)."""
+        toks = [int(t) for t in toks]
+        if not toks:
+            return []
+        iface = self.server._text_iface(self.entry)
+        full = np.concatenate(
+            [self.prompt_ids, np.asarray(toks, np.int64)])[None]
+        logits = iface.logits(full[:, :-1]).astype(np.float32)[0]
+        start = int(self.prompt_ids.shape[0]) - 1
+        out = []
+        n_top = self.want_logprobs or 0
+        for k, t in enumerate(toks):
+            lg = logits[start + k]
+            lg = lg - lg.max()
+            lp = lg - np.log(np.exp(lg).sum())
+            top = []
+            if n_top > 0:
+                for tid in np.argsort(-lp)[:n_top]:
+                    top.append({"token": self.tok.decode([int(tid)]),
+                                "logprob": round(float(lp[tid]), 5)})
+            out.append({"token": self.tok.decode([t]),
+                        "logprob": round(float(lp[t]), 5),
+                        "top_logprobs": top})
+        return out
 
     def _trim_eos(self, toks, eos_id):
         toks = [int(t) for t in toks]
@@ -456,6 +509,10 @@ class _Handler(BaseHTTPRequestHandler):
             messages = body.get("messages")
             if not messages:
                 raise ApiError(400, "messages required")
+            # chat API: logprobs is a bool + top_logprobs count; fold
+            # into the completions-style Optional[int] the generator uses
+            body["logprobs"] = (int(body.get("top_logprobs", 0) or 0)
+                                if body.get("logprobs") else None)
             # render AFTER model resolution needs the tokenizer; build
             # the generator with a placeholder then re-render
             gen = _Generator(self.api.server, body, "")
@@ -478,7 +535,8 @@ class _Handler(BaseHTTPRequestHandler):
         res = gen.run()
         choice: Dict[str, Any] = {"index": 0,
                                   "finish_reason": res["finish_reason"],
-                                  "logprobs": None}
+                                  "logprobs": self._fmt_logprobs(
+                                      res["logprobs"], chat)}
         if chat:
             choice["message"] = {"role": "assistant",
                                  "content": res["text"]}
@@ -488,6 +546,32 @@ class _Handler(BaseHTTPRequestHandler):
                          "created": int(time.time()),
                          "model": gen.entry.name,
                          "choices": [choice], "usage": res["usage"]})
+
+    @staticmethod
+    def _fmt_logprobs(lp, chat: bool):
+        """Per-token rescore rows -> the chat (content list) or legacy
+        completions (parallel arrays) logprobs shape."""
+        if lp is None:
+            return None
+        if chat:
+            return {"content": [
+                {"token": r["token"], "logprob": r["logprob"],
+                 "bytes": list(r["token"].encode()),
+                 "top_logprobs": [
+                     t | {"bytes": list(t["token"].encode())}
+                     for t in r["top_logprobs"]]}
+                for r in lp]}
+        offsets, pos = [], 0
+        for r in lp:
+            offsets.append(pos)
+            pos += len(r["token"])
+        return {"tokens": [r["token"] for r in lp],
+                "token_logprobs": [r["logprob"] for r in lp],
+                "top_logprobs": [
+                    {t["token"]: t["logprob"] for t in r["top_logprobs"]}
+                    for r in lp] if any(r["top_logprobs"] for r in lp)
+                else None,
+                "text_offset": offsets}
 
     def _stream(self, gen: _Generator, rid: str, kind: str, chat: bool):
         self.send_response(200)
