@@ -216,6 +216,62 @@ def test_logprobs(api):
             assert "".join(ch["logprobs"]["tokens"]) == ch["text"]
 
 
+def test_echo_scoring(api):
+    """echo + max_tokens=0 is the pure sequence-scoring mode eval
+    harnesses (lm-eval) drive through /v1/completions."""
+    name = _names(api)[0]
+    s, d = _req(api, "POST", "/v1/completions",
+                {"model": name, "prompt": "hello", "max_tokens": 0,
+                 "temperature": 0, "echo": True, "logprobs": 0})
+    assert s == 200, d
+    ch = json.loads(d)["choices"][0]
+    assert ch["text"] == "hello"
+    lp = ch["logprobs"]
+    assert "".join(lp["tokens"]) == "hello"
+    assert lp["token_logprobs"][0] is None
+    assert all(v <= 0 for v in lp["token_logprobs"][1:])
+    assert ch["finish_reason"] == "length"
+
+    # echo + generation: table covers prompt AND completion
+    s, d = _req(api, "POST", "/v1/completions",
+                {"model": name, "prompt": "ab", "max_tokens": 3,
+                 "temperature": 0, "echo": True, "logprobs": 1})
+    ch = json.loads(d)["choices"][0]
+    assert ch["text"].startswith("ab")
+    assert "".join(ch["logprobs"]["tokens"]) == ch["text"]
+
+
+def test_n_multiple_choices(api):
+    name = _names(api)[0]
+    s, d = _req(api, "POST", "/v1/completions",
+                {"model": name, "prompt": "hi", "max_tokens": 6,
+                 "temperature": 1.2, "seed": 7, "n": 3})
+    assert s == 200, d
+    r = json.loads(d)
+    assert [c["index"] for c in r["choices"]] == [0, 1, 2]
+    assert all(isinstance(c["text"], str) for c in r["choices"])
+    assert r["usage"]["completion_tokens"] >= 3  # summed over choices
+
+    # greedy n>1 is pointless and rejected
+    s, _ = _req(api, "POST", "/v1/completions",
+                {"model": name, "prompt": "hi", "max_tokens": 4,
+                 "temperature": 0, "n": 2})
+    assert s == 400
+
+    # ragged models serve n>1 through the batcher (staggered seeds)
+    srv = api.server
+    ragged = str([m["id"] for m in srv.models.list_models()
+                  if m["interfaces"]["text"].get("ragged")][0])
+    s, d = _req(api, "POST", "/v1/chat/completions",
+                {"model": ragged,
+                 "messages": [{"role": "user", "content": "go"}],
+                 "max_tokens": 4, "temperature": 0.9, "n": 2})
+    assert s == 200, d
+    r = json.loads(d)
+    assert len(r["choices"]) == 2
+    assert all(c["message"]["role"] == "assistant" for c in r["choices"])
+
+
 @pytest.fixture(scope="module")
 def media_api(tmp_path_factory):
     """A server with image (SD pipeline), TTS (piper), and STT (tiny

@@ -168,8 +168,9 @@ class _Generator:
         self.prompt = prompt
         self.n_new = int(body.get("max_tokens",
                                   body.get("max_completion_tokens", 16)))
-        if int(body.get("n", 1)) != 1:
-            raise ApiError(400, "only n=1 is supported")
+        self.n = int(body.get("n", 1))
+        if not 1 <= self.n <= 64:
+            raise ApiError(400, "n must be in 1..64")
         self.sampling = _sampling_from(body)
         self.stops = _stops_from(body)
         self.regex, self.schema = _constraint_from(body)
@@ -177,6 +178,12 @@ class _Generator:
         # completions' int into one Optional[int] (N top alternatives)
         lp = body.get("logprobs")
         self.want_logprobs = None if lp in (None, False) else int(lp)
+        # echo (completions only): prepend the prompt to the output and
+        # score its tokens too — with max_tokens=0 this is the pure
+        # sequence-scoring mode eval harnesses (lm-eval) drive
+        self.echo = bool(body.get("echo"))
+        if self.echo and self.want_logprobs is None:
+            self.want_logprobs = 0
         self.prompt_ids = np.asarray(self.tok.encode(prompt), np.int64)
 
     def _resolve_model(self, name):
@@ -195,7 +202,9 @@ class _Generator:
         """Generate to completion. on_delta(text_piece) streams decoded
         increments. Returns {"text", "finish_reason", "usage"}."""
         constrained = self.regex is not None or self.schema is not None
-        if self.cfg.get("ragged") and not constrained:
+        if self.n_new == 0:
+            toks, finish = [], "length"
+        elif self.cfg.get("ragged") and not constrained:
             toks, finish = self._run_batched(on_delta)
         else:
             toks, finish = self._run_direct(on_delta)
@@ -205,6 +214,8 @@ class _Generator:
             toks, finish = self._stop_trim_tokens(toks, finish)
             text = self.tok.decode([int(t) for t in toks])
             logprobs = self._rescore(toks)
+            if self.echo:
+                text = self.prompt + text
         else:
             text = self.tok.decode([int(t) for t in toks])
             for s in self.stops:
@@ -217,6 +228,48 @@ class _Generator:
                           "completion_tokens": len(toks),
                           "total_tokens": int(self.prompt_ids.shape[0])
                           + len(toks)}}
+
+    def run_many(self) -> List[Dict[str, Any]]:
+        """n>1: n independent sampled completions in ONE batch. Direct
+        models tile the prompt to n rows (one compiled program; the
+        categorical draw is independent per row); ragged models submit
+        n batcher requests with staggered seeds."""
+        import dataclasses as _dc
+
+        if self.sampling is None:
+            raise ApiError(400, "n>1 requires temperature > 0")
+        if (self.regex is not None or self.schema is not None
+                or self.want_logprobs is not None or self.echo):
+            raise ApiError(400, "n>1 is not supported together with "
+                                "logprobs/echo/response_format")
+        if self.cfg.get("ragged"):
+            bat = self.server._batcher(self.entry)
+            futs = [bat.submit(self.prompt_ids, self.n_new,
+                               sampling=_dc.replace(
+                                   self.sampling,
+                                   seed=self.sampling.seed + i))
+                    for i in range(self.n)]
+            timeout = float(self.body.get("timeout", 600))
+            rows = [f.result(timeout=timeout) for f in futs]
+            eos = bat.eos_token_id
+        else:
+            iface = self.server._text_iface(self.entry)
+            iface.tokenizer = self.tok
+            tiled = np.tile(self.prompt_ids[None], (self.n, 1))
+            rows = iface.generate_tokens(tiled, self.n_new,
+                                         sampling=self.sampling)
+            eos = getattr(iface, "eos_token_id", None)
+        results = []
+        for r in rows:
+            toks, finish = self._trim_eos(r, eos)
+            text = self.tok.decode(toks)
+            for s in self.stops:
+                i = text.find(s)
+                if i >= 0:
+                    text, finish = text[:i], "stop"
+            results.append({"text": text, "finish_reason": finish,
+                            "n_tokens": len(toks)})
+        return results
 
     def _stop_trim_tokens(self, toks, finish):
         if not self.stops:
@@ -232,29 +285,36 @@ class _Generator:
     def _rescore(self, toks):
         """One teacher-forced prefill over prompt+generated scores every
         emitted token under the model: logprob + top-N alternatives
-        (same rescore the WS server's with_probs path uses)."""
+        (same rescore the WS server's with_probs path uses). With echo,
+        prompt tokens are scored too (first one has no context: None)."""
         toks = [int(t) for t in toks]
-        if not toks:
-            return []
+        pids = [int(t) for t in self.prompt_ids]
+        first_row = ([{"token": self.tok.decode([pids[0]]),
+                       "logprob": None, "top_logprobs": []}]
+                     if self.echo and pids else [])
+        if not toks and (not self.echo or len(pids) <= 1):
+            return first_row
         iface = self.server._text_iface(self.entry)
         full = np.concatenate(
             [self.prompt_ids, np.asarray(toks, np.int64)])[None]
         logits = iface.logits(full[:, :-1]).astype(np.float32)[0]
-        start = int(self.prompt_ids.shape[0]) - 1
-        out = []
         n_top = self.want_logprobs or 0
-        for k, t in enumerate(toks):
-            lg = logits[start + k]
-            lg = lg - lg.max()
+
+        def row(pos, tid):
+            lg = logits[pos] - logits[pos].max()
             lp = lg - np.log(np.exp(lg).sum())
-            top = []
-            if n_top > 0:
-                for tid in np.argsort(-lp)[:n_top]:
-                    top.append({"token": self.tok.decode([int(tid)]),
-                                "logprob": round(float(lp[tid]), 5)})
-            out.append({"token": self.tok.decode([t]),
-                        "logprob": round(float(lp[t]), 5),
-                        "top_logprobs": top})
+            top = ([{"token": self.tok.decode([int(i)]),
+                     "logprob": round(float(lp[i]), 5)}
+                    for i in np.argsort(-lp)[:n_top]] if n_top > 0 else [])
+            return {"token": self.tok.decode([tid]),
+                    "logprob": round(float(lp[tid]), 5),
+                    "top_logprobs": top}
+
+        out = first_row
+        if self.echo:
+            out += [row(i - 1, pids[i]) for i in range(1, len(pids))]
+        start = len(pids) - 1
+        out += [row(start + k, t) for k, t in enumerate(toks)]
         return out
 
     def _trim_eos(self, toks, eos_id):
@@ -513,6 +573,7 @@ class _Handler(BaseHTTPRequestHandler):
             # into the completions-style Optional[int] the generator uses
             body["logprobs"] = (int(body.get("top_logprobs", 0) or 0)
                                 if body.get("logprobs") else None)
+            body["echo"] = False            # completions-only field
             # render AFTER model resolution needs the tokenizer; build
             # the generator with a placeholder then re-render
             gen = _Generator(self.api.server, body, "")
@@ -530,6 +591,27 @@ class _Handler(BaseHTTPRequestHandler):
 
         kind = "chat.completion" if chat else "text_completion"
         rid = f"cmpl-{int(time.time() * 1000):x}"
+        if gen.n > 1:
+            if body.get("stream"):
+                raise ApiError(400, "n>1 with stream is not supported")
+            results = gen.run_many()
+            choices = []
+            for i, r in enumerate(results):
+                c: Dict[str, Any] = {"index": i, "logprobs": None,
+                                     "finish_reason": r["finish_reason"]}
+                if chat:
+                    c["message"] = {"role": "assistant",
+                                    "content": r["text"]}
+                else:
+                    c["text"] = r["text"]
+                choices.append(c)
+            p = int(gen.prompt_ids.shape[0])
+            comp = sum(r["n_tokens"] for r in results)
+            return self._json(200, {
+                "id": rid, "object": kind, "created": int(time.time()),
+                "model": gen.entry.name, "choices": choices,
+                "usage": {"prompt_tokens": p, "completion_tokens": comp,
+                          "total_tokens": p + comp}})
         if body.get("stream"):
             return self._stream(gen, rid, kind, chat)
         res = gen.run()
