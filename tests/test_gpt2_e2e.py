@@ -71,6 +71,23 @@ def test_interface_logits_xla(tiny_gpt2):
     np.testing.assert_allclose(lg, tl, rtol=1e-3, atol=1e-4)
 
 
+def test_hidden_states_tap_matches_torch(tiny_gpt2):
+    """hidden_states (the /v1/embeddings tap: lm_head activation found
+    by walking back from logits) equals torch's last_hidden_state."""
+    import torch
+
+    hf, model, cfg = tiny_gpt2
+    rng = np.random.default_rng(4)
+    ids = rng.integers(0, VOCAB, (2, 9)).astype(np.int64)
+    iface = TextInferenceInterface(model, max_len=MAXPOS,
+                                   prompt_buckets=(16, 32, 64))
+    h = iface.hidden_states(ids)
+    with torch.no_grad():
+        ref = hf.transformer(torch.from_numpy(ids)).last_hidden_state.numpy()
+    assert h.shape == ref.shape
+    np.testing.assert_allclose(h, ref, rtol=1e-3, atol=1e-4)
+
+
 def test_greedy_generation_matches_torch(tiny_gpt2):
     import torch
 

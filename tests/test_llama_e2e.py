@@ -58,6 +58,22 @@ def test_logits_match_torch(tiny):
     np.testing.assert_allclose(lg, tl, rtol=2e-3, atol=2e-4)
 
 
+def test_hidden_states_tap(tiny):
+    """The /v1/embeddings hidden-state tap (deepest-input walk from
+    logits) lands on the post-final-norm activation for llama/qwen2."""
+    import torch
+
+    hf, model, cfg = tiny
+    rng = np.random.default_rng(7)
+    ids = rng.integers(0, cfg.vocab_size, (2, 7)).astype(np.int64)
+    iface = TextInferenceInterface(model, max_len=MAXLEN,
+                                   prompt_buckets=(16, 32, 64))
+    h = iface.hidden_states(ids)
+    with torch.no_grad():
+        ref = hf.model(torch.from_numpy(ids)).last_hidden_state.numpy()
+    np.testing.assert_allclose(h, ref, rtol=2e-3, atol=2e-4)
+
+
 def test_greedy_matches_torch(tiny):
     import torch
 

@@ -272,6 +272,37 @@ def test_n_multiple_choices(api):
     assert all(c["message"]["role"] == "assistant" for c in r["choices"])
 
 
+def test_embeddings(api):
+    name = _names(api)[0]
+    s, d = _req(api, "POST", "/v1/embeddings",
+                {"model": name, "input": ["hi", "hello there"]})
+    assert s == 200, d
+    r = json.loads(d)
+    assert r["object"] == "list" and len(r["data"]) == 2
+    v0 = np.asarray(r["data"][0]["embedding"])
+    v1 = np.asarray(r["data"][1]["embedding"])
+    assert v0.shape == (16,)          # n_embd of the tiny model
+    np.testing.assert_allclose(np.linalg.norm(v0), 1.0, rtol=1e-6)
+    assert r["usage"]["prompt_tokens"] == len("hi") + len("hello there")
+
+    # a single string and the same string in a padded batch agree
+    s, d = _req(api, "POST", "/v1/embeddings",
+                {"model": name, "input": "hi"})
+    alone = np.asarray(json.loads(d)["data"][0]["embedding"])
+    np.testing.assert_allclose(alone, v0, atol=1e-5)
+
+    # token-id input and mean pooling
+    s, d = _req(api, "POST", "/v1/embeddings",
+                {"model": name, "input": [104, 105], "pooling": "mean"})
+    assert s == 200, d
+    vm = np.asarray(json.loads(d)["data"][0]["embedding"])
+    assert vm.shape == (16,) and not np.allclose(vm, alone)
+
+    s, _ = _req(api, "POST", "/v1/embeddings",
+                {"model": name, "input": []})
+    assert s == 400
+
+
 @pytest.fixture(scope="module")
 def media_api(tmp_path_factory):
     """A server with image (SD pipeline), TTS (piper), and STT (tiny

@@ -73,6 +73,14 @@ class TestGemma:
         tl = _torch_logits(hf, ids)
         np.testing.assert_allclose(lg, tl, rtol=3e-3, atol=3e-4)
 
+        # hidden-state tap must step over the v2 softcap tail
+        # (Mul/CastLike/Tanh/Div) and land on the post-final-norm
+        # activation
+        h = _iface(model).hidden_states(ids)
+        with torch.no_grad():
+            ref = hf.model(torch.from_numpy(ids)).last_hidden_state.numpy()
+        np.testing.assert_allclose(h, ref, rtol=3e-3, atol=3e-4)
+
 
 class TestPhi3:
     def test_logits_vs_torch(self):

@@ -981,6 +981,91 @@ class TextInferenceInterface:
         out = prog(jnp.asarray(padded), self.fresh_cache(B), self._weights())
         return np.asarray(out)[:, :L, :]
 
+    def _hidden_tid(self) -> int:
+        """tid of the final hidden state (the lm_head MatMul's
+        activation input), found by walking back from the logits output
+        through the elementwise tail (bias Add, gemma-style softcap
+        Mul/Tanh/Div, Cast/Reshape). Works on every LLM recipe without
+        recipe changes — the tap is selected at compile time."""
+        milli = self.milli
+        producer = {}
+        for node in milli.nodes:
+            for t in node.outputs:
+                producer[t] = node
+        # one topological pass: each tensor's depth from the graph
+        # inputs. The activation path (through every layer) is always
+        # far deeper than any weight/constant/softcap-scalar branch, so
+        # "follow the deepest input" survives bias adds, casts, and the
+        # gemma2 softcap tail without per-recipe knowledge.
+        depth: Dict[int, int] = {}
+        for node in milli.nodes:
+            d = 1 + max((depth.get(i, 0) for i in node.inputs
+                         if i is not None), default=0)
+            for t in node.outputs:
+                depth[t] = d
+        tid = milli.outputs["logits"]
+        for _ in range(16):
+            node = producer.get(tid)
+            if node is None:
+                break
+            kind = node.op.KIND
+            ins = [i for i in node.inputs if i is not None]
+            deepest = max(ins, key=lambda i: depth.get(i, 0), default=None)
+            if kind in ("MatMul", "Einsum", "Gemm"):
+                return deepest
+            if kind in ("SimpleBinary", "SimpleUnary", "Cast", "CastLike",
+                        "Reshape", "Transpose", "Identity", "Squeeze",
+                        "Unsqueeze"):
+                if deepest is None:
+                    break
+                tid = deepest
+                continue
+            break
+        raise ValueError("could not locate the lm_head activation in "
+                         "this graph (no hidden-state tap)")
+
+    def hidden_states(self, prompt_ids: np.ndarray) -> np.ndarray:
+        """Single forward: (B, L) -> (B, L, E) final hidden states
+        (pre-lm_head), via a compile-time capture tap on the prefill
+        program. Backs the /v1/embeddings endpoint."""
+        import jax
+        import jax.numpy as jnp
+
+        from ..backends.xla.compiler import _trace_graph, ensure_x64
+
+        prompt_ids = np.asarray(prompt_ids, dtype=np.int64)
+        if prompt_ids.ndim == 1:
+            prompt_ids = prompt_ids[None]
+        B, L = prompt_ids.shape
+        Sb = _bucket(L, self.prompt_buckets)
+        padded = np.zeros((B, Sb), dtype=np.int64)
+        padded[:, :L] = prompt_ids
+        key = ("hidden", B, Sb)
+        prog = self._programs.get(key)
+        if prog is None:
+            ensure_x64()
+            milli = self.milli
+            fn = _trace_graph(milli, {}, None, [self._hidden_tid()])
+            order = list(milli.inputs)
+            cache_ins = [n for n in order if n.startswith("cache_")]
+            pos_tid = milli.inputs.get("pos")
+            pos_info = (milli.tensors[pos_tid].info
+                        if pos_tid is not None else None)
+            pos_per_row = pos_info is not None and pos_info.rank == 1
+
+            def run(ids, caches, weights):
+                pos = (jnp.zeros((ids.shape[0],), jnp.int64) if pos_per_row
+                       else jnp.asarray(0, dtype=jnp.int64))
+                by_name = {"input_ids": ids, "pos": pos}
+                by_name.update(dict(zip(cache_ins, caches)))
+                by_name.update(dict(zip(self.weight_names, weights)))
+                return fn(*[by_name[n] for n in order])[-1]
+
+            prog = jax.jit(run)
+            self._programs[key] = prog
+        out = prog(jnp.asarray(padded), self.fresh_cache(B), self._weights())
+        return np.asarray(out)[:, :L, :]
+
     # ------------------------------------------------------------------
     def compile_constraint(self, regex: Optional[str] = None,
                            json_schema=None):

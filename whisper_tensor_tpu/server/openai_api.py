@@ -3,8 +3,9 @@
 Net-beyond the reference (whisper-tensor exposes only its own
 WebSocket protocol, crates/whisper-tensor-server/src/main.rs): this
 module serves `/v1/models`, `/v1/completions`,
-`/v1/chat/completions`, `/v1/images/generations`, `/v1/audio/speech`,
-and `/v1/audio/transcriptions` — the de-facto LLM serving interface —
+`/v1/chat/completions`, `/v1/embeddings`, `/v1/images/generations`,
+`/v1/audio/speech`, and `/v1/audio/transcriptions` — the de-facto LLM
+serving interface —
 on the Python stdlib (`http.server`, no third-party deps), so any
 OpenAI-client SDK or curl script talks to the framework directly.
 
@@ -435,6 +436,8 @@ class _Handler(BaseHTTPRequestHandler):
                 return self._completions(body, chat=False)
             if path == "/v1/chat/completions":
                 return self._completions(body, chat=True)
+            if path == "/v1/embeddings":
+                return self._embeddings(body)
             if path == "/v1/images/generations":
                 return self._images(body)
             if path == "/v1/audio/speech":
@@ -447,6 +450,60 @@ class _Handler(BaseHTTPRequestHandler):
                 pass
 
     # ------------------------------------------------------------------
+    def _embeddings(self, body: Dict[str, Any]):
+        """/v1/embeddings: final-hidden-state pooling over any causal
+        LM (llama.cpp-style): `pooling` extension picks last (default)
+        or mean; vectors are L2-normalized. One batched capture-tap
+        prefill serves the whole input list — right-padding is exact
+        under the causal mask."""
+        from ..tokenizer import AnyTokenizer
+
+        server = self.api.server
+        inputs = body.get("input")
+        if isinstance(inputs, str):
+            items: List[Any] = [inputs]
+        elif isinstance(inputs, list):
+            items = ([inputs] if inputs
+                     and all(isinstance(x, int) for x in inputs)
+                     else inputs)
+        else:
+            raise ApiError(400, "input must be a string or an array")
+        if not items:
+            raise ApiError(400, "input is empty")
+        if body.get("encoding_format", "float") != "float":
+            raise ApiError(400, "only encoding_format='float' is supported")
+        pooling = body.get("pooling", "last")
+        if pooling not in ("last", "mean"):
+            raise ApiError(400, f"unknown pooling {pooling!r} (last|mean)")
+        entry = _resolve_entry(server, body.get("model"), "text")
+        tok = AnyTokenizer.load(entry.tokenizer_source or "bytes")
+        iface = server._text_iface(entry)
+        ids_list = [np.asarray(tok.encode(it) if isinstance(it, str)
+                               else it, np.int64).reshape(-1)
+                    for it in items]
+        if any(a.size == 0 for a in ids_list):
+            raise ApiError(400, "input items must be non-empty")
+        L = max(a.size for a in ids_list)
+        batch = np.zeros((len(ids_list), L), np.int64)
+        for i, a in enumerate(ids_list):
+            batch[i, :a.size] = a
+        try:
+            h = iface.hidden_states(batch)
+        except ValueError as e:
+            raise ApiError(400, str(e))
+        data, total = [], 0
+        for i, a in enumerate(ids_list):
+            total += int(a.size)
+            hv = h[i, :a.size].astype(np.float64)
+            v = hv[-1] if pooling == "last" else hv.mean(0)
+            v = v / (np.linalg.norm(v) + 1e-12)
+            data.append({"object": "embedding", "index": i,
+                         "embedding": [float(x) for x in v]})
+        self._json(200, {"object": "list", "data": data,
+                         "model": entry.name,
+                         "usage": {"prompt_tokens": total,
+                                   "total_tokens": total}})
+
     def _images(self, body: Dict[str, Any]):
         """/v1/images/generations: diffusion bundle -> b64 PNGs."""
         import base64
