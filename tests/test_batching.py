@@ -591,3 +591,91 @@ def test_per_request_sampling_chunked_prefill():
         np.testing.assert_array_equal(out, ref)
     finally:
         batcher.stop()
+
+
+def test_multi_lora_serving():
+    """Per-request LoRA adapters inside ONE batched decode program
+    (multi-LoRA serving, net-beyond the reference): each request's
+    tokens equal a single-model reference with that adapter merged
+    into the base weights. Covers base + two adapters sharing slots,
+    monolithic AND chunked-prefill admission."""
+    max_len = 64
+    cfg = GPT2Config(n_layer=2, n_head=2, n_embd=32, vocab_size=211,
+                     n_positions=max_len)
+    wg = random_gpt2_weights(cfg)
+    targets = [("wfc_0", "transformer.h.0.mlp.c_fc.weight"),
+               ("wqkv_1", "transformer.h.1.attn.c_attn.weight")]
+
+    def mk_adapter(seed):
+        r = np.random.default_rng(seed)
+        out = {}
+        for wname, hf in targets:
+            K, N = wg(hf).shape
+            out[wname] = (
+                (r.standard_normal((K, 4)) * 0.05).astype(np.float32),
+                (r.standard_normal((4, N)) * 0.05).astype(np.float32),
+                0.5)
+        return out
+
+    adapters = {"fr": mk_adapter(31), "de": mk_adapter(32)}
+
+    def merged_getter(ad):
+        def g(name):
+            W = np.array(wg(name))
+            for wname, hf in targets:
+                if name == hf and ad is not None and wname in ad:
+                    A, B, s = ad[wname]
+                    W = W + A @ B * s
+            return W
+        return g
+
+    def run_batcher(**kw):
+        m_ragged = Model.new_from_onnx(build_gpt2_step(
+            wg, cfg, max_len=max_len, dtype=DType.F32, pos_per_row=True))
+        bat = ContinuousBatcher(m_ragged, max_len=max_len, max_batch=4,
+                                chunk=4, cache_dtype=DType.F32,
+                                prompt_buckets=(16,), adapters=adapters,
+                                **kw).start()
+        try:
+            prompts = [rng.integers(0, cfg.vocab_size, (n,)).astype(np.int64)
+                       for n in (5, 8, 3, 6, 4)]
+            names = [None, "fr", "de", "fr", None]
+            futs = [bat.submit(p, 7, adapter=a)
+                    for p, a in zip(prompts, names)]
+            outs = [f.result(timeout=180) for f in futs]
+            with pytest.raises(ValueError):
+                bat.submit(prompts[0], 4, adapter="nope")
+        finally:
+            bat.stop()
+        return prompts, names, outs
+
+    refs = {}
+    for label, kw in [("mono", {}), ("chunked", {"prefill_chunk": 4})]:
+        prompts, names, outs = run_batcher(**kw)
+        for p, a, out in zip(prompts, names, outs):
+            key = (a, tuple(p))
+            if key not in refs:
+                ref_m = Model.new_from_onnx(build_gpt2_step(
+                    merged_getter(adapters.get(a)), cfg, max_len=max_len,
+                    dtype=DType.F32))
+                refs[key] = TextInferenceInterface(
+                    ref_m, max_len=max_len,
+                    prompt_buckets=(16,)).generate_tokens(p[None], 7)[0]
+            np.testing.assert_array_equal(out, refs[key], err_msg=label)
+
+
+def test_multi_lora_validation():
+    """Bad adapter targets fail loudly at install time."""
+    max_len = 32
+    cfg = GPT2Config(n_layer=1, n_head=2, n_embd=32, vocab_size=211,
+                     n_positions=max_len)
+    wg = random_gpt2_weights(cfg)
+    m = Model.new_from_onnx(build_gpt2_step(
+        wg, cfg, max_len=max_len, dtype=DType.F32, pos_per_row=True))
+    with pytest.raises(ValueError, match="not runtime weight inputs"):
+        ContinuousBatcher(
+            m, max_len=max_len, cache_dtype=DType.F32,
+            prompt_buckets=(16,),
+            adapters={"a": {"no_such_weight": (
+                np.zeros((4, 2), np.float32),
+                np.zeros((2, 4), np.float32), 1.0)}})

@@ -164,3 +164,69 @@ def test_missing_adapter_pair_raises(tmp_path):
 class _FakeStore:
     def names(self):
         return []
+
+
+def test_multi_lora_peft_serving(tmp_path):
+    """Multi-LoRA serving end-to-end: a ragged model loaded with
+    serve_adapters=name=dir serves per-request adapters through the
+    server's ContinuousBatcher; each request's tokens equal the
+    merge-at-load (`lora=<dir>`) single-model path."""
+    import torch
+    from peft import LoraConfig, get_peft_model
+    from transformers import GPT2Config as HFConfig, GPT2LMHeadModel
+
+    from whisper_tensor_tpu.importers.loaders import loader_registry
+    from whisper_tensor_tpu.interfaces.text import TextInferenceInterface
+    from whisper_tensor_tpu.server.main import Server
+
+    torch.manual_seed(3)
+    cfg = dict(n_layer=2, n_head=2, n_embd=32, vocab_size=211,
+               n_positions=MAXLEN)
+    hf = GPT2LMHeadModel(HFConfig(**cfg))
+    base = tmp_path / "base"
+    _save_base(hf, base, {"model_type": "gpt2", **cfg})
+
+    dirs = {}
+    for aname, seed in (("a1", 10), ("a2", 20)):
+        torch.manual_seed(0)
+        fresh = GPT2LMHeadModel(HFConfig(**cfg))
+        fresh.load_state_dict(hf.state_dict())
+        pm = get_peft_model(fresh, LoraConfig(
+            r=4, lora_alpha=16, lora_dropout=0.0, fan_in_fan_out=True,
+            target_modules=["c_attn", "c_fc"]))
+        torch.manual_seed(seed)
+        _randomize_lora(pm)
+        d = tmp_path / f"adapter-{aname}"
+        pm.save_pretrained(str(d))
+        dirs[aname] = d
+
+    srv = Server()
+    entries = srv.models.run_loader("transformers", {
+        "path": str(base), "dtype": "f32", "max_len": MAXLEN,
+        "ragged_decode": True,
+        "serve_adapters": f"a1={dirs['a1']},a2={dirs['a2']}"})
+    bat = srv._batcher(entries[0])
+    try:
+        rng = np.random.default_rng(1)
+        prompts = [rng.integers(0, 211, (n,)).astype(np.int64)
+                   for n in (5, 8, 4)]
+        names = [None, "a1", "a2"]
+        futs = [bat.submit(p, 6, adapter=a)
+                for p, a in zip(prompts, names)]
+        outs = [f.result(timeout=180) for f in futs]
+    finally:
+        bat.stop()
+
+    reg = loader_registry()["transformers"]
+    for p, a, out in zip(prompts, names, outs):
+        cfg_load = {"path": str(base), "dtype": "f32", "max_len": MAXLEN}
+        if a is not None:
+            cfg_load["lora"] = str(dirs[a])
+        bundle = reg.load(cfg_load)
+        name = bundle.interfaces["text"]["model"]
+        ref = TextInferenceInterface(
+            bundle.models[name], max_len=MAXLEN,
+            prompt_buckets=(16,)).generate_tokens(p[None], 6)[0]
+        np.testing.assert_array_equal(out, ref, err_msg=str(a))
+    # the two adapters genuinely produce different functions
+    assert not np.array_equal(outs[1], outs[2])

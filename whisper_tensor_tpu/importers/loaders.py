@@ -138,6 +138,11 @@ class TransformersLoader(Loader):
                         "PEFT adapter dir (adapter_config.json + "
                         "adapter_model.safetensors) merged into the base "
                         "weights at load", default=""),
+            ConfigField("serve_adapters", ConfigFieldType.STRING,
+                        "multi-LoRA serving: name=peft_dir[,name2=dir2] "
+                        "adapters selectable PER REQUEST through the "
+                        "batcher (needs ragged_decode; gpt2/llama-family)",
+                        default=""),
         ]
 
     def can_load(self, path: str) -> bool:
@@ -161,13 +166,15 @@ class TransformersLoader(Loader):
 
         ragged = bool(config.get("ragged_decode", False))
         window_builder = None
+        weight_map: Dict[str, str] = {}   # init -> hf name (PEFT serving)
         if mt == "gpt2":
             from .recipes.llm.gpt2 import GPT2Config, build_gpt2_step
 
             cfg = GPT2Config.from_hf(hf_cfg)
             data = build_gpt2_step(store.getter(), cfg,
                                    max_len=min(max_len, cfg.n_positions),
-                                   dtype=dtype, pos_per_row=ragged)
+                                   dtype=dtype, pos_per_row=ragged,
+                                   weight_map=weight_map)
             geometry = dict(n_layers=cfg.n_layer, n_kv_heads=cfg.n_head,
                             head_dim=cfg.n_embd // cfg.n_head)
             window_builder = lambda w: build_gpt2_step(  # noqa: E731
@@ -185,7 +192,8 @@ class TransformersLoader(Loader):
                 return store.load(name)
 
             data = build_llama_step(getter, cfg, max_len=max_len, dtype=dtype,
-                                    pos_per_row=ragged)
+                                    pos_per_row=ragged,
+                                    weight_map=weight_map)
             geometry = dict(n_layers=cfg.num_hidden_layers,
                             n_kv_heads=cfg.num_key_value_heads, head_dim=cfg.hd)
 
@@ -390,6 +398,24 @@ class TransformersLoader(Loader):
                 models[wm.name] = wm
                 window_spec[str(w)] = wm.name
         tok = d if os.path.exists(os.path.join(d, "tokenizer.json")) else None
+        # multi-LoRA serving: "name=/peft/dir,name2=/other" — adapter
+        # dirs resolved against the recipe's weight_map at batcher build
+        serve_adapters = {}
+        for part in str(config.get("serve_adapters", "") or "").split(","):
+            part = part.strip()
+            if not part:
+                continue
+            if "=" not in part:
+                raise ValueError(
+                    f"serve_adapters entry {part!r} is not name=path")
+            aname, apath = part.split("=", 1)
+            serve_adapters[aname.strip()] = apath.strip()
+        if serve_adapters and not weight_map:
+            raise ValueError(f"serve_adapters not supported for "
+                             f"model_type {mt!r} (no weight map)")
+        if serve_adapters and not ragged:
+            raise ValueError("serve_adapters needs ragged_decode=1 "
+                             "(adapters are served by the batcher)")
         return LoadedBundle(models=models,
                             interfaces={"text": {"model": name,
                                                  "max_len": max_len,
@@ -397,6 +423,8 @@ class TransformersLoader(Loader):
                                                  "prefill_chunk": int(config.get("prefill_chunk", 0) or 0),
                                                  "quantize": config.get("quantize") or "",
                                                  "windows": window_spec,
+                                                 "adapters": serve_adapters,
+                                                 "weight_map": weight_map,
                                                  **geometry}},
                             tokenizer_source=tok,
                             meta={"model_type": mt, "dtype": dtype.name})

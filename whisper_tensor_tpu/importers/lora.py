@@ -116,3 +116,54 @@ class LoraMergedStore:
 
     def zeros_getter(self):
         return self.base.zeros_getter()
+
+
+def load_peft_adapter_arrays(adapter_dir: str,
+                             weight_map: Dict[str, str]):
+    """PEFT dir -> {milli_weight_input: (A (K,r), B (r,N), scale)} for
+    per-row multi-LoRA serving (`milli.transforms.inject_multi_lora`).
+
+    weight_map is the recipe's {initializer_name: hf_state_dict_name}
+    record for matmul-RHS weights. Orientation: the milli RHS is
+    W_hf.T for Linear recipes (and W_hf for GPT-2 Conv1D, whose PEFT
+    adapters carry fan_in_fan_out); in BOTH cases the milli-layout
+    delta is A_peft.T @ B_peft.T * scale, so A = A_peft.T, B = B_peft.T.
+    """
+    cfg_path = os.path.join(adapter_dir, "adapter_config.json")
+    with open(cfg_path, "r", encoding="utf-8") as f:
+        cfg = json.load(f)
+    r = int(cfg.get("r", 8))
+    alpha = float(cfg.get("lora_alpha", r))
+    scale = (alpha / np.sqrt(r) if cfg.get("use_rslora") else alpha / r)
+    st = os.path.join(adapter_dir, "adapter_model.safetensors")
+    if not os.path.exists(st):
+        raise FileNotFoundError(f"no adapter_model.safetensors in "
+                                f"{adapter_dir}")
+    ad = SafetensorsStore([st])
+    ab: Dict[str, Dict[str, str]] = {}
+    for key in ad.names():
+        hit = _strip_adapter_key(key)
+        if hit is None:
+            continue
+        mod, side = hit
+        ab.setdefault(mod, {})[side] = key
+    rev = {hf: init for init, hf in weight_map.items()}
+    out: Dict[str, tuple] = {}
+    unmatched = []
+    for mod, keys in sorted(ab.items()):
+        if len(keys) != 2:
+            raise ValueError(f"adapter module {mod} missing A or B")
+        init = rev.get(mod + ".weight")
+        if init is None:
+            unmatched.append(mod)
+            continue
+        a = ad.load(keys["A"]).astype(np.float32)   # (r, in)
+        b = ad.load(keys["B"]).astype(np.float32)   # (out, r)
+        out[init] = (np.ascontiguousarray(a.T),
+                     np.ascontiguousarray(b.T), float(scale))
+    if not out:
+        raise ValueError(
+            f"no adapter modules matched the model's weight map "
+            f"(adapter modules: {unmatched[:6]}; mapped weights: "
+            f"{sorted(rev)[:6]})")
+    return out

@@ -40,7 +40,8 @@ class GPT2Config:
 def build_gpt2_step(weights: Callable[[str], np.ndarray], cfg: GPT2Config,
                     max_len: int, dtype: DType = DType.F32,
                     storage: Optional[WeightStorage] = None,
-                    pos_per_row: bool = False) -> bytes:
+                    pos_per_row: bool = False,
+                    weight_map: Optional[dict] = None) -> bytes:
     """Build the unified step graph.
 
     weights(name) returns HF GPT-2 state-dict arrays
@@ -62,6 +63,13 @@ def build_gpt2_step(weights: Callable[[str], np.ndarray], cfg: GPT2Config,
 
     def w(name: str) -> np.ndarray:
         return np.asarray(weights(name)).astype(np_dt)
+
+    def lin(init_name: str, hf_name: str) -> str:
+        # matmul-RHS weight (HF Conv1D (in, out), used directly);
+        # weight_map records the mapping for PEFT adapter resolution
+        if weight_map is not None:
+            weight_map[init_name] = hf_name
+        return b.initializer(init_name, w(hf_name))
 
     b = OnnxBuilder("gpt2_step", opset=23, custom_opsets={"wt": 1})
     ids = b.input("input_ids", DType.I64, ["batch", "seq"])
@@ -115,7 +123,7 @@ def build_gpt2_step(weights: Callable[[str], np.ndarray], cfg: GPT2Config,
         ln1 = b.layer_norm(x, b.initializer(f"ln1g_{i}", w(p + "ln_1.weight")),
                            b.initializer(f"ln1b_{i}", w(p + "ln_1.bias")),
                            epsilon=eps)
-        qkv = b.add(b.matmul(ln1, b.initializer(f"wqkv_{i}", w(p + "attn.c_attn.weight"))),
+        qkv = b.add(b.matmul(ln1, lin(f"wqkv_{i}", p + "attn.c_attn.weight")),
                     b.initializer(f"bqkv_{i}", w(p + "attn.c_attn.bias")))
         q, k, v = b.node("Split", [qkv], n_outputs=3, axis=-1, num_outputs=3)
 
@@ -132,17 +140,17 @@ def build_gpt2_step(weights: Callable[[str], np.ndarray], cfg: GPT2Config,
         cache_outs.append((nk, nv))
         att = b.attention(qh, nk, nv, mask=mask, scale=1.0 / float(np.sqrt(D)))
         att = b.reshape(b.transpose(att, [0, 2, 1, 3]), [0, 0, E])
-        att = b.add(b.matmul(att, b.initializer(f"wproj_{i}", w(p + "attn.c_proj.weight"))),
+        att = b.add(b.matmul(att, lin(f"wproj_{i}", p + "attn.c_proj.weight")),
                     b.initializer(f"bproj_{i}", w(p + "attn.c_proj.bias")))
         x = b.add(x, att)
 
         ln2 = b.layer_norm(x, b.initializer(f"ln2g_{i}", w(p + "ln_2.weight")),
                            b.initializer(f"ln2b_{i}", w(p + "ln_2.bias")),
                            epsilon=eps)
-        hmid = b.add(b.matmul(ln2, b.initializer(f"wfc_{i}", w(p + "mlp.c_fc.weight"))),
+        hmid = b.add(b.matmul(ln2, lin(f"wfc_{i}", p + "mlp.c_fc.weight")),
                      b.initializer(f"bfc_{i}", w(p + "mlp.c_fc.bias")))
         hmid = b.node("Gelu", [hmid], approximate="tanh")
-        mlp = b.add(b.matmul(hmid, b.initializer(f"wmp_{i}", w(p + "mlp.c_proj.weight"))),
+        mlp = b.add(b.matmul(hmid, lin(f"wmp_{i}", p + "mlp.c_proj.weight")),
                     b.initializer(f"bmp_{i}", w(p + "mlp.c_proj.bias")))
         x = b.add(x, mlp)
 
@@ -214,7 +222,8 @@ def random_gpt2_weights(cfg: GPT2Config, seed: int = 0) -> Callable[[str], np.nd
 
 def build_gpt2_train(weights: Callable[[str], np.ndarray], cfg: GPT2Config,
                      dtype: DType = DType.F32,
-                     storage: Optional[WeightStorage] = None) -> bytes:
+                     storage: Optional[WeightStorage] = None,
+                     weight_map: Optional[dict] = None) -> bytes:
     """Training-mode graph: input_ids (B,S) -> logits (B,S,V).
 
     No KV caches; causal fused attention. Every weight stays a runtime
@@ -228,6 +237,11 @@ def build_gpt2_train(weights: Callable[[str], np.ndarray], cfg: GPT2Config,
 
     def w(name: str) -> np.ndarray:
         return np.asarray(weights(name)).astype(np_dt)
+
+    def lin(init_name: str, hf_name: str) -> str:
+        if weight_map is not None:
+            weight_map[init_name] = hf_name
+        return b.initializer(init_name, w(hf_name))
 
     b = OnnxBuilder("gpt2_train", opset=23)
     ids = b.input("input_ids", DType.I64, ["batch", "seq"])
@@ -243,7 +257,7 @@ def build_gpt2_train(weights: Callable[[str], np.ndarray], cfg: GPT2Config,
         p = f"transformer.h.{i}."
         ln1 = b.layer_norm(x, b.initializer(f"ln1g_{i}", w(p + "ln_1.weight")),
                            b.initializer(f"ln1b_{i}", w(p + "ln_1.bias")), epsilon=eps)
-        qkv = b.add(b.matmul(ln1, b.initializer(f"wqkv_{i}", w(p + "attn.c_attn.weight"))),
+        qkv = b.add(b.matmul(ln1, lin(f"wqkv_{i}", p + "attn.c_attn.weight")),
                     b.initializer(f"bqkv_{i}", w(p + "attn.c_attn.bias")))
         q, k, v = b.node("Split", [qkv], n_outputs=3, axis=-1, num_outputs=3)
 
@@ -253,15 +267,15 @@ def build_gpt2_train(weights: Callable[[str], np.ndarray], cfg: GPT2Config,
         att = b.attention(heads(q), heads(k), heads(v),
                           scale=1.0 / float(np.sqrt(D)), is_causal=True)
         att = b.reshape(b.transpose(att, [0, 2, 1, 3]), [0, 0, E])
-        att = b.add(b.matmul(att, b.initializer(f"wproj_{i}", w(p + "attn.c_proj.weight"))),
+        att = b.add(b.matmul(att, lin(f"wproj_{i}", p + "attn.c_proj.weight")),
                     b.initializer(f"bproj_{i}", w(p + "attn.c_proj.bias")))
         x = b.add(x, att)
         ln2 = b.layer_norm(x, b.initializer(f"ln2g_{i}", w(p + "ln_2.weight")),
                            b.initializer(f"ln2b_{i}", w(p + "ln_2.bias")), epsilon=eps)
-        hmid = b.add(b.matmul(ln2, b.initializer(f"wfc_{i}", w(p + "mlp.c_fc.weight"))),
+        hmid = b.add(b.matmul(ln2, lin(f"wfc_{i}", p + "mlp.c_fc.weight")),
                      b.initializer(f"bfc_{i}", w(p + "mlp.c_fc.bias")))
         hmid = b.node("Gelu", [hmid], approximate="tanh")
-        mlp = b.add(b.matmul(hmid, b.initializer(f"wmp_{i}", w(p + "mlp.c_proj.weight"))),
+        mlp = b.add(b.matmul(hmid, lin(f"wmp_{i}", p + "mlp.c_proj.weight")),
                     b.initializer(f"bmp_{i}", w(p + "mlp.c_proj.bias")))
         x = b.add(x, mlp)
     xf = b.layer_norm(x, b.initializer("lnfg", w("transformer.ln_f.weight")),

@@ -359,6 +359,11 @@ class TextInferenceInterface:
         self.cache_in_names = [n for n in self.input_names if n.startswith("cache_")]
         self.cache_out_names = [n for n in self.output_names if n.startswith("new_cache_")]
         self._weights_dev: Optional[List[Any]] = None
+        # multi-LoRA serving (install_adapters): per-row extra inputs
+        # threaded through the weights list tail
+        self.row_extra_names: List[str] = []
+        self._lora_stacks: Dict[str, np.ndarray] = {}
+        self.adapter_slots: Dict[Optional[str], int] = {None: 0}
         self._programs: Dict[Tuple, Any] = {}
         self._dfa_device: Dict[Tuple, Any] = {}
         self._dfa_cache: Dict[Tuple, Any] = {}
@@ -394,6 +399,54 @@ class TextInferenceInterface:
             self._window_millis[w] = wmilli
 
     # ------------------------------------------------------------------
+    def install_adapters(self, adapters: "Dict[str, Dict[str, Tuple]]"):
+        """Multi-LoRA serving: install named adapters for per-row
+        selection. adapters maps adapter name -> {milli weight input:
+        (A (K,r), B (r,N), scale)}. After this, every compiled program
+        takes an extra per-row i64 `lora_idx` at the tail of the
+        weights list (slot 0 = base; `adapter_slots` maps names to
+        slots); callers that don't pass it run the base model. Must be
+        called before any program compiles."""
+        from ..milli.transforms import inject_multi_lora
+
+        if self._programs or self._weights_dev is not None:
+            raise ValueError("install_adapters before any program "
+                             "compiles (fresh interface)")
+        if self._window_millis:
+            raise ValueError("adapters + windowed decode not supported")
+        if self.row_extra_names:
+            raise ValueError("adapters already installed")
+        names = list(adapters)
+        targeted = {w for a in adapters.values() for w in a}
+        missing = sorted(w for w in targeted if w not in self.milli.inputs)
+        if missing:
+            raise ValueError(
+                f"adapter targets are not runtime weight inputs of this "
+                f"graph: {missing} (small weights are baked as "
+                f"constants; available: {self.weight_names[:8]}...)")
+        quantized = sorted(targeted & (set(self._quantized)
+                                       | set(self._packed)))
+        if quantized:
+            raise ValueError(
+                f"adapters on quantized weights not supported: {quantized}")
+        store = self.model.graph.store
+
+        def getter(n):
+            return store.get_numeric(n, self.weight_dtype).numpy()
+
+        self._lora_stacks = inject_multi_lora(
+            self.milli, [adapters[n] for n in names], getter)
+        self.adapter_slots = {None: 0,
+                              **{n: i + 1 for i, n in enumerate(names)}}
+        self.weight_names = self.weight_names + sorted(self._lora_stacks)
+        self.row_extra_names = ["lora_idx"]
+
+    def weights_with_rows(self, row_extras: "Sequence[Any]") -> List[Any]:
+        """The weights list with per-row extra inputs (lora_idx)
+        appended — what compiled programs expect after
+        install_adapters."""
+        return self._weights() + list(row_extras)
+
     def _weights(self) -> List[Any]:
         if self._weights_dev is None:
             import jax
@@ -417,6 +470,8 @@ class TextInferenceInterface:
                     arr = self._packed[n[:-10]]["offsets"]
                 elif n in self._packed:
                     arr = self._packed[n]["q"]
+                elif n in self._lora_stacks:
+                    arr = self._lora_stacks[n]
                 else:
                     arr = self.model.graph.store.get_numeric(
                         n, self.weight_dtype).numpy()
@@ -490,7 +545,14 @@ class TextInferenceInterface:
                                         (ids.shape[0],))
             by_name = {"input_ids": ids, "pos": pos}
             by_name.update(dict(zip(cache_ins, caches)))
-            by_name.update(dict(zip(self.weight_names, weights)))
+            # row extras (lora_idx) ride at the tail of the weights
+            # list; callers that pass plain _weights() get the base
+            # model (all-zeros slot 0)
+            by_name.update(dict(zip(self.weight_names
+                                    + self.row_extra_names, weights)))
+            for n in self.row_extra_names:
+                if n not in by_name:
+                    by_name[n] = _jnp.zeros((ids.shape[0],), _jnp.int64)
             args = [by_name[n] for n in order]
             outs = fn(*args)
             named = dict(zip(out_names, outs))
@@ -1058,7 +1120,11 @@ class TextInferenceInterface:
                        else jnp.asarray(0, dtype=jnp.int64))
                 by_name = {"input_ids": ids, "pos": pos}
                 by_name.update(dict(zip(cache_ins, caches)))
-                by_name.update(dict(zip(self.weight_names, weights)))
+                by_name.update(dict(zip(self.weight_names
+                                        + self.row_extra_names, weights)))
+                for n in self.row_extra_names:
+                    if n not in by_name:
+                        by_name[n] = jnp.zeros((ids.shape[0],), jnp.int64)
                 return fn(*[by_name[n] for n in order])[-1]
 
             prog = jax.jit(run)

@@ -189,6 +189,120 @@ def inject_lora(
     return adapters
 
 
+def inject_multi_lora(
+    milli: MilliGraph,
+    adapters: Sequence[Dict[str, Tuple[np.ndarray, np.ndarray, float]]],
+    weight_getter,
+    idx_input: str = "lora_idx",
+) -> Dict[str, np.ndarray]:
+    """Per-ROW LoRA adapter selection by graph surgery (multi-LoRA
+    serving, vLLM-style — net-beyond the reference).
+
+    adapters: ordered list, one dict per adapter, mapping a milli
+    weight-input name to (A (K,r), B (r,N), scale). Every MatMul whose
+    RHS is one of those weights gains
+        y = x @ W + (x @ As[idx]) @ Bs[idx]
+    where As (n+1, K, rmax) / Bs (n+1, rmax, N) stack every adapter
+    (slot 0 = zeros = the base model; scale folded into B; ranks
+    zero-padded to rmax) as new inputs `<name>::lora_as/bs`, and `idx`
+    is a new per-row (batch,) i64 input `lora_idx` selecting each
+    row's adapter — so one batched program serves requests against
+    different fine-tunes simultaneously.
+
+    Returns {new_input_name: stacked array} for the adapter inputs.
+    """
+    from ..graph import new_global_id
+    from .ir import MilliNode
+    from .ops import MatMul
+    from .ops.basic import SimpleBinary
+    from .ops.index import Gather
+
+    targeted = sorted({w for a in adapters for w in a})
+    if not targeted:
+        return {}
+    idx_tid = milli.add_input(idx_input)
+    tid_to_name = {tid: n for n, tid in milli.inputs.items()}
+    n_slots = len(adapters) + 1
+    new_inputs: Dict[str, np.ndarray] = {}
+    ab_tids: Dict[str, Tuple[int, int]] = {}
+
+    i = 0
+    while i < len(milli.nodes):
+        node = milli.nodes[i]
+        if not (isinstance(node.op, MatMul) and len(node.inputs) == 2):
+            i += 1
+            continue
+        rhs_name = tid_to_name.get(node.inputs[1])
+        if rhs_name not in targeted:
+            i += 1
+            continue
+        w = np.asarray(weight_getter(rhs_name))
+        if w.ndim != 2:
+            i += 1
+            continue
+        K, N = w.shape
+        if rhs_name not in ab_tids:
+            rmax = max(int(np.asarray(a[rhs_name][0]).shape[1])
+                       for a in adapters if rhs_name in a)
+            As = np.zeros((n_slots, K, rmax), w.dtype)
+            Bs = np.zeros((n_slots, rmax, N), w.dtype)
+            for s, a in enumerate(adapters):
+                if rhs_name not in a:
+                    continue
+                A, B, scale = a[rhs_name]
+                A = np.asarray(A)
+                r = int(A.shape[1])
+                if A.shape != (K, r):
+                    raise ValueError(
+                        f"{rhs_name}: A shape {A.shape} != ({K}, r)")
+                B = np.asarray(B, np.float32) * float(scale)
+                if B.shape != (r, N):
+                    raise ValueError(
+                        f"{rhs_name}: B shape {B.shape} != ({r}, {N})")
+                As[s + 1, :, :r] = A.astype(w.dtype)
+                Bs[s + 1, :r, :] = B.astype(w.dtype)
+            a_name, b_name = f"{rhs_name}::lora_as", f"{rhs_name}::lora_bs"
+            ab_tids[rhs_name] = (milli.add_input(a_name),
+                                 milli.add_input(b_name))
+            new_inputs[a_name] = As
+            new_inputs[b_name] = Bs
+        a_tid, b_tid = ab_tids[rhs_name]
+        x_tid, orig_out = node.inputs[0], node.outputs[0]
+        phase, group = node.phase, node.group
+
+        def _t(label):
+            return milli.new_tensor(label=label)
+
+        t_ga = _t(f"{rhs_name}::ga")
+        t_gb = _t(f"{rhs_name}::gb")
+        t_xa = _t(f"{rhs_name}::xa")
+        t_xab = _t(f"{rhs_name}::xab")
+        t_out = _t(f"{rhs_name}::mlora_out")
+        new_nodes = [
+            MilliNode(new_global_id(), Gather(axis=0), [a_tid, idx_tid],
+                      [t_ga], phase, group),
+            MilliNode(new_global_id(), Gather(axis=0), [b_tid, idx_tid],
+                      [t_gb], phase, group),
+            # (B,S,K) @ (B,K,r) and (B,S,r) @ (B,r,N): numpy batched
+            # matmul semantics — each row multiplies ITS adapter
+            MilliNode(new_global_id(), MatMul(), [x_tid, t_ga], [t_xa],
+                      phase, group),
+            MilliNode(new_global_id(), MatMul(), [t_xa, t_gb], [t_xab],
+                      phase, group),
+            MilliNode(new_global_id(), SimpleBinary(mode="add"),
+                      [orig_out, t_xab], [t_out], phase, group),
+        ]
+        milli.nodes[i + 1:i + 1] = new_nodes
+        for later in milli.nodes[i + 1 + len(new_nodes):]:
+            later.inputs = [t_out if t == orig_out else t
+                            for t in later.inputs]
+        for oname, otid in list(milli.outputs.items()):
+            if otid == orig_out:
+                milli.outputs[oname] = t_out
+        i += 1 + len(new_nodes)
+    return new_inputs
+
+
 @dataclass
 class PackedMatMulMilli(MilliOp):
     """x (…,K) float @ dequant(q, scales, offsets) for GGUF Q4/Q8 blocks

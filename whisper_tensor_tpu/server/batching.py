@@ -45,6 +45,8 @@ class _Request:
     cancelled: threading.Event = field(default_factory=threading.Event)
     # per-request sampling (vLLM-style): None = the batcher default
     sampling: Optional[SamplingParams] = None
+    # per-request LoRA adapter name (multi-LoRA serving): None = base
+    adapter: Optional[str] = None
 
 
 @dataclass
@@ -80,7 +82,8 @@ class ContinuousBatcher:
                  sampling: Optional[SamplingParams] = None,
                  prefill_chunk: Optional[int] = None,
                  prefix_ids: Optional[np.ndarray] = None,
-                 quantize: Optional[str] = None):
+                 quantize: Optional[str] = None,
+                 adapters: "Optional[Dict[str, Dict[str, tuple]]]" = None):
         """prefill_chunk: chunked prefill (vLLM-style admission QoS) —
         prompts longer than this are prefilled in prefill_chunk-token
         pieces, ONE piece per scheduler tick, so in-flight decode rows
@@ -98,6 +101,10 @@ class ContinuousBatcher:
         self.iface = TextInferenceInterface(
             model, max_len=max_len, cache_dtype=cache_dtype,
             prompt_buckets=prompt_buckets, quantize=quantize)
+        if adapters:
+            # multi-LoRA serving: per-ROW adapter selection inside every
+            # shared program; submit(..., adapter=<name>) picks one
+            self.iface.install_adapters(adapters)
         self.max_len = max_len
         # the decode chunk program is shaped (max_batch, ...): round the
         # slot count up to a power of two so the program never sits on
@@ -115,6 +122,9 @@ class ContinuousBatcher:
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._requests: Dict[Future, _Request] = {}   # for cancel()
         self._slots = [_Slot() for _ in range(max_batch)]
+        # per-row adapter slot indices (0 = base), host-tracked and
+        # passed with the weights on every dispatch
+        self._row_lora = np.zeros(max_batch, np.int64)
         self._caches = None               # persistent batched KV caches
         # row state (cur token / position / active) lives ON DEVICE
         # between chunks; the host queues slot updates (admissions,
@@ -141,13 +151,34 @@ class ContinuousBatcher:
     # -- public API --------------------------------------------------------
     def submit(self, prompt_ids: np.ndarray, n_new: int,
                on_token=None,
-               sampling: Optional[SamplingParams] = None) -> Future:
+               sampling: Optional[SamplingParams] = None,
+               adapter: Optional[str] = None) -> Future:
+        if adapter is not None and \
+                adapter not in self.iface.adapter_slots:
+            raise ValueError(
+                f"unknown adapter {adapter!r} "
+                f"(loaded: {[n for n in self.iface.adapter_slots if n]})")
         req = _Request(np.asarray(prompt_ids, np.int64).reshape(-1), n_new,
-                       on_token=on_token, sampling=sampling)
+                       on_token=on_token, sampling=sampling,
+                       adapter=adapter)
         self._requests[req.future] = req
         self._queue.put(req)
         self._wake.set()
         return req.future
+
+    def _adapter_slot(self, req: _Request) -> int:
+        return self.iface.adapter_slots.get(req.adapter, 0)
+
+    def _weights_for(self, idx) -> list:
+        """The weights list, with the per-row adapter indices appended
+        when multi-LoRA is installed (the row-extras tail every
+        compiled program expects)."""
+        ws = self.iface._weights()
+        if not self.iface.row_extra_names:
+            return ws
+        import jax.numpy as jnp
+
+        return ws + [jnp.asarray(np.asarray(idx, np.int64))]
 
     def stats(self) -> dict:
         """Live scheduler snapshot (reference server's job/queue
@@ -484,8 +515,11 @@ class ContinuousBatcher:
                 padded[row, :L] = req.prompt_ids
                 lens.append(L)
             slots = np.asarray([s for s, _ in grp], np.int32)
+            gidx = [self._adapter_slot(r) for _, r in grp]
+            for (s, r), a in zip(grp, gidx):
+                self._row_lora[s] = a
             args = [jnp.asarray(padded), self._caches,
-                    self.iface._weights(), jnp.asarray(slots)]
+                    self._weights_for(gidx), jnp.asarray(slots)]
             if self.prefix_len:
                 args.append(self._prefix_small(k))
             logits, self._caches = self._prefill_insert_program(Sb, k)(*args)
@@ -587,9 +621,12 @@ class ContinuousBatcher:
                 self._slots[i].req = req
                 self._slots[i].emitted = []
                 self._slots[i].dispatched = None
+            gidx = [self._adapter_slot(r) for _, r in grp]
+            for (s, r), a in zip(grp, gidx):
+                self._row_lora[s] = a
             self._admission = dict(
                 grp=grp, k=k, piece=0, n=n_pieces, padded=padded,
-                lens_np=lens, lens=jnp.asarray(lens),
+                lens_np=lens, lens=jnp.asarray(lens), gidx=gidx,
                 flg=jnp.zeros((k, self.iface._vocab_size()), jnp.float32),
                 small=self._prefix_small(k))
         st = self._admission
@@ -597,7 +634,7 @@ class ContinuousBatcher:
         st["flg"], st["small"] = self._piece_program(W, st["k"])(
             jnp.asarray(st["padded"][:, j * W:(j + 1) * W]),
             jnp.asarray(self.prefix_len + j * W, jnp.int64), st["lens"],
-            st["flg"], st["small"], self.iface._weights())
+            st["flg"], st["small"], self._weights_for(st["gidx"]))
         st["piece"] += 1
         if st["piece"] < st["n"]:
             return
@@ -620,6 +657,7 @@ class ContinuousBatcher:
         slot.req = None
         slot.emitted = []
         slot.dispatched = None
+        self._row_lora[slot_idx] = 0
         # park the device row at the next dispatch (harmless if it keeps
         # decoding for one in-flight chunk first — its writes land at
         # positions no future tenant will read below its own pos)
@@ -751,7 +789,8 @@ class ContinuousBatcher:
             flags = _rows_flags(sps)
             rows = tuple(jnp.asarray(a) for a in _rows_arrays(sps))
             prog = self._chunk_program(flags)
-            args = (dcur, dpos, dact, self._caches, self.iface._weights(),
+            args = (dcur, dpos, dact, self._caches,
+                    self._weights_for(self._row_lora),
                     jax.random.fold_in(rng, step_count), rows,
                     jnp.asarray(upd_s), jnp.asarray(upd_c),
                     jnp.asarray(upd_p), jnp.asarray(upd_a))

@@ -369,13 +369,24 @@ class Server:
 
             cfg = entry.interfaces["text"]
             pc = cfg.get("prefill_chunk")
+            adapters = None
+            if cfg.get("adapters"):
+                # multi-LoRA serving: resolve each PEFT dir against the
+                # recipe's weight map into per-weight (A, B, scale)
+                from ..importers.lora import load_peft_adapter_arrays
+
+                adapters = {
+                    aname: load_peft_adapter_arrays(apath,
+                                                    cfg["weight_map"])
+                    for aname, apath in cfg["adapters"].items()}
             bat = ContinuousBatcher(
                 entry.model, max_len=int(cfg["max_len"]),
                 max_batch=int(cfg.get("max_batch", 8)),
                 chunk=int(cfg.get("chunk", 16)),
                 cache_dtype=DType.BF16,
                 prefill_chunk=int(pc) if pc else None,
-                quantize=cfg.get("quantize") or None).start()
+                quantize=cfg.get("quantize") or None,
+                adapters=adapters).start()
             self._batchers[entry.id] = bat
         return bat
 
@@ -409,7 +420,8 @@ class Server:
                             bat.cancel(state["fut"])
                         return
 
-        fut = bat.submit(ids, n_new, on_token=on_tok, sampling=sampling)
+        fut = bat.submit(ids, n_new, on_token=on_tok, sampling=sampling,
+                         adapter=msg.get("adapter") or None)
         state["fut"] = fut
         if state["hit"] is not None:       # hit during the race window
             bat.cancel(fut)

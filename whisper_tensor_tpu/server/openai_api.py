@@ -18,7 +18,10 @@ OpenAI's `response_format` onto the token-DFA constrained decoder:
 `{"type": "json_schema", "json_schema": {"schema": ...}}` to that
 schema. `stream: true` answers with server-sent events. `logprobs`
 (legacy int form, or chat's bool + `top_logprobs`) reports per-token
-log-probabilities from one teacher-forced rescoring prefill.
+log-probabilities from one teacher-forced rescoring prefill. The
+`adapter` extension selects a served LoRA adapter (models loaded with
+`serve_adapters=name=peft_dir,...`) for this request — different
+fine-tunes batch together in the shared decode program.
 """
 
 from __future__ import annotations
@@ -203,6 +206,11 @@ class _Generator:
         """Generate to completion. on_delta(text_piece) streams decoded
         increments. Returns {"text", "finish_reason", "usage"}."""
         constrained = self.regex is not None or self.schema is not None
+        if self.body.get("adapter") and (
+                not self.cfg.get("ragged") or constrained):
+            raise ApiError(400, "adapter requires a ragged-decode "
+                                "(batcher-served) model and is not "
+                                "supported with constrained decoding")
         if self.n_new == 0:
             toks, finish = [], "length"
         elif self.cfg.get("ragged") and not constrained:
@@ -245,11 +253,16 @@ class _Generator:
                                 "logprobs/echo/response_format")
         if self.cfg.get("ragged"):
             bat = self.server._batcher(self.entry)
-            futs = [bat.submit(self.prompt_ids, self.n_new,
-                               sampling=_dc.replace(
-                                   self.sampling,
-                                   seed=self.sampling.seed + i))
-                    for i in range(self.n)]
+            try:
+                futs = [bat.submit(self.prompt_ids, self.n_new,
+                                   sampling=_dc.replace(
+                                       self.sampling,
+                                       seed=self.sampling.seed + i),
+                                   adapter=self.body.get("adapter")
+                                   or None)
+                        for i in range(self.n)]
+            except ValueError as e:   # unknown adapter name
+                raise ApiError(400, str(e))
             timeout = float(self.body.get("timeout", 600))
             rows = [f.result(timeout=timeout) for f in futs]
             eos = bat.eos_token_id
@@ -344,10 +357,14 @@ class _Generator:
                     on_delta(text[state["decoded"]:])
                     state["decoded"] = len(text)
 
-        fut = bat.submit(self.prompt_ids, self.n_new,
-                         on_token=None if on_delta is None and not self.stops
-                         else on_tok,
-                         sampling=self.sampling)
+        try:
+            fut = bat.submit(self.prompt_ids, self.n_new,
+                             on_token=None if on_delta is None
+                             and not self.stops else on_tok,
+                             sampling=self.sampling,
+                             adapter=self.body.get("adapter") or None)
+        except ValueError as e:       # unknown adapter name
+            raise ApiError(400, str(e))
         with lock:
             state["fut"] = fut
         if state["hit"]:
