@@ -679,3 +679,55 @@ def test_multi_lora_validation():
             adapters={"a": {"no_such_weight": (
                 np.zeros((4, 2), np.float32),
                 np.zeros((2, 4), np.float32), 1.0)}})
+
+
+def test_multi_lora_with_shared_prefix():
+    """Per-adapter prefix KV caches: a prefix+adapter request equals
+    the MERGED model fed prefix+prompt with no prefix cache at all —
+    i.e. the shared prefix is computed UNDER each request's adapter."""
+    max_len = 64
+    cfg = GPT2Config(n_layer=2, n_head=2, n_embd=32, vocab_size=211,
+                     n_positions=max_len)
+    wg = random_gpt2_weights(cfg)
+    hfname = "transformer.h.0.mlp.c_fc.weight"
+    K, N = wg(hfname).shape
+    r = np.random.default_rng(41)
+    A = (r.standard_normal((K, 4)) * 0.1).astype(np.float32)
+    B = (r.standard_normal((4, N)) * 0.1).astype(np.float32)
+    adapters = {"fr": {"wfc_0": (A, B, 0.5)}}
+    prefix = rng.integers(0, cfg.vocab_size, (6,)).astype(np.int64)
+
+    m_ragged = Model.new_from_onnx(build_gpt2_step(
+        wg, cfg, max_len=max_len, dtype=DType.F32, pos_per_row=True))
+    bat = ContinuousBatcher(m_ragged, max_len=max_len, max_batch=4,
+                            chunk=4, cache_dtype=DType.F32,
+                            prompt_buckets=(16,), prefix_ids=prefix,
+                            adapters=adapters).start()
+    try:
+        p1 = rng.integers(0, cfg.vocab_size, (5,)).astype(np.int64)
+        p2 = rng.integers(0, cfg.vocab_size, (7,)).astype(np.int64)
+        f1 = bat.submit(p1, 6)
+        f2 = bat.submit(p2, 6, adapter="fr")
+        out_base, out_ad = f1.result(timeout=180), f2.result(timeout=180)
+    finally:
+        bat.stop()
+
+    def merged_g(name):
+        W = np.array(wg(name))
+        if name == hfname:
+            W = W + A @ B * 0.5
+        return W
+
+    ref_base = TextInferenceInterface(
+        Model.new_from_onnx(build_gpt2_step(wg, cfg, max_len=max_len,
+                                            dtype=DType.F32)),
+        max_len=max_len, prompt_buckets=(16,)).generate_tokens(
+        np.concatenate([prefix, p1])[None], 6)[0]
+    ref_ad = TextInferenceInterface(
+        Model.new_from_onnx(build_gpt2_step(merged_g, cfg,
+                                            max_len=max_len,
+                                            dtype=DType.F32)),
+        max_len=max_len, prompt_buckets=(16,)).generate_tokens(
+        np.concatenate([prefix, p2])[None], 6)[0]
+    np.testing.assert_array_equal(out_base, ref_base)
+    np.testing.assert_array_equal(out_ad, ref_ad)

@@ -385,12 +385,20 @@ class ContinuousBatcher:
         self._programs[key] = jax.jit(splice, donate_argnums=(0,))
         return self._programs[key]
 
-    def _ensure_prefix(self):
-        """Prefill the shared prefix once (B=1) and keep its KV rows on
-        device; admissions broadcast from them instead of starting at
-        zero."""
-        if self._prefix_caches is not None or self.prefix_ids is None:
-            return
+    def _ensure_prefix(self, adapter_slot: int = 0):
+        """Prefill the shared prefix once per ADAPTER (B=1) and keep its
+        KV rows on device; admissions broadcast from them instead of
+        starting at zero. Per-adapter caches keep prefix semantics
+        exact: an adapter request's prefix KV is computed UNDER that
+        adapter, matching a plain prefix+prompt run of the adapted
+        model (vLLM keys its prefix cache by adapter the same way)."""
+        if self.prefix_ids is None:
+            return None
+        if self._prefix_caches is None:
+            self._prefix_caches = {}
+        cached = self._prefix_caches.get(adapter_slot)
+        if cached is not None:
+            return cached
         import jax
         import jax.numpy as jnp
 
@@ -404,20 +412,27 @@ class ContinuousBatcher:
             _, caches = step(ids, jnp.zeros(1, jnp.int64), caches, weights)
             return caches
 
-        self._prefix_caches = jax.jit(pre, donate_argnums=(1,))(
+        self._prefix_caches[adapter_slot] = jax.jit(
+            pre, donate_argnums=(1,))(
             jnp.asarray(padded), self.iface.fresh_cache(1),
-            self.iface._weights())
+            self._weights_for([adapter_slot]))
+        return self._prefix_caches[adapter_slot]
 
-    def _prefix_small(self, k: int):
+    def _prefix_small(self, k: int, gidx=None):
         """k-row admission caches seeded from the prefix KV (fresh
-        zeros when no prefix is configured)."""
+        zeros when no prefix is configured). gidx: per-row adapter
+        slots — each row broadcasts from ITS adapter's prefix."""
         if self.prefix_ids is None:
             return self.iface.fresh_cache(k)
         import jax.numpy as jnp
 
-        self._ensure_prefix()
-        return [jnp.tile(c, (k,) + (1,) * (c.ndim - 1))
-                for c in self._prefix_caches]
+        slots = list(gidx) if gidx is not None else [0] * k
+        if len(set(slots)) == 1:
+            pc = self._ensure_prefix(slots[0])
+            return [jnp.tile(c, (k,) + (1,) * (c.ndim - 1)) for c in pc]
+        per_row = [self._ensure_prefix(s) for s in slots]
+        return [jnp.concatenate([pr[ci] for pr in per_row], axis=0)
+                for ci in range(len(per_row[0]))]
 
     def _chunk_program(self, flags):
         """The decode-chunk program. Slot updates (admissions / parks)
@@ -521,7 +536,7 @@ class ContinuousBatcher:
             args = [jnp.asarray(padded), self._caches,
                     self._weights_for(gidx), jnp.asarray(slots)]
             if self.prefix_len:
-                args.append(self._prefix_small(k))
+                args.append(self._prefix_small(k, gidx))
             logits, self._caches = self._prefill_insert_program(Sb, k)(*args)
             last = jnp.stack([logits[row, lens[row] - 1, :]
                               for row in range(k)])
@@ -628,7 +643,7 @@ class ContinuousBatcher:
                 grp=grp, k=k, piece=0, n=n_pieces, padded=padded,
                 lens_np=lens, lens=jnp.asarray(lens), gidx=gidx,
                 flg=jnp.zeros((k, self.iface._vocab_size()), jnp.float32),
-                small=self._prefix_small(k))
+                small=self._prefix_small(k, gidx))
         st = self._admission
         j = st["piece"]
         st["flg"], st["small"] = self._piece_program(W, st["k"])(
