@@ -783,3 +783,37 @@ def test_generate_text_sampled_ragged(server, tmp_path):
         assert st["stats"]["tokens_emitted"] >= 16, st
     finally:
         c.close()
+
+
+def test_cli_embed(tmp_path, capsys):
+    """`embed` prints one JSON line per input: unit-norm hidden-state
+    pooling (same tap as /v1/embeddings)."""
+    import json as _json
+
+    from safetensors.torch import save_file
+    import torch
+    from transformers import GPT2Config as HFConfig, GPT2LMHeadModel
+
+    from whisper_tensor_tpu.cli import main as cli_main
+
+    torch.manual_seed(0)
+    hf = GPT2LMHeadModel(HFConfig(n_layer=1, n_head=2, n_embd=16,
+                                  vocab_size=300, n_positions=64))
+    d = tmp_path / "tiny-gpt2-emb"
+    d.mkdir()
+    (d / "config.json").write_text(_json.dumps({
+        "model_type": "gpt2", "n_layer": 1, "n_head": 2, "n_embd": 16,
+        "vocab_size": 300, "n_positions": 64}))
+    save_file({k: v.contiguous() for k, v in hf.state_dict().items()
+               if k != "lm_head.weight"}, str(d / "model.safetensors"))
+
+    cli_main(["embed", "--model", str(d), "--max-len", "64",
+              "-c", "dtype=f32", "hello", "world wide"])
+    lines = [ln for ln in capsys.readouterr().out.splitlines() if ln]
+    assert len(lines) == 2
+    for i, ln in enumerate(lines):
+        row = _json.loads(ln)
+        assert row["index"] == i
+        v = np.asarray(row["embedding"])
+        assert v.shape == (16,)
+        assert abs(np.linalg.norm(v) - 1.0) < 1e-5

@@ -168,6 +168,44 @@ def cmd_generate(args) -> None:
           f"({args.max_new_tokens / dt:.1f} tok/s)]", file=sys.stderr)
 
 
+def cmd_embed(args) -> None:
+    """Text embeddings from any causal LM via the hidden-state capture
+    tap (llama.cpp `embedding`-style; same pooling as /v1/embeddings)."""
+    import numpy as np
+
+    from .importers.loaders import identify_and_load, loader_registry
+    from .interfaces.text import TextInferenceInterface
+    from .tokenizer import AnyTokenizer
+
+    cfg = _parse_kv(args.config)
+    cfg.setdefault("max_len", args.max_len)
+    if args.loader == "auto":
+        bundle = identify_and_load(args.model, **cfg)
+    else:
+        bundle = loader_registry()[args.loader].load(
+            {"path": args.model, **cfg})
+    iface_cfg = bundle.interfaces.get("text") or {}
+    name = iface_cfg.get("model") or next(iter(bundle.models))
+    iface = TextInferenceInterface(
+        bundle.models[name],
+        max_len=int(iface_cfg.get("max_len", args.max_len)),
+        quantize=iface_cfg.get("quantize") or None)
+    tok = AnyTokenizer.load(args.tokenizer or bundle.tokenizer_source
+                            or "bytes")
+    ids_list = [np.asarray(tok.encode(t), np.int64) for t in args.text]
+    L = max(a.size for a in ids_list)
+    batch = np.zeros((len(ids_list), L), np.int64)
+    for i, a in enumerate(ids_list):
+        batch[i, :a.size] = a
+    h = iface.hidden_states(batch)
+    for i, a in enumerate(ids_list):
+        hv = h[i, :a.size].astype(np.float64)
+        v = hv[-1] if args.pooling == "last" else hv.mean(0)
+        v = v / (np.linalg.norm(v) + 1e-12)
+        print(json.dumps({"index": i, "embedding":
+                          [round(float(x), 7) for x in v]}))
+
+
 def cmd_image(args) -> None:
     import numpy as np
 
@@ -421,6 +459,18 @@ def main(argv=None) -> None:
     g.add_argument("-c", "--config", action="append", default=[],
                    help="loader config key=value")
     g.set_defaults(fn=cmd_generate)
+
+    e = sub.add_parser("embed", help="text embeddings from a causal LM "
+                       "(hidden-state tap, one JSON line per input)")
+    e.add_argument("--model", required=True)
+    e.add_argument("--loader", default="auto")
+    e.add_argument("--tokenizer", default=None)
+    e.add_argument("--max-len", type=int, default=1024)
+    e.add_argument("--pooling", choices=["last", "mean"], default="last")
+    e.add_argument("-c", "--config", action="append", default=[],
+                   help="loader config key=value")
+    e.add_argument("text", nargs="+", help="input text(s)")
+    e.set_defaults(fn=cmd_embed)
 
     i = sub.add_parser("image", help="text-to-image generation")
     i.add_argument("--model", help="diffusers pipeline dir "
