@@ -205,15 +205,28 @@ def test_logprobs(api):
         assert len(r["top_logprobs"]) == 3
         assert bytes(r["bytes"]).decode() == r["token"]
 
-    # stop trimming happens at token level so the table still aligns
+    # logprobs=0 is a VALID request (chosen token only, no
+    # alternatives) — 0 must not be eaten by a falsy check; and stop
+    # trimming happens at token level so the table still aligns
     full = json.loads(d)["choices"][0]["message"]["content"]
     if len(full) >= 2:
         s, d = _req(api, "POST", "/v1/completions",
                     {"model": name, "prompt": "hi", "max_tokens": 6,
                      "temperature": 0, "logprobs": 0, "stop": full[1]})
         ch = json.loads(d)["choices"][0]
+        assert ch["logprobs"] is not None
+        assert ch["logprobs"]["top_logprobs"] is None
         if ch["logprobs"]["tokens"]:
             assert "".join(ch["logprobs"]["tokens"]) == ch["text"]
+
+    # chat logprobs=true with no top_logprobs still returns the table
+    s, d = _req(api, "POST", "/v1/chat/completions",
+                {"model": name,
+                 "messages": [{"role": "user", "content": "x"}],
+                 "max_tokens": 3, "temperature": 0, "logprobs": True})
+    ch = json.loads(d)["choices"][0]
+    assert ch["logprobs"] is not None
+    assert all(r["top_logprobs"] == [] for r in ch["logprobs"]["content"])
 
 
 def test_echo_scoring(api):

@@ -193,15 +193,7 @@ def cmd_embed(args) -> None:
     tok = AnyTokenizer.load(args.tokenizer or bundle.tokenizer_source
                             or "bytes")
     ids_list = [np.asarray(tok.encode(t), np.int64) for t in args.text]
-    L = max(a.size for a in ids_list)
-    batch = np.zeros((len(ids_list), L), np.int64)
-    for i, a in enumerate(ids_list):
-        batch[i, :a.size] = a
-    h = iface.hidden_states(batch)
-    for i, a in enumerate(ids_list):
-        hv = h[i, :a.size].astype(np.float64)
-        v = hv[-1] if args.pooling == "last" else hv.mean(0)
-        v = v / (np.linalg.norm(v) + 1e-12)
+    for i, v in enumerate(iface.embed(ids_list, pooling=args.pooling)):
         print(json.dumps({"index": i, "embedding":
                           [round(float(x), 7) for x in v]}))
 

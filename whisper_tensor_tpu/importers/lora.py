@@ -161,9 +161,13 @@ def load_peft_adapter_arrays(adapter_dir: str,
         b = ad.load(keys["B"]).astype(np.float32)   # (out, r)
         out[init] = (np.ascontiguousarray(a.T),
                      np.ascontiguousarray(b.T), float(scale))
-    if not out:
+    if unmatched:
+        # strict: serving a PARTIAL adapter would silently diverge from
+        # the merge-at-load (`lora=<dir>`) path
         raise ValueError(
-            f"no adapter modules matched the model's weight map "
-            f"(adapter modules: {unmatched[:6]}; mapped weights: "
-            f"{sorted(rev)[:6]})")
+            f"adapter modules {unmatched} have no matmul-weight mapping "
+            f"in this model (mapped: {sorted(rev)[:8]}...) — the served "
+            f"adapter would be partially applied")
+    if not out:
+        raise ValueError("adapter contains no lora_A/lora_B pairs")
     return out

@@ -1132,6 +1132,29 @@ class TextInferenceInterface:
         out = prog(jnp.asarray(padded), self.fresh_cache(B), self._weights())
         return np.asarray(out)[:, :L, :]
 
+    def embed(self, ids_list: "Sequence[np.ndarray]",
+              pooling: str = "last") -> List[np.ndarray]:
+        """Pooled text embeddings: right-pad the token lists into ONE
+        batched hidden-states prefill, pool each row over its own
+        length (exact under the causal mask), L2-normalize. Shared by
+        /v1/embeddings and `cli embed`."""
+        if pooling not in ("last", "mean"):
+            raise ValueError(f"unknown pooling {pooling!r} (last|mean)")
+        ids_list = [np.asarray(a, np.int64).reshape(-1) for a in ids_list]
+        if not ids_list or any(a.size == 0 for a in ids_list):
+            raise ValueError("inputs must be non-empty token lists")
+        L = max(a.size for a in ids_list)
+        batch = np.zeros((len(ids_list), L), np.int64)
+        for i, a in enumerate(ids_list):
+            batch[i, :a.size] = a
+        h = self.hidden_states(batch)
+        out = []
+        for i, a in enumerate(ids_list):
+            hv = h[i, :a.size].astype(np.float64)
+            v = hv[-1] if pooling == "last" else hv.mean(0)
+            out.append(v / (np.linalg.norm(v) + 1e-12))
+        return out
+
     # ------------------------------------------------------------------
     def compile_constraint(self, regex: Optional[str] = None,
                            json_schema=None):

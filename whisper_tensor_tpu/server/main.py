@@ -396,6 +396,14 @@ class Server:
 
         bat = self._batcher(entry)
         ids = _np.asarray(tok.encode(msg["prompt"]), dtype=_np.int64)
+        adapter = msg.get("adapter") or None
+        if adapter is not None and \
+                adapter not in bat.iface.adapter_slots:
+            # validate BEFORE reporting JOB_ACCEPTED: a submit() raise
+            # after acceptance would strand the job in the UI forever
+            raise ValueError(
+                f"unknown adapter {adapter!r} (loaded: "
+                f"{[n for n in bat.iface.adapter_slots if n]})")
         job_id = next(self.scheduler._next)
         self.scheduler.reports.put({"type": P.JOB_ACCEPTED, "job": job_id})
         stops = [s for s in (msg.get("stop") or []) if s]
@@ -421,7 +429,7 @@ class Server:
                         return
 
         fut = bat.submit(ids, n_new, on_token=on_tok, sampling=sampling,
-                         adapter=msg.get("adapter") or None)
+                         adapter=adapter)
         state["fut"] = fut
         if state["hit"] is not None:       # hit during the race window
             bat.cancel(fut)

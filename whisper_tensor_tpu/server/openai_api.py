@@ -181,13 +181,28 @@ class _Generator:
         # logprobs: the handler normalizes chat's bool+top_logprobs and
         # completions' int into one Optional[int] (N top alternatives)
         lp = body.get("logprobs")
-        self.want_logprobs = None if lp in (None, False) else int(lp)
+        # identity checks: logprobs=0 is a VALID request (chosen-token
+        # logprob, no alternatives) and 0 == False would eat it
+        self.want_logprobs = (None if lp is None or lp is False
+                              else int(lp))
         # echo (completions only): prepend the prompt to the output and
         # score its tokens too — with max_tokens=0 this is the pure
         # sequence-scoring mode eval harnesses (lm-eval) drive
         self.echo = bool(body.get("echo"))
         if self.echo and self.want_logprobs is None:
             self.want_logprobs = 0
+        if body.get("adapter"):
+            if not self.cfg.get("ragged"):
+                raise ApiError(400, "adapter requires a ragged-decode "
+                                    "(batcher-served) model")
+            if self.regex is not None or self.schema is not None:
+                raise ApiError(400, "adapter is not supported with "
+                                    "constrained decoding")
+            if self.want_logprobs is not None or self.echo:
+                # the rescoring prefill runs the base interface, which
+                # would score an adapter's tokens under the wrong model
+                raise ApiError(400, "adapter is not supported with "
+                                    "logprobs/echo")
         self.prompt_ids = np.asarray(self.tok.encode(prompt), np.int64)
 
     def _resolve_model(self, name):
@@ -206,11 +221,6 @@ class _Generator:
         """Generate to completion. on_delta(text_piece) streams decoded
         increments. Returns {"text", "finish_reason", "usage"}."""
         constrained = self.regex is not None or self.schema is not None
-        if self.body.get("adapter") and (
-                not self.cfg.get("ragged") or constrained):
-            raise ApiError(400, "adapter requires a ragged-decode "
-                                "(batcher-served) model and is not "
-                                "supported with constrained decoding")
         if self.n_new == 0:
             toks, finish = [], "length"
         elif self.cfg.get("ragged") and not constrained:
@@ -311,7 +321,11 @@ class _Generator:
         iface = self.server._text_iface(self.entry)
         full = np.concatenate(
             [self.prompt_ids, np.asarray(toks, np.int64)])[None]
-        logits = iface.logits(full[:, :-1]).astype(np.float32)[0]
+        try:
+            logits = iface.logits(full[:, :-1]).astype(np.float32)[0]
+        except ValueError as e:   # sequence beyond the prompt buckets
+            raise ApiError(400, f"sequence too long to rescore for "
+                                f"logprobs: {e}")
         n_top = self.want_logprobs or 0
 
         def row(pos, tid):
@@ -498,24 +512,14 @@ class _Handler(BaseHTTPRequestHandler):
         ids_list = [np.asarray(tok.encode(it) if isinstance(it, str)
                                else it, np.int64).reshape(-1)
                     for it in items]
-        if any(a.size == 0 for a in ids_list):
-            raise ApiError(400, "input items must be non-empty")
-        L = max(a.size for a in ids_list)
-        batch = np.zeros((len(ids_list), L), np.int64)
-        for i, a in enumerate(ids_list):
-            batch[i, :a.size] = a
         try:
-            h = iface.hidden_states(batch)
+            vecs = iface.embed(ids_list, pooling=pooling)
         except ValueError as e:
             raise ApiError(400, str(e))
-        data, total = [], 0
-        for i, a in enumerate(ids_list):
-            total += int(a.size)
-            hv = h[i, :a.size].astype(np.float64)
-            v = hv[-1] if pooling == "last" else hv.mean(0)
-            v = v / (np.linalg.norm(v) + 1e-12)
-            data.append({"object": "embedding", "index": i,
-                         "embedding": [float(x) for x in v]})
+        total = sum(int(a.size) for a in ids_list)
+        data = [{"object": "embedding", "index": i,
+                 "embedding": [float(x) for x in v]}
+                for i, v in enumerate(vecs)]
         self._json(200, {"object": "list", "data": data,
                          "model": entry.name,
                          "usage": {"prompt_tokens": total,
