@@ -245,3 +245,113 @@ def test_llava_loader_end_to_end(tmp_path):
             out_ids.append(nxt)
             inp = hf.get_input_embeddings()(torch.tensor([[nxt]]))
     assert list(toks) == out_ids, (list(toks), out_ids)
+
+
+def _write_tiny_llava(tmp_path):
+    """Tiny LLaVA checkpoint dir (image_size 16) for serving tests."""
+    from transformers import LlavaConfig, LlavaForConditionalGeneration
+
+    torch.manual_seed(3)
+    hf = LlavaForConditionalGeneration(LlavaConfig(
+        vision_config=dict(model_type="clip_vision_model",
+                           num_hidden_layers=2, hidden_size=32,
+                           num_attention_heads=2, intermediate_size=64,
+                           image_size=16, patch_size=8,
+                           hidden_act="quick_gelu"),
+        text_config=dict(model_type="llama", num_hidden_layers=2,
+                         hidden_size=24, num_attention_heads=2,
+                         num_key_value_heads=2, intermediate_size=48,
+                         vocab_size=211, max_position_embeddings=128,
+                         rope_theta=10000.0)))
+    hf.eval()
+    d = str(tmp_path / "tiny-llava-srv")
+    hf.save_pretrained(d, safe_serialization=True)
+    return d
+
+
+def test_resize_bilinear():
+    from whisper_tensor_tpu.utils.image import resize_bilinear
+
+    a = rng.integers(0, 255, (7, 9, 3)).astype(np.uint8)
+    # identity at the same size
+    np.testing.assert_array_equal(resize_bilinear(a, 7, 9), a)
+    # 2x2 block of a constant image stays constant
+    c = np.full((4, 4, 3), 80, np.uint8)
+    np.testing.assert_array_equal(resize_bilinear(c, 9, 5),
+                                  np.full((9, 5, 3), 80, np.uint8))
+    # downscale of a left/right split lands between the two values in
+    # the middle column
+    s = np.zeros((8, 8, 1), np.uint8)
+    s[:, 4:] = 200
+    out = resize_bilinear(s, 4, 3)
+    assert out[0, 0, 0] < 40 and out[0, 2, 0] > 160
+    assert 40 < out[0, 1, 0] < 160
+
+
+def test_multimodal_serving_ws_and_openai(tmp_path):
+    """generate_multimodal over the WS server and image_url data URIs
+    through /v1/chat/completions both run the inputs_embeds path."""
+    import base64
+    import http.client
+    import json as _json
+
+    from whisper_tensor_tpu.server.main import Server
+    from whisper_tensor_tpu.server.openai_api import OpenAIApi
+    from whisper_tensor_tpu.utils.image import png_bytes
+
+    d = _write_tiny_llava(tmp_path)
+    srv = Server()
+    entries = srv.models.run_loader("transformers", {
+        "path": d, "dtype": "f32", "max_len": 128})
+    entry = next(e for e in entries if "vision" not in e.name)
+    px = rng.integers(0, 255, (20, 14, 3)).astype(np.uint8)  # resizes
+    png64 = base64.b64encode(png_bytes(px)).decode()
+
+    # WS-handler path (direct call: scheduler job runs synchronously
+    # via the observer-less job function)
+    mm, spec = srv._mm_iface(entry)
+    from whisper_tensor_tpu.tokenizer import AnyTokenizer
+
+    mm.text.tokenizer = AnyTokenizer.load("bytes")
+    items = srv._mm_items(spec, [{"text": "hi "},
+                                 {"image_b64": png64},
+                                 {"text": " desc:"}])
+    assert items[1].image.pixels.shape == (16, 16, 3)
+    out = mm.run_items_in_string_out(items, 5)
+    assert isinstance(out, str) and len(out) >= 1
+
+    # OpenAI chat with an image data URI
+    api = OpenAIApi(srv, "127.0.0.1", 0).start()
+    try:
+        c = http.client.HTTPConnection("127.0.0.1", api.port,
+                                       timeout=300)
+        body = {"messages": [{"role": "user", "content": [
+            {"type": "text", "text": "what is this? "},
+            {"type": "image_url", "image_url": {
+                "url": "data:image/png;base64," + png64}}]}],
+            "max_tokens": 5, "temperature": 0}
+        c.request("POST", "/v1/chat/completions",
+                  body=_json.dumps(body),
+                  headers={"Content-Type": "application/json"})
+        r = c.getresponse()
+        res = _json.loads(r.read())
+        c.close()
+        assert r.status == 200, res
+        msg = res["choices"][0]["message"]
+        assert msg["role"] == "assistant"
+        assert isinstance(msg["content"], str)
+
+        # a non-data URL is rejected (no outbound fetches)
+        c = http.client.HTTPConnection("127.0.0.1", api.port,
+                                       timeout=60)
+        bad = {"messages": [{"role": "user", "content": [
+            {"type": "image_url",
+             "image_url": {"url": "https://x/img.png"}}]}]}
+        c.request("POST", "/v1/chat/completions", body=_json.dumps(bad),
+                  headers={"Content-Type": "application/json"})
+        r = c.getresponse()
+        assert r.status == 400
+        r.read()
+        c.close()
+    finally:
+        api.stop()

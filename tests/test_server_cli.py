@@ -817,3 +817,42 @@ def test_cli_embed(tmp_path, capsys):
         v = np.asarray(row["embedding"])
         assert v.shape == (16,)
         assert abs(np.linalg.norm(v) - 1.0) < 1e-5
+
+
+def test_server_generate_multimodal(server, tmp_path):
+    """generate_multimodal WS message: interleaved text+image items run
+    the LLaVA inputs_embeds path and return text."""
+    import base64
+
+    from tests.test_multimodal import _write_tiny_llava
+    from whisper_tensor_tpu.utils.image import png_bytes
+
+    srv, port = server
+    d = _write_tiny_llava(tmp_path)
+    c = _WSClient("127.0.0.1", port)
+    try:
+        c.send({"type": "run_loader", "loader": "transformers",
+                "config": {"path": d, "dtype": "f32", "max_len": 128}})
+        resp = c.recv()
+        assert resp["type"] == "models_report", resp
+        # the text entry (not the -vision one)
+        mid = next(m["id"] for m in resp["models"]
+                   if "vision" not in m["name"])
+        rng_l = np.random.default_rng(0)
+        px = rng_l.integers(0, 255, (16, 16, 3)).astype(np.uint8)
+        c.send({"type": "generate_multimodal", "model_id": mid,
+                "items": [
+                    {"text": "a"},
+                    {"image_b64": base64.b64encode(
+                        png_bytes(px)).decode()},
+                    {"text": "b"}],
+                "max_new_tokens": 4})
+        r = None
+        for _ in range(200):
+            r = c.recv()
+            if r["type"] in ("job_result", "job_error"):
+                break
+        assert r["type"] == "job_result", r
+        assert isinstance(r["result"]["text"], str)
+    finally:
+        c.close()

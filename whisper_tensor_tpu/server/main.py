@@ -56,6 +56,7 @@ class Server:
         self._batchers: dict = {}
         self._batch_jobs: dict = {}       # job_id -> (batcher, future)
         self._spec_decoders: dict = {}    # (target, draft, k) -> decoder
+        self._mm_ifaces: dict = {}        # bundle_id -> multimodal iface
 
     # -- report pump: scheduler queue -> all sockets ----------------------
     def _start_report_pump(self):
@@ -199,6 +200,8 @@ class Server:
             return self._generate_text(msg)
         if t == P.GENERATE_IMAGE:
             return self._generate_image(msg)
+        if t == "generate_multimodal":
+            return self._generate_multimodal(msg)
         if t == "generate_speech":
             return self._generate_speech(msg)
         if t == "transcribe":
@@ -293,6 +296,111 @@ class Server:
                 wav_bytes(clip.samples, clip.sample_rate)).decode(),
                 "sample_rate": clip.sample_rate,
                 "seconds": round(len(clip.samples) / clip.sample_rate, 3)}
+
+        self.scheduler.submit(job, settings)
+        return None
+
+    def _sampling_from_msg(self, msg):
+        """Message sampling knobs -> SamplingParams (None = greedy)."""
+        if (float(msg.get("temperature", 0.0)) <= 0.0
+                and float(msg.get("repetition_penalty", 1.0)) == 1.0
+                and float(msg.get("presence_penalty", 0.0)) == 0.0
+                and float(msg.get("frequency_penalty", 0.0)) == 0.0):
+            return None
+        from ..interfaces.text import SamplingParams
+
+        return SamplingParams(
+            temperature=max(float(msg.get("temperature", 1.0)), 0.0),
+            top_k=int(msg.get("top_k", 0)),
+            top_p=float(msg.get("top_p", 1.0)),
+            min_p=float(msg.get("min_p", 0.0)),
+            repetition_penalty=float(msg.get("repetition_penalty", 1.0)),
+            presence_penalty=float(msg.get("presence_penalty", 0.0)),
+            frequency_penalty=float(msg.get("frequency_penalty", 0.0)),
+            seed=int(msg.get("seed", 0)))
+
+    def _mm_iface(self, entry):
+        """Cached MultimodalLanguageInterface + spec for a llava-style
+        bundle (one per bundle; shares the text entry's interface)."""
+        from ..interfaces.multimodal import MultimodalLanguageInterface
+
+        bid = int(entry.meta["bundle_id"])
+        bundle = self.models.bundle(bid)
+        if "multimodal" not in bundle.interfaces:
+            raise ValueError("model has no multimodal interface")
+        spec = bundle.interfaces["multimodal"]
+        mm = self._mm_ifaces.get(bid)
+        if mm is None:
+            text_entry = next(
+                e for e in self.models._models.values()
+                if e.name == spec["model"]
+                and int(e.meta.get("bundle_id", -1)) == bid)
+            mm = MultimodalLanguageInterface(
+                self._text_iface(text_entry),
+                embed_weight_name=spec["embed_weight"],
+                vision_encoder=bundle.models[spec["vision"]])
+            self._mm_ifaces[bid] = mm
+        return mm, spec
+
+    def _mm_items(self, spec, items):
+        """Wire items [{text}|{image_b64 PNG}|{rgb_b64+width+height}]
+        -> MultimodalItem list; images resize to the vision encoder's
+        square input."""
+        import base64
+
+        from ..super_graph.links import Image as ImageLink, MultimodalItem
+        from ..utils.image import png_to_array, resize_bilinear
+
+        size = int(spec.get("image_size", 224))
+
+        def _fit(px):
+            if px.ndim == 2:
+                px = px[:, :, None]
+            if px.shape[2] == 1:
+                px = np.repeat(px, 3, axis=2)
+            if px.shape[2] == 4:
+                px = px[:, :, :3]
+            if px.shape[:2] != (size, size):
+                px = resize_bilinear(px, size, size)
+            return px
+
+        out = []
+        for it in items:
+            if it.get("text"):
+                out.append(MultimodalItem(text=it["text"]))
+            elif it.get("image_b64"):
+                px = png_to_array(base64.b64decode(it["image_b64"]))
+                out.append(MultimodalItem(image=ImageLink(_fit(px))))
+            elif it.get("rgb_b64"):
+                raw = base64.b64decode(it["rgb_b64"])
+                px = np.frombuffer(raw, np.uint8).reshape(
+                    int(it["height"]), int(it["width"]), 3)
+                out.append(MultimodalItem(image=ImageLink(_fit(px))))
+            else:
+                raise ValueError("item needs text, image_b64, or rgb_b64")
+        if not out:
+            raise ValueError("no items")
+        return out
+
+    def _generate_multimodal(self, msg) -> dict:
+        """LLaVA-style interleaved image+text generation through the
+        TRUE inputs_embeds prefill (reference
+        MultimodalLanguageInterface, src/interfaces.rs:185-327)."""
+        entry = self.models.get(int(msg["model_id"]))
+        mm, spec = self._mm_iface(entry)
+        if mm.text.tokenizer is None:
+            from ..tokenizer import AnyTokenizer
+
+            mm.text.tokenizer = AnyTokenizer.load(
+                entry.tokenizer_source or "bytes")
+        items = self._mm_items(spec, msg.get("items") or [])
+        n_new = int(msg.get("max_new_tokens", 32))
+        sampling = self._sampling_from_msg(msg)
+        settings = ObserverSettings()
+
+        def job(obs):
+            return {"text": mm.run_items_in_string_out(
+                items, n_new, sampling=sampling)}
 
         self.scheduler.submit(job, settings)
         return None

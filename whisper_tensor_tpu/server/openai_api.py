@@ -647,6 +647,18 @@ class _Handler(BaseHTTPRequestHandler):
             messages = body.get("messages")
             if not messages:
                 raise ApiError(400, "messages required")
+            has_image = any(
+                isinstance(m.get("content"), list)
+                and any(p.get("type") == "image_url"
+                        for p in m["content"])
+                for m in messages)
+            if has_image:
+                return self._chat_multimodal(body)
+            # text-only content arrays flatten to plain strings
+            for m in messages:
+                if isinstance(m.get("content"), list):
+                    m["content"] = "".join(p.get("text", "")
+                                           for p in m["content"])
             # chat API: logprobs is a bool + top_logprobs count; fold
             # into the completions-style Optional[int] the generator uses
             body["logprobs"] = (int(body.get("top_logprobs", 0) or 0)
@@ -706,6 +718,85 @@ class _Handler(BaseHTTPRequestHandler):
                          "created": int(time.time()),
                          "model": gen.entry.name,
                          "choices": [choice], "usage": res["usage"]})
+
+    def _chat_multimodal(self, body: Dict[str, Any]):
+        """Chat messages carrying image_url parts (data: URIs) run the
+        LLaVA-style inputs_embeds path: render the chat template with
+        image sentinels, split, and interleave text/image items."""
+        import re as _re
+
+        from ..tokenizer import AnyTokenizer, apply_chat_template
+
+        if body.get("stream"):
+            raise ApiError(400, "stream is not supported with image "
+                                "inputs")
+        server = self.api.server
+        entry = _resolve_entry(server, body.get("model"), "multimodal")
+        try:
+            mm, spec = server._mm_iface(entry)
+        except ValueError as e:
+            raise ApiError(400, str(e))
+        tok = AnyTokenizer.load(entry.tokenizer_source or "bytes")
+        mm.text.tokenizer = tok
+        imgs: List[str] = []
+        msgs = []
+        for m in body["messages"]:
+            c = m.get("content")
+            if not isinstance(c, list):
+                msgs.append(m)
+                continue
+            parts = []
+            for p in c:
+                kind = p.get("type")
+                if kind == "text":
+                    parts.append(p.get("text", ""))
+                elif kind == "image_url":
+                    url = (p.get("image_url") or {}).get("url", "")
+                    if not url.startswith("data:image/") \
+                            or "," not in url:
+                        raise ApiError(400, "only data:image/...;base64 "
+                                            "URLs are supported "
+                                            "(no outbound fetches)")
+                    imgs.append(url.split(",", 1)[1])
+                    parts.append(f"\x00IMG{len(imgs) - 1}\x00")
+                else:
+                    raise ApiError(400, f"unsupported content part "
+                                        f"{kind!r}")
+            msgs.append({**m, "content": "".join(parts)})
+        rendered = apply_chat_template(tok, msgs)
+        wire_items, pos = [], 0
+        for hit in _re.finditer(r"\x00IMG(\d+)\x00", rendered):
+            if hit.start() > pos:
+                wire_items.append({"text": rendered[pos:hit.start()]})
+            wire_items.append({"image_b64": imgs[int(hit.group(1))]})
+            pos = hit.end()
+        if pos < len(rendered):
+            wire_items.append({"text": rendered[pos:]})
+        try:
+            items = server._mm_items(spec, wire_items)
+        except ValueError as e:
+            raise ApiError(400, f"bad image payload: {e}")
+        n_new = int(body.get("max_tokens",
+                             body.get("max_completion_tokens", 16)))
+        try:
+            text = mm.run_items_in_string_out(
+                items, n_new, sampling=_sampling_from(body))
+        except ValueError as e:    # fused sequence beyond the buckets
+            raise ApiError(400, str(e))
+        for s in _stops_from(body):
+            i = text.find(s)
+            if i >= 0:
+                text = text[:i]
+        rid = f"cmpl-{int(time.time() * 1000):x}"
+        self._json(200, {
+            "id": rid, "object": "chat.completion",
+            "created": int(time.time()), "model": entry.name,
+            "choices": [{"index": 0, "logprobs": None,
+                         "finish_reason": "length",
+                         "message": {"role": "assistant",
+                                     "content": text}}],
+            "usage": {"prompt_tokens": 0, "completion_tokens": n_new,
+                      "total_tokens": n_new}})
 
     @staticmethod
     def _fmt_logprobs(lp, chat: bool):

@@ -41,6 +41,30 @@ def png_bytes(pixels: np.ndarray) -> bytes:
             + _chunk(b"IEND", b""))
 
 
+def resize_bilinear(pixels: np.ndarray, out_h: int,
+                    out_w: int) -> np.ndarray:
+    """(H,W,C) uint8/float -> (out_h,out_w,C) bilinear resize
+    (half-pixel centers, numpy only — the image has no PIL). Used to
+    fit arbitrary uploads to a vision encoder's square input."""
+    a = np.asarray(pixels)
+    h, w = a.shape[:2]
+    ys = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+    xs = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    wy = np.clip(ys - y0, 0.0, 1.0)[:, None, None]
+    wx = np.clip(xs - x0, 0.0, 1.0)[None, :, None]
+    af = a.astype(np.float32)
+    top = af[y0][:, x0] * (1 - wx) + af[y0][:, x1] * wx
+    bot = af[y1][:, x0] * (1 - wx) + af[y1][:, x1] * wx
+    out = top * (1 - wy) + bot * wy
+    if a.dtype == np.uint8:
+        return np.clip(np.round(out), 0, 255).astype(np.uint8)
+    return out.astype(a.dtype)
+
+
 def _unfilter(kind: int, cur: np.ndarray, prev: np.ndarray,
               bpp: int) -> np.ndarray:
     """Undo one scanline's PNG filter in place (ints, per spec)."""
