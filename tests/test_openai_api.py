@@ -22,21 +22,21 @@ def api(tmp_path_factory):
 
     torch.manual_seed(23)
     hf = GPT2LMHeadModel(HFConfig(n_layer=1, n_head=2, n_embd=16,
-                                  vocab_size=300, n_positions=64))
+                                  vocab_size=300, n_positions=160))
     d = tmp_path_factory.mktemp("oai") / "tiny-gpt2"
     d.mkdir()
     (d / "config.json").write_text(json.dumps({
         "model_type": "gpt2", "n_layer": 1, "n_head": 2, "n_embd": 16,
-        "vocab_size": 300, "n_positions": 64}))
+        "vocab_size": 300, "n_positions": 160}))
     save_file({k: v.contiguous() for k, v in hf.state_dict().items()
                if k != "lm_head.weight"}, str(d / "model.safetensors"))
 
     srv = Server()
     # one direct model and one ragged (batcher-served) model
     srv.models.run_loader("transformers", {
-        "path": str(d), "dtype": "f32", "max_len": 64})
+        "path": str(d), "dtype": "f32", "max_len": 160})
     srv.models.run_loader("transformers", {
-        "path": str(d), "dtype": "f32", "max_len": 64,
+        "path": str(d), "dtype": "f32", "max_len": 160,
         "ragged_decode": True})
     a = OpenAIApi(srv, "127.0.0.1", 0).start()
     yield a
@@ -283,6 +283,70 @@ def test_n_multiple_choices(api):
     r = json.loads(d)
     assert len(r["choices"]) == 2
     assert all(c["message"]["role"] == "assistant" for c in r["choices"])
+
+
+def test_tool_calling(api):
+    """tools -> guided function calling: the token-DFA constrains the
+    output to {"name":..., "arguments": <parameters schema>} and the
+    response carries OpenAI-shaped tool_calls."""
+    name = _names(api)[0]
+    # enum-bounded args: an untrained tiny model under an open-ended
+    # integer/string constraint can legally ramble digits to the token
+    # cap (honest finish_reason "length"); enums terminate deterministically
+    tools = [
+        {"type": "function", "function": {
+            "name": "get_weather",
+            "parameters": {"type": "object",
+                           "properties": {
+                               "city": {"enum": ["oslo", "paris"]},
+                               "days": {"enum": [1, 2]}},
+                           "required": ["city", "days"]}}},
+        {"type": "function", "function": {
+            "name": "set_alarm",
+            "parameters": {"type": "object",
+                           "properties": {"hour": {"enum": [1, 2, 3]}},
+                           "required": ["hour"]}}}]
+    msgs = [{"role": "user", "content": "weather in oslo"}]
+    s, d = _req(api, "POST", "/v1/chat/completions",
+                {"model": name, "messages": msgs, "max_tokens": 64,
+                 "temperature": 0, "tools": tools,
+                 "tool_choice": {"type": "function",
+                                 "function": {"name": "set_alarm"}}})
+    assert s == 200, d
+    ch = json.loads(d)["choices"][0]
+    assert ch["finish_reason"] == "tool_calls"
+    call = ch["message"]["tool_calls"][0]
+    assert call["type"] == "function"
+    assert call["function"]["name"] == "set_alarm"
+    args = json.loads(call["function"]["arguments"])
+    assert isinstance(args["hour"], int)
+    assert ch["message"]["content"] is None
+
+    # multi-tool "required": the constrained output is one of the two
+    s, d = _req(api, "POST", "/v1/chat/completions",
+                {"model": name, "messages": msgs, "max_tokens": 80,
+                 "temperature": 0, "tools": tools,
+                 "tool_choice": "required"})
+    assert s == 200, d
+    ch = json.loads(d)["choices"][0]
+    fn = ch["message"]["tool_calls"][0]["function"]
+    assert fn["name"] in ("get_weather", "set_alarm")
+    json.loads(fn["arguments"])
+
+    # tool_choice none: plain text answer, no constraint
+    s, d = _req(api, "POST", "/v1/chat/completions",
+                {"model": name, "messages": msgs, "max_tokens": 6,
+                 "temperature": 0, "tools": tools, "tool_choice": "none"})
+    ch = json.loads(d)["choices"][0]
+    assert "tool_calls" not in ch["message"]
+    assert isinstance(ch["message"]["content"], str)
+
+    # unknown forced tool -> 404
+    s, _ = _req(api, "POST", "/v1/chat/completions",
+                {"model": name, "messages": msgs, "tools": tools,
+                 "tool_choice": {"type": "function",
+                                 "function": {"name": "nope"}}})
+    assert s == 404
 
 
 def test_embeddings(api):

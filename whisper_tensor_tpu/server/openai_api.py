@@ -106,6 +106,42 @@ def _constraint_from(body: Dict[str, Any]):
     raise ApiError(400, f"unsupported response_format type {kind!r}")
 
 
+def _tools_schema(body: Dict[str, Any]):
+    """tools + tool_choice -> a JSON schema forcing one function call
+    `{"name": ..., "arguments": {...}}` (guided function calling via
+    the token-DFA constrained decoder — the established recipe for
+    models without native function-call training). tool_choice "none"
+    disables; "auto"/"required"/a named function force a call."""
+    tools = body.get("tools")
+    if not tools:
+        return None
+    tc = body.get("tool_choice", "auto")
+    if tc in (None, "none"):
+        return None
+    chosen = None
+    if isinstance(tc, dict):
+        chosen = (tc.get("function") or {}).get("name")
+        if not chosen:
+            raise ApiError(400, "tool_choice.function.name required")
+    fns = [t.get("function") or {} for t in tools
+           if t.get("type", "function") == "function"]
+    if not all(f.get("name") for f in fns):
+        raise ApiError(400, "every tool needs function.name")
+    if chosen is not None:
+        fns = [f for f in fns if f["name"] == chosen]
+        if not fns:
+            raise ApiError(404, f"tool {chosen!r} not in tools",
+                           "not_found_error")
+    variants = [{"type": "object",
+                 "properties": {
+                     "name": {"const": f["name"]},
+                     "arguments": f.get("parameters")
+                     or {"type": "object"}},
+                 "required": ["name", "arguments"]}
+                for f in fns]
+    return variants[0] if len(variants) == 1 else {"anyOf": variants}
+
+
 def _resolve_entry(server, name, iface_kind: str):
     """Find a loaded model entry by name/id that exposes `iface_kind`.
 
@@ -643,6 +679,7 @@ class _Handler(BaseHTTPRequestHandler):
     def _completions(self, body: Dict[str, Any], chat: bool):
         from ..tokenizer import apply_chat_template
 
+        tool_schema = None
         if chat:
             messages = body.get("messages")
             if not messages:
@@ -664,6 +701,17 @@ class _Handler(BaseHTTPRequestHandler):
             body["logprobs"] = (int(body.get("top_logprobs", 0) or 0)
                                 if body.get("logprobs") else None)
             body["echo"] = False            # completions-only field
+            tool_schema = _tools_schema(body)
+            if tool_schema is not None:
+                if body.get("stream"):
+                    raise ApiError(400, "stream is not supported with "
+                                        "tool calls")
+                if body.get("response_format"):
+                    raise ApiError(400, "tools and response_format are "
+                                        "mutually exclusive")
+                body["response_format"] = {
+                    "type": "json_schema",
+                    "json_schema": {"schema": tool_schema}}
             # render AFTER model resolution needs the tokenizer; build
             # the generator with a placeholder then re-render
             gen = _Generator(self.api.server, body, "")
@@ -709,7 +757,23 @@ class _Handler(BaseHTTPRequestHandler):
                                   "finish_reason": res["finish_reason"],
                                   "logprobs": self._fmt_logprobs(
                                       res["logprobs"], chat)}
-        if chat:
+        if chat and tool_schema is not None:
+            try:
+                call = json.loads(res["text"])
+                choice["message"] = {
+                    "role": "assistant", "content": None,
+                    "tool_calls": [{
+                        "id": f"call_{rid[5:]}", "type": "function",
+                        "function": {
+                            "name": call["name"],
+                            "arguments": json.dumps(call["arguments"])}}]}
+                choice["finish_reason"] = "tool_calls"
+            except (ValueError, KeyError):
+                # constraint hit the token cap mid-document: surface
+                # the raw text with the honest finish_reason
+                choice["message"] = {"role": "assistant",
+                                     "content": res["text"]}
+        elif chat:
             choice["message"] = {"role": "assistant",
                                  "content": res["text"]}
         else:
