@@ -348,6 +348,23 @@ def test_tool_calling(api):
                                  "function": {"name": "nope"}}})
     assert s == 404
 
+    # an agentic follow-up turn: prior assistant tool_calls (content
+    # null) + tool result messages render through the template
+    follow = [
+        {"role": "user", "content": "alarm at 2"},
+        {"role": "assistant", "content": None, "tool_calls": [
+            {"id": "call_1", "type": "function",
+             "function": {"name": "set_alarm",
+                          "arguments": "{\"hour\": 2}"}}]},
+        {"role": "tool", "tool_call_id": "call_1", "content": "ok"}]
+    s, d = _req(api, "POST", "/v1/chat/completions",
+                {"model": name, "messages": follow, "max_tokens": 4,
+                 "temperature": 0, "tools": tools,
+                 "tool_choice": "none"})
+    assert s == 200, d
+    assert isinstance(
+        json.loads(d)["choices"][0]["message"]["content"], str)
+
 
 def test_embeddings(api):
     name = _names(api)[0]

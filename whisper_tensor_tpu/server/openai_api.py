@@ -106,6 +106,25 @@ def _constraint_from(body: Dict[str, Any]):
     raise ApiError(400, f"unsupported response_format type {kind!r}")
 
 
+def _normalize_messages(messages):
+    """Tool-protocol message shapes -> renderable content: an assistant
+    tool_calls turn (content null) serializes its calls; bare null
+    content becomes empty. Tool-result messages (role 'tool') render
+    as-is — ChatML roles are free-form."""
+    out = []
+    for m in messages:
+        if m.get("content") is None:
+            if m.get("tool_calls"):
+                calls = [{"name": t["function"]["name"],
+                          "arguments": t["function"]["arguments"]}
+                         for t in m["tool_calls"] if t.get("function")]
+                m = {**m, "content": json.dumps(calls)}
+            else:
+                m = {**m, "content": ""}
+        out.append(m)
+    return out
+
+
 def _tools_schema(body: Dict[str, Any]):
     """tools + tool_choice -> a JSON schema forcing one function call
     `{"name": ..., "arguments": {...}}` (guided function calling via
@@ -684,6 +703,7 @@ class _Handler(BaseHTTPRequestHandler):
             messages = body.get("messages")
             if not messages:
                 raise ApiError(400, "messages required")
+            messages = body["messages"] = _normalize_messages(messages)
             has_image = any(
                 isinstance(m.get("content"), list)
                 and any(p.get("type") == "image_url"
@@ -804,7 +824,7 @@ class _Handler(BaseHTTPRequestHandler):
         mm.text.tokenizer = tok
         imgs: List[str] = []
         msgs = []
-        for m in body["messages"]:
+        for m in _normalize_messages(body["messages"]):
             c = m.get("content")
             if not isinstance(c, list):
                 msgs.append(m)
