@@ -22,21 +22,21 @@ def api(tmp_path_factory):
 
     torch.manual_seed(23)
     hf = GPT2LMHeadModel(HFConfig(n_layer=1, n_head=2, n_embd=16,
-                                  vocab_size=300, n_positions=160))
+                                  vocab_size=300, n_positions=256))
     d = tmp_path_factory.mktemp("oai") / "tiny-gpt2"
     d.mkdir()
     (d / "config.json").write_text(json.dumps({
         "model_type": "gpt2", "n_layer": 1, "n_head": 2, "n_embd": 16,
-        "vocab_size": 300, "n_positions": 160}))
+        "vocab_size": 300, "n_positions": 256}))
     save_file({k: v.contiguous() for k, v in hf.state_dict().items()
                if k != "lm_head.weight"}, str(d / "model.safetensors"))
 
     srv = Server()
     # one direct model and one ragged (batcher-served) model
     srv.models.run_loader("transformers", {
-        "path": str(d), "dtype": "f32", "max_len": 160})
+        "path": str(d), "dtype": "f32", "max_len": 256})
     srv.models.run_loader("transformers", {
-        "path": str(d), "dtype": "f32", "max_len": 160,
+        "path": str(d), "dtype": "f32", "max_len": 256,
         "ragged_decode": True})
     a = OpenAIApi(srv, "127.0.0.1", 0).start()
     yield a
@@ -351,12 +351,11 @@ def test_tool_calling(api):
     # an agentic follow-up turn: prior assistant tool_calls (content
     # null) + tool result messages render through the template
     follow = [
-        {"role": "user", "content": "alarm at 2"},
+        {"role": "user", "content": "a"},
         {"role": "assistant", "content": None, "tool_calls": [
-            {"id": "call_1", "type": "function",
-             "function": {"name": "set_alarm",
-                          "arguments": "{\"hour\": 2}"}}]},
-        {"role": "tool", "tool_call_id": "call_1", "content": "ok"}]
+            {"id": "c1", "type": "function",
+             "function": {"name": "f", "arguments": "{}"}}]},
+        {"role": "tool", "tool_call_id": "c1", "content": "ok"}]
     s, d = _req(api, "POST", "/v1/chat/completions",
                 {"model": name, "messages": follow, "max_tokens": 4,
                  "temperature": 0, "tools": tools,
