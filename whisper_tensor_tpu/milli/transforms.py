@@ -209,13 +209,22 @@ def inject_multi_lora(
     row's adapter — so one batched program serves requests against
     different fine-tunes simultaneously.
 
+    The selection compiles to masked einsums over the FULL stacks —
+    x@As for every slot, masked by one_hot(idx), then contracted with
+    Bs — NOT a per-row gather: gathering (B, K, r) slices per site
+    adds B·K·r HBM writes per decode step, measured at a 48% decode
+    throughput loss on v5e at B=512/r=16; the dense form costs
+    (n+1)× the (tiny) adapter FLOPs and only streams the stacks.
+
     Returns {new_input_name: stacked array} for the adapter inputs.
     """
+    from ..dtype import DType
     from ..graph import new_global_id
     from .ir import MilliNode
     from .ops import MatMul
-    from .ops.basic import SimpleBinary
-    from .ops.index import Gather
+    from .ops.basic import Cast, Constant, SimpleBinary
+    from .ops.einsum import EinsumMilli
+    from .ops.shape import Unsqueeze
 
     targeted = sorted({w for a in adapters for w in a})
     if not targeted:
@@ -225,6 +234,7 @@ def inject_multi_lora(
     n_slots = len(adapters) + 1
     new_inputs: Dict[str, np.ndarray] = {}
     ab_tids: Dict[str, Tuple[int, int]] = {}
+    oh_tids: Dict[Any, int] = {}     # np dtype -> shared one-hot tid
 
     i = 0
     while i < len(milli.nodes):
@@ -273,22 +283,42 @@ def inject_multi_lora(
         def _t(label):
             return milli.new_tensor(label=label)
 
-        t_ga = _t(f"{rhs_name}::ga")
-        t_gb = _t(f"{rhs_name}::gb")
-        t_xa = _t(f"{rhs_name}::xa")
-        t_xab = _t(f"{rhs_name}::xab")
+        new_nodes = []
+        oh_tid = oh_tids.get(w.dtype)
+        if oh_tid is None:
+            # shared per-row one-hot(idx) in the weight dtype
+            t_iota = _t("lora::iota")
+            t_idxu = _t("lora::idxu")
+            t_eq = _t("lora::eq")
+            oh_tid = _t(f"lora::onehot_{np.dtype(w.dtype).name}")
+            new_nodes += [
+                MilliNode(new_global_id(),
+                          Constant(value=np.arange(n_slots,
+                                                   dtype=np.int64)),
+                          [], [t_iota], phase, group),
+                MilliNode(new_global_id(), Unsqueeze(axes=[1]),
+                          [idx_tid], [t_idxu], phase, group),
+                MilliNode(new_global_id(), SimpleBinary(mode="eq"),
+                          [t_idxu, t_iota], [t_eq], phase, group),
+                MilliNode(new_global_id(),
+                          Cast(dtype=DType.from_numpy(w.dtype)),
+                          [t_eq], [oh_tid], phase, group),
+            ]
+            oh_tids[w.dtype] = oh_tid
+        t_xa = _t(f"{rhs_name}::xa_all")      # (B, n, S, r)
+        t_xm = _t(f"{rhs_name}::xa_masked")
+        t_xab = _t(f"{rhs_name}::xab")        # (B, S, N)
         t_out = _t(f"{rhs_name}::mlora_out")
-        new_nodes = [
-            MilliNode(new_global_id(), Gather(axis=0), [a_tid, idx_tid],
-                      [t_ga], phase, group),
-            MilliNode(new_global_id(), Gather(axis=0), [b_tid, idx_tid],
-                      [t_gb], phase, group),
-            # (B,S,K) @ (B,K,r) and (B,S,r) @ (B,r,N): numpy batched
-            # matmul semantics — each row multiplies ITS adapter
-            MilliNode(new_global_id(), MatMul(), [x_tid, t_ga], [t_xa],
-                      phase, group),
-            MilliNode(new_global_id(), MatMul(), [t_xa, t_gb], [t_xab],
-                      phase, group),
+        new_nodes += [
+            MilliNode(new_global_id(),
+                      EinsumMilli(equation="bsk,nkr->bnsr"),
+                      [x_tid, a_tid], [t_xa], phase, group),
+            MilliNode(new_global_id(),
+                      EinsumMilli(equation="bnsr,bn->bnsr"),
+                      [t_xa, oh_tid], [t_xm], phase, group),
+            MilliNode(new_global_id(),
+                      EinsumMilli(equation="bnsr,nrm->bsm"),
+                      [t_xm, b_tid], [t_xab], phase, group),
             MilliNode(new_global_id(), SimpleBinary(mode="add"),
                       [orig_out, t_xab], [t_out], phase, group),
         ]
