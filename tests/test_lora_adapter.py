@@ -230,3 +230,46 @@ def test_multi_lora_peft_serving(tmp_path):
         np.testing.assert_array_equal(out, ref, err_msg=str(a))
     # the two adapters genuinely produce different functions
     assert not np.array_equal(outs[1], outs[2])
+
+    # vLLM-style adapter aliases over the OpenAI API: adapters list as
+    # models ("<base>:<adapter>"), and selecting one equals the
+    # explicit adapter field
+    import http.client
+
+    from whisper_tensor_tpu.server.openai_api import OpenAIApi
+
+    srv._batchers.clear()    # the direct-use batcher above was stopped
+    api = OpenAIApi(srv, "127.0.0.1", 0).start()
+    try:
+        def req(method, path, body=None):
+            c = http.client.HTTPConnection("127.0.0.1", api.port,
+                                           timeout=180)
+            c.request(method, path,
+                      body=None if body is None else json.dumps(body),
+                      headers={"Content-Type": "application/json"})
+            r = c.getresponse()
+            data = json.loads(r.read())
+            c.close()
+            return r.status, data
+
+        s, listing = req("GET", "/v1/models")
+        ids = [m["id"] for m in listing["data"]]
+        base_name = entries[0].name
+        assert f"{base_name}:a1" in ids and f"{base_name}:a2" in ids
+        s1, d1 = req("POST", "/v1/completions",
+                     {"model": f"{base_name}:a1", "prompt": "hi",
+                      "max_tokens": 5, "temperature": 0})
+        assert s1 == 200, d1
+        s2, d2 = req("POST", "/v1/completions",
+                     {"model": base_name, "adapter": "a1",
+                      "prompt": "hi", "max_tokens": 5, "temperature": 0})
+        assert d1["choices"][0]["text"] == d2["choices"][0]["text"]
+        # bare adapter name is unique here -> also resolves
+        s3, d3 = req("POST", "/v1/completions",
+                     {"model": "a1", "prompt": "hi", "max_tokens": 5,
+                      "temperature": 0})
+        assert d3["choices"][0]["text"] == d1["choices"][0]["text"]
+    finally:
+        api.stop()
+        for b in srv._batchers.values():
+            b.stop()

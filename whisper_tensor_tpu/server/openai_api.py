@@ -269,6 +269,21 @@ class _Generator:
         for e in models.values():
             if e.name == name or str(e.id) == str(name):
                 return e
+        # vLLM-style adapter aliases: "<model>:<adapter>", or a bare
+        # adapter name when it is globally unique
+        matches = []
+        for e in models.values():
+            ads = (e.interfaces.get("text") or {}).get("adapters") or {}
+            for aname in ads:
+                if name in (f"{e.name}:{aname}", aname):
+                    matches.append((e, aname))
+        if len(matches) == 1:
+            e, aname = matches[0]
+            self.body["adapter"] = aname
+            return e
+        if len(matches) > 1:
+            raise ApiError(400, f"adapter name {name!r} is ambiguous — "
+                                "use '<model>:<adapter>'")
         raise ApiError(404, f"model {name!r} not found", "not_found_error")
 
     # ------------------------------------------------------------------
@@ -501,10 +516,20 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_GET(self):  # noqa: N802
         if self.path.split("?")[0] == "/v1/models":
-            models = [{"id": m["name"], "object": "model",
-                       "owned_by": "whisper-tensor-tpu",
-                       "created": 0}
-                      for m in self.api.server.models.list_models()]
+            models = []
+            for e in self.api.server.models._models.values():
+                models.append({"id": e.name, "object": "model",
+                               "owned_by": "whisper-tensor-tpu",
+                               "created": 0})
+                # served LoRA adapters list as selectable models too
+                # (vLLM convention): model "<base>:<adapter>"
+                ads = (e.interfaces.get("text") or {}).get("adapters") \
+                    or {}
+                for aname in ads:
+                    models.append({"id": f"{e.name}:{aname}",
+                                   "object": "model",
+                                   "owned_by": "whisper-tensor-tpu",
+                                   "parent": e.name, "created": 0})
             return self._json(200, {"object": "list", "data": models})
         self._json(404, {"error": {"message": f"no route {self.path}",
                                    "type": "not_found_error"}})
