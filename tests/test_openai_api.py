@@ -436,6 +436,18 @@ def media_api(tmp_path_factory):
     save_file({k: v.clone().contiguous()
                for k, v in hf.state_dict().items() if k != "proj_out.weight"},
               str(d / "model.safetensors"))
+    # multilingual-style tokenizer (lang/task special tokens) + the
+    # forced SOT prefix in generation_config, as real checkpoints carry
+    from tokenizers import Tokenizer, models as tok_models
+
+    t = Tokenizer(tok_models.WordLevel({"a": 0, "b": 1}, unk_token="a"))
+    t.add_special_tokens(["<|en|>", "<|de|>", "<|transcribe|>",
+                          "<|translate|>"])
+    t.save(str(d / "tokenizer.json"))
+    (d / "generation_config.json").write_text(_json.dumps({
+        "decoder_start_token_id": 5, "eos_token_id": 2,
+        "forced_decoder_ids": [[1, t.token_to_id("<|en|>")],
+                               [2, t.token_to_id("<|transcribe|>")]]}))
     srv.models.run_loader("transformers", {"path": str(d), "dtype": "f32"})
 
     a = OpenAIApi(srv, "127.0.0.1", 0).start()
@@ -513,6 +525,43 @@ def test_audio_transcriptions(media_api):
                    "max_new_tokens": 4})
     assert s2 == 200, d2
     assert json.loads(d2)["text"] == out["text"]
+
+    # language substitution (whisper <|lang|> SOT token) and the
+    # translations route (task forced to translate) run; an unknown
+    # language token is a clean 400
+    b64 = base64.b64encode(wav).decode()
+    s3, d3 = _req(media_api, "POST", "/v1/audio/transcriptions",
+                  {"audio_b64": b64, "max_new_tokens": 4,
+                   "language": "de"})
+    assert s3 == 200, d3
+    s4, d4 = _req(media_api, "POST", "/v1/audio/translations",
+                  {"audio_b64": b64, "max_new_tokens": 4})
+    assert s4 == 200, d4
+    s5, d5 = _req(media_api, "POST", "/v1/audio/transcriptions",
+                  {"audio_b64": b64, "language": "xx"})
+    assert s5 == 400, d5
+    assert "tokenizer" in json.loads(d5)["error"]["message"]
+
+
+def test_whisper_forced_sot_from_generation_config(media_api):
+    """The loader reads generation_config.json's forced_decoder_ids
+    into the stt spec, and from_bundle drives the multi-token SOT."""
+    from whisper_tensor_tpu.interfaces.stt import SpeechToTextInterface
+
+    srv = media_api.server
+    entry = next(e for e in srv.models._models.values()
+                 if "stt" in (e.interfaces or {}))
+    spec = entry.interfaces["stt"]
+    assert spec["sot"] == 5 and len(spec["sot_sequence"]) == 3
+    assert spec["sot_sequence"][0] == 5
+    bundle = srv.models.bundle(int(entry.meta["bundle_id"]))
+    iface = SpeechToTextInterface.from_bundle(bundle)
+    assert iface.sot_sequence == spec["sot_sequence"]
+    # substitution replaces positions 1/2, keeps the rest
+    sub = iface.sot_with(language="de", task="translate")
+    assert sub[0] == 5 and sub != iface.sot_sequence
+    with pytest.raises(ValueError):
+        iface.sot_with(language="zz")
 
 
 def test_stop_sequences_and_errors(api):

@@ -256,6 +256,25 @@ class TransformersLoader(Loader):
                 name="whisper-decoder")
             tok = d if os.path.exists(os.path.join(d, "tokenizer.json")) \
                 else None
+            # HF generation_config carries the forced SOT prefix
+            # ([sot, <|lang|>, <|task|>, <|notimestamps|>] on real
+            # multilingual checkpoints)
+            gcfg = {}
+            gp = os.path.join(d, "generation_config.json")
+            if os.path.exists(gp):
+                try:
+                    with open(gp, "r", encoding="utf-8") as f:
+                        gcfg = json.load(f)
+                except (OSError, ValueError):
+                    gcfg = {}
+            start = int(gcfg.get("decoder_start_token_id",
+                                 hf_cfg.get("decoder_start_token_id",
+                                            50258)))
+            sot_seq = [start]
+            for _, tid in sorted(gcfg.get("forced_decoder_ids") or [],
+                                 key=lambda p: p[0]):
+                if tid is not None:
+                    sot_seq.append(int(tid))
             return LoadedBundle(
                 models={"whisper-encoder": enc, "whisper-decoder": dec},
                 interfaces={"stt": {
@@ -263,8 +282,10 @@ class TransformersLoader(Loader):
                     "decoder": "whisper-decoder",
                     "n_mels": cfg.num_mel_bins, "max_len": dec_len,
                     "n_frames": n_frames,
-                    "sot": hf_cfg.get("decoder_start_token_id", 50258),
-                    "eot": hf_cfg.get("eos_token_id", 50257)}},
+                    "sot": start, "sot_sequence": sot_seq,
+                    "eot": int(gcfg.get("eos_token_id",
+                                        hf_cfg.get("eos_token_id",
+                                                   50257)))}},
                 tokenizer_source=tok,
                 meta={"model_type": "whisper", "dtype": dtype.name})
         elif mt == "llava":

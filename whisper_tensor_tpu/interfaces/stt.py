@@ -54,6 +54,43 @@ class SpeechToTextInterface:
             self._backends[model.id] = be
         return be.run(model.graph, feeds)
 
+    def sot_with(self, language: Optional[str] = None,
+                 task: Optional[str] = None) -> List[int]:
+        """The forced SOT prefix with `<|language|>` / `<|task|>`
+        substituted at whisper's conventional positions 1 / 2 (looked
+        up in the tokenizer; multilingual checkpoints). Raises
+        ValueError for tokens the tokenizer doesn't know."""
+        seq = list(self.sot_sequence)
+        if language is None and task is None:
+            return seq
+
+        def tid(text):
+            inner = getattr(self.tokenizer, "_tok", None)
+            t = (inner.token_to_id(text)
+                 if inner is not None and hasattr(inner, "token_to_id")
+                 else None)
+            if t is None:
+                raise ValueError(
+                    f"token {text!r} not in this model's tokenizer "
+                    "(not a multilingual whisper checkpoint?)")
+            return int(t)
+
+        for pos, text in ((1, f"<|{language}|>" if language else None),
+                          (2, f"<|{task}|>" if task else None)):
+            if text is None:
+                continue
+            t = tid(text)
+            if len(seq) > pos:
+                seq[pos] = t
+            elif len(seq) == pos:
+                seq.append(t)
+            else:
+                raise ValueError(
+                    f"this checkpoint's SOT prefix {seq} is too short "
+                    f"to carry a {'language' if pos == 1 else 'task'} "
+                    "token")
+        return seq
+
     def mel_from_samples(self, samples: np.ndarray) -> np.ndarray:
         mel = log_mel_spectrogram(np.asarray(samples, np.float32).reshape(-1),
                                   16000, n_mels=self.n_mels,
@@ -285,5 +322,6 @@ class SpeechToTextInterface:
                    bundle.models[spec["decoder"]], tokenizer=tok,
                    max_len=spec.get("max_len"), n_mels=spec.get("n_mels", 80),
                    n_frames=spec.get("n_frames", 3000),
-                   sot_sequence=[spec.get("sot", 50258)],
+                   sot_sequence=(list(spec.get("sot_sequence") or [])
+                                 or [spec.get("sot", 50258)]),
                    eot_token=spec.get("eot", 50257))

@@ -422,6 +422,10 @@ class Server:
 
             tok = AnyTokenizer.load(entry.tokenizer_source)
         iface = SpeechToTextInterface.from_bundle(bundle, tokenizer=tok)
+        if msg.get("language") or msg.get("task"):
+            iface.sot_sequence = iface.sot_with(
+                language=msg.get("language") or None,
+                task=msg.get("task") or None)
         samples = np.frombuffer(base64.b64decode(msg["samples_b64"]),
                                 dtype=np.float32)
         clip = AudioClip(samples, int(msg.get("sample_rate", 16000)))

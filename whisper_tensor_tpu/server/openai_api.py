@@ -542,6 +542,10 @@ class _Handler(BaseHTTPRequestHandler):
             if path == "/v1/audio/transcriptions":
                 return self._transcriptions(
                     raw, self.headers.get("Content-Type", ""))
+            if path == "/v1/audio/translations":
+                return self._transcriptions(
+                    raw, self.headers.get("Content-Type", ""),
+                    task="translate")
             body = json.loads(raw or b"{}")
             if path == "/v1/completions":
                 return self._completions(body, chat=False)
@@ -683,9 +687,12 @@ class _Handler(BaseHTTPRequestHandler):
             self._binary(200, "audio/wav",
                          wav_bytes(clip.samples, clip.sample_rate), sr)
 
-    def _transcriptions(self, raw: bytes, ctype: str):
-        """/v1/audio/transcriptions: multipart (or JSON+audio_b64) WAV
-        upload -> text via the STT interface."""
+    def _transcriptions(self, raw: bytes, ctype: str,
+                        task: Optional[str] = None):
+        """/v1/audio/transcriptions (and /translations, task forced to
+        'translate'): multipart (or JSON+audio_b64) WAV upload -> text
+        via the STT interface. `language` substitutes the whisper
+        `<|lang|>` SOT token on multilingual checkpoints."""
         import base64
 
         from ..interfaces.stt import SpeechToTextInterface
@@ -711,6 +718,14 @@ class _Handler(BaseHTTPRequestHandler):
         bundle = server.models.bundle(int(entry.meta["bundle_id"]))
         tok = AnyTokenizer.load(entry.tokenizer_source or "bytes")
         iface = SpeechToTextInterface.from_bundle(bundle, tokenizer=tok)
+        language = fields.get("language") or None
+        task = fields.get("task") or task
+        if language or task:
+            try:
+                iface.sot_sequence = iface.sot_with(language=language,
+                                                    task=task)
+            except ValueError as e:
+                raise ApiError(400, str(e))
         text = iface.run_audio_in_text_out(
             AudioClip(samples, rate),
             max_new=int(fields.get("max_new_tokens", 64) or 64))
