@@ -273,3 +273,73 @@ def test_multi_lora_peft_serving(tmp_path):
         api.stop()
         for b in srv._batchers.values():
             b.stop()
+
+
+def test_dynamic_adapter_load(tmp_path):
+    """load_adapter at runtime: the old batcher drains, a replacement
+    serves the new adapter, and outputs equal the merge-at-load path."""
+    import torch
+    from peft import LoraConfig, get_peft_model
+    from transformers import GPT2Config as HFConfig, GPT2LMHeadModel
+
+    from whisper_tensor_tpu.importers.loaders import loader_registry
+    from whisper_tensor_tpu.interfaces.text import TextInferenceInterface
+    from whisper_tensor_tpu.server.main import Server
+
+    torch.manual_seed(9)
+    cfg = dict(n_layer=2, n_head=2, n_embd=32, vocab_size=211,
+               n_positions=MAXLEN)
+    hf = GPT2LMHeadModel(HFConfig(**cfg))
+    base = tmp_path / "dyn-base"
+    _save_base(hf, base, {"model_type": "gpt2", **cfg})
+    pm = get_peft_model(hf, LoraConfig(
+        r=4, lora_alpha=16, lora_dropout=0.0, fan_in_fan_out=True,
+        target_modules=["c_attn", "c_fc"]))
+    torch.manual_seed(44)
+    _randomize_lora(pm)
+    ad = tmp_path / "dyn-adapter"
+    pm.save_pretrained(str(ad))
+
+    srv = Server()
+    entries = srv.models.run_loader("transformers", {
+        "path": str(base), "dtype": "f32", "max_len": MAXLEN,
+        "ragged_decode": True})
+    entry = entries[0]
+    rng = np.random.default_rng(2)
+    p = rng.integers(0, 211, (6,)).astype(np.int64)
+    bat0 = srv._batcher(entry)
+    out_before = bat0.submit(p, 5).result(timeout=180)
+
+    resp = srv._load_adapter({"model_id": entry.id, "name": "dyn",
+                              "path": str(ad)})
+    assert resp["adapters"] == ["dyn"]
+    bat1 = srv._batcher(entry)
+    assert bat1 is not bat0
+    try:
+        out_base = bat1.submit(p, 5).result(timeout=180)
+        out_ad = bat1.submit(p, 5, adapter="dyn").result(timeout=180)
+    finally:
+        bat1.stop()
+    np.testing.assert_array_equal(out_base, out_before)
+
+    bundle = loader_registry()["transformers"].load(
+        {"path": str(base), "dtype": "f32", "max_len": MAXLEN,
+         "lora": str(ad)})
+    name = bundle.interfaces["text"]["model"]
+    ref = TextInferenceInterface(
+        bundle.models[name], max_len=MAXLEN,
+        prompt_buckets=(16,)).generate_tokens(p[None], 5)[0]
+    np.testing.assert_array_equal(out_ad, ref)
+
+    # duplicate name and bad path fail fast without touching the batcher
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="already loaded"):
+        srv._load_adapter({"model_id": entry.id, "name": "dyn",
+                           "path": str(ad)})
+    with _pytest.raises(Exception):
+        srv._load_adapter({"model_id": entry.id, "name": "x",
+                           "path": str(tmp_path / "nope")})
+    assert srv._batcher(entry) is not bat0   # registry not corrupted
+    for b in srv._batchers.values():
+        b.stop()

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from concurrent.futures import Future
 from dataclasses import dataclass, field
 from typing import Any, Dict, List, Optional, Sequence
@@ -230,6 +231,23 @@ class ContinuousBatcher:
         if self._thread is not None:
             self._thread.join(timeout=30)
             self._thread = None
+
+    def drain(self, timeout: float = 600.0) -> bool:
+        """Wait until every accepted request has finished (slots empty,
+        queue empty, no admission in flight), then stop. Used to swap
+        batchers live (e.g. dynamic adapter loading) without dropping
+        in-flight work — route NEW requests elsewhere first."""
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            idle = (all(s.req is None for s in self._slots)
+                    and self._queue.empty()
+                    and self._admission is None
+                    and not self._admit_backlog)
+            if idle:
+                self.stop()
+                return True
+            time.sleep(0.02)
+        return False
 
     # -- per-row sampling helpers -------------------------------------------
     def _slot_sp(self, slot: _Slot) -> Optional[SamplingParams]:

@@ -200,6 +200,8 @@ class Server:
             return self._generate_text(msg)
         if t == P.GENERATE_IMAGE:
             return self._generate_image(msg)
+        if t == "load_adapter":
+            return self._load_adapter(msg)
         if t == "generate_multimodal":
             return self._generate_multimodal(msg)
         if t == "generate_speech":
@@ -299,6 +301,38 @@ class Server:
 
         self.scheduler.submit(job, settings)
         return None
+
+    def _load_adapter(self, msg) -> dict:
+        """Dynamically add a PEFT adapter to a served ragged model
+        (vLLM-style runtime LoRA loading): the current batcher DRAINS
+        in the background (in-flight requests finish on it) while new
+        requests immediately build a replacement batcher carrying the
+        extended adapter set."""
+        import threading as _threading
+
+        from ..importers.lora import load_peft_adapter_arrays
+
+        entry = self.models.get(int(msg["model_id"]))
+        cfg = entry.interfaces.get("text") or {}
+        if not cfg.get("ragged"):
+            raise ValueError("load_adapter needs a ragged-decode "
+                             "(batcher-served) model")
+        if not cfg.get("weight_map"):
+            raise ValueError("this model family has no weight map for "
+                             "adapter serving")
+        name, path = str(msg["name"]), str(msg["path"])
+        ads = dict(cfg.get("adapters") or {})
+        if name in ads:
+            raise ValueError(f"adapter {name!r} already loaded")
+        # validate the adapter BEFORE swapping anything (fail fast)
+        load_peft_adapter_arrays(path, cfg["weight_map"])
+        ads[name] = path
+        cfg["adapters"] = ads
+        old = self._batchers.pop(entry.id, None)
+        if old is not None:
+            _threading.Thread(target=old.drain, daemon=True).start()
+        return {"type": "adapter_loaded", "model_id": entry.id,
+                "name": name, "adapters": sorted(ads)}
 
     def _sampling_from_msg(self, msg):
         """Message sampling knobs -> SamplingParams (None = greedy)."""
