@@ -835,9 +835,11 @@ def test_server_generate_multimodal(server, tmp_path):
                 "config": {"path": d, "dtype": "f32", "max_len": 128}})
         resp = c.recv()
         assert resp["type"] == "models_report", resp
-        # the text entry (not the -vision one)
+        # the text entry (not the -vision one) FROM THIS LOAD — the
+        # module-scoped server carries models from earlier tests
+        loaded = set(resp["loaded"])
         mid = next(m["id"] for m in resp["models"]
-                   if "vision" not in m["name"])
+                   if m["id"] in loaded and "vision" not in m["name"])
         rng_l = np.random.default_rng(0)
         px = rng_l.integers(0, 255, (16, 16, 3)).astype(np.uint8)
         c.send({"type": "generate_multimodal", "model_id": mid,
