@@ -564,6 +564,26 @@ def test_whisper_forced_sot_from_generation_config(media_api):
         iface.sot_with(language="zz")
 
 
+def test_metrics_endpoint(api):
+    """Prometheus text exposition: registry gauge always present;
+    per-batcher counters appear once the ragged model has served."""
+    srv = api.server
+    ragged = str([m["id"] for m in srv.models.list_models()
+                  if m["interfaces"]["text"].get("ragged")][0])
+    _req(api, "POST", "/v1/completions",
+         {"model": ragged, "prompt": "m", "max_tokens": 3,
+          "temperature": 0})
+    s, d = _req(api, "GET", "/metrics")
+    assert s == 200
+    text = d.decode()
+    assert "wt_models_loaded 2" in text
+    assert "# TYPE wt_batcher_tokens_emitted_total counter" in text
+    tok_lines = [ln for ln in text.splitlines()
+                 if ln.startswith("wt_batcher_tokens_emitted_total{")]
+    assert tok_lines and all(float(ln.split()[-1]) >= 3
+                             for ln in tok_lines)
+
+
 def test_stop_sequences_and_errors(api):
     name = _names(api)[0]
     _, d = _req(api, "POST", "/v1/completions",

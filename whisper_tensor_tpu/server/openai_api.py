@@ -515,6 +515,8 @@ class _Handler(BaseHTTPRequestHandler):
                                        "type": "server_error"}})
 
     def do_GET(self):  # noqa: N802
+        if self.path.split("?")[0] == "/metrics":
+            return self._metrics()
         if self.path.split("?")[0] == "/v1/models":
             models = []
             for e in self.api.server.models._models.values():
@@ -533,6 +535,36 @@ class _Handler(BaseHTTPRequestHandler):
             return self._json(200, {"object": "list", "data": models})
         self._json(404, {"error": {"message": f"no route {self.path}",
                                    "type": "not_found_error"}})
+
+    def _metrics(self):
+        """Prometheus text exposition of the serving counters: one
+        gauge/counter set per live batcher plus registry totals."""
+        server = self.api.server
+        lines = [
+            "# HELP wt_models_loaded Loaded model entries.",
+            "# TYPE wt_models_loaded gauge",
+            f"wt_models_loaded {len(server.models._models)}",
+        ]
+        metas = [
+            ("wt_batcher_slots", "gauge", "slots", "Decode slots."),
+            ("wt_batcher_active", "gauge", "active",
+             "Slots with a live request."),
+            ("wt_batcher_queued", "gauge", "queued",
+             "Requests waiting for a slot."),
+            ("wt_batcher_chunks_dispatched_total", "counter",
+             "chunks_dispatched", "Decode chunk programs dispatched."),
+            ("wt_batcher_tokens_emitted_total", "counter",
+             "tokens_emitted", "Tokens emitted to requests."),
+        ]
+        stats = {mid: bat.stats()
+                 for mid, bat in server._batchers.items()}
+        for name, kind, key, help_ in metas:
+            lines.append(f"# HELP {name} {help_}")
+            lines.append(f"# TYPE {name} {kind}")
+            for mid, st in stats.items():
+                lines.append(f'{name}{{model_id="{mid}"}} {st[key]}')
+        self._binary(200, "text/plain; version=0.0.4; charset=utf-8",
+                     ("\n".join(lines) + "\n").encode())
 
     def do_POST(self):  # noqa: N802
         path = self.path.split("?")[0]
