@@ -220,3 +220,34 @@ def test_beam_transcription_matches_hf_generate(tiny_whisper):
     k = min(len(ours), len(ref_toks))
     assert k >= n_new - 1
     assert ours[:k] == ref_toks[:k], (ours, ref_toks)
+
+
+def test_sot_template_null_slots(tiny_whisper):
+    """HF forced_decoder_ids null (auto-detect language) keeps its
+    POSITION: resolution fills <|en|> by default, sot_with substitutes
+    in place without shifting the task slot."""
+    from whisper_tensor_tpu.interfaces.stt import SpeechToTextInterface
+
+    hf, enc, dec, cfg = tiny_whisper
+
+    class _Inner:
+        def token_to_id(self, s):
+            return {"<|en|>": 11, "<|de|>": 12,
+                    "<|translate|>": 13}.get(s)
+
+    class _StubTok:
+        _tok = _Inner()
+
+    iface = SpeechToTextInterface(enc, dec, tokenizer=_StubTok(),
+                                  n_mels=16, sot_sequence=[5, None, 7])
+    assert iface.sot_template == [5, None, 7]
+    assert iface.sot_sequence == [5, 11, 7]        # null lang -> <|en|>
+    assert iface.sot_with(language="de") == [5, 12, 7]
+    assert iface.sot_with(task="translate") == [5, 11, 13]
+    with pytest.raises(ValueError):
+        iface.sot_with(language="zz")
+
+    # no tokenizer: the unresolvable slot drops (old behavior)
+    bare = SpeechToTextInterface(enc, dec, n_mels=16,
+                                 sot_sequence=[5, None, 7])
+    assert bare.sot_sequence == [5, 7]

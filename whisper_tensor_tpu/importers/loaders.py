@@ -270,11 +270,16 @@ class TransformersLoader(Loader):
             start = int(gcfg.get("decoder_start_token_id",
                                  hf_cfg.get("decoder_start_token_id",
                                             50258)))
-            sot_seq = [start]
-            for _, tid in sorted(gcfg.get("forced_decoder_ids") or [],
-                                 key=lambda p: p[0]):
-                if tid is not None:
-                    sot_seq.append(int(tid))
+            # keep POSITIONS: real multilingual checkpoints ship
+            # [[1, null], [2, task], [3, notimestamps]] where null is
+            # the auto-detect language slot — compressing it would
+            # misalign the lang/task positions sot_with substitutes
+            sot_seq: list = [start]
+            for pos, tid in sorted(gcfg.get("forced_decoder_ids") or [],
+                                   key=lambda p: p[0]):
+                while len(sot_seq) < pos:
+                    sot_seq.append(None)
+                sot_seq.append(None if tid is None else int(tid))
             return LoadedBundle(
                 models={"whisper-encoder": enc, "whisper-decoder": dec},
                 interfaces={"stt": {

@@ -41,9 +41,32 @@ class SpeechToTextInterface:
         self.max_len = max_len
         self.n_mels = n_mels
         self.n_frames = n_frames
-        self.sot_sequence = sot_sequence or [50258]
+        # template may carry None slots (HF forced_decoder_ids null =
+        # auto-detect language); the runnable sequence resolves them
+        self.sot_template = list(sot_sequence or [50258])
         self.eot_token = eot_token
         self._backends: Dict[int, Any] = {}
+        self.sot_sequence = self._resolve_sot(self.sot_template)
+
+    def _try_token(self, text: str) -> Optional[int]:
+        inner = getattr(self.tokenizer, "_tok", None)
+        if inner is not None and hasattr(inner, "token_to_id"):
+            t = inner.token_to_id(text)
+            return None if t is None else int(t)
+        return None
+
+    def _resolve_sot(self, seq) -> List[int]:
+        """Fill a template's None slots (position 1 = language: default
+        <|en|> when the tokenizer knows it) and drop the unresolvable
+        rest."""
+        out = []
+        for i, t in enumerate(seq):
+            if t is None and i == 1:
+                t = self._try_token("<|en|>")
+            if t is None:
+                continue
+            out.append(int(t))
+        return out
 
     def _run(self, model: Model, feeds, mode="xla"):
         from ..backends.eval_backend import EvalBackend
@@ -57,23 +80,22 @@ class SpeechToTextInterface:
     def sot_with(self, language: Optional[str] = None,
                  task: Optional[str] = None) -> List[int]:
         """The forced SOT prefix with `<|language|>` / `<|task|>`
-        substituted at whisper's conventional positions 1 / 2 (looked
-        up in the tokenizer; multilingual checkpoints). Raises
-        ValueError for tokens the tokenizer doesn't know."""
-        seq = list(self.sot_sequence)
+        substituted at whisper's conventional TEMPLATE positions 1 / 2
+        (looked up in the tokenizer; multilingual checkpoints) —
+        auto-detect (None) slots from the checkpoint keep their
+        position. Raises ValueError for tokens the tokenizer doesn't
+        know."""
+        seq = list(self.sot_template)
         if language is None and task is None:
-            return seq
+            return list(self.sot_sequence)
 
         def tid(text):
-            inner = getattr(self.tokenizer, "_tok", None)
-            t = (inner.token_to_id(text)
-                 if inner is not None and hasattr(inner, "token_to_id")
-                 else None)
+            t = self._try_token(text)
             if t is None:
                 raise ValueError(
                     f"token {text!r} not in this model's tokenizer "
                     "(not a multilingual whisper checkpoint?)")
-            return int(t)
+            return t
 
         for pos, text in ((1, f"<|{language}|>" if language else None),
                           (2, f"<|{task}|>" if task else None)):
@@ -89,7 +111,7 @@ class SpeechToTextInterface:
                     f"this checkpoint's SOT prefix {seq} is too short "
                     f"to carry a {'language' if pos == 1 else 'task'} "
                     "token")
-        return seq
+        return self._resolve_sot(seq)
 
     def mel_from_samples(self, samples: np.ndarray) -> np.ndarray:
         mel = log_mel_spectrogram(np.asarray(samples, np.float32).reshape(-1),

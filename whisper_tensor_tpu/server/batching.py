@@ -147,6 +147,7 @@ class ContinuousBatcher:
         self._programs: Dict[Any, Any] = {}
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
+        self._draining = threading.Event()
         self._wake = threading.Event()
 
     # -- public API --------------------------------------------------------
@@ -233,21 +234,30 @@ class ContinuousBatcher:
             self._thread = None
 
     def drain(self, timeout: float = 600.0) -> bool:
-        """Wait until every accepted request has finished (slots empty,
-        queue empty, no admission in flight), then stop. Used to swap
-        batchers live (e.g. dynamic adapter loading) without dropping
-        in-flight work — route NEW requests elsewhere first."""
-        deadline = time.monotonic() + timeout
-        while time.monotonic() < deadline:
-            idle = (all(s.req is None for s in self._slots)
-                    and self._queue.empty()
-                    and self._admission is None
-                    and not self._admit_backlog)
-            if idle:
-                self.stop()
-                return True
-            time.sleep(0.02)
-        return False
+        """Wait until every accepted request has finished, then stop.
+        Used to swap batchers live (dynamic adapter loading) without
+        dropping in-flight work — route NEW requests elsewhere first.
+
+        Idleness is judged by the SCHEDULER THREAD between ticks (the
+        _draining flag), never from outside: a request popped from the
+        queue lives only in _tick locals until its admission installs
+        it, so an external poll could observe a false-idle window and
+        strand it. On timeout the batcher force-stops and every
+        outstanding future gets a TimeoutError."""
+        self._draining.set()
+        self._wake.set()
+        t = self._thread
+        if t is not None:
+            t.join(timeout=timeout)
+        clean = t is None or not t.is_alive()
+        if not clean:
+            self.stop()
+        for req in list(self._requests.values()):
+            if not req.future.done():
+                req.future.set_exception(TimeoutError(
+                    "batcher drained with the request outstanding"))
+        self._thread = None
+        return clean
 
     # -- per-row sampling helpers -------------------------------------------
     def _slot_sp(self, slot: _Slot) -> Optional[SamplingParams]:
@@ -711,6 +721,14 @@ class ContinuousBatcher:
         thread."""
         inflight = None                  # (idx, toks, actives, pos) handles
         while not self._stop.is_set():
+            if (self._draining.is_set() and inflight is None
+                    and all(s.req is None for s in self._slots)
+                    and self._queue.empty()
+                    and self._admission is None
+                    and not self._admit_backlog):
+                # drain(): judged HERE, between ticks, where no request
+                # can be hiding in _tick locals
+                return
             try:
                 inflight = self._tick(inflight)
             except Exception as e:  # noqa: BLE001 — keep serving

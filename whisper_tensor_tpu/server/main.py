@@ -321,18 +321,26 @@ class Server:
             raise ValueError("this model family has no weight map for "
                              "adapter serving")
         name, path = str(msg["name"]), str(msg["path"])
-        ads = dict(cfg.get("adapters") or {})
-        if name in ads:
+        old_ads = dict(cfg.get("adapters") or {})
+        if name in old_ads:
             raise ValueError(f"adapter {name!r} already loaded")
-        # validate the adapter BEFORE swapping anything (fail fast)
+        # fail-fast name/shape resolution, then build the REPLACEMENT
+        # batcher eagerly (install_adapters runs in its constructor) —
+        # only a fully working batcher touches the registry, so a bad
+        # adapter can't wedge the model
         load_peft_adapter_arrays(path, cfg["weight_map"])
-        ads[name] = path
-        cfg["adapters"] = ads
+        cfg["adapters"] = {**old_ads, name: path}
+        try:
+            new_bat = self._make_batcher(entry)
+        except Exception:
+            cfg["adapters"] = old_ads
+            raise
         old = self._batchers.pop(entry.id, None)
+        self._batchers[entry.id] = new_bat.start()
         if old is not None:
             _threading.Thread(target=old.drain, daemon=True).start()
         return {"type": "adapter_loaded", "model_id": entry.id,
-                "name": name, "adapters": sorted(ads)}
+                "name": name, "adapters": sorted(cfg["adapters"])}
 
     def _sampling_from_msg(self, msg):
         """Message sampling knobs -> SamplingParams (None = greedy)."""
@@ -343,8 +351,11 @@ class Server:
             return None
         from ..interfaces.text import SamplingParams
 
+        # temperature defaults to 0 here: a penalties-only message must
+        # stay penalized-GREEDY, not silently sample at 1.0 (mirrors
+        # the generate_text path)
         return SamplingParams(
-            temperature=max(float(msg.get("temperature", 1.0)), 0.0),
+            temperature=max(float(msg.get("temperature", 0.0)), 0.0),
             top_k=int(msg.get("top_k", 0)),
             top_p=float(msg.get("top_p", 1.0)),
             min_p=float(msg.get("min_p", 0.0)),
@@ -510,31 +521,36 @@ class Server:
         serializing through the job worker."""
         bat = self._batchers.get(entry.id)
         if bat is None:
-            from ..dtype import DType
-            from .batching import ContinuousBatcher
-
-            cfg = entry.interfaces["text"]
-            pc = cfg.get("prefill_chunk")
-            adapters = None
-            if cfg.get("adapters"):
-                # multi-LoRA serving: resolve each PEFT dir against the
-                # recipe's weight map into per-weight (A, B, scale)
-                from ..importers.lora import load_peft_adapter_arrays
-
-                adapters = {
-                    aname: load_peft_adapter_arrays(apath,
-                                                    cfg["weight_map"])
-                    for aname, apath in cfg["adapters"].items()}
-            bat = ContinuousBatcher(
-                entry.model, max_len=int(cfg["max_len"]),
-                max_batch=int(cfg.get("max_batch", 8)),
-                chunk=int(cfg.get("chunk", 16)),
-                cache_dtype=DType.BF16,
-                prefill_chunk=int(pc) if pc else None,
-                quantize=cfg.get("quantize") or None,
-                adapters=adapters).start()
+            bat = self._make_batcher(entry).start()
             self._batchers[entry.id] = bat
         return bat
+
+    def _make_batcher(self, entry):
+        """Construct (not start) a ContinuousBatcher from the entry's
+        text spec — install_adapters runs here, so invalid adapter
+        sets fail at construction, before any registry mutation."""
+        from ..dtype import DType
+        from .batching import ContinuousBatcher
+
+        cfg = entry.interfaces["text"]
+        pc = cfg.get("prefill_chunk")
+        adapters = None
+        if cfg.get("adapters"):
+            # multi-LoRA serving: resolve each PEFT dir against the
+            # recipe's weight map into per-weight (A, B, scale)
+            from ..importers.lora import load_peft_adapter_arrays
+
+            adapters = {
+                aname: load_peft_adapter_arrays(apath, cfg["weight_map"])
+                for aname, apath in cfg["adapters"].items()}
+        return ContinuousBatcher(
+            entry.model, max_len=int(cfg["max_len"]),
+            max_batch=int(cfg.get("max_batch", 8)),
+            chunk=int(cfg.get("chunk", 16)),
+            cache_dtype=DType.BF16,
+            prefill_chunk=int(pc) if pc else None,
+            quantize=cfg.get("quantize") or None,
+            adapters=adapters)
 
     def _generate_text_ragged(self, msg, entry, tok, n_new,
                               sampling=None) -> None:

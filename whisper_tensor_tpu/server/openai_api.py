@@ -115,9 +115,10 @@ def _normalize_messages(messages):
     for m in messages:
         if m.get("content") is None:
             if m.get("tool_calls"):
-                calls = [{"name": t["function"]["name"],
-                          "arguments": t["function"]["arguments"]}
-                         for t in m["tool_calls"] if t.get("function")]
+                calls = [{"name": f.get("name", ""),
+                          "arguments": f.get("arguments", "{}")}
+                         for t in m["tool_calls"]
+                         for f in [t.get("function") or {}]]
                 m = {**m, "content": json.dumps(calls)}
             else:
                 m = {**m, "content": ""}
@@ -556,8 +557,10 @@ class _Handler(BaseHTTPRequestHandler):
             ("wt_batcher_tokens_emitted_total", "counter",
              "tokens_emitted", "Tokens emitted to requests."),
         ]
+        # snapshot first: ThreadingHTTPServer scrapes race load_adapter
+        # swaps / first-request inserts on this dict
         stats = {mid: bat.stats()
-                 for mid, bat in server._batchers.items()}
+                 for mid, bat in list(server._batchers.items())}
         for name, kind, key, help_ in metas:
             lines.append(f"# HELP {name} {help_}")
             lines.append(f"# TYPE {name} {kind}")
@@ -886,6 +889,11 @@ class _Handler(BaseHTTPRequestHandler):
         if body.get("stream"):
             raise ApiError(400, "stream is not supported with image "
                                 "inputs")
+        if body.get("tools") and body.get("tool_choice") not in (None,
+                                                                 "none"):
+            # refusing beats silently dropping the forced-call contract
+            raise ApiError(400, "tools are not supported together with "
+                                "image inputs")
         server = self.api.server
         entry = _resolve_entry(server, body.get("model"), "multimodal")
         try:
@@ -899,13 +907,17 @@ class _Handler(BaseHTTPRequestHandler):
         for m in _normalize_messages(body["messages"]):
             c = m.get("content")
             if not isinstance(c, list):
+                if isinstance(c, str) and "\x00" in c:
+                    m = {**m, "content": c.replace("\x00", "")}
                 msgs.append(m)
                 continue
             parts = []
             for p in c:
                 kind = p.get("type")
                 if kind == "text":
-                    parts.append(p.get("text", ""))
+                    # NUL can't reach the model anyway; stripping it
+                    # keeps user text from forging image sentinels
+                    parts.append(p.get("text", "").replace("\x00", ""))
                 elif kind == "image_url":
                     url = (p.get("image_url") or {}).get("url", "")
                     if not url.startswith("data:image/") \
@@ -935,24 +947,32 @@ class _Handler(BaseHTTPRequestHandler):
         n_new = int(body.get("max_tokens",
                              body.get("max_completion_tokens", 16)))
         try:
-            text = mm.run_items_in_string_out(
-                items, n_new, sampling=_sampling_from(body))
+            embeds = mm.embed_items(items)
+            toks = [int(t) for t in mm.generate_from_embeds(
+                embeds, n_new, sampling=_sampling_from(body))[0]]
         except ValueError as e:    # fused sequence beyond the buckets
             raise ApiError(400, str(e))
+        finish = "length"
+        eos = mm.text.eos_token_id
+        if eos is not None and eos in toks:
+            toks, finish = toks[:toks.index(eos)], "stop"
+        text = tok.decode(toks)
         for s in _stops_from(body):
             i = text.find(s)
             if i >= 0:
-                text = text[:i]
+                text, finish = text[:i], "stop"
+        prompt_toks = int(embeds.shape[1])   # fused text+image length
         rid = f"cmpl-{int(time.time() * 1000):x}"
         self._json(200, {
             "id": rid, "object": "chat.completion",
             "created": int(time.time()), "model": entry.name,
             "choices": [{"index": 0, "logprobs": None,
-                         "finish_reason": "length",
+                         "finish_reason": finish,
                          "message": {"role": "assistant",
                                      "content": text}}],
-            "usage": {"prompt_tokens": 0, "completion_tokens": n_new,
-                      "total_tokens": n_new}})
+            "usage": {"prompt_tokens": prompt_toks,
+                      "completion_tokens": len(toks),
+                      "total_tokens": prompt_toks + len(toks)}})
 
     @staticmethod
     def _fmt_logprobs(lp, chat: bool):
