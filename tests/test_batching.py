@@ -473,11 +473,11 @@ def test_tick_failure_fails_futures_and_recovers():
     real = batcher._chunk_program
     state = {"boom": 1}
 
-    def poisoned(flags):
+    def poisoned(flags, la=True):
         if state["boom"]:
             state["boom"] -= 1
             raise RuntimeError("injected device failure")
-        return real(flags)
+        return real(flags, la)
 
     batcher._chunk_program = poisoned
     batcher.start()
@@ -730,4 +730,56 @@ def test_multi_lora_with_shared_prefix():
         max_len=max_len, prompt_buckets=(16,)).generate_tokens(
         np.concatenate([prefix, p2])[None], 6)[0]
     np.testing.assert_array_equal(out_base, ref_base)
+    np.testing.assert_array_equal(out_ad, ref_ad)
+
+
+def test_multi_lora_base_variant_switching():
+    """With adapters installed but no adapter rows live, the batcher
+    runs the adapter-free program variant; switching to adapter
+    traffic and back stays token-exact (device row state carries
+    across program variants)."""
+    max_len = 64
+    cfg = GPT2Config(n_layer=2, n_head=2, n_embd=32, vocab_size=211,
+                     n_positions=max_len)
+    wg = random_gpt2_weights(cfg)
+    hfname = "transformer.h.0.mlp.c_fc.weight"
+    K, N = wg(hfname).shape
+    r = np.random.default_rng(77)
+    A = (r.standard_normal((K, 4)) * 0.1).astype(np.float32)
+    B = (r.standard_normal((4, N)) * 0.1).astype(np.float32)
+
+    m_ragged = Model.new_from_onnx(build_gpt2_step(
+        wg, cfg, max_len=max_len, dtype=DType.F32, pos_per_row=True))
+    bat = ContinuousBatcher(m_ragged, max_len=max_len, max_batch=2,
+                            chunk=4, cache_dtype=DType.F32,
+                            prompt_buckets=(16,),
+                            adapters={"fr": {"wfc_0": (A, B, 0.5)}})
+    bat.start()
+    try:
+        p = rng.integers(0, cfg.vocab_size, (5,)).astype(np.int64)
+        out_b1 = bat.submit(p, 6).result(timeout=180)      # base variant
+        out_ad = bat.submit(p, 6, adapter="fr").result(timeout=180)
+        out_b2 = bat.submit(p, 6).result(timeout=180)      # back to base
+    finally:
+        bat.stop()
+    np.testing.assert_array_equal(out_b1, out_b2)
+
+    ref_base = TextInferenceInterface(
+        Model.new_from_onnx(build_gpt2_step(wg, cfg, max_len=max_len,
+                                            dtype=DType.F32)),
+        max_len=max_len, prompt_buckets=(16,)).generate_tokens(
+        p[None], 6)[0]
+    np.testing.assert_array_equal(out_b1, ref_base)
+
+    def merged_g(name):
+        W = np.array(wg(name))
+        if name == hfname:
+            W = W + A @ B * 0.5
+        return W
+    ref_ad = TextInferenceInterface(
+        Model.new_from_onnx(build_gpt2_step(merged_g, cfg,
+                                            max_len=max_len,
+                                            dtype=DType.F32)),
+        max_len=max_len, prompt_buckets=(16,)).generate_tokens(
+        p[None], 6)[0]
     np.testing.assert_array_equal(out_ad, ref_ad)

@@ -363,6 +363,7 @@ class TextInferenceInterface:
         # threaded through the weights list tail
         self.row_extra_names: List[str] = []
         self._lora_stacks: Dict[str, np.ndarray] = {}
+        self._milli_base = None          # pre-surgery graph (install_adapters)
         self.adapter_slots: Dict[Optional[str], int] = {None: 0}
         self._programs: Dict[Tuple, Any] = {}
         self._dfa_device: Dict[Tuple, Any] = {}
@@ -434,6 +435,13 @@ class TextInferenceInterface:
         def getter(n):
             return store.get_numeric(n, self.weight_dtype).numpy()
 
+        # keep the pre-surgery graph: programs whose live rows are ALL
+        # base (slot 0) trace against it and skip the bypass einsums
+        # entirely (the masked-einsum form still costs ~4.6% decode
+        # when every row is base)
+        import copy
+
+        self._milli_base = copy.deepcopy(self.milli)
         self._lora_stacks = inject_multi_lora(
             self.milli, [adapters[n] for n in names], getter)
         self.adapter_slots = {None: 0,
@@ -514,14 +522,19 @@ class TextInferenceInterface:
         return out
 
     def _traced_step(self, batch: int, seq: int,
-                     window: Optional[int] = None):
+                     window: Optional[int] = None,
+                     adapters: bool = True):
         """Traceable fn(ids, pos, *caches, *weights) -> (logits, *caches).
-        window selects a smaller-max_len step graph (windowed decode)."""
+        window selects a smaller-max_len step graph (windowed decode);
+        adapters=False selects the pre-surgery graph (no LoRA bypass —
+        for program variants whose live rows are all base)."""
         from ..backends.xla.compiler import _trace_graph, ensure_x64
 
         ensure_x64()
         milli = (self._window_millis[window] if window is not None
                  and window in self._window_millis else self.milli)
+        if not adapters and getattr(self, "_milli_base", None) is not None:
+            milli = self._milli_base
         fn = _trace_graph(milli, {})
 
         order = list(milli.inputs)

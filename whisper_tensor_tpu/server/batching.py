@@ -325,20 +325,22 @@ class ContinuousBatcher:
         return firsts
 
     # -- compiled programs --------------------------------------------------
-    def _prefill_insert_program(self, bucket: int, k: int):
+    def _prefill_insert_program(self, bucket: int, k: int,
+                                la: bool = True):
         """One dispatch admits k requests: prefill at B=k into the
         passed admission caches (zeros, or a broadcast of the shared
         prefix's KV at pos=prefix_len) and scatter the k cache rows
         into the batched cache at `slots` — admission cost amortizes
-        over k (power-of-2 group sizes bound the compile count)."""
+        over k (power-of-2 group sizes bound the compile count).
+        la=False: all-base group, the adapter-free program variant."""
         import jax
         import jax.numpy as jnp
 
         plen = self.prefix_len
-        key = ("prefill", bucket, k, plen)
+        key = ("prefill", bucket, k, plen, la)
         if key in self._programs:
             return self._programs[key]
-        step = self.iface._traced_step(k, bucket)
+        step = self.iface._traced_step(k, bucket, adapters=la)
 
         if plen == 0:
             # no prefix: zero caches created IN-graph (no extra host
@@ -371,7 +373,7 @@ class ContinuousBatcher:
         self._programs[key] = jax.jit(prefill, donate_argnums=(1, 4))
         return self._programs[key]
 
-    def _piece_program(self, w: int, k: int):
+    def _piece_program(self, w: int, k: int, la: bool = True):
         """One prefill PIECE: consume w prompt tokens at offset `pos`
         into the admission group's private k-row caches, and harvest
         each row's first-token logits when its last prompt token falls
@@ -380,10 +382,10 @@ class ContinuousBatcher:
         import jax
         import jax.numpy as jnp
 
-        key = ("piece", w, k)
+        key = ("piece", w, k, la)
         if key in self._programs:
             return self._programs[key]
-        step = self.iface._traced_step(k, w)
+        step = self.iface._traced_step(k, w, adapters=la)
 
         def piece(ids_w, pos, lens, flg, small, weights):
             logits, small = step(ids_w, jnp.full(k, pos, jnp.int64),
@@ -413,6 +415,12 @@ class ContinuousBatcher:
         self._programs[key] = jax.jit(splice, donate_argnums=(0,))
         return self._programs[key]
 
+    def _wf(self, gidx, la: bool):
+        """Weights for a program variant: idx rides along only for the
+        adapter variant (the base variant's graph has no lora inputs)."""
+        return (self._weights_for(gidx) if la
+                else self.iface._weights())
+
     def _ensure_prefix(self, adapter_slot: int = 0):
         """Prefill the shared prefix once per ADAPTER (B=1) and keep its
         KV rows on device; admissions broadcast from them instead of
@@ -432,7 +440,8 @@ class ContinuousBatcher:
 
         plen = self.prefix_len
         sb = _bucket(plen, self.iface.prompt_buckets)
-        step = self.iface._traced_step(1, sb)
+        la = adapter_slot != 0
+        step = self.iface._traced_step(1, sb, adapters=la)
         padded = np.zeros((1, sb), np.int64)
         padded[0, :plen] = self.prefix_ids
 
@@ -443,7 +452,7 @@ class ContinuousBatcher:
         self._prefix_caches[adapter_slot] = jax.jit(
             pre, donate_argnums=(1,))(
             jnp.asarray(padded), self.iface.fresh_cache(1),
-            self._weights_for([adapter_slot]))
+            self._wf([adapter_slot], la))
         return self._prefix_caches[adapter_slot]
 
     def _prefix_small(self, k: int, gidx=None):
@@ -462,7 +471,7 @@ class ContinuousBatcher:
         return [jnp.concatenate([pr[ci] for pr in per_row], axis=0)
                 for ci in range(len(per_row[0]))]
 
-    def _chunk_program(self, flags):
+    def _chunk_program(self, flags, la: bool = True):
         """The decode-chunk program. Slot updates (admissions / parks)
         queued on the host since the LAST dispatch ride in as scatter
         inputs and apply in-graph before the scan — row state never
@@ -477,10 +486,10 @@ class ContinuousBatcher:
         import jax
         import jax.numpy as jnp
 
-        key = ("chunk", self.max_batch, self.chunk, flags)
+        key = ("chunk", self.max_batch, self.chunk, flags, la)
         if key in self._programs:
             return self._programs[key]
-        step = self.iface._traced_step(self.max_batch, 1)
+        step = self.iface._traced_step(self.max_batch, 1, adapters=la)
         eos = self.eos_token_id
         park = self.park_pos
         mb = self.max_batch
@@ -559,13 +568,15 @@ class ContinuousBatcher:
                 lens.append(L)
             slots = np.asarray([s for s, _ in grp], np.int32)
             gidx = [self._adapter_slot(r) for _, r in grp]
+            la = any(gidx)
             for (s, r), a in zip(grp, gidx):
                 self._row_lora[s] = a
             args = [jnp.asarray(padded), self._caches,
-                    self._weights_for(gidx), jnp.asarray(slots)]
+                    self._wf(gidx, la), jnp.asarray(slots)]
             if self.prefix_len:
                 args.append(self._prefix_small(k, gidx))
-            logits, self._caches = self._prefill_insert_program(Sb, k)(*args)
+            logits, self._caches = self._prefill_insert_program(
+                Sb, k, la)(*args)
             last = jnp.stack([logits[row, lens[row] - 1, :]
                               for row in range(k)])
             firsts = self._first_tokens(grp, last, rng)
@@ -670,14 +681,16 @@ class ContinuousBatcher:
             self._admission = dict(
                 grp=grp, k=k, piece=0, n=n_pieces, padded=padded,
                 lens_np=lens, lens=jnp.asarray(lens), gidx=gidx,
+                la=any(gidx),
                 flg=jnp.zeros((k, self.iface._vocab_size()), jnp.float32),
                 small=self._prefix_small(k, gidx))
         st = self._admission
         j = st["piece"]
-        st["flg"], st["small"] = self._piece_program(W, st["k"])(
+        st["flg"], st["small"] = self._piece_program(
+            W, st["k"], st["la"])(
             jnp.asarray(st["padded"][:, j * W:(j + 1) * W]),
             jnp.asarray(self.prefix_len + j * W, jnp.int64), st["lens"],
-            st["flg"], st["small"], self._weights_for(st["gidx"]))
+            st["flg"], st["small"], self._wf(st["gidx"], st["la"]))
         st["piece"] += 1
         if st["piece"] < st["n"]:
             return
@@ -839,9 +852,13 @@ class ContinuousBatcher:
             sps = [self._slot_sp(s) for s in self._slots]
             flags = _rows_flags(sps)
             rows = tuple(jnp.asarray(a) for a in _rows_arrays(sps))
-            prog = self._chunk_program(flags)
+            # all-base chunks run the adapter-free program variant
+            # (the masked-einsum bypass costs ~4.6% even on slot 0)
+            la = (bool(self.iface.row_extra_names)
+                  and bool(self._row_lora.any()))
+            prog = self._chunk_program(flags, la)
             args = (dcur, dpos, dact, self._caches,
-                    self._weights_for(self._row_lora),
+                    self._wf(self._row_lora, la),
                     jax.random.fold_in(rng, step_count), rows,
                     jnp.asarray(upd_s), jnp.asarray(upd_c),
                     jnp.asarray(upd_p), jnp.asarray(upd_a))
