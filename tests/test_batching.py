@@ -681,10 +681,12 @@ def test_multi_lora_validation():
                 np.zeros((2, 4), np.float32), 1.0)}})
 
 
-def test_multi_lora_with_shared_prefix():
+@pytest.mark.parametrize("pchunk", [None, 4])
+def test_multi_lora_with_shared_prefix(pchunk):
     """Per-adapter prefix KV caches: a prefix+adapter request equals
     the MERGED model fed prefix+prompt with no prefix cache at all —
-    i.e. the shared prefix is computed UNDER each request's adapter."""
+    i.e. the shared prefix is computed UNDER each request's adapter.
+    Covers monolithic AND chunked-prefill admission."""
     max_len = 64
     cfg = GPT2Config(n_layer=2, n_head=2, n_embd=32, vocab_size=211,
                      n_positions=max_len)
@@ -702,6 +704,7 @@ def test_multi_lora_with_shared_prefix():
     bat = ContinuousBatcher(m_ragged, max_len=max_len, max_batch=4,
                             chunk=4, cache_dtype=DType.F32,
                             prompt_buckets=(16,), prefix_ids=prefix,
+                            prefill_chunk=pchunk,
                             adapters=adapters).start()
     try:
         p1 = rng.integers(0, cfg.vocab_size, (5,)).astype(np.int64)

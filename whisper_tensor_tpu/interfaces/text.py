@@ -468,6 +468,13 @@ class TextInferenceInterface:
             out = []
             for i, n in enumerate(self.weight_names):
                 dev = shardings[i] if shardings is not None else None
+                if n in self._lora_stacks and self.mesh is not None:
+                    # adapter stacks are (n+1, K, r)-shaped — a base
+                    # weight's 2-D partition rule must not catch them
+                    # by name prefix; they replicate (they're tiny)
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    dev = NamedSharding(self.mesh, PartitionSpec())
                 if n.endswith("::scale"):
                     arr = self._quantized[n[:-7]][1]
                 elif n in self._quantized:
