@@ -83,3 +83,57 @@ def test_multihost_mesh_factorization():
 
     with _pytest.raises(ValueError):
         multihost_mesh(dp_hosts=4, sp=2, tp=2)
+
+
+def test_tp_serving_with_adapters():
+    """Multi-LoRA under tensor parallelism: adapter stacks replicate
+    (a base weight's 2-D rule must not catch the 3-D stacks) and the
+    masked-einsum bypass reshards cleanly against tp-sharded matmul
+    outputs — per-row selection matches single-device base/merged."""
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_tensor_tpu.interfaces.text import _bucket
+
+    cfg = GPT2Config(n_layer=2, n_head=4, n_embd=64, vocab_size=256,
+                     n_positions=64)
+    wg = random_gpt2_weights(cfg)
+    hfname = "transformer.h.0.mlp.c_fc.weight"
+    K, N = wg(hfname).shape
+    r = np.random.default_rng(21)
+    A = (r.standard_normal((K, 4)) * 0.1).astype(np.float32)
+    B = (r.standard_normal((4, N)) * 0.1).astype(np.float32)
+
+    m = Model.new_from_onnx(build_gpt2_step(wg, cfg, max_len=64))
+    mesh = make_mesh(dp=1, sp=1, tp=2)
+    sharded = TextInferenceInterface(m, max_len=64, prompt_buckets=(8,),
+                                     mesh=mesh, shard_rules=GPT2_RULES)
+    sharded.install_adapters({"a": {"wfc_0": (A, B, 0.5)}})
+
+    ids = rng.integers(0, 256, (2, 6)).astype(np.int64)
+    Sb = _bucket(6, sharded.prompt_buckets)
+    padded = np.zeros((2, Sb), np.int64)
+    padded[:, :6] = ids
+    step = sharded._traced_step(2, Sb)
+    logits, _ = jax.jit(lambda i, c, w: step(
+        i, jnp.asarray(0, jnp.int64), c, w))(
+        jnp.asarray(padded), sharded.fresh_cache(2),
+        sharded.weights_with_rows([jnp.asarray([0, 1], jnp.int64)]))
+    logits = np.asarray(logits)[:, :6, :]
+
+    base = TextInferenceInterface(
+        Model.new_from_onnx(build_gpt2_step(wg, cfg, max_len=64)),
+        max_len=64, prompt_buckets=(8,)).logits(ids)
+
+    def merged_g(name):
+        W = np.array(wg(name))
+        if name == hfname:
+            W = W + A @ B * 0.5
+        return W
+    merged = TextInferenceInterface(
+        Model.new_from_onnx(build_gpt2_step(merged_g, cfg, max_len=64)),
+        max_len=64, prompt_buckets=(8,)).logits(ids)
+
+    np.testing.assert_allclose(logits[0], base[0], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(logits[1], merged[1], rtol=1e-4,
+                               atol=1e-5)
