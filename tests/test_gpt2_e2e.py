@@ -88,6 +88,27 @@ def test_hidden_states_tap_matches_torch(tiny_gpt2):
     np.testing.assert_allclose(h, ref, rtol=1e-3, atol=1e-4)
 
 
+def test_sequence_scores_match_manual(tiny_gpt2):
+    """In-graph best_of scoring == host log-softmax over iface.logits."""
+    hf, model, cfg = tiny_gpt2
+    iface = TextInferenceInterface(model, max_len=MAXPOS,
+                                   prompt_buckets=(16, 32, 64))
+    rng = np.random.default_rng(6)
+    P = 4
+    full = rng.integers(0, VOCAB, (3, 10)).astype(np.int64)
+    lens = np.asarray([10, 7, 5], np.int64)
+    got = iface.sequence_scores(full, np.full(3, P), lens)
+    lg = iface.logits(full[:, :-1]).astype(np.float64)
+    lp = lg - np.log(np.exp(lg - lg.max(-1, keepdims=True)).sum(-1,
+                     keepdims=True)) - lg.max(-1, keepdims=True)
+    want = []
+    for i in range(3):
+        rows = [lp[i, j, full[i, j + 1]]
+                for j in range(P - 1, int(lens[i]) - 1)]
+        want.append(np.mean(rows))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
 def test_greedy_generation_matches_torch(tiny_gpt2):
     import torch
 

@@ -564,6 +564,31 @@ def test_whisper_forced_sot_from_generation_config(media_api):
         iface.sot_with(language="zz")
 
 
+def test_best_of_reranking(api):
+    """best_of > n: candidates rerank by mean token logprob (one
+    in-graph scoring prefill) and the top n return."""
+    name = _names(api)[0]
+    s, d = _req(api, "POST", "/v1/completions",
+                {"model": name, "prompt": "hi", "max_tokens": 6,
+                 "temperature": 1.3, "seed": 5, "n": 2, "best_of": 6})
+    assert s == 200, d
+    r = json.loads(d)
+    assert len(r["choices"]) == 2
+
+    # the returned pair must be the top-2 of the SAME 6 candidates by
+    # the same scoring rule: reproduce with best_of == n == 6
+    s, d6 = _req(api, "POST", "/v1/completions",
+                 {"model": name, "prompt": "hi", "max_tokens": 6,
+                  "temperature": 1.3, "seed": 5, "n": 6, "best_of": 6})
+    all6 = {c["text"] for c in json.loads(d6)["choices"]}
+    assert {c["text"] for c in r["choices"]} <= all6
+
+    s, _ = _req(api, "POST", "/v1/completions",
+                {"model": name, "prompt": "hi", "max_tokens": 4,
+                 "temperature": 1.0, "n": 3, "best_of": 2})
+    assert s == 400            # best_of < n
+
+
 def test_metrics_endpoint(api):
     """Prometheus text exposition: registry gauge always present;
     per-batcher counters appear once the ragged model has served."""

@@ -1152,6 +1152,48 @@ class TextInferenceInterface:
         out = prog(jnp.asarray(padded), self.fresh_cache(B), self._weights())
         return np.asarray(out)[:, :L, :]
 
+    def sequence_scores(self, full_ids: np.ndarray, start, lens
+                        ) -> np.ndarray:
+        """(B, L) right-padded token rows -> (B,) MEAN log-probability
+        of tokens in positions [start_i, lens_i) under teacher forcing.
+        One batched prefill; log-softmax, gather, and masked mean all
+        run IN-GRAPH, so the (B, L, V) logits never reach the host —
+        viable for big vocabularies (best_of reranking)."""
+        import jax
+        import jax.numpy as jnp
+
+        full_ids = np.asarray(full_ids, np.int64)
+        B, L = full_ids.shape
+        Sb = _bucket(max(L - 1, 1), self.prompt_buckets)
+        padded = np.zeros((B, Sb), np.int64)
+        padded[:, :L - 1] = full_ids[:, :-1]
+        tgt = np.zeros((B, Sb), np.int64)
+        tgt[:, :L - 1] = full_ids[:, 1:]
+        key = ("seqscore", B, Sb)
+        prog = self._programs.get(key)
+        if prog is None:
+            step = self._traced_step(B, Sb)
+
+            def run(ids, targets, starts, lengths, caches, weights):
+                logits, _ = step(ids, jnp.asarray(0, dtype=jnp.int64),
+                                 caches, weights)
+                lp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+                chosen = jnp.take_along_axis(
+                    lp, targets[:, :, None], axis=-1)[..., 0]
+                pos = jnp.arange(ids.shape[1])[None, :]
+                mask = ((pos >= (starts[:, None] - 1))
+                        & (pos < (lengths[:, None] - 1)))
+                n = jnp.maximum(mask.sum(-1), 1)
+                return (chosen * mask).sum(-1) / n
+
+            prog = jax.jit(run)
+            self._programs[key] = prog
+        out = prog(jnp.asarray(padded), jnp.asarray(tgt),
+                   jnp.asarray(np.asarray(start, np.int64)),
+                   jnp.asarray(np.asarray(lens, np.int64)),
+                   self.fresh_cache(B), self._weights())
+        return np.asarray(out)
+
     def embed(self, ids_list: "Sequence[np.ndarray]",
               pooling: str = "last") -> List[np.ndarray]:
         """Pooled text embeddings: right-pad the token lists into ONE

@@ -320,18 +320,26 @@ class _Generator:
                           + len(toks)}}
 
     def run_many(self) -> List[Dict[str, Any]]:
-        """n>1: n independent sampled completions in ONE batch. Direct
-        models tile the prompt to n rows (one compiled program; the
-        categorical draw is independent per row); ragged models submit
-        n batcher requests with staggered seeds."""
+        """n>1 / best_of: independent sampled completions in ONE
+        batch. Direct models tile the prompt to the candidate count
+        (one compiled program; the categorical draw is independent per
+        row); ragged models submit batcher requests with staggered
+        seeds. best_of > n reranks candidates by mean token logprob
+        (one in-graph scoring prefill) and returns the top n."""
         import dataclasses as _dc
 
+        best_of = int(self.body.get("best_of") or self.n)
+        if best_of < self.n:
+            raise ApiError(400, "best_of must be >= n")
+        if not 1 <= best_of <= 64:
+            raise ApiError(400, "best_of must be in 1..64")
         if self.sampling is None:
-            raise ApiError(400, "n>1 requires temperature > 0")
+            raise ApiError(400, "n>1 / best_of requires temperature > 0")
         if (self.regex is not None or self.schema is not None
                 or self.want_logprobs is not None or self.echo):
-            raise ApiError(400, "n>1 is not supported together with "
-                                "logprobs/echo/response_format")
+            raise ApiError(400, "n>1 / best_of is not supported "
+                                "together with logprobs/echo/"
+                                "response_format")
         if self.cfg.get("ragged"):
             bat = self.server._batcher(self.entry)
             try:
@@ -341,7 +349,7 @@ class _Generator:
                                        seed=self.sampling.seed + i),
                                    adapter=self.body.get("adapter")
                                    or None)
-                        for i in range(self.n)]
+                        for i in range(best_of)]
             except ValueError as e:   # unknown adapter name
                 raise ApiError(400, str(e))
             timeout = float(self.body.get("timeout", 600))
@@ -350,20 +358,38 @@ class _Generator:
         else:
             iface = self.server._text_iface(self.entry)
             iface.tokenizer = self.tok
-            tiled = np.tile(self.prompt_ids[None], (self.n, 1))
+            tiled = np.tile(self.prompt_ids[None], (best_of, 1))
             rows = iface.generate_tokens(tiled, self.n_new,
                                          sampling=self.sampling)
             eos = getattr(iface, "eos_token_id", None)
         results = []
+        trimmed: List[List[int]] = []
         for r in rows:
             toks, finish = self._trim_eos(r, eos)
-            text = self.tok.decode(toks)
-            for s in self.stops:
-                i = text.find(s)
-                if i >= 0:
-                    text, finish = text[:i], "stop"
-            results.append({"text": text, "finish_reason": finish,
+            toks = [int(t) for t in toks]
+            if self.stops:
+                toks, finish = self._stop_trim_tokens(toks, finish)
+            trimmed.append(toks)
+            results.append({"text": self.tok.decode(toks),
+                            "finish_reason": finish,
                             "n_tokens": len(toks)})
+        if best_of > self.n:
+            if self.body.get("adapter"):
+                raise ApiError(400, "best_of reranking is not "
+                                    "supported with adapter")
+            P = int(self.prompt_ids.shape[0])
+            Lmax = P + max((len(t) for t in trimmed), default=0)
+            full = np.zeros((best_of, max(Lmax, P + 1)), np.int64)
+            lens = np.zeros(best_of, np.int64)
+            for i, t in enumerate(trimmed):
+                full[i, :P] = self.prompt_ids
+                full[i, P:P + len(t)] = t
+                lens[i] = P + len(t)
+            iface = self.server._text_iface(self.entry)
+            scores = iface.sequence_scores(full, np.full(best_of, P),
+                                           lens)
+            order = np.argsort(-scores)[:self.n]
+            results = [results[int(i)] for i in order]
         return results
 
     def _stop_trim_tokens(self, toks, finish):
@@ -824,9 +850,10 @@ class _Handler(BaseHTTPRequestHandler):
 
         kind = "chat.completion" if chat else "text_completion"
         rid = f"cmpl-{int(time.time() * 1000):x}"
-        if gen.n > 1:
+        if gen.n > 1 or int(body.get("best_of") or 0) > 1:
             if body.get("stream"):
-                raise ApiError(400, "n>1 with stream is not supported")
+                raise ApiError(400, "n>1 / best_of with stream is not "
+                                    "supported")
             results = gen.run_many()
             choices = []
             for i, r in enumerate(results):
