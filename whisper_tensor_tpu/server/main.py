@@ -364,6 +364,16 @@ class Server:
             frequency_penalty=float(msg.get("frequency_penalty", 0.0)),
             seed=int(msg.get("seed", 0)))
 
+    def _rnn_iface(self, entry):
+        """Cached RnnTextInterface for constant-state (RWKV) models."""
+        iface = self._text_ifaces.get(("rnn", entry.id))
+        if iface is None:
+            from ..interfaces.rnn_text import RnnTextInterface
+
+            iface = RnnTextInterface(entry.model)
+            self._text_ifaces[("rnn", entry.id)] = iface
+        return iface
+
     def _mm_iface(self, entry):
         """Cached MultimodalLanguageInterface + spec for a llava-style
         bundle (one per bundle; shares the text entry's interface)."""
@@ -636,6 +646,31 @@ class Server:
 
             msg["prompt"] = apply_chat_template(tok, msg["messages"])
         n_new = int(msg.get("max_new_tokens", 32))
+        if iface_cfg.get("rnn_state"):
+            # RWKV-style constant-state models: greedy compiled scan
+            # (the reference's LLM explorer serves RWKV the same way)
+            if float(msg.get("temperature", 0.0)) > 0.0:
+                raise ValueError("rnn models serve greedy decoding "
+                                 "only (set temperature 0)")
+            iface = self._rnn_iface(entry)
+            iface.tokenizer = tok
+            stops = [s for s in (msg.get("stop") or []) if s]
+
+            def rnn_job(obs):
+                import numpy as _np
+
+                ids = _np.asarray(tok.encode(msg["prompt"]),
+                                  dtype=_np.int64)
+                toks = iface.generate_tokens(ids[None], n_new)[0]
+                text = tok.decode([int(t) for t in toks])
+                for s in stops:
+                    i = text.find(s)
+                    if i >= 0:
+                        text = text[:i]
+                return {"text": text}
+
+            self.scheduler.submit(rnn_job, ObserverSettings())
+            return None
         beams = int(msg.get("num_beams", 1))
         if (msg.get("regex") is not None
                 or msg.get("json_schema") is not None) \

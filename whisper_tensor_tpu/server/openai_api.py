@@ -484,6 +484,23 @@ class _Generator:
         return self._trim_eos(toks, bat.eos_token_id)
 
     def _run_direct(self, on_delta):
+        if self.cfg.get("rnn_state"):
+            # RWKV-style constant-state models: greedy compiled scan
+            if (self.sampling is not None or self.regex is not None
+                    or self.schema is not None
+                    or self.want_logprobs is not None or self.echo):
+                raise ApiError(400, "rnn models serve greedy text only "
+                                    "(no sampling/logprobs/echo/"
+                                    "constraints)")
+            iface = self.server._rnn_iface(self.entry)
+            iface.tokenizer = self.tok
+            toks = [int(t) for t in iface.generate_tokens(
+                self.prompt_ids[None], self.n_new)[0]]
+            if on_delta is not None:
+                text = self.tok.decode(toks)
+                if text:
+                    on_delta(text)
+            return toks, "length"
         iface = self.server._text_iface(self.entry)
         iface.tokenizer = self.tok
         constraint = None
