@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--prefix", type=int, default=0,
                     help="shared system-prompt length: prefill its KV "
                          "once, reuse for every request")
+    ap.add_argument("--adapters", default="",
+                    help="multi-LoRA: name=peft_dir[,name2=dir2] — "
+                         "clients round-robin base + adapters in one "
+                         "batch (needs --model, gpt2/llama-family)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -42,8 +46,10 @@ def main():
         from whisper_tensor_tpu.importers.loaders import loader_registry
 
         bundle = loader_registry()["transformers"].load(
-            {"path": args.model, "ragged_decode": True, "max_len": 512})
+            {"path": args.model, "ragged_decode": True, "max_len": 512,
+             "serve_adapters": args.adapters})
         model = next(iter(bundle.models.values()))
+        spec = bundle.interfaces["text"]
         max_len = 512
         dtype = DType.BF16
     else:
@@ -59,18 +65,33 @@ def main():
         max_len = 256
         dtype = DType.F32
 
+    adapters = None
+    adapter_names = [None]
+    if args.adapters:
+        if not args.model:
+            raise SystemExit("--adapters needs --model")
+        from whisper_tensor_tpu.importers.lora import \
+            load_peft_adapter_arrays
+
+        adapters = {n: load_peft_adapter_arrays(d, spec["weight_map"])
+                    for n, d in (kv.split("=", 1)
+                                 for kv in args.adapters.split(","))}
+        adapter_names += sorted(adapters)
     srv = ContinuousBatcher(model, max_len=max_len,
                             max_batch=args.clients, chunk=args.chunk,
                             cache_dtype=dtype,
                             prompt_buckets=(16, 32, 64),
                             prefill_chunk=args.prefill_chunk or None,
+                            adapters=adapters,
                             prefix_ids=(np.arange(args.prefix) % 97
                                         if args.prefix else None)).start()
     rng = np.random.default_rng(0)
     prompts = [rng.integers(0, 500, (int(rng.integers(4, 16)),))
                .astype(np.int64) for _ in range(args.clients)]
     t0 = time.time()
-    futs = [srv.submit(p, args.tokens) for p in prompts]
+    futs = [srv.submit(p, args.tokens,
+                       adapter=adapter_names[i % len(adapter_names)])
+            for i, p in enumerate(prompts)]
     total = 0
     for i, f in enumerate(futs):
         out = f.result(timeout=600)
