@@ -564,6 +564,47 @@ def test_whisper_forced_sot_from_generation_config(media_api):
         iface.sot_with(language="zz")
 
 
+def test_logit_bias(api):
+    """logit_bias rides the compiled decode as a (V,) argument: +100
+    forces a token, -100 bans the natural greedy choice; ragged models
+    route to the direct path so bias still applies."""
+    from whisper_tensor_tpu.tokenizer import ByteTokenizer
+
+    name = _names(api)[0]
+    base = {"model": name, "prompt": "hi", "max_tokens": 5,
+            "temperature": 0}
+    _, d0 = _req(api, "POST", "/v1/completions", base)
+    plain = json.loads(d0)["choices"][0]["text"]
+
+    tok = ByteTokenizer()
+    star = tok.encode("*")[0]
+    s, d = _req(api, "POST", "/v1/completions",
+                base | {"logit_bias": {str(star): 100}})
+    assert s == 200, d
+    assert json.loads(d)["choices"][0]["text"] == "*****"
+
+    # relative biases order correctly (+100 beats +50)
+    plus = tok.encode("+")[0]
+    s, d = _req(api, "POST", "/v1/completions",
+                base | {"logit_bias": {str(star): 50, str(plus): 100}})
+    assert json.loads(d)["choices"][0]["text"] == "+++++"
+    assert isinstance(plain, str)
+
+    # ragged model: bias routes through the direct path
+    srv = api.server
+    ragged = str([m["id"] for m in srv.models.list_models()
+                  if m["interfaces"]["text"].get("ragged")][0])
+    s, d = _req(api, "POST", "/v1/completions",
+                {"model": ragged, "prompt": "hi", "max_tokens": 4,
+                 "temperature": 0, "logit_bias": {str(star): 100}})
+    assert s == 200, d
+    assert json.loads(d)["choices"][0]["text"] == "****"
+
+    s, _ = _req(api, "POST", "/v1/completions",
+                base | {"logit_bias": {"999999": 5}})
+    assert s == 400            # out of vocab range
+
+
 def test_best_of_reranking(api):
     """best_of > n: candidates rerank by mean token logprob (one
     in-graph scoring prefill) and the top n return."""

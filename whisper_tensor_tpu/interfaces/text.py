@@ -583,11 +583,12 @@ class TextInferenceInterface:
 
     def _program(self, batch: int, prompt_bucket: int, n_new: int,
                  sampling: Optional[SamplingParams] = None,
-                 constraint=None):
+                 constraint=None, use_bias: bool = False):
         import jax
         import jax.numpy as jnp
 
-        key = (batch, prompt_bucket, n_new, sampling, _dfa_sig(constraint))
+        key = (batch, prompt_bucket, n_new, sampling, _dfa_sig(constraint),
+               use_bias)
         if key in self._programs:
             return self._programs[key]
         step = self._traced_step(batch, prompt_bucket)
@@ -597,11 +598,13 @@ class TextInferenceInterface:
         done = constraint.done if use_dfa else 0
 
         def full(ids_padded, prompt_len, caches, weights, rng_key,
-                 dfa_trans, dfa_acc):
+                 dfa_trans, dfa_acc, bias):
             # prefill at bucket length
             logits, caches = step(ids_padded, jnp.asarray(0, dtype=jnp.int64),
                                   caches, weights)
             last = logits[:, prompt_len - 1, :]
+            if use_bias:   # OpenAI logit_bias: a (V,) additive vector
+                last = last + bias
             B, V = last.shape
             seen = None
             if _uses_seen(sp):
@@ -626,6 +629,8 @@ class TextInferenceInterface:
                 cur, pos, caches, seen, dstate = carry
                 lg, caches = step(cur[:, None], pos, caches, weights)
                 last = lg[:, -1, :]
+                if use_bias:
+                    last = last + bias
                 if use_dfa:
                     row = dfa_trans[dstate]
                     last = _dfa_mask(last, row, dfa_acc[dstate], eos)
@@ -982,12 +987,17 @@ class TextInferenceInterface:
     def generate_tokens(self, prompt_ids: np.ndarray, n_new: int,
                         caches=None,
                         sampling: Optional[SamplingParams] = None,
-                        constraint=None) -> np.ndarray:
+                        constraint=None,
+                        logit_bias: Optional[np.ndarray] = None
+                        ) -> np.ndarray:
         """prompt_ids: (B, L) int64, same L per row. Returns (B, n_new).
         sampling=None -> greedy; else temperature/top-k/top-p categorical
         draws inside the compiled scan (seeded, reproducible).
         constraint: a constrained.TokenDFA — every emitted token is
-        masked so the output text matches the compiled regex/schema."""
+        masked so the output text matches the compiled regex/schema.
+        logit_bias: (V,) f32 added to every step's logits before
+        sampling (OpenAI logit_bias; a program ARGUMENT, so different
+        bias maps share one compiled program)."""
         import jax
         import jax.numpy as jnp
 
@@ -1013,8 +1023,12 @@ class TextInferenceInterface:
             padded_rows[:B] = prompt_ids
             return self.generate_tokens(padded_rows, n_new,
                                         sampling=sampling,
-                                        constraint=constraint)[:B]
+                                        constraint=constraint,
+                                        logit_bias=logit_bias)[:B]
         if self._window_millis and caches is None:
+            if logit_bias is not None:
+                raise ValueError("logit_bias is not supported with "
+                                 "windowed decode")
             return self._generate_windowed(prompt_ids, n_new, sampling,
                                            constraint)
         Sb = _bucket(L, self.prompt_buckets)
@@ -1023,7 +1037,8 @@ class TextInferenceInterface:
         weights = self._weights()
         if caches is None:
             caches = self.fresh_cache(B)
-        prog = self._program(B, Sb, n_new, sampling, constraint)
+        use_bias = logit_bias is not None
+        prog = self._program(B, Sb, n_new, sampling, constraint, use_bias)
         rng = jax.random.PRNGKey(sampling.seed if sampling else 0)
         ids_dev = jnp.asarray(padded)
         if self.mesh is not None:
@@ -1034,8 +1049,10 @@ class TextInferenceInterface:
             ids_dev = jax.device_put(ids_dev, NamedSharding(
                 self.mesh, P("dp" if dp_ok else None, None)))
         dt, da = self._dfa_tables(constraint)
+        bias = (jnp.asarray(np.asarray(logit_bias, np.float32))
+                if use_bias else jnp.zeros((), jnp.float32))
         toks, _ = prog(ids_dev, jnp.asarray(L, dtype=jnp.int64),
-                       caches, weights, rng, dt, da)
+                       caches, weights, rng, dt, da, bias)
         return np.asarray(toks)
 
     def logits(self, prompt_ids: np.ndarray) -> np.ndarray:

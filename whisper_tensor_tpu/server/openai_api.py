@@ -247,6 +247,11 @@ class _Generator:
         self.echo = bool(body.get("echo"))
         if self.echo and self.want_logprobs is None:
             self.want_logprobs = 0
+        lb = body.get("logit_bias")
+        if lb is not None and not isinstance(lb, dict):
+            raise ApiError(400, "logit_bias must be a {token_id: bias} "
+                                "object")
+        self.logit_bias = lb or None
         if body.get("adapter"):
             if not self.cfg.get("ragged"):
                 raise ApiError(400, "adapter requires a ragged-decode "
@@ -294,7 +299,8 @@ class _Generator:
         constrained = self.regex is not None or self.schema is not None
         if self.n_new == 0:
             toks, finish = [], "length"
-        elif self.cfg.get("ragged") and not constrained:
+        elif (self.cfg.get("ragged") and not constrained
+              and self.logit_bias is None):
             toks, finish = self._run_batched(on_delta)
         else:
             toks, finish = self._run_direct(on_delta)
@@ -340,7 +346,7 @@ class _Generator:
             raise ApiError(400, "n>1 / best_of is not supported "
                                 "together with logprobs/echo/"
                                 "response_format")
-        if self.cfg.get("ragged"):
+        if self.cfg.get("ragged") and self.logit_bias is None:
             bat = self.server._batcher(self.entry)
             try:
                 futs = [bat.submit(self.prompt_ids, self.n_new,
@@ -359,8 +365,9 @@ class _Generator:
             iface = self.server._text_iface(self.entry)
             iface.tokenizer = self.tok
             tiled = np.tile(self.prompt_ids[None], (best_of, 1))
-            rows = iface.generate_tokens(tiled, self.n_new,
-                                         sampling=self.sampling)
+            rows = iface.generate_tokens(
+                tiled, self.n_new, sampling=self.sampling,
+                logit_bias=self._bias_vec(iface))
             eos = getattr(iface, "eos_token_id", None)
         results = []
         trimmed: List[List[int]] = []
@@ -483,11 +490,30 @@ class _Generator:
         toks = fut.result(timeout=float(self.body.get("timeout", 600)))
         return self._trim_eos(toks, bat.eos_token_id)
 
+    def _bias_vec(self, iface):
+        """OpenAI logit_bias {token_id: bias} -> (V,) f32, clipped to
+        ±100; None when the request carries no bias."""
+        if not self.logit_bias:
+            return None
+        V = iface._vocab_size()
+        bias = np.zeros((V,), np.float32)
+        for k, v in self.logit_bias.items():
+            try:
+                t = int(k)
+            except (TypeError, ValueError):
+                raise ApiError(400, f"logit_bias key {k!r} is not a "
+                                    "token id")
+            if not 0 <= t < V:
+                raise ApiError(400, f"logit_bias token {t} out of "
+                                    f"vocab range [0, {V})")
+            bias[t] = float(np.clip(float(v), -100.0, 100.0))
+        return bias
+
     def _run_direct(self, on_delta):
         if self.cfg.get("rnn_state"):
             # RWKV-style constant-state models: greedy compiled scan
             if (self.sampling is not None or self.regex is not None
-                    or self.schema is not None
+                    or self.schema is not None or self.logit_bias
                     or self.want_logprobs is not None or self.echo):
                 raise ApiError(400, "rnn models serve greedy text only "
                                     "(no sampling/logprobs/echo/"
@@ -508,7 +534,8 @@ class _Generator:
             constraint = iface.compile_constraint(self.regex, self.schema)
         toks = iface.generate_tokens(self.prompt_ids[None], self.n_new,
                                      sampling=self.sampling,
-                                     constraint=constraint)[0]
+                                     constraint=constraint,
+                                     logit_bias=self._bias_vec(iface))[0]
         eos = (constraint.eos_token_id if constraint is not None
                else getattr(iface, "eos_token_id", None))
         toks, finish = self._trim_eos(toks, eos)
