@@ -1,0 +1,166 @@
+"""ONNX export round-trips: SymbolicGraph.to_onnx_bytes is the inverse
+of from_onnx_bytes (reference keeps ONNX as the interchange language —
+its importer EMITS ONNX bytes, crates/whisper-tensor-import/src/lib.rs;
+here any live graph, including surgered ones, serializes back out)."""
+
+import numpy as np
+import pytest
+
+from whisper_tensor_tpu.dtype import DType
+from whisper_tensor_tpu.importers.onnx_builder import (OnnxBuilder,
+                                                       WeightStorage)
+from whisper_tensor_tpu.importers.recipes.llm.gpt2 import (
+    GPT2Config, build_gpt2_step, random_gpt2_weights)
+from whisper_tensor_tpu.model import Model
+
+N_LAYER, N_HEAD, N_EMBD, VOCAB, MAXPOS = 2, 2, 32, 97, 64
+
+
+@pytest.fixture(scope="module")
+def gpt2_model():
+    cfg = GPT2Config(n_layer=N_LAYER, n_head=N_HEAD, n_embd=N_EMBD,
+                     vocab_size=VOCAB, n_positions=MAXPOS)
+    data = build_gpt2_step(random_gpt2_weights(cfg), cfg, max_len=MAXPOS)
+    return Model.new_from_onnx(data, name="tiny-gpt2"), cfg
+
+
+def gpt2_feeds(cfg, rng):
+    ids = rng.integers(0, VOCAB, (2, 10)).astype(np.int64)
+    feeds = {"input_ids": ids, "pos": np.asarray(0, dtype=np.int64)}
+    H, D = cfg.n_head, cfg.n_embd // cfg.n_head
+    for i in range(cfg.n_layer):
+        feeds[f"cache_k_{i}"] = np.zeros((2, H, MAXPOS, D), np.float32)
+        feeds[f"cache_v_{i}"] = np.zeros((2, H, MAXPOS, D), np.float32)
+    return feeds
+
+
+def test_gpt2_roundtrip_embedded(gpt2_model):
+    model, cfg = gpt2_model
+    feeds = gpt2_feeds(cfg, np.random.default_rng(0))
+    ref = model.eval(feeds, mode="oracle")["logits"]
+
+    data2 = model.graph.to_onnx_bytes(weights="embed")
+    m2 = Model.new_from_onnx(data2, name="reimported")
+    out = m2.eval(feeds, mode="oracle")["logits"]
+    np.testing.assert_array_equal(out, ref)  # same weights, same ops
+
+
+def test_gpt2_roundtrip_external_weights(gpt2_model, tmp_path):
+    model, cfg = gpt2_model
+    feeds = gpt2_feeds(cfg, np.random.default_rng(1))
+    ref = model.eval(feeds, mode="oracle")["logits"]
+
+    path = tmp_path / "gpt2.onnx"
+    model.save_onnx(str(path), weights="external")
+    assert (tmp_path / "gpt2.onnx.bin").exists()
+    # big weights must NOT be embedded in the proto
+    assert path.stat().st_size < (tmp_path / "gpt2.onnx.bin").stat().st_size
+    m2 = Model.new_from_onnx_file(str(path))
+    out = m2.eval(feeds, mode="oracle")["logits"]
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_gpt2_roundtrip_structure_only(gpt2_model):
+    model, cfg = gpt2_model
+    feeds = gpt2_feeds(cfg, np.random.default_rng(2))
+    ref = model.eval(feeds, mode="oracle")["logits"]
+
+    data2 = model.graph.to_onnx_bytes(weights="none")
+    m2 = Model.new_from_onnx(data2)
+    # structure-only export: attach the original store (the
+    # WeightStorage.none() / windowed-decode pattern)
+    m2.graph.store = model.graph.store
+    out = m2.eval(feeds, mode="oracle")["logits"]
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_surgered_graph_roundtrip(gpt2_model):
+    from whisper_tensor_tpu.symbolic_graph.surgery import (
+        replace_ids_with_embeds)
+
+    model, cfg = gpt2_model
+    g2 = replace_ids_with_embeds(model.graph)
+    rng = np.random.default_rng(3)
+    embeds = rng.standard_normal((2, 10, N_EMBD)).astype(np.float32)
+    feeds = gpt2_feeds(cfg, rng)
+    feeds.pop("input_ids")
+    feeds["inputs_embeds"] = embeds
+    m_s = Model(g2, "surgered")
+    ref = m_s.eval(feeds, mode="oracle")["logits"]
+
+    data2 = g2.to_onnx_bytes(weights="embed")
+    m2 = Model.new_from_onnx(data2)
+    out = m2.eval(feeds, mode="oracle")["logits"]
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_control_flow_roundtrip_if():
+    inner_t = OnnxBuilder("it")
+    inner_t.node("Mul", ["x", inner_t.const(np.float32(10))], outputs=["iv"])
+    inner_t.output("iv", DType.F32, [2])
+    inner_e = OnnxBuilder("ie")
+    inner_e.node("Mul", ["x", inner_e.const(np.float32(100))], outputs=["iv"])
+    inner_e.output("iv", DType.F32, [2])
+    b = OnnxBuilder("if_rt")
+    b.input("c", DType.BOOL, [])
+    b.input("x", DType.F32, [2])
+    b.node("If", ["c"], outputs=["y"],
+           then_branch=inner_t.build_graph_proto(WeightStorage.embed()),
+           else_branch=inner_e.build_graph_proto(WeightStorage.embed()))
+    b.output("y", DType.F32, [2])
+    m = Model.new_from_onnx(b.build())
+
+    m2 = Model.new_from_onnx(m.graph.to_onnx_bytes())
+    x = np.asarray([1.0, 2.0], dtype=np.float32)
+    for c in (True, False):
+        ref = m.eval({"c": np.asarray(c), "x": x})["y"]
+        out = m2.eval({"c": np.asarray(c), "x": x})["y"]
+        np.testing.assert_array_equal(out, ref)
+
+
+def test_control_flow_roundtrip_scan():
+    body = OnnxBuilder("body")
+    body.input("acc", DType.F32, [1])
+    body.input("el", DType.F32, [1])
+    body.node("Add", ["acc", "el"], outputs=["acc_o"])
+    body.node("Identity", ["acc_o"], outputs=["sc_o"])
+    body.output("acc_o", DType.F32, [1])
+    body.output("sc_o", DType.F32, [1])
+    b = OnnxBuilder("scan_rt")
+    b.input("init", DType.F32, [1])
+    b.input("seq", DType.F32, [4, 1])
+    b.node("Scan", ["init", "seq"], outputs=["fin", "outs"],
+           num_scan_inputs=1, scan_input_directions=[1],
+           body=body.build_graph_proto(WeightStorage.embed()))
+    b.output("fin", DType.F32, [1])
+    b.output("outs", DType.F32, [4, 1])
+    m = Model.new_from_onnx(b.build())
+
+    m2 = Model.new_from_onnx(m.graph.to_onnx_bytes())
+    seq = np.asarray([[1], [2], [3], [4]], dtype=np.float32)
+    feeds = {"init": np.zeros(1, np.float32), "seq": seq}
+    ref = m.eval(feeds)
+    out = m2.eval(feeds)
+    np.testing.assert_array_equal(out["fin"], ref["fin"])
+    np.testing.assert_array_equal(out["outs"], ref["outs"])
+
+
+def test_symbolic_dims_survive(gpt2_model):
+    model, _ = gpt2_model
+    data2 = model.graph.to_onnx_bytes(weights="none")
+    m2 = Model.new_from_onnx(data2)
+    # the step graph's input_ids is (batch, seq): named symbolic dims
+    # must re-import as symbols (and equal names intern to ONE symbol)
+    tid = m2.graph.by_name["input_ids"]
+    info = m2.graph.tensors[tid].info
+    d0, d1 = info.dims()
+    assert not d0.is_known and not d1.is_known
+
+
+def test_xla_backend_runs_reimported(gpt2_model):
+    model, cfg = gpt2_model
+    feeds = gpt2_feeds(cfg, np.random.default_rng(4))
+    m2 = Model.new_from_onnx(model.graph.to_onnx_bytes())
+    ref = model.eval(feeds, mode="xla")["logits"]
+    out = m2.eval(feeds, mode="xla")["logits"]
+    np.testing.assert_array_equal(out, ref)

@@ -37,6 +37,11 @@ class Model:
         return Model.new_from_onnx(data, base_dir=os.path.dirname(path),
                                    name=name or os.path.basename(path))
 
+    def save_onnx(self, path: str, weights: str = "embed") -> None:
+        """Serialize back to ONNX (weights: embed | external | none) —
+        the inverse of new_from_onnx, including after graph surgery."""
+        self.graph.save_onnx(path, weights=weights)
+
     # -- execution ----------------------------------------------------------
     def backend(self, mode: str = "oracle", validate: bool = False,
                 observer: Optional[SymbolicObserver] = None) -> EvalBackend:

@@ -208,6 +208,10 @@ class SymbolicGraph:
             attrs = Attrs(node, base_dir)
             op = cls.from_onnx(node, attrs, opset)
             op.OP_TYPE = node.op_type  # instance-level: shared classes
+            # keep the source attributes for lossless ONNX re-export
+            # (symbolic_graph/export.py)
+            op._onnx_attrs = list(node.attribute)
+            op._onnx_domain = node.domain or ""
             # register subgraph context builder for control-flow ops
             if hasattr(op, "_bind_subgraphs"):
                 op._bind_subgraphs(node, attrs, resolver, store, opsets, base_dir)
@@ -300,6 +304,19 @@ class SymbolicGraph:
 
     def has_control_flow(self) -> bool:
         return any(op.op.sub_graphs() for op in self.ops)
+
+    # ------------------------------------------------------------------
+    # ONNX export (inverse of from_onnx_bytes; symbolic_graph/export.py)
+    # ------------------------------------------------------------------
+    def to_onnx_bytes(self, weights: str = "embed", sink=None) -> bytes:
+        from .export import to_onnx_bytes
+
+        return to_onnx_bytes(self, weights=weights, sink=sink)
+
+    def save_onnx(self, path: str, weights: str = "embed") -> None:
+        from .export import save_onnx
+
+        save_onnx(self, path, weights=weights)
 
     # ------------------------------------------------------------------
     # lowering

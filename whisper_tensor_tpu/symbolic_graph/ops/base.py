@@ -135,6 +135,14 @@ class Operation(Introspectable):
     def sub_graphs(self) -> list:
         return []
 
+    # ONNX export support (symbolic_graph/export.py). Imported ops
+    # re-emit their stored AttributeProtos verbatim; control-flow ops
+    # override sub_graph_attrs so nested graphs re-encode LIVE (nested
+    # surgery survives export). Programmatically-constructed ops with
+    # attributes define to_onnx_attrs() -> {attr_name: value}.
+    def sub_graph_attrs(self) -> Dict[str, Any]:
+        return {}
+
     def display_name(self) -> str:
         return self.OP_TYPE
 

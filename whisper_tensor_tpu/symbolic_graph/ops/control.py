@@ -39,6 +39,11 @@ class If(Operation):
     def sub_graphs(self):
         return [g for g in (self.then_graph, self.else_graph) if g is not None]
 
+    def sub_graph_attrs(self):
+        return {k: g for k, g in (("then_branch", self.then_graph),
+                                  ("else_branch", self.else_graph))
+                if g is not None}
+
     def eval_direct(self, backend, inputs: List[np.ndarray],
                     outer_env: Dict[str, np.ndarray], n_outputs: int) -> List[np.ndarray]:
         cond = bool(np.asarray(inputs[0]).reshape(-1)[0])
@@ -75,6 +80,16 @@ class Scan(Operation):
 
     def sub_graphs(self):
         return [self.body] if self.body is not None else []
+
+    def sub_graph_attrs(self):
+        return {"body": self.body} if self.body is not None else {}
+
+    def to_onnx_attrs(self):
+        return {"num_scan_inputs": self.num_scan_inputs,
+                "scan_input_directions": self.scan_input_directions,
+                "scan_output_directions": self.scan_output_directions,
+                "scan_input_axes": self.scan_input_axes,
+                "scan_output_axes": self.scan_output_axes}
 
     def eval_direct(self, backend, inputs: List[np.ndarray],
                     outer_env: Dict[str, np.ndarray], n_outputs: int) -> List[np.ndarray]:
@@ -131,6 +146,9 @@ class Loop(Operation):
 
     def sub_graphs(self):
         return [self.body] if self.body is not None else []
+
+    def sub_graph_attrs(self):
+        return {"body": self.body} if self.body is not None else {}
 
     def eval_direct(self, backend, inputs: List[np.ndarray],
                     outer_env: Dict[str, np.ndarray], n_outputs: int) -> List[np.ndarray]:
