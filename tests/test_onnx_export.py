@@ -157,6 +157,46 @@ def test_symbolic_dims_survive(gpt2_model):
     assert not d0.is_known and not d1.is_known
 
 
+def test_cli_export_roundtrip(tmp_path, capsys):
+    """`cli export` converts a HF checkpoint dir to a standalone ONNX
+    file — the reference importer's product (identify_and_load ->
+    ONNX bytes). The exported file must regenerate identical logits."""
+    import json as _json
+
+    import torch
+    from safetensors.torch import save_file
+    from transformers import GPT2Config as HFConfig, GPT2LMHeadModel
+
+    from whisper_tensor_tpu.cli import main as cli_main
+
+    torch.manual_seed(0)
+    hf = GPT2LMHeadModel(HFConfig(n_layer=1, n_head=2, n_embd=32,
+                                  vocab_size=300, n_positions=64))
+    hf.eval()
+    d = tmp_path / "tiny-gpt2"
+    d.mkdir()
+    hf.config.to_json_file(str(d / "config.json"))
+    save_file({k: v.contiguous() for k, v in hf.state_dict().items()
+               if k != "lm_head.weight"}, str(d / "model.safetensors"))
+
+    out = tmp_path / "exported.onnx"
+    cli_main(["export", "--model", str(d), "-o", str(out),
+              "--weights", "external", "-c", "dtype=f32",
+              "-c", "max_len=64"])
+    assert out.exists() and (tmp_path / "exported.onnx.bin").exists()
+    capsys.readouterr()
+
+    m2 = Model.new_from_onnx_file(str(out))
+    ids = np.arange(6, dtype=np.int64)[None, :]
+    feeds = {"input_ids": ids, "pos": np.asarray(0, dtype=np.int64),
+             "cache_k_0": np.zeros((1, 2, 64, 16), np.float32),
+             "cache_v_0": np.zeros((1, 2, 64, 16), np.float32)}
+    logits = m2.eval(feeds, mode="oracle")["logits"][:, :6]
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids)).logits.numpy()
+    np.testing.assert_allclose(logits, ref, rtol=1e-3, atol=1e-4)
+
+
 def test_xla_backend_runs_reimported(gpt2_model):
     model, cfg = gpt2_model
     feeds = gpt2_feeds(cfg, np.random.default_rng(4))

@@ -311,6 +311,39 @@ def cmd_inspect(args) -> None:
         }, indent=2))
 
 
+def cmd_export(args) -> None:
+    """Convert any supported checkpoint (HF/GGUF/diffusers/.pth/...) to
+    ONNX — the reference importer's product (identify_and_load ->
+    ONNX bytes, crates/whisper-tensor-import/src/lib.rs:38)."""
+    import os
+
+    from .importers.loaders import identify_and_load, loader_registry
+
+    cfg = _parse_kv(args.config)
+    if args.loader == "auto":
+        bundle = identify_and_load(args.model, **cfg)
+    else:
+        bundle = loader_registry()[args.loader].load(
+            {"path": args.model, **cfg})
+    names = list(bundle.models)
+    if args.name:
+        if args.name not in bundle.models:
+            raise SystemExit(f"no model {args.name!r}; have {names}")
+        names = [args.name]
+    multi = len(names) > 1
+    for name in names:
+        out = args.output
+        if multi:
+            stem, ext = os.path.splitext(out)
+            out = f"{stem}.{name}{ext or '.onnx'}"
+        bundle.models[name].save_onnx(out, weights=args.weights)
+        size = os.path.getsize(out)
+        extra = ""
+        if args.weights == "external":
+            extra = f" + {os.path.getsize(out + '.bin')} B weights"
+        print(f"{name}: wrote {out} ({size} B{extra})")
+
+
 def cmd_tts(args) -> None:
     from .importers.loaders import identify_and_load
     from .interfaces.tts import TextToSpeechInterface
@@ -493,6 +526,20 @@ def main(argv=None) -> None:
     n.add_argument("--model", required=True)
     n.add_argument("-c", "--config", action="append", default=[])
     n.set_defaults(fn=cmd_inspect)
+
+    x = sub.add_parser("export",
+                       help="convert any supported checkpoint to ONNX")
+    x.add_argument("--model", required=True)
+    x.add_argument("--loader", default="auto")
+    x.add_argument("-o", "--output", required=True,
+                   help="output .onnx path (per-model suffix added when "
+                        "the bundle has several models)")
+    x.add_argument("--weights", default="external",
+                   choices=["embed", "external", "none"])
+    x.add_argument("--name", default=None,
+                   help="export only this model from the bundle")
+    x.add_argument("-c", "--config", action="append", default=[])
+    x.set_defaults(fn=cmd_export)
 
     t = sub.add_parser("tts", help="text-to-speech (piper/kokoro voice)")
     t.add_argument("--model", required=True,
