@@ -197,6 +197,105 @@ def test_cli_export_roundtrip(tmp_path, capsys):
     np.testing.assert_allclose(logits, ref, rtol=1e-3, atol=1e-4)
 
 
+class TestCrossFamilyRoundTrips:
+    """Exercise the exporter across recipe families with very different
+    op mixes (GQA+rope+rms, conv+groupnorm+resize, AdaLN joint
+    attention, linear-recurrence custom ops): export -> reimport must
+    reproduce the oracle outputs exactly."""
+
+    def _roundtrip(self, model, feeds, out_name):
+        ref = model.eval(feeds, mode="oracle")[out_name]
+        m2 = Model.new_from_onnx(model.graph.to_onnx_bytes())
+        out = m2.eval(feeds, mode="oracle")[out_name]
+        np.testing.assert_array_equal(out, ref)
+
+    def test_llama_gqa(self):
+        import torch
+        from transformers import LlamaConfig as HFCfg, LlamaForCausalLM
+
+        from whisper_tensor_tpu.importers.recipes.llm.llama import (
+            LlamaConfig, build_llama_step, hf_weight_getter)
+        from whisper_tensor_tpu.interfaces.text import TextInferenceInterface
+
+        torch.manual_seed(0)
+        common = dict(num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, hidden_size=32,
+                      intermediate_size=64, vocab_size=101,
+                      max_position_embeddings=64, attention_dropout=0.0)
+        hf = LlamaForCausalLM(HFCfg(rope_theta=10000.0, **common))
+        hf.eval()
+        cfg = LlamaConfig.from_hf({**common, "model_type": "llama",
+                                   "rope_theta": 10000.0,
+                                   "rms_norm_eps": 1e-6})
+        data = build_llama_step(hf_weight_getter(hf), cfg, max_len=64)
+        m = Model.new_from_onnx(data)
+        m2 = Model.new_from_onnx(m.graph.to_onnx_bytes())
+        ids = np.random.default_rng(0).integers(0, 101, (2, 9)).astype(np.int64)
+        ref = TextInferenceInterface(m, max_len=64,
+                                     prompt_buckets=(16,)).logits(ids)
+        out = TextInferenceInterface(m2, max_len=64,
+                                     prompt_buckets=(16,)).logits(ids)
+        np.testing.assert_array_equal(out, ref)
+
+    def test_sd_unet(self):
+        from whisper_tensor_tpu.importers.recipes.diffusion.unet import (
+            UNetConfig, build_sd_unet, random_unet_weights)
+
+        cfg = UNetConfig(block_out_channels=(8, 16, 16, 16),
+                         layers_per_block=1, cross_attention_dim=12,
+                         norm_groups=4, attention_head_dim=2)
+        m = Model.new_from_onnx(build_sd_unet(random_unet_weights(), cfg,
+                                              latent_hw=(16, 16)))
+        rng = np.random.default_rng(0)
+        feeds = {
+            "sample": rng.standard_normal((1, 4, 16, 16)).astype(np.float32),
+            "timestep": np.asarray(5.0, dtype=np.float32),
+            "encoder_hidden_states":
+                rng.standard_normal((1, 7, 12)).astype(np.float32)}
+        self._roundtrip(m, feeds, "out")
+
+    def test_sd3_mmdit(self):
+        from whisper_tensor_tpu.importers.recipes.diffusion.mmdit import (
+            SD3Config, build_sd3_mmdit, random_sd3_weights)
+
+        cfg = SD3Config(num_layers=2, num_heads=2, head_dim=8,
+                        in_channels=4, out_channels=4, patch_size=2,
+                        sample_size=8, pos_embed_max_size=12,
+                        joint_attention_dim=24, pooled_projection_dim=20,
+                        dual_attention_layers=(1,), time_embed_dim=8)
+        w = random_sd3_weights(0)(cfg)
+        m = Model.new_from_onnx(build_sd3_mmdit(w, cfg, batch=2,
+                                                context_len=6,
+                                                latent_hw=(8, 8)))
+        rng = np.random.default_rng(0)
+        feeds = {
+            "hidden_states":
+                rng.standard_normal((2, 4, 8, 8)).astype(np.float32),
+            "timestep": np.asarray([100.0, 500.0], np.float32),
+            "encoder_hidden_states":
+                rng.standard_normal((2, 6, 24)).astype(np.float32),
+            "pooled_projections":
+                rng.standard_normal((2, 20)).astype(np.float32)}
+        self._roundtrip(m, feeds, "out")
+
+    def test_rwkv7_recurrence(self):
+        from whisper_tensor_tpu.importers.recipes.llm.rwkv7 import (
+            Rwkv7Config, build_rwkv7_step, random_rwkv7_weights)
+
+        cfg = Rwkv7Config(n_layer=2, n_embd=32, n_head=4, vocab_size=77,
+                          lora_w=8, lora_a=8, lora_v=8, lora_g=8)
+        sd = random_rwkv7_weights(cfg)
+        m = Model.new_from_onnx(build_rwkv7_step(lambda n: sd[n], cfg))
+        D = cfg.n_embd // cfg.n_head
+        feeds = {"token": np.asarray([3], dtype=np.int64)}
+        for i in range(cfg.n_layer):
+            feeds[f"tmix_x_{i}"] = np.zeros((1, cfg.n_embd), np.float32)
+            feeds[f"cmix_x_{i}"] = np.zeros((1, cfg.n_embd), np.float32)
+            feeds[f"vk_state_{i}"] = np.zeros((1, cfg.n_head, D, D),
+                                              np.float32)
+        self._roundtrip(m, feeds, "logits")
+
+
 def test_xla_backend_runs_reimported(gpt2_model):
     model, cfg = gpt2_model
     feeds = gpt2_feeds(cfg, np.random.default_rng(4))
