@@ -251,3 +251,93 @@ def test_sot_template_null_slots(tiny_whisper):
     bare = SpeechToTextInterface(enc, dec, n_mels=16,
                                  sot_sequence=[5, None, 7])
     assert bare.sot_sequence == [5, 7]
+
+
+class TestStreaming:
+    """StreamingTranscriber: online transcription (net-new beyond the
+    reference's batch STT)."""
+
+    def _iface(self, tiny_whisper):
+        from whisper_tensor_tpu.interfaces.stt import SpeechToTextInterface
+
+        hf, enc, dec, cfg = tiny_whisper
+        return SpeechToTextInterface(enc, dec, max_len=64, n_mels=16,
+                                     n_frames=N_FRAMES, sot_sequence=[5],
+                                     eot_token=119)
+
+    def test_conservative_stream_equals_long_form(self, tiny_whisper):
+        """agreement=None: the final committed token stream equals
+        transcribe_long for the same audio, regardless of feed
+        chunking."""
+        from whisper_tensor_tpu.interfaces.stt import StreamingTranscriber
+        from whisper_tensor_tpu.super_graph.links import AudioClip
+
+        iface = self._iface(tiny_whisper)
+        rng = np.random.default_rng(11)
+        W = N_FRAMES * 160
+        audio = rng.standard_normal(int(2.4 * W)).astype(np.float32) * 0.1
+        ref = iface.transcribe_long(AudioClip(audio, 16000),
+                                    max_new_per_chunk=8)
+
+        st = StreamingTranscriber(iface, local_agreement=None,
+                                  max_new_per_window=8)
+        got = []
+        for off in range(0, len(audio), 7001):  # odd chunk size
+            got.extend(st.feed(audio[off:off + 7001]))
+        got.extend(st.flush())
+        assert got == ref
+        assert got == st.committed
+
+    def test_single_window_stream_equals_batch(self, tiny_whisper):
+        from whisper_tensor_tpu.interfaces.stt import StreamingTranscriber
+        from whisper_tensor_tpu.super_graph.links import AudioClip
+
+        iface = self._iface(tiny_whisper)
+        rng = np.random.default_rng(12)
+        audio = rng.standard_normal(20000).astype(np.float32) * 0.1
+        ref = iface.transcribe_tokens(AudioClip(audio, 16000), 8,
+                                      compiled=True)
+        st = StreamingTranscriber(iface, local_agreement=None,
+                                  max_new_per_window=8)
+        st.feed(audio[:9000])
+        st.feed(audio[9000:])
+        got = list(st.committed) + st.flush()
+        assert st.committed == ref and got == ref
+
+    def test_local_agreement_commits_early(self, tiny_whisper):
+        """Two consecutive identical hypotheses commit the agreed
+        prefix BEFORE flush; an empty feed re-decodes the same buffer,
+        which forces full agreement."""
+        from whisper_tensor_tpu.interfaces.stt import StreamingTranscriber
+
+        iface = self._iface(tiny_whisper)
+        rng = np.random.default_rng(13)
+        audio = rng.standard_normal(16000).astype(np.float32) * 0.1
+        hyp = iface._transcribe_compiled(iface.mel_from_samples(audio), 8)
+
+        st = StreamingTranscriber(iface, local_agreement=2,
+                                  max_new_per_window=8)
+        first = st.feed(audio)
+        assert first == []              # only one hypothesis so far
+        assert st.pending == hyp        # live (uncommitted) hypothesis
+        second = st.feed(np.zeros(0, np.float32))
+        assert second == hyp            # agreement reached -> committed
+        assert st.pending == []
+        assert st.flush() == []         # nothing new at end of stream
+        assert st.committed == hyp
+
+    def test_agreement_commits_are_monotonic_prefixes(self, tiny_whisper):
+        from whisper_tensor_tpu.interfaces.stt import StreamingTranscriber
+
+        iface = self._iface(tiny_whisper)
+        rng = np.random.default_rng(14)
+        audio = rng.standard_normal(28000).astype(np.float32) * 0.1
+        st = StreamingTranscriber(iface, local_agreement=2,
+                                  max_new_per_window=8)
+        seen = []
+        for off in range(0, len(audio), 5000):
+            new = st.feed(audio[off:off + 5000])
+            seen.extend(new)
+            assert st.committed == seen          # append-only
+        seen.extend(st.flush())
+        assert st.committed == seen

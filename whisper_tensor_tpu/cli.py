@@ -380,6 +380,8 @@ def cmd_tts(args) -> None:
 
 
 def cmd_stt(args) -> None:
+    import numpy as np
+
     from .interfaces.stt import SpeechToTextInterface
     from .model import Model
     from .super_graph.links import AudioClip
@@ -408,6 +410,27 @@ def cmd_stt(args) -> None:
         iface = SpeechToTextInterface(enc, dec, tokenizer=tok,
                                       sot_sequence=sot, eot_token=args.eot)
     clip = AudioClip(samples, sr)
+    if getattr(args, "stream", 0):
+        # simulate live input: feed the file in --stream-second chunks,
+        # print commits as they stabilize (LocalAgreement-2)
+        from .interfaces.stt import StreamingTranscriber
+        from .utils.audio import resample
+
+        s16 = samples if sr == 16000 else resample(
+            np.asarray(samples, np.float32).reshape(-1), sr, 16000)
+        st = StreamingTranscriber(iface, max_new_per_window=args.max_tokens)
+        step = max(int(args.stream * 16000), 1)
+        for off in range(0, len(s16), step):
+            new = st.feed(s16[off:off + step])
+            if new:
+                txt = tok.decode(new) if tok is not None else json.dumps(new)
+                print(txt, flush=True, end="" if tok is not None else "\n")
+        new = st.flush()
+        if new:
+            print(tok.decode(new) if tok is not None else json.dumps(new),
+                  end="")
+        print()
+        return
     if args.beam > 1:
         toks = iface.transcribe_beam(clip, max_new=args.max_tokens,
                                      beam=args.beam)
@@ -565,6 +588,10 @@ def main(argv=None) -> None:
     st.add_argument("--eot", type=int, default=50257)
     st.add_argument("--beam", type=int, default=1,
                     help="beam width (>1 = compiled beam search)")
+    st.add_argument("--stream", type=float, default=0,
+                    help="simulate live input: feed the file in this "
+                         "many seconds per chunk and print text as it "
+                         "stabilizes (LocalAgreement-2)")
     st.set_defaults(fn=cmd_stt)
 
     s = sub.add_parser("serve", help="run the WebSocket server")

@@ -347,3 +347,109 @@ class SpeechToTextInterface:
                    sot_sequence=(list(spec.get("sot_sequence") or [])
                                  or [spec.get("sot", 50258)]),
                    eot_token=spec.get("eot", 50257))
+
+
+class StreamingTranscriber:
+    """Online (streaming) transcription over a SpeechToTextInterface —
+    net-new beyond the reference's batch STT (src/interfaces.rs:2851).
+
+    Feed audio incrementally with `feed()`; committed tokens come back
+    as they stabilize. The active window is re-transcribed per feed —
+    cheap here because the whole greedy decode is ONE compiled program
+    (one device dispatch per re-decode).
+
+    Commit policy:
+      * `local_agreement=N` (default 2): the longest common token
+        prefix of the last N consecutive hypotheses is committed early
+        (the whisper-streaming LocalAgreement policy). Early commits
+        are kept even if a later full-window hypothesis disagrees —
+        the standard streaming trade-off.
+      * `local_agreement=None`: conservative mode — commits happen only
+        when a full mel window closes (and at `flush()`), so the final
+        committed token stream is EXACTLY `transcribe_long`'s output
+        for the same audio, regardless of how feeds were chunked.
+
+    When the buffer reaches one mel window (n_frames*160 samples at
+    16 kHz) the window is finalized: its full-window hypothesis beyond
+    the already-committed count is committed and the audio dropped
+    (sequential segmentation, matching transcribe_long's chunking).
+    """
+
+    def __init__(self, iface: SpeechToTextInterface,
+                 local_agreement: Optional[int] = 2,
+                 max_new_per_window: int = 224):
+        if local_agreement is not None and local_agreement < 2:
+            raise ValueError("local_agreement must be >= 2 (or None)")
+        self.iface = iface
+        self.agreement = local_agreement
+        self.max_new = max_new_per_window
+        self._buf = np.zeros(0, np.float32)
+        self._hyps: List[List[int]] = []   # recent active-window hyps
+        self._win_committed = 0            # committed within the window
+        self.committed: List[int] = []
+
+    @property
+    def _window(self) -> int:
+        return self.iface.n_frames * 160
+
+    def _transcribe(self, samples: np.ndarray) -> List[int]:
+        mel = self.iface.mel_from_samples(samples)
+        return self.iface._transcribe_compiled(mel, self.max_new)
+
+    def _close_full_windows(self) -> List[int]:
+        new: List[int] = []
+        W = self._window
+        while len(self._buf) >= W:
+            toks = self._transcribe(self._buf[:W])
+            new.extend(toks[self._win_committed:])
+            self._buf = self._buf[W:]
+            self._win_committed = 0
+            self._hyps = []
+        return new
+
+    def feed(self, samples, sample_rate: int = 16000) -> List[int]:
+        """Append audio; return the NEWLY committed token ids."""
+        samples = np.asarray(samples, dtype=np.float32).reshape(-1)
+        if sample_rate != 16000:
+            samples = resample(samples, sample_rate, 16000)
+        self._buf = np.concatenate([self._buf, samples])
+        new = self._close_full_windows()
+        if len(self._buf) and self.agreement is not None:
+            toks = self._transcribe(self._buf)
+            self._hyps.append(toks)
+            self._hyps = self._hyps[-self.agreement:]
+            if len(self._hyps) == self.agreement:
+                k = 0
+                while all(len(h) > k and h[k] == self._hyps[-1][k]
+                          for h in self._hyps):
+                    k += 1
+                if k > self._win_committed:
+                    new.extend(self._hyps[-1][self._win_committed:k])
+                    self._win_committed = k
+        self.committed.extend(new)
+        return new
+
+    @property
+    def pending(self) -> List[int]:
+        """Uncommitted tail of the latest active-window hypothesis."""
+        if not self._hyps:
+            return []
+        return list(self._hyps[-1][self._win_committed:])
+
+    def flush(self) -> List[int]:
+        """End of stream: transcribe and commit everything buffered."""
+        new = self._close_full_windows()
+        if len(self._buf):
+            toks = self._transcribe(self._buf)
+            new.extend(toks[self._win_committed:])
+        self._buf = np.zeros(0, np.float32)
+        self._hyps = []
+        self._win_committed = 0
+        self.committed.extend(new)
+        return new
+
+    def text(self, toks: Optional[List[int]] = None) -> str:
+        if self.iface.tokenizer is None:
+            raise ValueError("no tokenizer configured")
+        return self.iface.tokenizer.decode(
+            self.committed if toks is None else toks)

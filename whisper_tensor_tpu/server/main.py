@@ -57,6 +57,7 @@ class Server:
         self._batch_jobs: dict = {}       # job_id -> (batcher, future)
         self._spec_decoders: dict = {}    # (target, draft, k) -> decoder
         self._mm_ifaces: dict = {}        # bundle_id -> multimodal iface
+        self._stt_streams: dict = {}      # stream_id -> StreamingTranscriber
 
     # -- report pump: scheduler queue -> all sockets ----------------------
     def _start_report_pump(self):
@@ -208,6 +209,8 @@ class Server:
             return self._generate_speech(msg)
         if t == "transcribe":
             return self._transcribe(msg)
+        if t == "transcribe_stream":
+            return self._transcribe_stream(msg)
         if t == "get_op_milli":
             return self._get_op_milli(msg)
         if t == "get_super_graph":
@@ -501,6 +504,57 @@ class Server:
 
         self.scheduler.submit(job, settings)
         return None
+
+    def _transcribe_stream(self, msg) -> dict:
+        """Streaming STT: feed audio chunks under a stream_id, text
+        comes back as it stabilizes (LocalAgreement-2; conservative
+        window-boundary commits with local_agreement=null). `final`
+        flushes and closes the stream. Synchronous per message —
+        partials return in the reply, not via the report pump."""
+        import base64
+
+        from ..interfaces.stt import SpeechToTextInterface, StreamingTranscriber
+
+        sid = str(msg.get("stream_id", "default"))
+        st = self._stt_streams.get(sid)
+        if st is None:
+            entry = self.models.get(int(msg["model_id"]))
+            bundle = self.models.bundle(int(entry.meta["bundle_id"]))
+            if "stt" not in bundle.interfaces:
+                raise ValueError("model has no STT interface")
+            tok = None
+            if entry.tokenizer_source:
+                from ..tokenizer import AnyTokenizer
+
+                tok = AnyTokenizer.load(entry.tokenizer_source)
+            iface = SpeechToTextInterface.from_bundle(bundle, tokenizer=tok)
+            if msg.get("language") or msg.get("task"):
+                iface.sot_sequence = iface.sot_with(
+                    language=msg.get("language") or None,
+                    task=msg.get("task") or None)
+            agreement = msg.get("local_agreement", 2)
+            st = StreamingTranscriber(
+                iface, local_agreement=agreement,
+                max_new_per_window=int(msg.get("max_new_tokens", 224)))
+            self._stt_streams[sid] = st
+        new = []
+        if msg.get("samples_b64") is not None:
+            # an empty chunk still re-decodes the buffer (it advances
+            # the LocalAgreement hypothesis window)
+            samples = np.frombuffer(base64.b64decode(msg["samples_b64"]),
+                                    dtype=np.float32)
+            new = st.feed(samples, int(msg.get("sample_rate", 16000)))
+        final = bool(msg.get("final"))
+        if final:
+            new = new + st.flush()
+            self._stt_streams.pop(sid, None)
+        tok = st.iface.tokenizer
+        return {"type": "transcribe_stream_update", "stream_id": sid,
+                "tokens": [int(x) for x in new],
+                "text": (tok.decode(new) if tok is not None else None),
+                "pending": (tok.decode(st.pending)
+                            if tok is not None and not final else ""),
+                "final": final}
 
     def _text_iface(self, entry):
         iface = self._text_ifaces.get(entry.id)
