@@ -129,10 +129,16 @@ def repack_packed_tensor(pt) -> Optional[Dict[str, np.ndarray]]:
 def dequant_repacked(rp: Dict[str, np.ndarray]) -> np.ndarray:
     """Reference dequantization of the REPACKED layout (numpy, f32) —
     the oracle the kernel and its jnp fallback are checked against.
-    Must equal backends.cpu.dequant.dequantize_blocks(...).T exactly."""
-    s = np.repeat(rp["scales"], 32, axis=0)
-    o = np.repeat(rp["offsets"], 32, axis=0)
-    if int(rp["bits"]) == 8:
+    Must equal backends.cpu.dequant.dequantize_blocks(...).T exactly.
+
+    The K-group size is carried by the shapes: g = K / scales.shape[0]
+    (32 for GGUF blocks; 64/128 for GPTQ/AWQ groups)."""
+    bits = int(rp["bits"])
+    K = rp["q"].shape[0] * (2 if bits == 4 else 1)
+    g = K // rp["scales"].shape[0]
+    s = np.repeat(rp["scales"], g, axis=0)
+    o = np.repeat(rp["offsets"], g, axis=0)
+    if bits == 8:
         return rp["q"].astype(np.float32) * s
     q = rp["q"]
     nib = np.concatenate([q & 0x0F, q >> 4], axis=0).astype(np.float32)
@@ -175,7 +181,7 @@ def packed_matmul(x, q, scales, offsets, bits: int):
     from jax.experimental.pallas import tpu as pltpu
 
     def kernel(x_ref, q_ref, s_ref, o_ref, out_ref):
-        s = jnp.repeat(s_ref[:], 32, axis=0)               # (K, TN)
+        s = jnp.repeat(s_ref[:], G, axis=0)                # (K, TN)
         if bits == 8:
             w = q_ref[:].astype(jnp.float32) * s
         else:
@@ -184,7 +190,7 @@ def packed_matmul(x, q, scales, offsets, bits: int):
             qi = q_ref[:].astype(jnp.int32)                # (K//2, TN)
             nib = jnp.concatenate([qi & 0x0F, qi >> 4], axis=0)
             w = nib.astype(jnp.float32) * s - jnp.repeat(
-                o_ref[:], 32, axis=0)
+                o_ref[:], G, axis=0)
         # dot in f32 (operands dequantized on the VPU). Casting w to
         # bf16 for the MXU was tried and measured 3x SLOWER (Mosaic
         # inserts (8,128)->(16,128) relayouts for the cast) with a much
@@ -196,6 +202,8 @@ def packed_matmul(x, q, scales, offsets, bits: int):
         out_ref[:] = acc.astype(out_ref.dtype)
 
     Kq = K if bits == 8 else K // 2
+    G = K // scales.shape[0]       # K-group size (32 GGUF, 128 GPTQ/AWQ)
+    Kg = scales.shape[0]
     qbytes = Kq * N
     # tile over M too (see quant_matmul.py): big-M prefill x-blocks
     # otherwise exceed the 16 MB scoped-VMEM budget
@@ -210,9 +218,9 @@ def packed_matmul(x, q, scales, offsets, bits: int):
                              memory_space=pltpu.VMEM),
                 pl.BlockSpec((Kq, TILE_N), lambda j, i: (0, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((K // 32, TILE_N), lambda j, i: (0, j),
+                pl.BlockSpec((Kg, TILE_N), lambda j, i: (0, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((K // 32, TILE_N), lambda j, i: (0, j),
+                pl.BlockSpec((Kg, TILE_N), lambda j, i: (0, j),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((TM, TILE_N), lambda j, i: (i, j),
@@ -220,7 +228,7 @@ def packed_matmul(x, q, scales, offsets, bits: int):
             out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
             cost_estimate=pl.CostEstimate(
                 flops=2 * M * K * N,
-                bytes_accessed=M * K * 2 + qbytes + (K // 32) * N * 8
+                bytes_accessed=M * K * 2 + qbytes + Kg * N * 8
                 + M * N * 2,
                 transcendentals=0),
         )(x2, q, scales, offsets)
@@ -230,8 +238,9 @@ def packed_matmul(x, q, scales, offsets, bits: int):
 def _dequant_jnp(q, scales, offsets, bits: int, K: int):
     import jax.numpy as jnp
 
-    s = jnp.repeat(scales, 32, axis=0)
+    g = K // scales.shape[0]
+    s = jnp.repeat(scales, g, axis=0)
     if bits == 8:
         return q.astype(jnp.float32) * s
     nib = jnp.concatenate([q & 0x0F, q >> 4], axis=0).astype(jnp.float32)
-    return nib * s - jnp.repeat(offsets, 32, axis=0)
+    return nib * s - jnp.repeat(offsets, g, axis=0)

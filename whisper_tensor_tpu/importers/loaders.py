@@ -159,10 +159,21 @@ class TransformersLoader(Loader):
                  "f16": DType.F16}[config.get("dtype", "bf16")]
         max_len = int(config.get("max_len", 1024))
         store = SafetensorsStore.from_dir(d)
+        # GPTQ/AWQ checkpoints (config.json quantization_config):
+        # `.weight` names dequantize on the host for the recipes; the
+        # packed 4-bit device layout registers below so matmul weights
+        # stream from HBM at 4 bits/weight (importers/quantized.py)
+        from .quantized import QuantizedStore, parse_quantization_config
+
+        qspec = parse_quantization_config(hf_cfg)
+        qstore = None
+        if qspec is not None:
+            store = qstore = QuantizedStore(store, qspec)
         if config.get("lora"):
             from .lora import LoraMergedStore
 
             store = LoraMergedStore(store, config["lora"])
+            qstore = None   # merged deltas densify: no packed bypass
 
         ragged = bool(config.get("ragged_decode", False))
         window_builder = None
@@ -410,6 +421,11 @@ class TransformersLoader(Loader):
                              f"(have: {self.SUPPORTED})")
         name = hf_cfg.get("_name_or_path") or os.path.basename(os.path.normpath(d))
         model = Model.new_from_onnx(data, name=name)
+        if qstore is not None:
+            for init_name, hf_name in weight_map.items():
+                src = qstore.packed_source(hf_name)
+                if src is not None:
+                    model.graph.store.packed_sources[init_name] = src
         models = {name: model}
         window_spec = {}
         wins = str(config.get("decode_windows", "") or "")

@@ -410,7 +410,10 @@ def pack_matmul_nodes(
             continue
         if rhs_name not in packed:
             pt = sources[rhs_name]()
-            rp = repack_packed_tensor(pt) if pt is not None else None
+            if isinstance(pt, dict):     # already in device layout
+                rp = pt                  # (GPTQ/AWQ importers)
+            else:
+                rp = repack_packed_tensor(pt) if pt is not None else None
             if rp is None:
                 continue
             packed[rhs_name] = rp
