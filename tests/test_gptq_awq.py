@@ -210,7 +210,11 @@ def test_loader_end_to_end(tmp_path, method):
     # CPU, Pallas on TPU); k/v projections (N=64 < 128) stay dense, so
     # this exercises the mixed packed+dense program
     iface = TextInferenceInterface(model, max_len=64, prompt_buckets=(16,))
-    assert len(iface._packed) == 10   # q,o,gate,up,down x 2 layers
+    # q,o,down stay individual; gate+up fuse into one packed entry
+    # (fuse_parallel_matmuls concat of the GPTQ device-layout dicts);
+    # k/v (N=64, not lane-aligned) stay dense -> 8 packed entries
+    assert len(iface._packed) == 8
+    assert any(n.endswith("::fused2") for n in iface._packed)
     got = iface.logits(ids)
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-4)
 

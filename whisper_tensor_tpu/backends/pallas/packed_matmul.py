@@ -171,7 +171,11 @@ def packed_matmul(x, q, scales, offsets, bits: int):
     x2 = x.reshape(-1, K)
     M = x2.shape[0]
 
-    if not packed_matmul_usable(q):
+    # large-M (prefill) calls route to XLA: the (TM, K) x-blocks plus
+    # the dequantized f32 tile blow scoped VMEM at large K, and the
+    # kernel's advantage (packed HBM weight stream) only matters at
+    # decode M (see quant_matmul.py)
+    if M > 512 or not packed_matmul_usable(q):
         w = _dequant_jnp(q, scales, offsets, bits, K)
         out = jnp.dot(x2.astype(jnp.float32), w,
                       preferred_element_type=jnp.float32)

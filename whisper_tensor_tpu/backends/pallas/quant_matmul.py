@@ -78,7 +78,11 @@ def int8_matmul(x, w_i8, scale):
     x2 = x.reshape(-1, K)
     M = x2.shape[0]
 
-    if not int8_matmul_usable(x, w_i8):
+    # the kernel's win is DECODE (small M, weight-stream-bound); at
+    # prefill M the (TM, K) x-blocks blow the 16 MB scoped-VMEM budget
+    # for large-K layers (measured: M=2048, K=14336 OOMs at 21.25 MB)
+    # and XLA's fused cast+dot is already compute-efficient there
+    if M > 512 or not int8_matmul_usable(x, w_i8):
         out = jnp.dot(x2, w_i8.astype(x.dtype),
                       preferred_element_type=jnp.float32)
         out = out * scale[None, :].astype(jnp.float32)

@@ -193,14 +193,24 @@ class ImageGenerationInterface:
 
         ensure_x64()
         milli, weight_inputs = self.unet.graph.to_milli()
+        # UNet attention q/k/v (and cross-attention k/v) share inputs —
+        # same exact projection fusion as the LLM decode path
+        from ..milli.transforms import fuse_parallel_matmuls
+
+        self._unet_fused = fuse_parallel_matmuls(milli, set(weight_inputs))
         order = list(milli.inputs)
-        self._unet_weight_names = [n for n in order if n in weight_inputs]
+        self._unet_weight_names = [n for n in order if n in weight_inputs
+                                   or n in self._unet_fused]
         graph = self.unet.graph
         decl = {}
         for n in order:
             tid = graph.by_name.get(n)
             if tid is not None:
                 decl[n] = graph.tensors[tid].info.dtype
+        for fname, members in self._unet_fused.items():
+            tid = graph.by_name.get(members[0][0])
+            if tid is not None:
+                decl[fname] = graph.tensors[tid].info.dtype
         out_names = list(milli.outputs)
         fn = _trace_graph(milli, {})
 
@@ -225,9 +235,18 @@ class ImageGenerationInterface:
         import jax
 
         if getattr(self, "_unet_weights_dev", None) is None:
-            self._unet_weights_dev = [
-                jax.device_put(self.unet.graph.store.get_numeric(n).numpy())
-                for n in self._unet_weight_names]
+            store = self.unet.graph.store
+            fused = getattr(self, "_unet_fused", {})
+
+            def gw(n):
+                if n in fused:
+                    return np.concatenate(
+                        [store.get_numeric(m).numpy()
+                         for m, _ in fused[n]], axis=1)
+                return store.get_numeric(n).numpy()
+
+            self._unet_weights_dev = [jax.device_put(gw(n))
+                                      for n in self._unet_weight_names]
         return self._unet_weights_dev
 
     def _denoise_program(self, steps, schedule, key_shapes, inpaint=False):

@@ -75,9 +75,16 @@ class MultimodalLanguageInterface:
 
         graph = replace_ids_with_embeds(self.text.model.graph)
         milli, weight_inputs = graph.to_milli()
+        if self.text._fused:
+            # mirror the text interface's fusion so the fused device
+            # buffers keep sharing by name
+            from ..milli.transforms import fuse_parallel_matmuls
+
+            fuse_parallel_matmuls(milli, set(weight_inputs))
         self._embeds_milli = milli
         self._embeds_weight_names = [n for n in milli.inputs
-                                     if n in weight_inputs]
+                                     if n in weight_inputs
+                                     or n in self.text._fused]
         self._embeds_cache_ins = [n for n in milli.inputs
                                   if n.startswith("cache_")]
         self._embeds_cache_outs = [n for n in milli.outputs
@@ -94,9 +101,7 @@ class MultimodalLanguageInterface:
             if n in by_name:
                 out.append(by_name[n])
             else:
-                out.append(jax.device_put(
-                    self.text.model.graph.store.get_numeric(
-                        n, self.text.weight_dtype).numpy()))
+                out.append(jax.device_put(self.text._dense_np(n)))
         return out
 
     def _prefill_program(self, batch: int, bucket: int):

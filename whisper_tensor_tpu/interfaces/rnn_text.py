@@ -22,9 +22,16 @@ class RnnTextInterface:
         self.tokenizer = tokenizer
         milli, weight_inputs = model.graph.to_milli()
         self.milli = milli
-        self.weight_names = list(weight_inputs)
+        # RWKV projections (r/k/v/g from one x) fuse especially well —
+        # same exact-concat pass as the text interface
+        from ..milli.transforms import apply_matmul_fusion
+
+        self._fused, self._get_w = apply_matmul_fusion(
+            milli, weight_inputs, model.graph.store)
+        self.weight_names = [n for n in milli.inputs
+                             if n in weight_inputs or n in self._fused]
         self.state_names = [n for n in milli.inputs
-                            if n not in weight_inputs and n != "token"]
+                            if n not in self.weight_names and n != "token"]
         for n in self.state_names:
             assert f"new_{n}" in milli.outputs, n
         self._weights_dev = None
@@ -34,9 +41,8 @@ class RnnTextInterface:
         if self._weights_dev is None:
             import jax
 
-            self._weights_dev = [jax.device_put(
-                self.model.graph.store.get_numeric(n).numpy())
-                for n in self.weight_names]
+            self._weights_dev = [jax.device_put(self._get_w(n))
+                                 for n in self.weight_names]
         return self._weights_dev
 
     def fresh_state(self, batch: int) -> Dict[str, np.ndarray]:

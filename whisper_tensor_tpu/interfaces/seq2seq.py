@@ -44,7 +44,12 @@ class Seq2SeqInterface:
         self.cache_dtype = cache_dtype
         milli, weight_inputs = decoder_step.graph.to_milli()
         self.milli = milli
-        self.weight_names = [n for n in milli.inputs if n in weight_inputs]
+        from ..milli.transforms import apply_matmul_fusion
+
+        self._fused, self._get_w = apply_matmul_fusion(
+            milli, weight_inputs, decoder_step.graph.store)
+        self.weight_names = [n for n in milli.inputs
+                             if n in weight_inputs or n in self._fused]
         self.input_names = list(milli.inputs)
         self.output_names = list(milli.outputs)
         self.cache_in = [n for n in self.input_names
@@ -62,9 +67,8 @@ class Seq2SeqInterface:
         if self._weights_dev is None:
             import jax
 
-            self._weights_dev = [
-                jax.device_put(self.decoder.graph.store.get_numeric(n).numpy())
-                for n in self.weight_names]
+            self._weights_dev = [jax.device_put(self._get_w(n))
+                                 for n in self.weight_names]
         return self._weights_dev
 
     def encode(self, input_ids: np.ndarray) -> Dict[str, np.ndarray]:

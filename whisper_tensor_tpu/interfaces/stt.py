@@ -134,8 +134,13 @@ class SpeechToTextInterface:
 
         ensure_x64()
         milli, weight_inputs = self.decoder.graph.to_milli()
+        from ..milli.transforms import apply_matmul_fusion
+
+        self._dec_fused, self._dec_get_w = apply_matmul_fusion(
+            milli, weight_inputs, self.decoder.graph.store)
         order = list(milli.inputs)
-        self._dec_weights = [n for n in order if n in weight_inputs]
+        self._dec_weights = [n for n in order
+                             if n in weight_inputs or n in self._dec_fused]
         self._dec_caches = [n for n in order if n.startswith("cache_")]
         self._dec_cross = [n for n in order if n.startswith("cross_")]
         out_names = list(milli.outputs)
@@ -209,9 +214,8 @@ class SpeechToTextInterface:
         crosses = [jnp.asarray(np.asarray(enc[n]))
                    for n in self._dec_cross]
         if not hasattr(self, "_dec_weights_dev"):
-            self._dec_weights_dev = [
-                jnp.asarray(self.decoder.graph.store.get_numeric(n).numpy())
-                for n in self._dec_weights]
+            self._dec_weights_dev = [jnp.asarray(self._dec_get_w(n))
+                                     for n in self._dec_weights]
         sot = np.asarray(self.sot_sequence, dtype=np.int64)[None]
         toks, valids = prog(jnp.asarray(sot), crosses,
                             self._dec_weights_dev)

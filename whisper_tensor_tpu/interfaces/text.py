@@ -260,7 +260,8 @@ class TextInferenceInterface:
                  weight_dtype: Optional[DType] = None,
                  window_models: Optional[Dict[int, Model]] = None,
                  mesh=None, shard_rules=None,
-                 pad_batch_pow2: bool = True):
+                 pad_batch_pow2: bool = True,
+                 fuse_matmuls: Optional[bool] = None):
         """window_models: optional {window_size: step Model} built at
         SMALLER max_len values with the same weights. Decode then runs
         phased over growing cache windows — a step at position p only
@@ -298,12 +299,27 @@ class TextInferenceInterface:
         self.milli = milli
         self._quantized = {}
         self._packed = {}
+        # fuse same-input projections (q/k/v, gate/up) into one wide
+        # matmul + Split — numerically exact, and the decode path is
+        # bound by matmul COUNT, not weight bytes (fixed ~260 us per
+        # chained decode matmul measured in scripts/latency_probe.py).
+        # Auto-on single-chip; off under a mesh (megatron shard rules
+        # match per-projection weight names).
+        self._fused: Dict[str, List[Tuple[str, int]]] = {}
+        if fuse_matmuls is None:
+            fuse_matmuls = mesh is None
+        if fuse_matmuls:
+            from ..milli.transforms import fuse_parallel_matmuls
+
+            self._fused = fuse_parallel_matmuls(milli, set(weight_inputs))
+        live_weights = [n for n in milli.inputs
+                        if n in weight_inputs or n in self._fused]
         if quantize == "int8":
             from ..milli.transforms import quantize_matmul_weights
 
             self._quantized = quantize_matmul_weights(
-                milli, list(weight_inputs),
-                lambda n: model.graph.store.get_numeric(n).numpy())
+                milli, live_weights,
+                lambda n: self._dense_np(n, DType.F32))
         elif quantize == "packed" or (
                 quantize is None
                 and getattr(model.graph.store, "packed_sources", None)):
@@ -313,8 +329,12 @@ class TextInferenceInterface:
             # when the loader recorded packed sources.
             from ..milli.transforms import pack_matmul_nodes
 
-            self._packed = pack_matmul_nodes(milli, list(weight_inputs),
-                                             model.graph.store)
+            self._pack_sources = self._packed_sources_with_fused(
+                dict(getattr(model.graph.store, "packed_sources", None)
+                     or {}))
+            self._packed = pack_matmul_nodes(milli, live_weights,
+                                             model.graph.store,
+                                             sources=self._pack_sources)
         elif quantize in ("q4_0", "q8_0"):
             # host-quantize ANY dense checkpoint into GGUF Q4_0/Q8_0
             # blocks and execute through the same fused packed kernel —
@@ -333,7 +353,7 @@ class TextInferenceInterface:
             def _q_source(n):
                 def make():
                     if n not in _q_memo:   # window graphs reuse the
-                        w = store.get_numeric(n, DType.F32).numpy()
+                        w = self._dense_np(n, DType.F32)
                         if w.ndim != 2 or w.shape[0] % 64:
                             _q_memo[n] = None
                         else:
@@ -344,14 +364,15 @@ class TextInferenceInterface:
                     return _q_memo[n]
                 return make
 
-            self._pack_sources = {n: _q_source(n) for n in weight_inputs}
+            self._pack_sources = {n: _q_source(n) for n in live_weights}
             self._packed = pack_matmul_nodes(
-                milli, list(weight_inputs), store,
+                milli, live_weights, store,
                 sources=self._pack_sources)
         elif quantize is not None:
             raise ValueError(f"unknown quantize mode {quantize!r}")
         self.weight_names = [n for n in milli.inputs
-                             if n in weight_inputs or n.endswith("::scale")
+                             if n in weight_inputs or n in self._fused
+                             or n.endswith("::scale")
                              or n.endswith("::pscales")
                              or n.endswith("::poffsets")]
         self.input_names = list(milli.inputs)
@@ -380,18 +401,27 @@ class TextInferenceInterface:
         self._window_millis: Dict[int, Any] = {}
         for w, wm in self.window_models.items():
             wmilli, w_weights = wm.graph.to_milli()
+            if self._fused:
+                from ..milli.transforms import fuse_parallel_matmuls
+
+                # identical recipe -> identical deterministic fusion,
+                # so window graphs share the fused weight inputs
+                fuse_parallel_matmuls(wmilli, set(w_weights))
+            w_live = [n for n in wmilli.inputs
+                      if n in w_weights or n in self._fused]
             if self._packed:
                 from ..milli.transforms import pack_matmul_nodes
 
                 # same sources (GGUF store entries, or the host-
                 # quantize callables) as the main milli, so window
                 # graphs get identical ::pscales/::poffsets inputs
-                pack_matmul_nodes(wmilli, list(w_weights),
+                pack_matmul_nodes(wmilli, w_live,
                                   model.graph.store,
                                   sources=getattr(self, "_pack_sources",
                                                   None))
             wnames = [n for n in wmilli.inputs
-                      if n in w_weights or n.endswith("::pscales")
+                      if n in w_weights or n in self._fused
+                      or n.endswith("::pscales")
                       or n.endswith("::poffsets")]
             if wnames != self.weight_names:
                 raise ValueError(
@@ -400,6 +430,64 @@ class TextInferenceInterface:
             self._window_millis[w] = wmilli
 
     # ------------------------------------------------------------------
+    def _dense_np(self, n: str, dtype: Optional[DType] = None) -> np.ndarray:
+        """Dense numpy weight by milli input name; fused inputs
+        concatenate their members column-wise (exactness argument in
+        milli.transforms.fuse_parallel_matmuls)."""
+        store = self.model.graph.store
+        dt = dtype or self.weight_dtype
+        if n in self._fused:
+            return np.concatenate(
+                [store.get_numeric(m, dt).numpy()
+                 for m, _ in self._fused[n]], axis=1)
+        return store.get_numeric(n, dt).numpy()
+
+    def _packed_sources_with_fused(self, sources: Dict[str, Any]) -> Dict[str, Any]:
+        """Extend GGUF packed sources with fused entries: PackedTensor
+        rows are output channels, so a fused (N1+N2, K) tensor is the
+        raw byte concatenation of its members."""
+        from ..tensor import PackedTensor
+
+        for fname, members in self._fused.items():
+            if not all(m in sources for m, _ in members):
+                continue
+
+            def make(members=members):
+                pts = [sources[m]() for m, _ in members]
+                if any(p is None for p in pts):
+                    return None
+                if all(isinstance(p, dict) for p in pts):
+                    # GPTQ/AWQ importers emit device-layout dicts:
+                    # q (K/2|K, N), scales/offsets (Kg, N) — exact
+                    # column-wise concat
+                    if (len({int(p["bits"]) for p in pts}) != 1
+                            or len({p["q"].shape[0] for p in pts}) != 1
+                            or len({p["scales"].shape[0]
+                                    for p in pts}) != 1):
+                        return None
+                    return {
+                        "q": np.concatenate([p["q"] for p in pts], axis=1),
+                        "scales": np.concatenate(
+                            [p["scales"] for p in pts], axis=1),
+                        "offsets": np.concatenate(
+                            [p["offsets"] for p in pts], axis=1),
+                        "bits": pts[0]["bits"]}
+                if not all(isinstance(p, PackedTensor) for p in pts):
+                    return None
+                fmts = {p.fmt for p in pts}
+                if len(fmts) != 1 or any(len(p.shape) != 2 for p in pts):
+                    return None
+                K = pts[0].shape[1]
+                if any(p.shape[1] != K for p in pts):
+                    return None
+                data = np.concatenate(
+                    [np.frombuffer(p.data, dtype=np.uint8) for p in pts])
+                return PackedTensor(data.tobytes(), pts[0].fmt,
+                                    (sum(p.shape[0] for p in pts), K))
+
+            sources[fname] = make
+        return sources
+
     def install_adapters(self, adapters: "Dict[str, Dict[str, Tuple]]"):
         """Multi-LoRA serving: install named adapters for per-row
         selection. adapters maps adapter name -> {milli weight input:
@@ -417,6 +505,20 @@ class TextInferenceInterface:
             raise ValueError("adapters + windowed decode not supported")
         if self.row_extra_names:
             raise ValueError("adapters already installed")
+        if self._fused:
+            if self._quantized or self._packed:
+                raise ValueError(
+                    "adapters on a quantized graph with fused matmuls "
+                    "not supported; build with fuse_matmuls=False")
+            # transparently de-fuse: adapters target per-projection
+            # weight inputs, and nothing has compiled yet
+            milli, weight_inputs = self.model.graph.to_milli()
+            self.milli = milli
+            self._fused = {}
+            self.weight_names = [n for n in milli.inputs
+                                 if n in weight_inputs]
+            self.input_names = list(milli.inputs)
+            self.output_names = list(milli.outputs)
         names = list(adapters)
         targeted = {w for a in adapters.values() for w in a}
         missing = sorted(w for w in targeted if w not in self.milli.inputs)
@@ -488,8 +590,7 @@ class TextInferenceInterface:
                 elif n in self._lora_stacks:
                     arr = self._lora_stacks[n]
                 else:
-                    arr = self.model.graph.store.get_numeric(
-                        n, self.weight_dtype).numpy()
+                    arr = self._dense_np(n)
                 out.append(jax.device_put(arr, dev) if dev is not None
                            else jax.device_put(arr))
             self._weights_dev = out

@@ -164,8 +164,14 @@ class F5Synthesizer:
             self._programs = progs = {}
         if key not in progs:
             milli, weight_inputs = self.transformer.graph.to_milli()
+            from ..milli.transforms import apply_matmul_fusion
+
+            fused, get_w = apply_matmul_fusion(
+                milli, weight_inputs, self.transformer.graph.store)
+            self._f5_get_w = get_w
             order = list(milli.inputs)
-            wnames = [n for n in order if n in weight_inputs]
+            wnames = [n for n in order
+                      if n in weight_inputs or n in fused]
             out_names = list(milli.outputs)
             fn = _trace_graph(milli, {})
             nfe = self.nfe_steps
@@ -193,9 +199,7 @@ class F5Synthesizer:
             n for n in ("rope_cos", "rope_sin", "cat_mel_text",
                         "cat_mel_text_drop", "qk_rotated_empty")))
         fixed = tuple(jnp.asarray(np.asarray(pre[n])) for n in fixed_names)
-        weights = [jnp.asarray(
-            self.transformer.graph.store.get_numeric(n).numpy())
-            for n in wnames]
+        weights = [jnp.asarray(self._f5_get_w(n)) for n in wnames]
         return np.asarray(prog(jnp.asarray(noise, jnp.float32),
                                fixed_names, fixed, weights))
 

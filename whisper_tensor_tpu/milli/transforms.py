@@ -86,6 +86,130 @@ def quantize_matmul_weights(
     return quantized
 
 
+def fuse_parallel_matmuls(
+    milli: MilliGraph,
+    weight_names: Sequence[str],
+    min_group: int = 2,
+) -> Dict[str, List[Tuple[str, int]]]:
+    """Fuse same-input weight matmuls into one wide matmul + static Split.
+
+    MatMuls that share the SAME lhs tensor and whose RHS are distinct
+    2-D weight graph-inputs (q/k/v projections, SwiGLU gate/up) merge
+    into `y = x @ concat(W_1..W_n, axis=1)` followed by a Split back to
+    the original output tensors. Numerically EXACT: every output column
+    of a matmul depends only on its own RHS column, so concatenation
+    changes nothing — including int8 per-channel or GGUF per-block
+    quantization applied afterwards (both are column/row-block local).
+
+    Why: on TPU v5e a chained decode matmul pays a large fixed cost
+    (~260 us measured at M=32 via scripts/latency_probe.py) while the
+    HBM slope is already at roofline — decode throughput is bound by
+    matmul COUNT, not weight bytes. Fusing 7 projections per
+    transformer layer into 4 removes ~3/7 of that fixed cost.
+
+    Mutates `milli` (member weight inputs are REMOVED from
+    milli.inputs) and returns {fused_input_name: [(member_name,
+    n_cols), ...]} in split order — callers bind the fused weight as
+    np.concatenate([W_members], axis=1).
+
+    Reference counterpart: none (the reference interpreter has no
+    per-op dispatch cost of this kind); net-new TPU-shaped pass.
+    """
+    from ..graph import new_global_id
+    from .ir import MilliNode
+    from .ops import MatMul, Split
+
+    name_by_tid = {tid: n for n, tid in milli.inputs.items()
+                   if n in set(weight_names)}
+    uses: Dict[int, int] = {}
+    for node in milli.nodes:
+        for i in node.inputs:
+            if i is not None:
+                uses[i] = uses.get(i, 0) + 1
+    outputs_set = set(milli.outputs.values())
+
+    def _cols(rhs_tid: int) -> Optional[int]:
+        info = milli.tensors[rhs_tid].info
+        dims = info.dims() if info is not None else None
+        if dims is None or len(dims) != 2:
+            return None
+        d = dims[-1]
+        try:
+            return int(d.value())
+        except Exception:
+            return None
+
+    # candidate groups keyed by (lhs tid, phase, group, op config)
+    groups: Dict[Tuple, List[Tuple[int, Any, str, int]]] = {}
+    for idx, node in enumerate(milli.nodes):
+        if type(node.op) is not MatMul or len(node.inputs) != 2:
+            continue
+        lhs, rhs = node.inputs
+        nm = name_by_tid.get(rhs)
+        if (nm is None or uses.get(rhs, 0) != 1 or rhs in outputs_set
+                or node.outputs[0] in outputs_set):
+            continue
+        cols = _cols(rhs)
+        if cols is None or cols % 128:
+            # keep fused widths lane-aligned; odd widths stay unfused
+            continue
+        key = (lhs, node.phase, node.group, node.op.accumulate,
+               node.op.out_dtype)
+        groups.setdefault(key, []).append((idx, node, nm, cols))
+
+    fused: Dict[str, List[Tuple[str, int]]] = {}
+    removed: set = set()
+    inserts: Dict[int, List[MilliNode]] = {}
+    for key, members in groups.items():
+        if len(members) < min_group:
+            continue
+        lhs, phase, group, acc, odt = key
+        names = [m[2] for m in members]
+        sizes = [m[3] for m in members]
+        fname = f"{names[0]}::fused{len(names)}"
+        ftid = milli.add_input(fname)
+        out_f = milli.new_tensor(label=fname + "::out")
+        mm = MilliNode(new_global_id(),
+                       MatMul(accumulate=acc, out_dtype=odt),
+                       [lhs, ftid], [out_f], phase, group)
+        sp = MilliNode(new_global_id(), Split(axis=-1, sizes=sizes),
+                       [out_f], [m[1].outputs[0] for m in members],
+                       phase, group)
+        inserts[members[0][0]] = [mm, sp]
+        removed.update(m[0] for m in members)
+        fused[fname] = list(zip(names, sizes))
+        for nm in names:
+            del milli.inputs[nm]
+
+    if not fused:
+        return fused
+    new_nodes: List[MilliNode] = []
+    for idx, node in enumerate(milli.nodes):
+        if idx in inserts:
+            new_nodes.extend(inserts[idx])
+        if idx not in removed:
+            new_nodes.append(node)
+    milli.nodes = new_nodes
+    return fused
+
+
+def apply_matmul_fusion(milli: MilliGraph, weight_inputs, store):
+    """Convenience wrapper: run fuse_parallel_matmuls and return
+    (fused_map, getter) where getter(name, dtype=None) binds both plain
+    and fused weight inputs from a TensorStore (fused = column concat
+    of the members)."""
+    fused = fuse_parallel_matmuls(milli, set(weight_inputs))
+
+    def get(n: str, dtype=None) -> np.ndarray:
+        if n in fused:
+            return np.concatenate(
+                [store.get_numeric(m, dtype).numpy()
+                 for m, _ in fused[n]], axis=1)
+        return store.get_numeric(n, dtype).numpy()
+
+    return fused, get
+
+
 def inject_lora(
     milli: MilliGraph,
     weight_names: Sequence[str],
