@@ -74,6 +74,10 @@ def bench_sd15_unet() -> None:
                          latent_hw=(64, 64), dtype=DType.BF16)
     model = Model.new_from_onnx(data, name="sd15-unet")
     milli, weight_inputs = model.graph.to_milli()
+    from whisper_tensor_tpu.milli.transforms import apply_matmul_fusion
+
+    fused, get_w = apply_matmul_fusion(milli, weight_inputs,
+                                       model.graph.store)
     rng = np.random.default_rng(0)
     feeds = {
         "sample": rng.standard_normal((2, 4, 64, 64)).astype(DType.BF16.to_numpy()),
@@ -81,9 +85,9 @@ def bench_sd15_unet() -> None:
         "encoder_hidden_states": rng.standard_normal((2, 77, 768)).astype(
             DType.BF16.to_numpy()),
     }
-    for name in weight_inputs:
-        feeds[name] = jax.device_put(model.graph.store.get_numeric(
-            name, DType.BF16).numpy())
+    for name in milli.inputs:
+        if name in weight_inputs or name in fused:
+            feeds[name] = jax.device_put(get_w(name, DType.BF16))
     t1 = time.time()
     print(f"# build+ingest+upload: {t1 - t0:.1f}s", file=sys.stderr)
     compiled = compile_milli(milli, feeds)
@@ -229,7 +233,6 @@ def bench_llama8b() -> None:
     from whisper_tensor_tpu.tensor import NumericTensor, PackedTensor
 
     mode = os.environ.get("WT_BENCH_QUANT", "int8")
-    B = int(os.environ.get("WT_BENCH_BATCH", "32"))
     n_new = int(os.environ.get("WT_BENCH_NEW", "64"))
     max_len = int(os.environ.get("WT_BENCH_MAXLEN", "128"))
 
@@ -371,25 +374,47 @@ def bench_llama8b() -> None:
         assert cos > 0.98, f"quantized logits diverged: cosine {cos}"
     del q_iface
 
-    # ---- the 8B build ----
+    # ---- the 8B build (once; batch sweep reuses the device weights) ----
     t0 = time.time()
     cfg = make_cfg(32)
     iface = build_iface(cfg, mode, max_len, (16,))
     print(f"# 8B build+ingest ({mode}): {time.time() - t0:.0f}s",
           file=sys.stderr)
 
-    prompt = np.random.default_rng(0).integers(
-        0, cfg.vocab_size, (B, 16)).astype(np.int64)
-    t0 = time.time()
-    toks = iface.generate_tokens(prompt, n_new)
-    print(f"# compile+warmup: {time.time() - t0:.0f}s", file=sys.stderr)
-    runs = 3
-    t0 = time.time()
-    for _ in range(runs):
-        toks = iface.generate_tokens(prompt, n_new)
-    dt = (time.time() - t0) / runs
-    tok_s = B * n_new / dt
-    print(f"# {B}x{n_new} in {dt:.2f}s -> {tok_s:.0f} tok/s", file=sys.stderr)
+    batches = [int(b) for b in
+               str(os.environ.get("WT_BENCH_BATCH", "32")).split(",")]
+    best = None
+    for B in batches:
+        try:
+            prompt = np.random.default_rng(0).integers(
+                0, cfg.vocab_size, (B, 16)).astype(np.int64)
+            t0 = time.time()
+            iface.generate_tokens(prompt, 1)       # prefill(+1) program
+            toks = iface.generate_tokens(prompt, n_new)
+            print(f"# B={B} compile+warmup: {time.time() - t0:.0f}s",
+                  file=sys.stderr)
+            runs = 3
+            t0 = time.time()
+            for _ in range(runs):
+                iface.generate_tokens(prompt, 1)
+            t_pre = (time.time() - t0) / runs      # prefill + 1 step
+            t0 = time.time()
+            for _ in range(runs):
+                toks = iface.generate_tokens(prompt, n_new)
+            dt = (time.time() - t0) / runs
+            tok_s = B * n_new / dt
+            dec_s = B * (n_new - 1) / max(dt - t_pre, 1e-9)
+            print(f"# B={B}: {B}x{n_new} in {dt:.2f}s -> {tok_s:.0f} tok/s "
+                  f"(prefill+1 {t_pre * 1e3:.0f} ms; decode-only "
+                  f"{dec_s:.0f} tok/s, "
+                  f"{(dt - t_pre) / (n_new - 1) * 1e3:.1f} ms/step)",
+                  file=sys.stderr)
+            if best is None or tok_s > best[1]:
+                best = (B, tok_s)
+        except Exception as e:
+            print(f"# B={B} failed: {type(e).__name__}: {str(e)[:100]}",
+                  file=sys.stderr)
+    B, tok_s = best
     print(json.dumps({
         "metric": f"llama8b_{mode}_decode",
         "value": round(tok_s, 1),
