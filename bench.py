@@ -382,7 +382,7 @@ def bench_llama8b() -> None:
           file=sys.stderr)
 
     batches = [int(b) for b in
-               str(os.environ.get("WT_BENCH_BATCH", "32")).split(",")]
+               str(os.environ.get("WT_BENCH_BATCH", "256")).split(",")]
     best = None
     for B in batches:
         try:
