@@ -30,6 +30,34 @@ DEFAULT_DIR = os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "..", ".jax_compile_cache")
 
 
+def _host_fingerprint() -> str:
+    """Stable fingerprint of this host's CPU capabilities.
+
+    XLA:CPU caches AOT-compiled executables whose cache key does NOT
+    include the host's instruction-set features; an entry compiled on a
+    machine with (say) AMX/AVX-512 extensions loads on a lesser host
+    with a 'could lead to SIGILL' error. Scoping the cache directory by
+    a flags fingerprint makes each distinct host population its own
+    cache instead of sharing incompatible machine code. (TPU
+    executables are keyed by platform version and are unaffected — but
+    scoping them too is harmless and keeps this logic platform-blind.)
+    """
+    import hashlib
+    import platform
+
+    bits = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    bits += ":" + flags
+                    break
+    except OSError:
+        bits += ":" + platform.processor()
+    return hashlib.sha1(bits.encode()).hexdigest()[:12]
+
+
 def enable_persistent_cache(path: str | None = None) -> bool:
     """Idempotently enable JAX's on-disk compilation cache.
 
@@ -46,6 +74,7 @@ def enable_persistent_cache(path: str | None = None) -> bool:
         if env == "0":
             return False
         cache_dir = path or (env if env else os.path.abspath(DEFAULT_DIR))
+        cache_dir = os.path.join(cache_dir, _host_fingerprint())
         try:
             import jax
 
