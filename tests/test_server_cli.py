@@ -500,7 +500,10 @@ def test_webui_page_serves_controls(server):
                  'id="tab_jobs"', 'id="draft"', 'id="draftk"',
                  'id="cregex"', 'id="cschema"',
                  'id="img_useinit"', 'id="img_preview"', 'id="stopseq"',
-                 'id="batcher_stats"', 'id="cancel_job"', "WebSocket"):
+                 'id="batcher_stats"', 'id="cancel_job"', "WebSocket",
+                 # explorer depth: full inspector + nested-graph descent
+                 "get_tensor_slice", "descendSub", "panZoomify",
+                 "renderSlice", "sliceMode"):
         assert elem in html, elem
 
 
@@ -942,3 +945,76 @@ def test_transcribe_stream_ws(server, tmp_path):
     second = c.recv()
     assert second["tokens"] == ref["tokens"]
     c.close()
+
+
+def test_tensor_slice_and_nested_graph_json(server, tmp_path):
+    """Inspect-window depth (reference inspect_windows.rs value tables):
+    get_tensor_slice returns exact values for an N-D slice with axis
+    pinning + paging; model_graph JSON carries nested If bodies for the
+    explorer's descent navigation."""
+    from whisper_tensor_tpu.dtype import DType
+    from whisper_tensor_tpu.importers.onnx_builder import (OnnxBuilder,
+                                                           WeightStorage)
+
+    srv, port = server
+    b = OnnxBuilder("sliceable")
+    b.input("cond", DType.BOOL, [])
+    b.input("x", DType.F32, [2, 3, 4])
+    w = np.arange(24, dtype=np.float32).reshape(2, 3, 4)
+    w[1, 2, 3] = np.nan
+    b.initializer("w3d", w)
+    then_b = OnnxBuilder("then")
+    then_b.node("Add", ["x", "w3d"], outputs=["o"])
+    then_b.output("o", DType.F32, [2, 3, 4])
+    else_b = OnnxBuilder("else")
+    else_b.node("Sub", ["x", "w3d"], outputs=["o"])
+    else_b.output("o", DType.F32, [2, 3, 4])
+    b.node("If", ["cond"], outputs=["y"],
+           then_branch=then_b.build_graph_proto(WeightStorage.embed()),
+           else_branch=else_b.build_graph_proto(WeightStorage.embed()))
+    b.output("y", DType.F32, [2, 3, 4])
+    path = str(tmp_path / "sliceable.onnx")
+    with open(path, "wb") as f:
+        f.write(b.build())
+
+    c = _WSClient("127.0.0.1", port)
+    try:
+        c.send({"type": "run_loader", "loader": "onnx",
+                "config": {"path": path}})
+        mid = c.recv()["loaded"][0]
+
+        # nested control-flow bodies ride in the graph JSON
+        c.send({"type": "get_model_graph", "model_id": mid})
+        graph = c.recv()["graph"]
+        if_op = next(o for o in graph["ops"] if o["op_type"] == "If")
+        assert set(if_op["subgraphs"]) == {"then_branch", "else_branch"}
+        then_g = if_op["subgraphs"]["then_branch"]
+        assert any(o["op_type"] == "Add" for o in then_g["ops"])
+
+        # default slice: trailing two axes free, leading pinned to 0
+        c.send({"type": "get_tensor_slice", "model_id": mid, "name": "w3d"})
+        r = c.recv()
+        assert r["type"] == "tensor_slice"
+        assert r["shape"] == [2, 3, 4] and r["free_axes"] == [1, 2]
+        assert r["fix"] == [0, None, None]
+        assert r["values"] == [[0.0, 1.0, 2.0, 3.0],
+                               [4.0, 5.0, 6.0, 7.0],
+                               [8.0, 9.0, 10.0, 11.0]]
+        assert r["stats"]["min"] == 0.0 and r["stats"]["max"] == 22.0
+        assert r["stats"]["nan"] == 1
+
+        # pin axis 0 = 1: the NaN cell must arrive as a JSON null
+        c.send({"type": "get_tensor_slice", "model_id": mid, "name": "w3d",
+                "fix": [1, None, None]})
+        r = c.recv()
+        assert r["values"][2][3] is None
+        assert r["values"][0] == [12.0, 13.0, 14.0, 15.0]
+
+        # free axes (0, 2) with axis1 pinned; then paging via col_off
+        c.send({"type": "get_tensor_slice", "model_id": mid, "name": "w3d",
+                "fix": [None, 2, None], "col_off": 2, "max_cols": 2})
+        r = c.recv()
+        assert r["free_axes"] == [0, 2] and r["col_off"] == 2
+        assert r["values"][0] == [10.0, 11.0]
+    finally:
+        c.close()

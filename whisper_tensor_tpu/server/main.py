@@ -140,6 +140,47 @@ class Server:
                         "tensor": P.AbbreviatedTensor.from_array(arr).__dict__}
             return {"type": P.STORED_TENSOR, "name": msg["name"],
                     "tensor": P.encode_tensor(arr)}
+        if t == "get_tensor_slice":
+            # exact-value N-D slicing for the UI inspect windows
+            # (reference inspect_windows.rs value tables): `fix` pins an
+            # index per axis; nulls mark the (up to 2) display axes.
+            entry = self.models.get(int(msg["model_id"]))
+            arr = entry.model.graph.store.get_numeric(msg["name"]).numpy()
+            a = np.asarray(arr)
+            af = a.astype(np.float32, copy=False)
+            finite = af[np.isfinite(af)] if af.size else af
+            stats = {"min": float(finite.min()) if finite.size else 0.0,
+                     "max": float(finite.max()) if finite.size else 0.0,
+                     "mean": float(finite.mean()) if finite.size else 0.0,
+                     "std": float(finite.std()) if finite.size else 0.0,
+                     "nan": int(np.isnan(af).sum()) if af.size else 0}
+            fix = msg.get("fix") or [None] * a.ndim
+            if len(fix) != a.ndim:
+                raise ValueError(f"fix has {len(fix)} entries for a "
+                                 f"{a.ndim}-d tensor")
+            free = [d for d, v in enumerate(fix) if v is None]
+            if len(free) > 2:       # display the trailing two free axes
+                for d in free[:-2]:
+                    fix[d] = 0
+                free = free[-2:]
+            idx = tuple(slice(None) if v is None else
+                        int(v) % max(int(a.shape[d]), 1)
+                        for d, v in enumerate(fix))
+            sl = np.atleast_2d(af[idx])     # 0 free axes -> (1,1); 1 -> (1,N)
+            ro = min(max(int(msg.get("row_off", 0)), 0), max(sl.shape[0] - 1, 0))
+            co = min(max(int(msg.get("col_off", 0)), 0), max(sl.shape[1] - 1, 0))
+            mr = min(int(msg.get("max_rows", 64)), 512)
+            mc = min(int(msg.get("max_cols", 64)), 512)
+            view = sl[ro:ro + mr, co:co + mc]
+            return {"type": "tensor_slice", "name": msg["name"],
+                    "shape": list(a.shape), "dtype": str(a.dtype),
+                    "slice_shape": list(sl.shape),
+                    "row_off": ro, "col_off": co,
+                    "free_axes": free, "fix": fix,
+                    "values": [[(None if not np.isfinite(v) else
+                                 round(float(v), 6)) for v in row]
+                               for row in view],
+                    "stats": stats}
         if t == P.CANCEL_REQUEST:
             jid = int(msg["job"])
             batched = self._batch_jobs.get(jid)

@@ -81,7 +81,9 @@ class ModelServer:
 
     def graph_json(self, model_id: int) -> dict:
         """Introspectable graph structure for the UI graph explorer."""
-        g = self.get(model_id).model.graph
+        return self._graph_json(self.get(model_id).model.graph)
+
+    def _graph_json(self, g) -> dict:
         tensors = {}
         for tid, t in g.tensors.items():
             tensors[str(tid)] = {"name": t.name, "kind": t.kind.value,
@@ -89,11 +91,19 @@ class ModelServer:
                                  "info": repr(t.info) if t.info else None}
         ops = []
         for sop in g.ops:
-            ops.append({"id": sop.id, "name": sop.name,
-                        "op_type": sop.op.OP_TYPE,
-                        "display": sop.op.display_name(),
-                        "properties": sop.op.properties(),
-                        "inputs": [i for i in sop.inputs],
-                        "outputs": [o for o in sop.outputs]})
+            entry = {"id": sop.id, "name": sop.name,
+                     "op_type": sop.op.OP_TYPE,
+                     "display": sop.op.display_name(),
+                     "properties": sop.op.properties(),
+                     "inputs": [i for i in sop.inputs],
+                     "outputs": [o for o in sop.outputs]}
+            # nested control-flow bodies (If/Scan/Loop) — the UI descends
+            # these like the reference's nested graph navigation
+            # (crates/whisper-tensor-ui/src/graph_explorer/)
+            subs = sop.op.sub_graph_attrs()
+            if subs:
+                entry["subgraphs"] = {k: self._graph_json(sg)
+                                      for k, sg in subs.items()}
+            ops.append(entry)
         return {"name": g.name, "tensors": tensors, "ops": ops,
                 "inputs": g.inputs, "outputs": g.outputs}
