@@ -97,6 +97,30 @@ def test_eos_terminates_early():
         batcher.stop()
 
 
+def test_eos_list_terminates_early():
+    """HF checkpoints may declare SEVERAL eos ids (Llama-3 style): any
+    of them must deactivate the row."""
+    cfg, m_scalar, m_ragged = _models()
+    ref_iface = TextInferenceInterface(m_scalar, max_len=64,
+                                       prompt_buckets=(16,))
+    p = rng.integers(0, cfg.vocab_size, (6,)).astype(np.int64)
+    ref = ref_iface.generate_tokens(p[None], 20)[0]
+    eos_ids = [int(ref[3]), cfg.vocab_size - 1]  # 4th token + a dud
+    batcher = ContinuousBatcher(m_ragged, max_len=64, max_batch=2, chunk=4,
+                                cache_dtype=DType.F32, prompt_buckets=(16,),
+                                eos_token_id=eos_ids).start()
+    try:
+        assert batcher.eos_token_ids == tuple(eos_ids)
+        assert batcher.eos_token_id == eos_ids[0]
+        out = batcher.submit(p, 20).result(timeout=120)
+        assert len(out) <= 20
+        assert eos_ids[0] in list(out)
+        idx = list(out).index(eos_ids[0])
+        np.testing.assert_array_equal(out[:idx + 1], ref[:idx + 1])
+    finally:
+        batcher.stop()
+
+
 
 
 def _llama_models(max_len):

@@ -247,3 +247,34 @@ def test_desc_act_dense_fallback(tmp_path):
                         g_idx.astype(np.int64))
     np.testing.assert_array_equal(w, ref.T)
     assert store.packed_source("m.weight")() is None
+
+
+def test_names_keeps_sibling_tensors(tmp_path):
+    """names() must collapse only the q-component tensors of a module
+    into '<mod>.weight' — siblings like '<mod>.bias' share the module
+    prefix and must keep passing through (a Qwen-style checkpoint with
+    attention biases would otherwise silently lose them)."""
+    from safetensors.numpy import save_file
+
+    g = 64
+    rng = np.random.default_rng(13)
+    spec = QuantSpec("gptq", 4, g)
+    q = rng.integers(0, 16, (K, N)).astype(np.uint8)
+    zeros = np.clip(rng.integers(1, 15, (K // g, N)), 1, 15) \
+        .astype(np.float32)
+    scales = (rng.random((K // g, N), dtype=np.float32) * 0.01 + 0.001)
+    qw, qz, sc = pack_gptq(q, zeros, scales, spec)
+    bias = rng.standard_normal((N,)).astype(np.float32)
+    d = tmp_path / "withbias"
+    d.mkdir()
+    save_file({"m.qweight": qw, "m.qzeros": qz, "m.scales": sc,
+               "m.bias": bias, "other.weight": bias.copy()},
+              str(d / "model.safetensors"))
+
+    from whisper_tensor_tpu.importers.safetensors_io import SafetensorsStore
+
+    store = QuantizedStore(SafetensorsStore([str(d / "model.safetensors")]),
+                           spec)
+    names = sorted(store.names())
+    assert names == ["m.bias", "m.weight", "other.weight"]
+    np.testing.assert_array_equal(store.load("m.bias"), bias)

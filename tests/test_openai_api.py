@@ -672,3 +672,76 @@ def test_stop_sequences_and_errors(api):
 
     s, _ = _req(api, "POST", "/v1/nothing", {})
     assert s == 404
+
+
+def test_eos_wiring_through_loader_and_batcher(tmp_path):
+    """EOS from generation_config.json must flow loader -> server ->
+    batcher: responses stop at EOS with finish_reason 'stop', the SSE
+    delta stream never emits the eos token's text, and best_of never
+    ranks a zero-token completion first (the r3 review findings)."""
+    import torch
+    from safetensors.torch import save_file
+    from transformers import GPT2Config as HFConfig, GPT2LMHeadModel
+
+    from whisper_tensor_tpu.server.main import Server
+    from whisper_tensor_tpu.server.openai_api import OpenAIApi
+    from whisper_tensor_tpu.tokenizer import ByteTokenizer
+
+    torch.manual_seed(23)
+    hf = GPT2LMHeadModel(HFConfig(n_layer=1, n_head=2, n_embd=16,
+                                  vocab_size=300, n_positions=256))
+    d = tmp_path / "tiny-gpt2-eos"
+    d.mkdir()
+    (d / "config.json").write_text(json.dumps({
+        "model_type": "gpt2", "n_layer": 1, "n_head": 2, "n_embd": 16,
+        "vocab_size": 300, "n_positions": 256}))
+    save_file({k: v.contiguous() for k, v in hf.state_dict().items()
+               if k != "lm_head.weight"}, str(d / "model.safetensors"))
+
+    # find what greedy decode emits, declare the 4th token as eos
+    probe = Server()
+    entry, = probe.models.run_loader("transformers", {
+        "path": str(d), "dtype": "f32", "max_len": 256})
+    tok = ByteTokenizer()
+    ids = np.asarray(tok.encode("hi"), np.int64)[None]
+    ref = [int(t) for t in
+           probe._text_iface(entry).generate_tokens(ids, 12)[0]]
+    eos = ref[3]
+
+    (d / "generation_config.json").write_text(json.dumps(
+        {"eos_token_id": [eos, 299]}))
+    srv = Server()
+    srv.models.run_loader("transformers", {
+        "path": str(d), "dtype": "f32", "max_len": 256,
+        "ragged_decode": True})
+    api2 = OpenAIApi(srv, "127.0.0.1", 0).start()
+    try:
+        name = _names(api2)[0]
+        body = {"model": name, "prompt": "hi", "max_tokens": 12,
+                "temperature": 0}
+        s, data = _req(api2, "POST", "/v1/completions", body)
+        r = json.loads(data)
+        ch = r["choices"][0]
+        assert ch["finish_reason"] == "stop"
+        assert r["usage"]["completion_tokens"] == 3
+        assert ch["text"] == tok.decode(ref[:3])
+
+        s, data = _req(api2, "POST", "/v1/completions",
+                       body | {"stream": True})
+        assert s == 200
+        text = "".join(
+            json.loads(line[6:])["choices"][0].get("text", "")
+            for line in data.decode().splitlines()
+            if line.startswith("data: ") and line != "data: [DONE]")
+        assert text == tok.decode(ref[:3])
+
+        s, data = _req(api2, "POST", "/v1/completions",
+                       body | {"temperature": 0.9, "seed": 5,
+                               "n": 1, "best_of": 3})
+        assert s == 200
+        assert json.loads(data)["choices"][0]["finish_reason"] \
+            in ("stop", "length")
+    finally:
+        api2.stop()
+        for bat in srv._batchers.values():
+            bat.stop()

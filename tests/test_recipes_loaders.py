@@ -135,6 +135,10 @@ class TestLoaders:
             "max_position_embeddings": 64, "rms_norm_eps": 1e-6,
             "rope_theta": 10000.0}
         (d / "config.json").write_text(json.dumps(cfg_json))
+        # generation_config wins over config.json for eos resolution,
+        # including the Llama-3-style multi-eos list form
+        (d / "generation_config.json").write_text(json.dumps(
+            {"eos_token_id": [2, 3]}))
         save_file({k: v.contiguous() for k, v in hf.state_dict().items()},
                   str(d / "model.safetensors"))
         bundle = identify_and_load(str(d), max_len=64, dtype="f32")
@@ -142,6 +146,7 @@ class TestLoaders:
         (name, model), = bundle.models.items()
         iface_cfg = bundle.interfaces["text"]
         assert iface_cfg["n_layers"] == 1
+        assert iface_cfg["eos_token_id"] == [2, 3]
         ids = np.asarray([[1, 2, 3]], dtype=np.int64)
         lg = TextInferenceInterface(model, max_len=64,
                                     prompt_buckets=(16,)).logits(ids)

@@ -89,6 +89,24 @@ def loader_registry() -> Dict[str, Loader]:
 # ---------------------------------------------------------------------------
 
 
+def _resolve_eos(d: str, hf_cfg: dict):
+    """End-of-sequence token id(s) for a HF checkpoint dir:
+    generation_config.json wins over config.json. Returns int, list of
+    ints (Llama-3-style multi-eos), or None — serving uses this to
+    stop decode rows and trim responses at EOS."""
+    eos = None
+    gp = os.path.join(d, "generation_config.json")
+    if os.path.exists(gp):
+        try:
+            with open(gp, "r", encoding="utf-8") as f:
+                eos = json.load(f).get("eos_token_id")
+        except (OSError, ValueError):
+            eos = None
+    if eos is None:
+        eos = hf_cfg.get("eos_token_id")
+    return eos
+
+
 @register_loader
 class OnnxLoader(Loader):
     NAME = "onnx"
@@ -369,6 +387,7 @@ class TransformersLoader(Loader):
             return LoadedBundle(
                 models={name: text_model, name + "-vision": vis_model},
                 interfaces={"text": {"model": name, "max_len": max_len,
+                                     "eos_token_id": _resolve_eos(d, hf_cfg),
                                      **geometry},
                             "multimodal": {"model": name,
                                            "vision": name + "-vision",
@@ -467,6 +486,8 @@ class TransformersLoader(Loader):
                                                  "windows": window_spec,
                                                  "adapters": serve_adapters,
                                                  "weight_map": weight_map,
+                                                 "eos_token_id":
+                                                     _resolve_eos(d, hf_cfg),
                                                  **geometry}},
                             tokenizer_source=tok,
                             meta={"model_type": mt, "dtype": dtype.name})
@@ -558,6 +579,7 @@ class GgufLoader(Loader):
                 wm.graph.store = model.graph.store
                 models[wm.name] = wm
                 window_spec[str(w)] = wm.name
+        eos = g.metadata.get("tokenizer.ggml.eos_token_id")
         return LoadedBundle(models=models,
                             interfaces={"text": {"model": name,
                                                  "max_len": max_len,
@@ -565,6 +587,9 @@ class GgufLoader(Loader):
                                                  "prefill_chunk": int(config.get("prefill_chunk", 0) or 0),
                                                  "quantize": config.get("quantize") or "",
                                                  "windows": window_spec,
+                                                 "eos_token_id":
+                                                     (int(eos) if eos
+                                                      is not None else None),
                                                  **geometry}},
                             meta={"architecture": arch,
                                   "quantized": True})

@@ -223,13 +223,17 @@ class QuantizedStore:
         return name.endswith(".weight") and name[:-7] in self._qmods
 
     def names(self):
+        # collapse ONLY the packed-quant component names of a module
+        # into '<mod>.weight' — sibling tensors (e.g. '<mod>.bias')
+        # share the module prefix and must keep passing through
         seen = set()
         for n in self.base.names():
-            m = n.rsplit(".", 1)[0]
-            if m in self._qmods:
-                if m not in seen:
-                    seen.add(m)
-                    yield m + ".weight"
+            mod, _, leaf = n.rpartition(".")
+            if mod in self._qmods and leaf in ("qweight", "qzeros",
+                                               "scales", "g_idx"):
+                if mod not in seen:
+                    seen.add(mod)
+                    yield mod + ".weight"
             else:
                 yield n
 

@@ -294,7 +294,18 @@ class TextInferenceInterface:
                 f"no prompt bucket <= max_len={max_len} "
                 f"(buckets={list(prompt_buckets)})")
         self.tokenizer = tokenizer
-        self.eos_token_id = eos_token_id
+        # HF checkpoints may declare several end tokens (Llama-3 ships
+        # eos_token_id=[128001,128008,128009]): keep the full set for
+        # stop/trim checks and the first as the primary id (DFA
+        # constraints and beam search emit a single eos)
+        if eos_token_id is None or isinstance(eos_token_id, int):
+            self.eos_token_id = eos_token_id
+            self.eos_token_ids = (None if eos_token_id is None
+                                  else (eos_token_id,))
+        else:
+            ids = tuple(int(e) for e in eos_token_id)
+            self.eos_token_id = ids[0] if ids else None
+            self.eos_token_ids = ids or None
         milli, weight_inputs = model.graph.to_milli()
         self.milli = milli
         self._quantized = {}
@@ -1353,6 +1364,7 @@ class TextInferenceInterface:
 
             if isinstance(self.tokenizer, ByteTokenizer):
                 self.eos_token_id = ByteTokenizer.EOS
+                self.eos_token_ids = (ByteTokenizer.EOS,)
             else:
                 raise ValueError(
                     "constrained decoding needs eos_token_id (the DFA "
@@ -1379,10 +1391,10 @@ class TextInferenceInterface:
         ids = np.asarray(self.tokenizer.encode(text), dtype=np.int64)[None]
         toks = self.generate_tokens(ids, n_new, sampling=sampling,
                                     constraint=constraint)[0]
-        eos_id = (constraint.eos_token_id if constraint is not None
-                  else self.eos_token_id)
-        if eos_id is not None:
-            eos = np.nonzero(toks == eos_id)[0]
+        eos_ids = ((constraint.eos_token_id,) if constraint is not None
+                   else self.eos_token_ids)
+        if eos_ids:
+            eos = np.nonzero(np.isin(toks, np.asarray(eos_ids)))[0]
             if eos.size:
                 toks = toks[:eos[0]]
         return self.tokenizer.decode([int(t) for t in toks])

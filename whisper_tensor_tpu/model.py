@@ -43,15 +43,18 @@ class Model:
         self.graph.save_onnx(path, weights=weights)
 
     # -- execution ----------------------------------------------------------
-    def backend(self, mode: str = "oracle", validate: bool = False,
+    def backend(self, mode: str = "oracle", validate: Optional[bool] = None,
                 observer: Optional[SymbolicObserver] = None) -> EvalBackend:
+        # validate=None defers to EvalBackend's default: validate every
+        # assignment on the oracle path (reference eval_backend.rs:230-
+        # 270), structural trace-time validation on the XLA path
         key = f"{mode}:{validate}:{id(observer)}"
         if key not in self._backends:
             self._backends[key] = EvalBackend(mode, validate, observer)
         return self._backends[key]
 
     def eval(self, feeds: Dict[str, np.ndarray], mode: str = "oracle",
-             validate: bool = False,
+             validate: Optional[bool] = None,
              observer: Optional[SymbolicObserver] = None) -> Dict[str, np.ndarray]:
         return self.backend(mode, validate, observer).run(self.graph, feeds)
 

@@ -117,7 +117,16 @@ class ContinuousBatcher:
             max_batch = _next_pow2(max_batch)
         self.max_batch = max_batch
         self.chunk = chunk
-        self.eos_token_id = eos_token_id
+        # int or list (HF checkpoints may declare several end tokens);
+        # eos_token_id stays the primary id, eos_token_ids the full set
+        if eos_token_id is None or isinstance(eos_token_id, int):
+            self.eos_token_id = eos_token_id
+            self.eos_token_ids = (None if eos_token_id is None
+                                  else (eos_token_id,))
+        else:
+            ids = tuple(int(e) for e in eos_token_id)
+            self.eos_token_id = ids[0] if ids else None
+            self.eos_token_ids = ids or None
         self.sampling = sampling
         self.park_pos = max_len - 1       # reserved scratch slot position
         self._queue: "queue.Queue[_Request]" = queue.Queue()
@@ -490,7 +499,7 @@ class ContinuousBatcher:
         if key in self._programs:
             return self._programs[key]
         step = self.iface._traced_step(self.max_batch, 1, adapters=la)
-        eos = self.eos_token_id
+        eos = self.eos_token_ids
         park = self.park_pos
         mb = self.max_batch
         any_pen = flags[4]
@@ -519,7 +528,10 @@ class ContinuousBatcher:
                     seen = seen.at[jnp.arange(mb), nxt].add(
                         active.astype(seen.dtype))
                 if eos is not None:
-                    active = active & (nxt != eos)
+                    hit = nxt == eos[0]
+                    for e in eos[1:]:
+                        hit = hit | (nxt == e)
+                    active = active & ~hit
                 pos = jnp.where(active, jnp.minimum(pos + 1, park), pos)
                 return (nxt, pos, active, caches, seen), (nxt, active)
 
@@ -603,8 +615,8 @@ class ContinuousBatcher:
             self._tokens_emitted += 1
             if req.on_token is not None:
                 req.on_token(first)
-            eos_hit = (self.eos_token_id is not None
-                       and first == self.eos_token_id)
+            eos_hit = (self.eos_token_ids is not None
+                       and first in self.eos_token_ids)
             self._pending[slot_idx] = (
                 first, min(int(lens[row]), self.park_pos),
                 not eos_hit and req.n_new > 1)

@@ -58,6 +58,12 @@ class Server:
         self._spec_decoders: dict = {}    # (target, draft, k) -> decoder
         self._mm_ifaces: dict = {}        # bundle_id -> multimodal iface
         self._stt_streams: dict = {}      # stream_id -> StreamingTranscriber
+        self._stt_ifaces: dict = {}       # entry_id -> SpeechToTextInterface
+        # guards get-then-create on the caches above: the HTTP front end
+        # is a ThreadingHTTPServer, so two concurrent first requests
+        # would otherwise both build (and device-upload) a batcher or
+        # interface, leaking the loser's weights/threads forever
+        self._cache_lock = threading.RLock()
 
     # -- report pump: scheduler queue -> all sockets ----------------------
     def _start_report_pump(self):
@@ -111,14 +117,23 @@ class Server:
                     "loaded": [e.id for e in entries]}
         if t == P.UNLOAD_MODEL:
             mid = int(msg["model_id"])
-            bat = self._batchers.pop(mid, None)
-            if bat is not None:
-                bat.stop()
-            self._text_ifaces.pop(mid, None)
-            self._spec_decoders = {k: v for k, v in
-                                   self._spec_decoders.items()
-                                   if mid not in k[:2]}
-            bat = self._batchers.pop(mid, None)
+            with self._cache_lock:
+                bat = self._batchers.pop(mid, None)
+                self._text_ifaces.pop(mid, None)
+                # every cache that can hold this model's device weights
+                # must drop its entry, or repeated load/unload cycles
+                # leak HBM: the rnn-path iface, speculative decoders,
+                # STT ifaces, and the bundle's multimodal iface
+                self._text_ifaces.pop(("rnn", mid), None)
+                self._stt_ifaces.pop(mid, None)
+                self._spec_decoders = {k: v for k, v in
+                                       self._spec_decoders.items()
+                                       if mid not in k[:2]}
+                try:
+                    bid = int(self.models.get(mid).meta.get("bundle_id", -1))
+                except KeyError:
+                    bid = -1
+                self._mm_ifaces.pop(bid, None)
             if bat is not None:
                 bat.stop()
             self.models.unload(mid)
@@ -379,8 +394,9 @@ class Server:
         except Exception:
             cfg["adapters"] = old_ads
             raise
-        old = self._batchers.pop(entry.id, None)
-        self._batchers[entry.id] = new_bat.start()
+        with self._cache_lock:
+            old = self._batchers.pop(entry.id, None)
+            self._batchers[entry.id] = new_bat.start()
         if old is not None:
             _threading.Thread(target=old.drain, daemon=True).start()
         return {"type": "adapter_loaded", "model_id": entry.id,
@@ -410,13 +426,14 @@ class Server:
 
     def _rnn_iface(self, entry):
         """Cached RnnTextInterface for constant-state (RWKV) models."""
-        iface = self._text_ifaces.get(("rnn", entry.id))
-        if iface is None:
-            from ..interfaces.rnn_text import RnnTextInterface
+        with self._cache_lock:
+            iface = self._text_ifaces.get(("rnn", entry.id))
+            if iface is None:
+                from ..interfaces.rnn_text import RnnTextInterface
 
-            iface = RnnTextInterface(entry.model)
-            self._text_ifaces[("rnn", entry.id)] = iface
-        return iface
+                iface = RnnTextInterface(entry.model)
+                self._text_ifaces[("rnn", entry.id)] = iface
+            return iface
 
     def _mm_iface(self, entry):
         """Cached MultimodalLanguageInterface + spec for a llava-style
@@ -428,18 +445,19 @@ class Server:
         if "multimodal" not in bundle.interfaces:
             raise ValueError("model has no multimodal interface")
         spec = bundle.interfaces["multimodal"]
-        mm = self._mm_ifaces.get(bid)
-        if mm is None:
-            text_entry = next(
-                e for e in self.models._models.values()
-                if e.name == spec["model"]
-                and int(e.meta.get("bundle_id", -1)) == bid)
-            mm = MultimodalLanguageInterface(
-                self._text_iface(text_entry),
-                embed_weight_name=spec["embed_weight"],
-                vision_encoder=bundle.models[spec["vision"]])
-            self._mm_ifaces[bid] = mm
-        return mm, spec
+        with self._cache_lock:
+            mm = self._mm_ifaces.get(bid)
+            if mm is None:
+                text_entry = next(
+                    e for e in self.models._models.values()
+                    if e.name == spec["model"]
+                    and int(e.meta.get("bundle_id", -1)) == bid)
+                mm = MultimodalLanguageInterface(
+                    self._text_iface(text_entry),
+                    embed_weight_name=spec["embed_weight"],
+                    vision_encoder=bundle.models[spec["vision"]])
+                self._mm_ifaces[bid] = mm
+            return mm, spec
 
     def _mm_items(self, spec, items):
         """Wire items [{text}|{image_b64 PNG}|{rgb_b64+width+height}]
@@ -455,6 +473,8 @@ class Server:
         def _fit(px):
             if px.ndim == 2:
                 px = px[:, :, None]
+            if px.shape[2] == 2:     # PNG color type 4: gray + alpha
+                px = px[:, :, :1]
             if px.shape[2] == 1:
                 px = np.repeat(px, 3, axis=2)
             if px.shape[2] == 4:
@@ -504,27 +524,47 @@ class Server:
         self.scheduler.submit(job, settings)
         return None
 
+    def _stt_iface(self, entry):
+        """Cached SpeechToTextInterface per model entry: the compiled
+        decode scan and the decoder's device weights live on the
+        instance, so building one per request would re-trace, re-jit
+        and re-upload on every transcription call."""
+        with self._cache_lock:
+            iface = self._stt_ifaces.get(entry.id)
+            if iface is None:
+                from ..interfaces.stt import SpeechToTextInterface
+
+                bundle = self.models.bundle(int(entry.meta["bundle_id"]))
+                if "stt" not in bundle.interfaces:
+                    raise ValueError("model has no STT interface")
+                tok = None
+                if entry.tokenizer_source:
+                    from ..tokenizer import AnyTokenizer
+
+                    tok = AnyTokenizer.load(entry.tokenizer_source)
+                iface = SpeechToTextInterface.from_bundle(bundle,
+                                                          tokenizer=tok)
+                self._stt_ifaces[entry.id] = iface
+            return iface
+
     def _transcribe(self, msg) -> dict:
         """STT: f32 samples -> text (reference UI's audio-in tab)."""
         import base64
 
-        from ..interfaces.stt import SpeechToTextInterface
         from ..super_graph.links import AudioClip
 
         entry = self.models.get(int(msg["model_id"]))
-        bundle = self.models.bundle(int(entry.meta["bundle_id"]))
-        if "stt" not in bundle.interfaces:
-            raise ValueError("model has no STT interface")
-        tok = None
-        if entry.tokenizer_source:
-            from ..tokenizer import AnyTokenizer
-
-            tok = AnyTokenizer.load(entry.tokenizer_source)
-        iface = SpeechToTextInterface.from_bundle(bundle, tokenizer=tok)
+        iface = self._stt_iface(entry)
         if msg.get("language") or msg.get("task"):
-            iface.sot_sequence = iface.sot_with(
-                language=msg.get("language") or None,
-                task=msg.get("task") or None)
+            # per-request SOT override on a shallow copy: program and
+            # device-weight caches (dict attrs) stay shared with the
+            # cached instance, only the sot_sequence attribute differs
+            import copy
+
+            sot = iface.sot_with(language=msg.get("language") or None,
+                                 task=msg.get("task") or None)
+            iface = copy.copy(iface)
+            iface.sot_sequence = sot
         samples = np.frombuffer(base64.b64decode(msg["samples_b64"]),
                                 dtype=np.float32)
         clip = AudioClip(samples, int(msg.get("sample_rate", 16000)))
@@ -554,25 +594,20 @@ class Server:
         partials return in the reply, not via the report pump."""
         import base64
 
-        from ..interfaces.stt import SpeechToTextInterface, StreamingTranscriber
+        from ..interfaces.stt import StreamingTranscriber
 
         sid = str(msg.get("stream_id", "default"))
         st = self._stt_streams.get(sid)
         if st is None:
             entry = self.models.get(int(msg["model_id"]))
-            bundle = self.models.bundle(int(entry.meta["bundle_id"]))
-            if "stt" not in bundle.interfaces:
-                raise ValueError("model has no STT interface")
-            tok = None
-            if entry.tokenizer_source:
-                from ..tokenizer import AnyTokenizer
-
-                tok = AnyTokenizer.load(entry.tokenizer_source)
-            iface = SpeechToTextInterface.from_bundle(bundle, tokenizer=tok)
+            iface = self._stt_iface(entry)
             if msg.get("language") or msg.get("task"):
-                iface.sot_sequence = iface.sot_with(
-                    language=msg.get("language") or None,
-                    task=msg.get("task") or None)
+                import copy
+
+                sot = iface.sot_with(language=msg.get("language") or None,
+                                     task=msg.get("task") or None)
+                iface = copy.copy(iface)
+                iface.sot_sequence = sot
             agreement = msg.get("local_agreement", 2)
             st = StreamingTranscriber(
                 iface, local_agreement=agreement,
@@ -598,37 +633,51 @@ class Server:
                 "final": final}
 
     def _text_iface(self, entry):
-        iface = self._text_ifaces.get(entry.id)
-        if iface is None:
-            from ..dtype import DType
-            from ..interfaces.text import TextInferenceInterface
+        with self._cache_lock:
+            iface = self._text_ifaces.get(entry.id)
+            if iface is None:
+                from ..dtype import DType
+                from ..interfaces.text import TextInferenceInterface
 
-            cfg = entry.interfaces["text"]
-            window_models = None
-            wins = cfg.get("windows") or {}
-            if wins:
-                by_name = {e.name: e.model
-                           for e in self.models._models.values()}
-                window_models = {int(w): by_name[mn]
-                                 for w, mn in wins.items() if mn in by_name}
-            iface = TextInferenceInterface(entry.model,
-                                           max_len=int(cfg["max_len"]),
-                                           cache_dtype=DType.BF16,
-                                           window_models=window_models,
-                                           quantize=cfg.get("quantize")
-                                           or None)
-            self._text_ifaces[entry.id] = iface
-        return iface
+                cfg = entry.interfaces["text"]
+                window_models = None
+                wins = cfg.get("windows") or {}
+                if wins:
+                    by_name = {e.name: e.model
+                               for e in self.models._models.values()}
+                    window_models = {int(w): by_name[mn]
+                                     for w, mn in wins.items()
+                                     if mn in by_name}
+                iface = TextInferenceInterface(
+                    entry.model,
+                    max_len=int(cfg["max_len"]),
+                    cache_dtype=DType.BF16,
+                    window_models=window_models,
+                    eos_token_id=cfg.get("eos_token_id"),
+                    quantize=cfg.get("quantize") or None)
+                self._text_ifaces[entry.id] = iface
+            return iface
+
+    def _score_iface(self, entry):
+        """Interface for teacher-forced scoring (logprobs / echo /
+        best_of / embeddings). Batcher-served models reuse the
+        batcher's own interface — its weights are already on device;
+        building a second TextInferenceInterface would upload a full
+        duplicate copy of the model into HBM."""
+        if (entry.interfaces.get("text") or {}).get("ragged"):
+            return self._batcher(entry).iface
+        return self._text_iface(entry)
 
     def _batcher(self, entry):
         """Shared ContinuousBatcher for ragged-decode models: concurrent
         generate_text requests batch into one decode program instead of
         serializing through the job worker."""
-        bat = self._batchers.get(entry.id)
-        if bat is None:
-            bat = self._make_batcher(entry).start()
-            self._batchers[entry.id] = bat
-        return bat
+        with self._cache_lock:
+            bat = self._batchers.get(entry.id)
+            if bat is None:
+                bat = self._make_batcher(entry).start()
+                self._batchers[entry.id] = bat
+            return bat
 
     def _make_batcher(self, entry):
         """Construct (not start) a ContinuousBatcher from the entry's
@@ -655,6 +704,7 @@ class Server:
             cache_dtype=DType.BF16,
             prefill_chunk=int(pc) if pc else None,
             quantize=cfg.get("quantize") or None,
+            eos_token_id=cfg.get("eos_token_id"),
             adapters=adapters)
 
     def _generate_text_ragged(self, msg, entry, tok, n_new,
@@ -674,26 +724,41 @@ class Server:
         job_id = next(self.scheduler._next)
         self.scheduler.reports.put({"type": P.JOB_ACCEPTED, "job": job_id})
         stops = [s for s in (msg.get("stop") or []) if s]
-        state = {"toks": [], "hit": None, "fut": None}
+        # incremental detokenization: on_tok runs on the batcher's
+        # single scheduler thread, so per-token work must stay O(1) —
+        # a full decode of the accumulated list per token is O(n^2)
+        # and stalls every other slot in the batch
+        from ..tokenizer import IncrementalDecoder
+
+        dec = IncrementalDecoder(tok) if stops else None
+        max_stop = max((len(s) for s in stops), default=0)
+        state = {"hit": None, "fut": None, "prev": 0}
 
         def on_tok(t):
             self.scheduler.reports.put({"type": P.PROGRESS, "job": job_id,
                                         "token": int(t)})
             if stops and state["hit"] is None:
-                state["toks"].append(int(t))
-                text = tok.decode(state["toks"])
+                dec.push(int(t))
+                # a stop can only newly appear within max_stop chars of
+                # the previous end — search that window, not all text
+                start = max(0, state["prev"] - max_stop)
+                ctx = dec.text_from(start)
+                state["prev"] = dec.length
+                best = None
                 for s in stops:
-                    i = text.find(s)
-                    if i >= 0:
-                        state["hit"] = text[:i]
-                        # a hit also stops the row on the device — the
-                        # batcher frees the slot instead of decoding
-                        # the remaining budget (state["fut"] can lag
-                        # the first streamed token by one race window;
-                        # the result is trimmed either way)
-                        if state["fut"] is not None:
-                            bat.cancel(state["fut"])
-                        return
+                    i = ctx.find(s)
+                    if i >= 0 and (best is None or start + i < best):
+                        best = start + i
+                if best is not None:
+                    state["hit"] = dec.text[:best]
+                    # a hit also stops the row on the device — the
+                    # batcher frees the slot instead of decoding
+                    # the remaining budget (state["fut"] can lag
+                    # the first streamed token by one race window;
+                    # the result is trimmed either way)
+                    if state["fut"] is not None:
+                        bat.cancel(state["fut"])
+                    return
 
         fut = bat.submit(ids, n_new, on_token=on_tok, sampling=sampling,
                          adapter=adapter)
@@ -705,11 +770,16 @@ class Server:
         def done(f):
             self._batch_jobs.pop(job_id, None)
             try:
-                toks = f.result()
+                toks = [int(x) for x in f.result()]
+                if bat.eos_token_ids:
+                    hits = [toks.index(e) for e in bat.eos_token_ids
+                            if e in toks]
+                    if hits:
+                        toks = toks[:min(hits)]
                 if state["hit"] is not None:
                     text = state["hit"]
                 else:
-                    text = tok.decode([int(x) for x in toks])
+                    text = tok.decode(toks)
                     for s in stops:
                         i = text.find(s)
                         if i >= 0:
@@ -888,6 +958,12 @@ class Server:
                 # the DFA emits its own eos once the pattern completes;
                 # trim so text + probability table cover only the match
                 eos = _np.nonzero(toks == constraint.eos_token_id)[0]
+                if eos.size:
+                    toks = toks[:int(eos[0])]
+                toks = [int(t) for t in toks]
+            elif iface.eos_token_ids:
+                eos = _np.nonzero(_np.isin(
+                    toks, _np.asarray(iface.eos_token_ids)))[0]
                 if eos.size:
                     toks = toks[:int(eos[0])]
                 toks = [int(t) for t in toks]

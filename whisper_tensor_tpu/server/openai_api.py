@@ -360,7 +360,7 @@ class _Generator:
                 raise ApiError(400, str(e))
             timeout = float(self.body.get("timeout", 600))
             rows = [f.result(timeout=timeout) for f in futs]
-            eos = bat.eos_token_id
+            eos = bat.eos_token_ids
         else:
             iface = self.server._text_iface(self.entry)
             iface.tokenizer = self.tok
@@ -368,7 +368,7 @@ class _Generator:
             rows = iface.generate_tokens(
                 tiled, self.n_new, sampling=self.sampling,
                 logit_bias=self._bias_vec(iface))
-            eos = getattr(iface, "eos_token_id", None)
+            eos = getattr(iface, "eos_token_ids", None)
         results = []
         trimmed: List[List[int]] = []
         for r in rows:
@@ -392,9 +392,14 @@ class _Generator:
                 full[i, :P] = self.prompt_ids
                 full[i, P:P + len(t)] = t
                 lens[i] = P + len(t)
-            iface = self.server._text_iface(self.entry)
+            iface = self.server._score_iface(self.entry)
             scores = iface.sequence_scores(full, np.full(best_of, P),
                                            lens)
+            # a zero-token completion (stop/EOS on the first sample)
+            # scores 0.0 from the masked mean, which would sort above
+            # every real candidate's negative mean logprob — rank
+            # empty candidates last instead
+            scores = np.where(lens > P, scores, -np.inf)
             order = np.argsort(-scores)[:self.n]
             results = [results[int(i)] for i in order]
         return results
@@ -402,10 +407,17 @@ class _Generator:
     def _stop_trim_tokens(self, toks, finish):
         if not self.stops:
             return toks, finish
+        from ..tokenizer import IncrementalDecoder
+
+        dec = IncrementalDecoder(self.tok)
+        max_stop = max(len(s) for s in self.stops)
         kept: List[int] = []
+        prev = 0
         for t in toks:
-            nxt = self.tok.decode(kept + [int(t)])
-            if any(s in nxt for s in self.stops):
+            dec.push(int(t))
+            start = max(0, prev - max_stop)
+            prev = dec.length
+            if any(s in dec.text_from(start) for s in self.stops):
                 return kept, "stop"
             kept.append(int(t))
         return kept, finish
@@ -422,7 +434,7 @@ class _Generator:
                      if self.echo and pids else [])
         if not toks and (not self.echo or len(pids) <= 1):
             return first_row
-        iface = self.server._text_iface(self.entry)
+        iface = self.server._score_iface(self.entry)
         full = np.concatenate(
             [self.prompt_ids, np.asarray(toks, np.int64)])[None]
         try:
@@ -450,30 +462,52 @@ class _Generator:
         return out
 
     def _trim_eos(self, toks, eos_id):
+        """eos_id may be a single id or a list of ids (HF checkpoints
+        like Llama-3 declare several end tokens)."""
         toks = [int(t) for t in toks]
-        if eos_id is not None and eos_id in toks:
-            return toks[:toks.index(eos_id)], "stop"
+        eos_ids = ([] if eos_id is None
+                   else [int(eos_id)] if isinstance(eos_id, int)
+                   else [int(e) for e in eos_id])
+        hits = [toks.index(e) for e in eos_ids if e in toks]
+        if hits:
+            return toks[:min(hits)], "stop"
         return toks, ("length" if len(toks) >= self.n_new else "stop")
 
     def _run_batched(self, on_delta):
+        from ..tokenizer import IncrementalDecoder
+
         bat = self.server._batcher(self.entry)
-        state = {"decoded": 0, "toks": [], "hit": False, "fut": None}
+        # incremental detokenization: on_tok runs on the batcher's
+        # scheduler thread; full re-decode per token is O(n^2) there
+        dec = IncrementalDecoder(self.tok)
+        max_stop = max((len(s) for s in self.stops), default=0)
+        state = {"decoded": 0, "prev": 0, "hit": False, "fut": None}
         lock = threading.Lock()
+
+        eos_ids = bat.eos_token_ids or ()
 
         def on_tok(t):
             with lock:
                 if state["hit"]:
                     return
-                state["toks"].append(int(t))
-                text = self.tok.decode(state["toks"])
-                if self.stops and any(s in text for s in self.stops):
+                if int(t) in eos_ids:
+                    # the batcher emits the eos token itself before
+                    # deactivating the row; it must not reach the
+                    # delta stream (the final result is trimmed too)
+                    state["hit"] = True
+                    return
+                dec.push(int(t))
+                start = max(0, state["prev"] - max_stop)
+                state["prev"] = dec.length
+                if self.stops and any(s in dec.text_from(start)
+                                      for s in self.stops):
                     state["hit"] = True
                     if state["fut"] is not None:
                         bat.cancel(state["fut"])
                     return
-                if on_delta is not None and len(text) > state["decoded"]:
-                    on_delta(text[state["decoded"]:])
-                    state["decoded"] = len(text)
+                if on_delta is not None and dec.length > state["decoded"]:
+                    on_delta(dec.text_from(state["decoded"]))
+                    state["decoded"] = dec.length
 
         try:
             fut = bat.submit(self.prompt_ids, self.n_new,
@@ -488,7 +522,7 @@ class _Generator:
         if state["hit"]:
             bat.cancel(fut)
         toks = fut.result(timeout=float(self.body.get("timeout", 600)))
-        return self._trim_eos(toks, bat.eos_token_id)
+        return self._trim_eos(toks, bat.eos_token_ids)
 
     def _bias_vec(self, iface):
         """OpenAI logit_bias {token_id: bias} -> (V,) f32, clipped to
@@ -527,7 +561,7 @@ class _Generator:
                 if text:
                     on_delta(text)
             return toks, "length"
-        iface = self.server._text_iface(self.entry)
+        iface = self.server._score_iface(self.entry)
         iface.tokenizer = self.tok
         constraint = None
         if self.regex is not None or self.schema is not None:
@@ -537,7 +571,7 @@ class _Generator:
                                      constraint=constraint,
                                      logit_bias=self._bias_vec(iface))[0]
         eos = (constraint.eos_token_id if constraint is not None
-               else getattr(iface, "eos_token_id", None))
+               else getattr(iface, "eos_token_ids", None))
         toks, finish = self._trim_eos(toks, eos)
         if on_delta is not None:
             # the direct decode is ONE compiled program — tokens exist
@@ -697,7 +731,7 @@ class _Handler(BaseHTTPRequestHandler):
             raise ApiError(400, f"unknown pooling {pooling!r} (last|mean)")
         entry = _resolve_entry(server, body.get("model"), "text")
         tok = AnyTokenizer.load(entry.tokenizer_source or "bytes")
-        iface = server._text_iface(entry)
+        iface = server._score_iface(entry)
         ids_list = [np.asarray(tok.encode(it) if isinstance(it, str)
                                else it, np.int64).reshape(-1)
                     for it in items]
@@ -800,7 +834,6 @@ class _Handler(BaseHTTPRequestHandler):
         `<|lang|>` SOT token on multilingual checkpoints."""
         import base64
 
-        from ..interfaces.stt import SpeechToTextInterface
         from ..super_graph.links import AudioClip
         from ..tokenizer import AnyTokenizer
         from ..utils.audio import read_wav_bytes
@@ -820,17 +853,21 @@ class _Handler(BaseHTTPRequestHandler):
             raise ApiError(400, f"could not read WAV: {e}")
         server = self.api.server
         entry = _resolve_entry(server, fields.get("model") or None, "stt")
-        bundle = server.models.bundle(int(entry.meta["bundle_id"]))
-        tok = AnyTokenizer.load(entry.tokenizer_source or "bytes")
-        iface = SpeechToTextInterface.from_bundle(bundle, tokenizer=tok)
+        iface = server._stt_iface(entry)
+        if iface.tokenizer is None:
+            iface.tokenizer = AnyTokenizer.load(
+                entry.tokenizer_source or "bytes")
         language = fields.get("language") or None
         task = fields.get("task") or task
         if language or task:
+            import copy
+
             try:
-                iface.sot_sequence = iface.sot_with(language=language,
-                                                    task=task)
+                sot = iface.sot_with(language=language, task=task)
             except ValueError as e:
                 raise ApiError(400, str(e))
+            iface = copy.copy(iface)
+            iface.sot_sequence = sot
         text = iface.run_audio_in_text_out(
             AudioClip(samples, rate),
             max_new=int(fields.get("max_new_tokens", 64) or 64))
@@ -1024,9 +1061,10 @@ class _Handler(BaseHTTPRequestHandler):
         except ValueError as e:    # fused sequence beyond the buckets
             raise ApiError(400, str(e))
         finish = "length"
-        eos = mm.text.eos_token_id
-        if eos is not None and eos in toks:
-            toks, finish = toks[:toks.index(eos)], "stop"
+        eos_ids = getattr(mm.text, "eos_token_ids", None) or ()
+        hits = [toks.index(e) for e in eos_ids if e in toks]
+        if hits:
+            toks, finish = toks[:min(hits)], "stop"
         text = tok.decode(toks)
         for s in _stops_from(body):
             i = text.find(s)

@@ -200,6 +200,75 @@ class RwkvWorldTokenizer:
             "utf-8", errors="replace")
 
 
+class IncrementalDecoder:
+    """Amortized-O(1)-per-token detokenizer for streaming paths.
+
+    decode() over a growing token list is O(n), so calling it on every
+    emitted token (stop-sequence checks, SSE deltas) is O(n^2) — and it
+    runs on the batcher's single scheduler thread, stalling every other
+    slot in the batch. This keeps a committed text prefix and re-decodes
+    only a bounded uncommitted tail. Commits are verified: the tail is
+    only split where decode(head)+decode(rest) == decode(tail), because
+    byte-level BPE may split one multi-byte character across tokens and
+    a blind prefix commit there would corrupt the text.
+    """
+
+    def __init__(self, tokenizer, window: int = 48, commit: int = 16):
+        self.tok = tokenizer
+        self.window = window
+        self.commit = commit
+        self._chunks: List[str] = []   # committed text pieces
+        self._clen = 0                 # total committed chars
+        self._tail: List[int] = []
+        self._tail_text = ""
+
+    @property
+    def length(self) -> int:
+        """Chars decoded so far (committed + tail)."""
+        return self._clen + len(self._tail_text)
+
+    @property
+    def text(self) -> str:
+        return "".join(self._chunks) + self._tail_text
+
+    def text_from(self, offset: int) -> str:
+        """Decoded text from char `offset` to the end — walks only the
+        needed suffix, so a bounded-window caller stays O(window)."""
+        if offset >= self._clen:
+            return self._tail_text[max(0, offset - self._clen):]
+        parts = [self._tail_text]
+        need = self._clen - offset
+        for ch in reversed(self._chunks):
+            if need <= 0:
+                break
+            if len(ch) <= need:
+                parts.append(ch)
+                need -= len(ch)
+            else:
+                parts.append(ch[-need:])
+                need = 0
+        return "".join(reversed(parts))
+
+    def push(self, tok_id: int) -> None:
+        """Append one token id."""
+        self._tail.append(int(tok_id))
+        self._tail_text = self.tok.decode(self._tail)
+        if len(self._tail) > self.window:
+            # try a few split points: a single fixed cut could sit
+            # permanently inside one multi-byte character
+            for cut in range(self.commit,
+                             min(self.commit + 4, len(self._tail))):
+                head = self._tail[:cut]
+                rest = self._tail[cut:]
+                h, r = self.tok.decode(head), self.tok.decode(rest)
+                if h + r == self._tail_text:
+                    self._chunks.append(h)
+                    self._clen += len(h)
+                    self._tail = rest
+                    self._tail_text = r
+                    break
+
+
 class AnyTokenizer:
     """Dispatcher (reference AnyTokenizer enum)."""
 
