@@ -211,6 +211,126 @@ def bench_conformance() -> None:
     }))
 
 
+def _llama8b_cfg(n_layer, vocab=128256):
+    from whisper_tensor_tpu.importers.recipes.llm.llama import LlamaConfig
+
+    return LlamaConfig(
+        num_hidden_layers=n_layer, hidden_size=4096,
+        num_attention_heads=32, num_key_value_heads=8,
+        intermediate_size=14336, vocab_size=vocab,
+        max_position_embeddings=8192, rope_theta=500000.0,
+        rms_norm_eps=1e-5, tie_word_embeddings=False)
+
+
+def _llama_shapes(cfg):
+    E, Hq, Hkv, D, I, V = (cfg.hidden_size, cfg.num_attention_heads,
+                           cfg.num_key_value_heads, cfg.hd,
+                           cfg.intermediate_size, cfg.vocab_size)
+    s = {"model.embed_tokens.weight": (V, E),
+         "model.norm.weight": (E,), "lm_head.weight": (V, E)}
+    for i in range(cfg.num_hidden_layers):
+        p = f"model.layers.{i}."
+        s[p + "input_layernorm.weight"] = (E,)
+        s[p + "post_attention_layernorm.weight"] = (E,)
+        s[p + "self_attn.q_proj.weight"] = (Hq * D, E)
+        s[p + "self_attn.k_proj.weight"] = (Hkv * D, E)
+        s[p + "self_attn.v_proj.weight"] = (Hkv * D, E)
+        s[p + "self_attn.o_proj.weight"] = (E, Hq * D)
+        s[p + "mlp.gate_proj.weight"] = (I, E)
+        s[p + "mlp.up_proj.weight"] = (I, E)
+        s[p + "mlp.down_proj.weight"] = (E, I)
+    return s
+
+
+def _llama8b_getter(cfg):
+    """Deterministic per-name random weights (regenerable, so the
+    q4 path never needs a dense cache)."""
+    import hashlib
+
+    shapes = _llama_shapes(cfg)
+
+    def getter(name):
+        shape = shapes[name]
+        seed = int.from_bytes(
+            hashlib.sha1(name.encode()).digest()[:4], "little")
+        r = np.random.default_rng(seed)
+        scale = 0.02 if len(shape) == 2 else 1.0
+        if name.endswith("norm.weight"):
+            return np.ones(shape, np.float32)
+        # tile a 1M-element random block: generating 8B true random
+        # samples costs ~8 min of host RNG; tiled values measure
+        # identically (no data-dependent compute on the chip) while
+        # keeping real float statistics per column block
+        n = int(np.prod(shape))
+        base = r.standard_normal(min(n, 1 << 20),
+                                 dtype=np.float32) * scale
+        if base.size >= n:
+            return base[:n].reshape(shape)
+        reps = -(-n // base.size)
+        return np.tile(base, reps)[:n].reshape(shape)
+    return getter
+
+
+def _llama8b_iface(cfg, mode, max_len, buckets):
+    from whisper_tensor_tpu.backends.cpu.dequant import (
+        dequantize_blocks, quantize_blocks)
+    from whisper_tensor_tpu.dtype import DType
+    from whisper_tensor_tpu.importers.onnx_builder import WeightStorage
+    from whisper_tensor_tpu.importers.recipes.llm.llama import (
+        build_llama_step)
+    from whisper_tensor_tpu.interfaces.text import TextInferenceInterface
+    from whisper_tensor_tpu.model import Model
+    from whisper_tensor_tpu.packed_format import PackedFormat
+    from whisper_tensor_tpu.symbolic_graph.tensor_store import LazyTensor
+    from whisper_tensor_tpu.tensor import NumericTensor, PackedTensor
+
+    getter = _llama8b_getter(cfg)
+    if mode == "q4_dequant":
+        # dense referee holding EXACTLY the values the packed path
+        # dequantizes — isolates kernel error from quantization loss
+        raw = getter
+
+        def getter(name):
+            w = raw(name)
+            # matmul-RHS weights only (embed stays dense in the
+            # packed path too)
+            if w.ndim != 2 or "norm" in name or "embed" in name:
+                return w
+            return dequantize_blocks(
+                quantize_blocks(w, PackedFormat.Q4_0),
+                PackedFormat.Q4_0, w.size).reshape(w.shape)
+        mode = "bf16"
+    sink, wm = {}, {}
+    data = build_llama_step(getter, cfg, max_len=max_len,
+                            dtype=DType.BF16,
+                            storage=WeightStorage.to_sink(sink),
+                            weight_map=wm)
+    model = Model.new_from_onnx(data, name=f"llama-{cfg.num_hidden_layers}L")
+    store = model.graph.store
+    for name, val in sink.items():
+        if mode == "q4" and name in wm:
+            hf = wm[name]
+
+            def packed_loader(hf=hf):
+                w = getter(hf)           # (N, K) = HF (out, in)
+                return PackedTensor(
+                    quantize_blocks(w, PackedFormat.Q4_0),
+                    PackedFormat.Q4_0, w.shape)
+
+            def dense_loader(hf=hf):
+                return NumericTensor(np.ascontiguousarray(getter(hf).T))
+
+            store.put(name, LazyTensor(loader=dense_loader))
+            store.packed_sources[name] = packed_loader
+        else:
+            store.put(name, NumericTensor(np.asarray(val)))
+    del sink
+    return TextInferenceInterface(
+        model, max_len=max_len, cache_dtype=DType.BF16,
+        prompt_buckets=buckets,
+        quantize=("int8" if mode == "int8" else None))
+
+
 def bench_llama8b() -> None:
     """Llama-3-8B-shaped decode on ONE v5e chip (BASELINE config #4 'at
     scale'): 32 layers, d=4096, GQA 32/8, ffn 14336, vocab 128256 —
@@ -221,126 +341,12 @@ def bench_llama8b() -> None:
 
     Match: crates/whisper-tensor-import/src/models/llm/llama3.rs (the
     at-scale import recipe the BASELINE configs name)."""
-    import jax
-
-    from whisper_tensor_tpu.dtype import DType
-    from whisper_tensor_tpu.importers.onnx_builder import WeightStorage
-    from whisper_tensor_tpu.importers.recipes.llm.llama import (
-        LlamaConfig, build_llama_step)
-    from whisper_tensor_tpu.interfaces.text import TextInferenceInterface
-    from whisper_tensor_tpu.model import Model
-    from whisper_tensor_tpu.symbolic_graph.tensor_store import LazyTensor
-    from whisper_tensor_tpu.tensor import NumericTensor, PackedTensor
 
     mode = os.environ.get("WT_BENCH_QUANT", "int8")
     n_new = int(os.environ.get("WT_BENCH_NEW", "64"))
     max_len = int(os.environ.get("WT_BENCH_MAXLEN", "128"))
-
-    def make_cfg(n_layer, vocab=128256):
-        return LlamaConfig(
-            num_hidden_layers=n_layer, hidden_size=4096,
-            num_attention_heads=32, num_key_value_heads=8,
-            intermediate_size=14336, vocab_size=vocab,
-            max_position_embeddings=8192, rope_theta=500000.0,
-            rms_norm_eps=1e-5, tie_word_embeddings=False)
-
-    def getter_for(cfg):
-        """Deterministic per-name random weights (regenerable, so the
-        q4 path never needs a dense cache)."""
-        import hashlib
-
-        shapes = _llama_shapes(cfg)
-
-        def getter(name):
-            shape = shapes[name]
-            seed = int.from_bytes(
-                hashlib.sha1(name.encode()).digest()[:4], "little")
-            r = np.random.default_rng(seed)
-            scale = 0.02 if len(shape) == 2 else 1.0
-            if name.endswith("norm.weight"):
-                return np.ones(shape, np.float32)
-            # tile a 1M-element random block: generating 8B true random
-            # samples costs ~8 min of host RNG; tiled values measure
-            # identically (no data-dependent compute on the chip) while
-            # keeping real float statistics per column block
-            n = int(np.prod(shape))
-            base = r.standard_normal(min(n, 1 << 20),
-                                     dtype=np.float32) * scale
-            if base.size >= n:
-                return base[:n].reshape(shape)
-            reps = -(-n // base.size)
-            return np.tile(base, reps)[:n].reshape(shape)
-        return getter
-
-    def _llama_shapes(cfg):
-        E, Hq, Hkv, D, I, V = (cfg.hidden_size, cfg.num_attention_heads,
-                               cfg.num_key_value_heads, cfg.hd,
-                               cfg.intermediate_size, cfg.vocab_size)
-        s = {"model.embed_tokens.weight": (V, E),
-             "model.norm.weight": (E,), "lm_head.weight": (V, E)}
-        for i in range(cfg.num_hidden_layers):
-            p = f"model.layers.{i}."
-            s[p + "input_layernorm.weight"] = (E,)
-            s[p + "post_attention_layernorm.weight"] = (E,)
-            s[p + "self_attn.q_proj.weight"] = (Hq * D, E)
-            s[p + "self_attn.k_proj.weight"] = (Hkv * D, E)
-            s[p + "self_attn.v_proj.weight"] = (Hkv * D, E)
-            s[p + "self_attn.o_proj.weight"] = (E, Hq * D)
-            s[p + "mlp.gate_proj.weight"] = (I, E)
-            s[p + "mlp.up_proj.weight"] = (I, E)
-            s[p + "mlp.down_proj.weight"] = (E, I)
-        return s
-
-    def build_iface(cfg, mode, max_len, buckets):
-        from whisper_tensor_tpu.backends.cpu.dequant import (
-            dequantize_blocks, quantize_blocks)
-        from whisper_tensor_tpu.packed_format import PackedFormat
-
-        getter = getter_for(cfg)
-        if mode == "q4_dequant":
-            # dense referee holding EXACTLY the values the packed path
-            # dequantizes — isolates kernel error from quantization loss
-            raw = getter
-
-            def getter(name):
-                w = raw(name)
-                # matmul-RHS weights only (embed stays dense in the
-                # packed path too)
-                if w.ndim != 2 or "norm" in name or "embed" in name:
-                    return w
-                return dequantize_blocks(
-                    quantize_blocks(w, PackedFormat.Q4_0),
-                    PackedFormat.Q4_0, w.size).reshape(w.shape)
-            mode = "bf16"
-        sink, wm = {}, {}
-        data = build_llama_step(getter, cfg, max_len=max_len,
-                                dtype=DType.BF16,
-                                storage=WeightStorage.to_sink(sink),
-                                weight_map=wm)
-        model = Model.new_from_onnx(data, name=f"llama-{cfg.num_hidden_layers}L")
-        store = model.graph.store
-        for name, val in sink.items():
-            if mode == "q4" and name in wm:
-                hf = wm[name]
-
-                def packed_loader(hf=hf):
-                    w = getter(hf)           # (N, K) = HF (out, in)
-                    return PackedTensor(
-                        quantize_blocks(w, PackedFormat.Q4_0),
-                        PackedFormat.Q4_0, w.shape)
-
-                def dense_loader(hf=hf):
-                    return NumericTensor(np.ascontiguousarray(getter(hf).T))
-
-                store.put(name, LazyTensor(loader=dense_loader))
-                store.packed_sources[name] = packed_loader
-            else:
-                store.put(name, NumericTensor(np.asarray(val)))
-        del sink
-        return TextInferenceInterface(
-            model, max_len=max_len, cache_dtype=DType.BF16,
-            prompt_buckets=buckets,
-            quantize=("int8" if mode == "int8" else None))
+    make_cfg = _llama8b_cfg
+    build_iface = _llama8b_iface
 
     # ---- truncated-depth logit sanity (2 layers, small vocab) ----
     # KERNEL check: the quantized path must match a dense model built
@@ -426,6 +432,58 @@ def bench_llama8b() -> None:
 
 
 V5E_PEAK_BF16 = 197e12   # FLOPs/s, 1x v5e chip
+
+
+def bench_llama8b_prefill() -> None:
+    """Compute-bound at SCALE: llama-8B prefill throughput + MFU on one
+    chip. Decode at 8B is weight-stream-bound; prefill at BxS tokens is
+    matmul-dominated (d=4096 keeps the MXU fed far better than the
+    GPT-2 bench's d=768), so this is the honest at-scale MFU figure.
+    int8 weights by default — the W8A16 dequant amortizes over the
+    whole token batch during prefill."""
+    import jax
+    import jax.numpy as jnp
+
+    mode = os.environ.get("WT_BENCH_QUANT", "int8")
+    B = int(os.environ.get("WT_BENCH_BATCH", "4"))
+    S = int(os.environ.get("WT_BENCH_SEQ", "2048"))
+    t0 = time.time()
+    cfg = _llama8b_cfg(32)
+    iface = _llama8b_iface(cfg, mode, S, (S,))
+    print(f"# 8B build+ingest ({mode}): {time.time() - t0:.0f}s",
+          file=sys.stderr)
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(0, cfg.vocab_size, (B, S)).astype(np.int64)
+    step = iface._traced_step(B, S)
+    # reduce on-device: the (B,S,V) logits are ~2 GB at B=4 — fetching
+    # them through the tunnel would swamp the second being measured
+    prog = jax.jit(lambda ids, caches, weights: step(
+        ids, jnp.asarray(0, dtype=jnp.int64), caches, weights)[0].max())
+    caches, weights = iface.fresh_cache(B), iface._weights()
+    ids = jnp.asarray(prompt)
+    t0 = time.time()
+    np.asarray(prog(ids, caches, weights))
+    print(f"# compile+warmup: {time.time() - t0:.1f}s", file=sys.stderr)
+    runs = 5
+    t0 = time.time()
+    for _ in range(runs - 1):
+        prog(ids, caches, weights)
+    np.asarray(prog(ids, caches, weights))
+    dt = (time.time() - t0) / runs
+    tok_s = B * S / dt
+    E, I, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    L, Hkv, D = cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.hd
+    n_mm = L * (2 * E * E + 2 * E * Hkv * D + 3 * E * I) + E * V
+    flops_tok = 2 * n_mm + L * 2 * S * E   # causal-halved attn einsums
+    mfu = flops_tok * tok_s / V5E_PEAK_BF16
+    print(f"# {B}x{S} prefill: {dt * 1e3:.0f} ms -> {tok_s:.0f} tok/s, "
+          f"MFU {mfu * 100:.1f}%", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"llama8b_{mode}_prefill",
+        "value": round(tok_s, 1), "unit": "tok/s",
+        "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
+        "mfu": round(mfu, 4), "batch": B, "seq": S,
+    }))
 
 
 def bench_prefill() -> None:
@@ -547,6 +605,9 @@ def main() -> None:
         return
     if os.environ.get("WT_BENCH_TARGET") == "llama8b":
         bench_llama8b()
+        return
+    if os.environ.get("WT_BENCH_TARGET") == "llama8b_prefill":
+        bench_llama8b_prefill()
         return
     if os.environ.get("WT_BENCH_TARGET") == "prefill":
         bench_prefill()

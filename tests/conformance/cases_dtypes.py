@@ -217,7 +217,8 @@ add("max_3_i32", "Max", {f"x{i}": v for i, v in enumerate(_VI)},
 add("min_3_i32", "Min", {f"x{i}": v for i, v in enumerate(_VI)},
     np.minimum.reduce(_VI))
 add("sum_3_i32", "Sum", {f"x{i}": v for i, v in enumerate(_VI)},
-    np.add.reduce(_VI))
+    # np.add.reduce promotes i32 sums to i64; ONNX Sum keeps the dtype
+    np.add.reduce(_VI).astype(np.int32))
 # single-operand variadic edge case
 add("max_1", "Max", {"a": _X}, _X)
 add("sum_1", "Sum", {"a": _X}, _X)
