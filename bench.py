@@ -152,8 +152,10 @@ def bench_serving() -> None:
     # slots free, so prefills interleave with other rows' decode chunks
     # (the steady-state continuous-batching regime)
     waves = int(os.environ.get("WT_BENCH_WAVES", "3"))
+    chunk_max = int(os.environ.get("WT_BENCH_CHUNK_MAX", "128"))
     srv = ContinuousBatcher(m_srv, max_len=max_len, max_batch=N,
                             chunk=int(os.environ.get("WT_BENCH_CHUNK", "32")),
+                            chunk_max=chunk_max or None,
                             cache_dtype=DType.BF16,
                             prompt_buckets=(32,)).start()
     prompts = [rng.integers(0, cfg.vocab_size,

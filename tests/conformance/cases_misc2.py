@@ -183,7 +183,9 @@ _OHI2 = np.asarray([[1, 2], [0, 2]], dtype=np.int64)
 add("onehot_offvals", "OneHot",
     {"i": _OHI2, "depth": np.asarray(3, np.int64),
      "vals": np.asarray([2.0, 7.0], np.float32)},
-    np.where(np.eye(3, dtype=np.float32)[_OHI2] > 0, 7.0, 2.0))
+    # output dtype follows `vals` (f32); python-float where() gives f64
+    np.where(np.eye(3, dtype=np.float32)[_OHI2] > 0, 7.0, 2.0)
+    .astype(np.float32))
 # negative indices in OneHot count from depth
 _OHN = np.asarray([-1, 1, -3], dtype=np.int64)
 _ohn = np.zeros((3, 4), np.float32)

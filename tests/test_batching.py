@@ -546,6 +546,36 @@ def test_pipelined_slot_churn_matches_sequential():
         batcher.stop()
 
 
+def test_adaptive_chunk_max_matches_sequential():
+    """chunk_max long-chunk dispatch (steady-state throughput mode):
+    long scans engage only when the queue is empty and every live row
+    has >= chunk_max tokens left; outputs must equal the sequential
+    reference exactly, including rows admitted mid-stream and rows
+    whose tails force fallback to the short chunk."""
+    cfg, m_scalar, m_ragged = _models()
+    ref_iface = TextInferenceInterface(m_scalar, max_len=64,
+                                       prompt_buckets=(16,))
+    batcher = ContinuousBatcher(m_ragged, max_len=64, max_batch=2, chunk=2,
+                                chunk_max=8, cache_dtype=DType.F32,
+                                prompt_buckets=(16,)).start()
+    try:
+        r = np.random.default_rng(23)
+        # long generations (engage chunk_max) mixed with short ones
+        # (force the per-row remaining check back to the short chunk)
+        jobs = []
+        for n in (30, 27, 3, 25, 5, 18):
+            p = r.integers(0, cfg.vocab_size, (int(r.integers(2, 12)),)
+                           ).astype(np.int64)
+            jobs.append((p, n, batcher.submit(p, n)))
+        for p, n, f in jobs:
+            out = f.result(timeout=180)
+            ref = ref_iface.generate_tokens(p[None], n)[0]
+            np.testing.assert_array_equal(out, ref)
+        assert batcher.stats()["chunk_max"] == 8
+    finally:
+        batcher.stop()
+
+
 def test_per_request_sampling():
     """Per-row sampling params inside the shared chunk program
     (net-beyond the reference scheduler's shared generation config):

@@ -144,6 +144,18 @@ class TransformersLoader(Loader):
             ConfigField("prefill_chunk", ConfigFieldType.INT,
                         "chunked-prefill piece width for the serving "
                         "batcher (0 = whole-bucket prefill)", default=0),
+            ConfigField("serve_batch", ConfigFieldType.INT,
+                        "serving batcher slot count (max_batch)",
+                        default=8, min=1),
+            ConfigField("serve_chunk", ConfigFieldType.INT,
+                        "decode-chunk scan length per batcher dispatch",
+                        default=16, min=1),
+            ConfigField("serve_chunk_max", ConfigFieldType.INT,
+                        "adaptive long-chunk length for steady-state "
+                        "decode (0 = off): dispatched when the queue is "
+                        "empty and every live row has that many tokens "
+                        "left — amortizes the fixed dispatch cost",
+                        default=0),
             ConfigField("quantize", ConfigFieldType.ENUM,
                         "weight quantization for the text interface",
                         default="", choices=["", "int8", "q4_0", "q8_0"]),
@@ -482,6 +494,9 @@ class TransformersLoader(Loader):
                                                  "max_len": max_len,
                                                  "ragged": ragged,
                                                  "prefill_chunk": int(config.get("prefill_chunk", 0) or 0),
+                                                 "max_batch": int(config.get("serve_batch", 8) or 8),
+                                                 "chunk": int(config.get("serve_chunk", 16) or 16),
+                                                 "chunk_max": int(config.get("serve_chunk_max", 0) or 0),
                                                  "quantize": config.get("quantize") or "",
                                                  "windows": window_spec,
                                                  "adapters": serve_adapters,
@@ -510,6 +525,18 @@ class GgufLoader(Loader):
             ConfigField("prefill_chunk", ConfigFieldType.INT,
                         "chunked-prefill piece width for the serving "
                         "batcher (0 = whole-bucket prefill)", default=0),
+            ConfigField("serve_batch", ConfigFieldType.INT,
+                        "serving batcher slot count (max_batch)",
+                        default=8, min=1),
+            ConfigField("serve_chunk", ConfigFieldType.INT,
+                        "decode-chunk scan length per batcher dispatch",
+                        default=16, min=1),
+            ConfigField("serve_chunk_max", ConfigFieldType.INT,
+                        "adaptive long-chunk length for steady-state "
+                        "decode (0 = off): dispatched when the queue is "
+                        "empty and every live row has that many tokens "
+                        "left — amortizes the fixed dispatch cost",
+                        default=0),
             ConfigField("decode_windows", ConfigFieldType.STRING,
                         "comma-separated KV window sizes for phased "
                         "windowed decode", default=""),
@@ -585,6 +612,9 @@ class GgufLoader(Loader):
                                                  "max_len": max_len,
                                                  "ragged": ragged,
                                                  "prefill_chunk": int(config.get("prefill_chunk", 0) or 0),
+                                                 "max_batch": int(config.get("serve_batch", 8) or 8),
+                                                 "chunk": int(config.get("serve_chunk", 16) or 16),
+                                                 "chunk_max": int(config.get("serve_chunk_max", 0) or 0),
                                                  "quantize": config.get("quantize") or "",
                                                  "windows": window_spec,
                                                  "eos_token_id":

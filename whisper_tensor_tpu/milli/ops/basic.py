@@ -206,12 +206,18 @@ class SimpleUnary(MilliOp):
     KIND = "SimpleUnary"
 
     def eval(self, inputs):
-        fn = _UNARY_TABLE[self.mode][0]
+        fn, _, bool_out = _UNARY_TABLE[self.mode]
         x = inputs[0]
         if self.mode in ("not",):
             return [np.logical_not(x)]
         if x.dtype.kind in "iub" and self.mode in ("neg", "abs", "sign"):
             return [fn(x)]
+        if bool_out:
+            # isnan etc.: BOOL result — never round back to the input
+            # dtype (the f32-compute contract applies to float outputs)
+            from .common import upcast_for_compute
+
+            return [fn(upcast_for_compute(x)[0]).astype(np.bool_)]
         return [unary_compute(x, fn)]
 
     def to_jax(self, inputs, static=None):

@@ -84,7 +84,8 @@ class ContinuousBatcher:
                  prefill_chunk: Optional[int] = None,
                  prefix_ids: Optional[np.ndarray] = None,
                  quantize: Optional[str] = None,
-                 adapters: "Optional[Dict[str, Dict[str, tuple]]]" = None):
+                 adapters: "Optional[Dict[str, Dict[str, tuple]]]" = None,
+                 chunk_max: Optional[int] = None):
         """prefill_chunk: chunked prefill (vLLM-style admission QoS) —
         prompts longer than this are prefilled in prefill_chunk-token
         pieces, ONE piece per scheduler tick, so in-flight decode rows
@@ -98,7 +99,20 @@ class ContinuousBatcher:
         prefills only the request's own tokens at pos=len(prefix).
         submit() prompts then EXCLUDE the prefix — outputs equal a
         plain batcher fed prefix+prompt, at a fraction of the
-        admission compute."""
+        admission compute.
+
+        chunk_max: adaptive long-chunk dispatch. Each dispatch costs a
+        fixed tunnel round-trip (~55 ms) plus a device->host fetch, so
+        at serving batch sizes the loop is dispatch-bound, not
+        HBM-bound. When the request queue is EMPTY, nothing is being
+        admitted, and every live row verifiably has >= chunk_max tokens
+        still to generate, the scheduler dispatches a chunk_max-step
+        chunk instead of a chunk-step one — same program shape family,
+        just a longer scan, so steady-state decode amortizes the fixed
+        costs over many more tokens. New arrivals during a long chunk
+        wait at most one long-chunk time for admission (the queue was
+        empty when it was chosen). None disables (every dispatch uses
+        `chunk`)."""
         self.iface = TextInferenceInterface(
             model, max_len=max_len, cache_dtype=cache_dtype,
             prompt_buckets=prompt_buckets, quantize=quantize)
@@ -117,6 +131,8 @@ class ContinuousBatcher:
             max_batch = _next_pow2(max_batch)
         self.max_batch = max_batch
         self.chunk = chunk
+        self.chunk_max = (None if chunk_max is None or chunk_max <= chunk
+                          else int(chunk_max))
         # int or list (HF checkpoints may declare several end tokens);
         # eos_token_id stays the primary id, eos_token_ids the full set
         if eos_token_id is None or isinstance(eos_token_id, int):
@@ -204,7 +220,8 @@ class ContinuousBatcher:
                 "tokens_emitted": self._tokens_emitted,
                 "prefix_len": self.prefix_len,
                 "prefill_chunk": self.prefill_chunk,
-                "chunk": self.chunk}
+                "chunk": self.chunk,
+                "chunk_max": self.chunk_max}
 
     def cancel(self, future: Future) -> bool:
         """Cancel a submitted request (reference scheduler cancellation,
@@ -480,7 +497,8 @@ class ContinuousBatcher:
         return [jnp.concatenate([pr[ci] for pr in per_row], axis=0)
                 for ci in range(len(per_row[0]))]
 
-    def _chunk_program(self, flags, la: bool = True):
+    def _chunk_program(self, flags, la: bool = True,
+                       n_steps: Optional[int] = None):
         """The decode-chunk program. Slot updates (admissions / parks)
         queued on the host since the LAST dispatch ride in as scatter
         inputs and apply in-graph before the scan — row state never
@@ -495,7 +513,8 @@ class ContinuousBatcher:
         import jax
         import jax.numpy as jnp
 
-        key = ("chunk", self.max_batch, self.chunk, flags, la)
+        n_steps = self.chunk if n_steps is None else n_steps
+        key = ("chunk", self.max_batch, n_steps, flags, la)
         if key in self._programs:
             return self._programs[key]
         step = self.iface._traced_step(self.max_batch, 1, adapters=la)
@@ -537,7 +556,7 @@ class ContinuousBatcher:
 
             (cur, pos, active, caches, seen), (toks, actives) = jax.lax.scan(
                 body, (cur, pos, active, caches, seen),
-                jnp.arange(self.chunk))
+                jnp.arange(n_steps))
             out = (cur, pos, active, caches,
                    jnp.swapaxes(toks, 0, 1), jnp.swapaxes(actives, 0, 1))
             return out + (seen,) if any_pen else out
@@ -785,6 +804,36 @@ class ContinuousBatcher:
                 self._seen = None
                 inflight = None
 
+    def _pick_chunk_len(self, inflight) -> int:
+        """Adaptive chunk length (see chunk_max in __init__): long
+        chunks only when provably safe — queue empty, no admission in
+        any stage, and every live row still needs >= chunk_max tokens
+        even if the whole in-flight (not yet fetched) chunk lands on
+        it. Sampled rows may still park early on EOS mid-chunk; those
+        steps are wasted compute, never wrong output (actives gates
+        emission)."""
+        if self.chunk_max is None:
+            return self.chunk
+        if self._admit_backlog or self._admission is not None:
+            return self.chunk
+        if not self._queue.empty():
+            # waiting requests: a long chunk is still free ONLY when no
+            # slot can possibly open during it — all slots occupied,
+            # none can retire mid-chunk (the remaining check below
+            # covers n_new; EOS can park a sampled row early, so any
+            # EOS config keeps the short chunk while work is queued)
+            if self.eos_token_ids is not None \
+                    or any(s.req is None for s in self._slots):
+                return self.chunk
+        pending_lag = inflight[1].shape[1] if inflight is not None else 0
+        for slot in self._slots:
+            if slot.req is None:
+                continue
+            remaining = slot.req.n_new - len(slot.emitted) - pending_lag
+            if remaining < self.chunk_max:
+                return self.chunk
+        return self.chunk_max
+
     def _tick(self, inflight):
         """One scheduler iteration: admit, dispatch, drain the
         previously in-flight chunk. Returns the new in-flight handles
@@ -868,7 +917,8 @@ class ContinuousBatcher:
             # (the masked-einsum bypass costs ~4.6% even on slot 0)
             la = (bool(self.iface.row_extra_names)
                   and bool(self._row_lora.any()))
-            prog = self._chunk_program(flags, la)
+            prog = self._chunk_program(flags, la,
+                                       self._pick_chunk_len(inflight))
             args = (dcur, dpos, dact, self._caches,
                     self._wf(self._row_lora, la),
                     jax.random.fold_in(rng, step_count), rows,
@@ -916,7 +966,7 @@ class ContinuousBatcher:
                 # belong to the slot's previous tenant
                 continue
             was_active = True
-            for j in range(self.chunk):
+            for j in range(toks.shape[1]):   # this chunk's actual length
                 if not was_active or len(slot.emitted) >= req.n_new:
                     break
                 tok = int(toks[i, j])

@@ -701,6 +701,8 @@ class Server:
             entry.model, max_len=int(cfg["max_len"]),
             max_batch=int(cfg.get("max_batch", 8)),
             chunk=int(cfg.get("chunk", 16)),
+            chunk_max=(int(cfg["chunk_max"]) if cfg.get("chunk_max")
+                       else None),
             cache_dtype=DType.BF16,
             prefill_chunk=int(pc) if pc else None,
             quantize=cfg.get("quantize") or None,
