@@ -50,6 +50,42 @@ def test_packed_matmul_matches_dense(fmt):
     np.testing.assert_allclose(out, x @ wd, rtol=2e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("fmt", [PackedFormat.Q5_0, PackedFormat.Q5_1,
+                                 PackedFormat.Q2_K, PackedFormat.Q3_K,
+                                 PackedFormat.Q5_K, PackedFormat.Q6_K],
+                         ids=lambda f: f.value)
+def test_packed_matmul_extended_formats(fmt):
+    """The 8-bit-with-offset (Q5/Q6) and 16-group nibble (Q2_K/Q3_K)
+    repacks must execute through packed_matmul exactly like the dense
+    matmul over the CPU-oracle dequantization (random block bytes —
+    quantize_blocks has no writer for these formats)."""
+    N, K = 256, 512
+    raw = rng.integers(0, 256, (N * K // fmt.block_size, fmt.block_bytes),
+                       dtype=np.uint8)
+    # splice FINITE f16 super-block scales over the random bytes (a
+    # random f16 field is inf/nan ~6% of the time); quant ints and
+    # 6-bit sub-scales stay fully random
+    scale_at = {PackedFormat.Q5_0: (0,), PackedFormat.Q5_1: (0, 2),
+                PackedFormat.Q2_K: (80, 82), PackedFormat.Q3_K: (108,),
+                PackedFormat.Q5_K: (0, 2), PackedFormat.Q6_K: (208,)}[fmt]
+    for off in scale_at:
+        d = (rng.uniform(0.01, 0.1, (raw.shape[0], 1))
+             .astype(np.float16).view(np.uint8))
+        raw[:, off:off + 2] = d
+    pt = PackedTensor(raw.tobytes(), fmt, (N, K))
+    wd = dequantize_blocks(pt.data, fmt, N * K).reshape(N, K).T
+    assert np.isfinite(wd).all()
+    rp = repack_packed_tensor(pt)
+    assert rp is not None
+    x = rng.standard_normal((5, K)).astype(np.float32)
+    out = np.asarray(packed_matmul(x, rp["q"], rp["scales"],
+                                   rp["offsets"], int(rp["bits"]),
+                                   bool(rp["has_off"])))
+    scale = max(1.0, np.abs(x @ wd).max())
+    np.testing.assert_allclose(out / scale, (x @ wd) / scale,
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_quantize_blocks_roundtrip_error_bounded():
     x = rng.standard_normal(2048).astype(np.float32)
     for fmt, bound in ((PackedFormat.Q4_0, 0.12), (PackedFormat.Q8_0, 0.01)):

@@ -14,10 +14,15 @@ Device layout (host-repacked once at load, `repack_packed_tensor`):
           so the kernel rebuilds W with one concat (no interleave).
   scales  (K//32, N) f32 — per-32-row-block scale
   offsets (K//32, N) f32 — per-32-row-block offset
-  with W[k, n] = q4[k, n] * scales[k // 32, n] - offsets[k // 32, n].
-  This single affine form covers Q4_0 (offset = 8 d), Q4_1 (offset =
-  -m), and Q4_K (scale = d*sc_j, offset = dmin*mn_j per sub-block).
-  Q8_0 keeps int8 rows: q_i8 (K, N), W = q * scale (offsets zero).
+  with W[k, n] = q[k, n] * scales[k // G, n] - offsets[k // G, n],
+  G = the format's scale-group width (32 for classic GGUF blocks, 16
+  for Q2_K/Q3_K/Q6_K sub-scales, 128 for GPTQ/AWQ groups, 256 Q8_K).
+  This single affine form covers EVERY GGUF format (_block_affine):
+  Q4_0/Q4_1/Q4_K/Q2_K/Q3_K pack as nibbles (bits=4); Q5_0/Q5_1/Q5_K/
+  Q6_K store their 5-6-bit values as int8 (bits=8 — 1 B/weight on
+  device, still 2x under bf16, zero per-element bit surgery in the
+  kernel); Q8_0/Q8_1/Q8_K keep int8 rows with offsets statically
+  elided (has_off=False).
 
 Bit-fidelity: the repack is exact (integer nibbles + f16->f32 scale
 conversion identical to backends/cpu/dequant.py), verified bitwise in
@@ -79,8 +84,111 @@ def _q4_block_values(raw: np.ndarray, fmt: PackedFormat):
     raise ValueError(f"unsupported 4-bit format {fmt}")
 
 
-SUPPORTED_4BIT = (PackedFormat.Q4_0, PackedFormat.Q4_1, PackedFormat.Q4_K)
-SUPPORTED = SUPPORTED_4BIT + (PackedFormat.Q8_0,)
+def _q5_bits(raw: np.ndarray, qh_off: int, qs_off: int):
+    """Shared Q5_0/Q5_1 5-bit reconstruction -> (nb, 32) ints 0..31."""
+    qh = raw[:, qh_off:qh_off + 4].copy().view("<u4").astype(np.uint32)
+    q = raw[:, qs_off:qs_off + 16]
+    lo = (q & 0x0F).astype(np.int32)
+    hi = (q >> 4).astype(np.int32)
+    idx = np.arange(16, dtype=np.uint32)
+    h_lo = ((qh >> idx) & 1).astype(np.int32) << 4
+    h_hi = ((qh >> (idx + 16)) & 1).astype(np.int32) << 4
+    return np.concatenate([lo | h_lo, hi | h_hi], axis=1)
+
+
+def _block_affine(raw: np.ndarray, fmt: PackedFormat):
+    """Any GGUF block format -> the kernel's uniform affine form:
+    (vals (nb, bs) ints >= 0, scales (nb, n_groups) f32, offsets
+    (nb, n_groups) f32, bits) with W = vals * scale - offset per
+    (bs // n_groups)-element group. 4-bit-storable formats (vals
+    0..15) return bits=4 (nibble-packed in HBM); wider vals return
+    bits=8 (int8 in HBM — Q5/Q6 spend 1 B/weight on device, still
+    2x under bf16, in exchange for zero per-element bit surgery in
+    the kernel)."""
+    from ..cpu.dequant import _unpack_k_scales
+
+    if fmt in (PackedFormat.Q4_0, PackedFormat.Q4_1, PackedFormat.Q4_K):
+        nib, sc, off = _q4_block_values(raw, fmt)
+        return nib, sc, off, 4
+    if fmt == PackedFormat.Q5_0:
+        d = _f16_to_f32(raw[:, 0:2])
+        return _q5_bits(raw, 2, 6), d, 16.0 * d, 8
+    if fmt == PackedFormat.Q5_1:
+        d = _f16_to_f32(raw[:, 0:2])
+        m = _f16_to_f32(raw[:, 2:4])
+        return _q5_bits(raw, 4, 8), d, -m, 8
+    if fmt == PackedFormat.Q8_1:
+        d = _f16_to_f32(raw[:, 0:2])
+        q = raw[:, 4:36].copy().view(np.int8).astype(np.int32)
+        return q, d, np.zeros_like(d), 8
+    if fmt == PackedFormat.Q2_K:
+        sc_raw = raw[:, 0:16]
+        qs = raw[:, 16:80]
+        d = _f16_to_f32(raw[:, 80:82])
+        dmin = _f16_to_f32(raw[:, 82:84])
+        l = np.arange(256)
+        q = ((qs[:, 32 * (l // 128) + (l % 32)]
+              >> (2 * ((l % 128) // 32))) & 3).astype(np.int32)
+        sc = (sc_raw & 0x0F).astype(np.float32)         # (nb, 16)
+        mn = (sc_raw >> 4).astype(np.float32)
+        return q, d * sc, dmin * mn, 4
+    if fmt == PackedFormat.Q3_K:
+        hmask = raw[:, 0:32]
+        qs = raw[:, 32:96]
+        s = raw[:, 96:108].astype(np.uint8)
+        d = _f16_to_f32(raw[:, 108:110])
+        sc = np.empty(raw.shape[:1] + (16,), dtype=np.int8)
+        for j in range(16):
+            low = (s[:, j] & 0x0F) if j < 8 else (s[:, j - 8] >> 4)
+            hi = (s[:, 8 + (j % 4)] >> (2 * (j // 4))) & 3
+            sc[:, j] = ((low | (hi << 4)).astype(np.int8)) - 32
+        l = np.arange(256)
+        q2 = ((qs[:, 32 * (l // 128) + (l % 32)]
+               >> (2 * ((l % 128) // 32))) & 3).astype(np.int32)
+        hbit = ((hmask[:, l % 32] >> (l // 32)) & 1).astype(np.int32)
+        # value = d*sc*(q2 + 4*hbit - 4): store u = q2|(hbit<<2) in
+        # 0..7 (nibble) with offset 4*d*sc
+        u = q2 | (hbit << 2)
+        ds = d * sc.astype(np.float32)
+        return u, ds, 4.0 * ds, 4
+    if fmt == PackedFormat.Q5_K:
+        d = _f16_to_f32(raw[:, 0:2])
+        dmin = _f16_to_f32(raw[:, 2:4])
+        sc, mn = _unpack_k_scales(raw[:, 4:16])
+        qh = raw[:, 16:48]
+        qs = raw[:, 48:176]
+        l = np.arange(256)
+        lo = ((qs[:, 32 * (l // 64) + (l % 32)]
+               >> (4 * ((l % 64) // 32))) & 0x0F).astype(np.int32)
+        hbit = ((qh[:, l % 32] >> (l // 32)) & 1).astype(np.int32) << 4
+        return lo | hbit, d * sc, dmin * mn, 8
+    if fmt == PackedFormat.Q6_K:
+        ql = raw[:, 0:128]
+        qh = raw[:, 128:192]
+        sc = raw[:, 192:208].copy().view(np.int8).astype(np.float32)
+        d = _f16_to_f32(raw[:, 208:210])
+        l = np.arange(256)
+        half, lh = l // 128, l % 128
+        lo = ((ql[:, 64 * half + (lh % 64)]
+               >> (4 * (lh // 64))) & 0x0F).astype(np.int32)
+        hi = ((qh[:, 32 * half + (lh % 32)]
+               >> (2 * (lh // 32))) & 3).astype(np.int32)
+        # value = d*sc*((lo|hi<<4) - 32)
+        ds = d * sc
+        return lo | (hi << 4), ds, 32.0 * ds, 8
+    if fmt == PackedFormat.Q8_K:
+        d = raw[:, 0:4].copy().view("<f4").astype(np.float32)
+        q = raw[:, 4:260].copy().view(np.int8).astype(np.int32)
+        return q, d, np.zeros_like(d), 8
+    raise ValueError(f"unsupported format {fmt}")
+
+
+SUPPORTED_4BIT = (PackedFormat.Q4_0, PackedFormat.Q4_1, PackedFormat.Q4_K,
+                  PackedFormat.Q2_K, PackedFormat.Q3_K)
+SUPPORTED = SUPPORTED_4BIT + (
+    PackedFormat.Q8_0, PackedFormat.Q5_0, PackedFormat.Q5_1,
+    PackedFormat.Q8_1, PackedFormat.Q5_K, PackedFormat.Q6_K,
+    PackedFormat.Q8_K)
 
 
 def repack_packed_tensor(pt) -> Optional[Dict[str, np.ndarray]]:
@@ -107,23 +215,32 @@ def repack_packed_tensor(pt) -> Optional[Dict[str, np.ndarray]]:
         q_kn = q.reshape(N, K).T.copy()                    # (K, N) int8
         s_kn = d.reshape(N, K // 32).T.copy()              # (K//32, N)
         return {"q": q_kn, "scales": s_kn,
-                "offsets": np.zeros_like(s_kn), "bits": np.int8(8)}
+                "offsets": np.zeros_like(s_kn), "bits": np.int8(8),
+                "has_off": np.bool_(False)}
 
-    nib, sc, off = _q4_block_values(raw, fmt)
-    groups = bs // 32
-    nib_kn = nib.reshape(N, K).T                           # (K, N) 0..15
+    vals, sc, off, bits = _block_affine(raw, fmt)
+    n_groups = max(sc.shape[1], off.shape[1])
+    gw = bs // n_groups                # K-group width (32, or 16 K-quant)
+    vals_kn = vals.reshape(N, K).T                         # (K, N) ints
 
-    # sc/off are (nb, 1) for Q4_0/1 and (nb, 8) for Q4_K: both expand to
-    # one value per 32-element group
+    # sc/off are (nb, 1) or (nb, n_groups): expand to one value per
+    # gw-element K-group, then lay out (K//gw, N)
     def expand(a):
-        a = np.broadcast_to(a, (a.shape[0], groups))
-        return np.ascontiguousarray(a.reshape(N, K // 32).T)  # (K//32, N)
+        a = np.broadcast_to(a, (a.shape[0], n_groups))
+        return np.ascontiguousarray(
+            a.reshape(N, K // gw).T.astype(np.float32))    # (K//gw, N)
 
     s_kn = expand(sc)
     o_kn = expand(off)
+    has_off = bool(np.any(o_kn))
+    if bits == 8:
+        return {"q": vals_kn.astype(np.int8).copy(), "scales": s_kn,
+                "offsets": o_kn, "bits": np.int8(8),
+                "has_off": np.bool_(has_off)}
     half = K // 2
-    q_u8 = (nib_kn[:half] | (nib_kn[half:] << 4)).astype(np.uint8).copy()
-    return {"q": q_u8, "scales": s_kn, "offsets": o_kn, "bits": np.int8(4)}
+    q_u8 = (vals_kn[:half] | (vals_kn[half:] << 4)).astype(np.uint8).copy()
+    return {"q": q_u8, "scales": s_kn, "offsets": o_kn, "bits": np.int8(4),
+            "has_off": np.bool_(has_off)}
 
 
 def dequant_repacked(rp: Dict[str, np.ndarray]) -> np.ndarray:
@@ -139,7 +256,7 @@ def dequant_repacked(rp: Dict[str, np.ndarray]) -> np.ndarray:
     s = np.repeat(rp["scales"], g, axis=0)
     o = np.repeat(rp["offsets"], g, axis=0)
     if bits == 8:
-        return rp["q"].astype(np.float32) * s
+        return rp["q"].astype(np.float32) * s - o
     q = rp["q"]
     nib = np.concatenate([q & 0x0F, q >> 4], axis=0).astype(np.float32)
     return nib * s - o
@@ -158,10 +275,13 @@ def packed_matmul_usable(q: np.ndarray) -> bool:
     return q.shape[-1] % TILE_N == 0
 
 
-def packed_matmul(x, q, scales, offsets, bits: int):
+def packed_matmul(x, q, scales, offsets, bits: int,
+                  has_off: bool = True):
     """x (..., K) bf16/f32 @ dequant(q, scales, offsets) (K, N).
 
-    Pallas kernel on TPU; jnp fallback elsewhere (identical math)."""
+    Pallas kernel on TPU; jnp fallback elsewhere (identical math).
+    has_off=False statically elides the offset subtraction (Q8_0 /
+    int8 layouts whose offsets are all zero)."""
     import jax
     import jax.numpy as jnp
 
@@ -176,7 +296,7 @@ def packed_matmul(x, q, scales, offsets, bits: int):
     # kernel's advantage (packed HBM weight stream) only matters at
     # decode M (see quant_matmul.py)
     if M > 512 or not packed_matmul_usable(q):
-        w = _dequant_jnp(q, scales, offsets, bits, K)
+        w = _dequant_jnp(q, scales, offsets, bits, K, has_off)
         out = jnp.dot(x2.astype(jnp.float32), w,
                       preferred_element_type=jnp.float32)
         return out.astype(x.dtype).reshape(*lead, N)
@@ -188,6 +308,8 @@ def packed_matmul(x, q, scales, offsets, bits: int):
         s = jnp.repeat(s_ref[:], G, axis=0)                # (K, TN)
         if bits == 8:
             w = q_ref[:].astype(jnp.float32) * s
+            if has_off:
+                w = w - jnp.repeat(o_ref[:], G, axis=0)
         else:
             # Mosaic has no u8 shifts or u8->f32 casts: widen to i32
             # first (HBM traffic is still the packed u8 tile)
@@ -239,12 +361,14 @@ def packed_matmul(x, q, scales, offsets, bits: int):
     return out.reshape(*lead, N)
 
 
-def _dequant_jnp(q, scales, offsets, bits: int, K: int):
+def _dequant_jnp(q, scales, offsets, bits: int, K: int,
+                 has_off: bool = True):
     import jax.numpy as jnp
 
     g = K // scales.shape[0]
     s = jnp.repeat(scales, g, axis=0)
     if bits == 8:
-        return q.astype(jnp.float32) * s
+        w = q.astype(jnp.float32) * s
+        return w - jnp.repeat(offsets, g, axis=0) if has_off else w
     nib = jnp.concatenate([q & 0x0F, q >> 4], axis=0).astype(jnp.float32)
     return nib * s - jnp.repeat(offsets, g, axis=0)

@@ -541,7 +541,7 @@ class GgufLoader(Loader):
                         "comma-separated KV window sizes for phased "
                         "windowed decode", default=""),
             ConfigField("packed_weights", ConfigFieldType.BOOL,
-                        "keep Q4/Q8 weights packed on device (fused "
+                        "keep GGUF quants packed on device (fused "
                         "dequant-matmul; llama-family)", default=True),
         ]
 

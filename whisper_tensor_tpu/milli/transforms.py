@@ -467,6 +467,9 @@ class PackedMatMulMilli(MilliOp):
     without float materialization (src/packed_tensor.rs:96)."""
 
     bits: int = 4
+    # statically elides the offset subtraction for all-zero-offset
+    # layouts (Q8_0, plain int8) in the 8-bit kernel path
+    has_off: bool = True
     KIND = "PackedMatMul"
 
     def eval(self, inputs):
@@ -483,7 +486,7 @@ class PackedMatMulMilli(MilliOp):
         from ..backends.pallas.packed_matmul import packed_matmul
 
         x, q, s, o = inputs
-        return [packed_matmul(x, q, s, o, self.bits)]
+        return [packed_matmul(x, q, s, o, self.bits, self.has_off)]
 
     def infer(self, infos):
         x, q = infos[0], infos[1]
@@ -547,6 +550,8 @@ def pack_matmul_nodes(
         if rhs_name not in packed:
             continue
         s_tid, o_tid = extra_tids[rhs_name]
-        node.op = PackedMatMulMilli(bits=int(packed[rhs_name]["bits"]))
+        node.op = PackedMatMulMilli(
+            bits=int(packed[rhs_name]["bits"]),
+            has_off=bool(packed[rhs_name].get("has_off", True)))
         node.inputs = [node.inputs[0], rhs, s_tid, o_tid]
     return packed
