@@ -161,9 +161,10 @@ def bench_serving() -> None:
     prompts = [rng.integers(0, cfg.vocab_size,
                             (int(rng.integers(8, 32)),)).astype(np.int64)
                for _ in range(waves * N)]
-    # warmup: one full wave compiles the chunk program AND the k=N
-    # prefill group (admission compiles must not land in the timed run)
-    futs = [srv.submit(p, 8) for p in prompts[:N]]
+    # warmup: one full wave compiles the chunk program, the k=N
+    # prefill group, AND the chunk_max long-chunk program (n_new must
+    # reach chunk_max or its ~60 s compile lands in the timed run)
+    futs = [srv.submit(p, max(8, chunk_max + 8)) for p in prompts[:N]]
     for f in futs:
         f.result(timeout=2400)
     t2 = time.time()

@@ -497,11 +497,11 @@ def test_tick_failure_fails_futures_and_recovers():
     real = batcher._chunk_program
     state = {"boom": 1}
 
-    def poisoned(flags, la=True):
+    def poisoned(flags, la=True, *args):
         if state["boom"]:
             state["boom"] -= 1
             raise RuntimeError("injected device failure")
-        return real(flags, la)
+        return real(flags, la, *args)
 
     batcher._chunk_program = poisoned
     batcher.start()
