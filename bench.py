@@ -161,12 +161,19 @@ def bench_serving() -> None:
     prompts = [rng.integers(0, cfg.vocab_size,
                             (int(rng.integers(8, 32)),)).astype(np.int64)
                for _ in range(waves * N)]
-    # warmup: one full wave compiles the chunk program, the k=N
-    # prefill group, AND the chunk_max long-chunk program (n_new must
-    # reach chunk_max or its ~60 s compile lands in the timed run)
-    futs = [srv.submit(p, max(8, chunk_max + 8)) for p in prompts[:N]]
-    for f in futs:
-        f.result(timeout=2400)
+    # warmup: full waves compile the k=N prefill group and EVERY
+    # adaptive ladder step (chunk, 2c, ..., chunk_max) — a ladder
+    # program compiling inside the timed run would swamp it
+    ladder, c = [], int(os.environ.get("WT_BENCH_CHUNK", "32"))
+    while c <= max(chunk_max, c):
+        ladder.append(c)
+        if c >= chunk_max:
+            break
+        c *= 2
+    for L in ladder:
+        futs = [srv.submit(p, L + max(4, L // 4)) for p in prompts[:N]]
+        for f in futs:
+            f.result(timeout=2400)
     t2 = time.time()
     futs = [srv.submit(p, n_new) for p in prompts]
     total = sum(len(f.result(timeout=2400)) for f in futs)
@@ -183,6 +190,113 @@ def bench_serving() -> None:
         "vs_baseline": round(srv_tok_s / BASELINE_TOK_S, 3),
         "offline_same_batch": round(off_tok_s, 1),
         "serving_vs_offline": round(ratio, 3),
+    }))
+
+
+def bench_serving_open() -> None:
+    """Open-loop serving: Poisson arrivals at WT_BENCH_RATE req/s for
+    WT_BENCH_SECS seconds against the continuous batcher — the
+    steady-state regime (staggered rows, queue draining between
+    arrivals) where the adaptive chunk ladder actually operates, unlike
+    the synchronized waves of WT_BENCH_TARGET=serving. Reports achieved
+    tok/s plus time-to-first-token and end-to-end latency percentiles
+    (the serving qualities a closed-loop wave bench can't see)."""
+    import threading as _th
+
+    from whisper_tensor_tpu.dtype import DType
+    from whisper_tensor_tpu.importers.recipes.llm.gpt2 import (
+        GPT2Config, build_gpt2_step, random_gpt2_weights)
+    from whisper_tensor_tpu.model import Model
+    from whisper_tensor_tpu.server.batching import ContinuousBatcher
+
+    N = int(os.environ.get("WT_BENCH_CLIENTS", "64"))
+    n_new = int(os.environ.get("WT_BENCH_NEW", "192"))
+    rate = float(os.environ.get("WT_BENCH_RATE", "20"))   # req/s
+    secs = float(os.environ.get("WT_BENCH_SECS", "60"))
+    chunk_max = int(os.environ.get("WT_BENCH_CHUNK_MAX", "128"))
+    max_len = 256
+    cfg = GPT2Config(n_layer=12, n_head=12, n_embd=768, vocab_size=50257,
+                     n_positions=1024)
+    m = Model.new_from_onnx(build_gpt2_step(
+        random_gpt2_weights(cfg), cfg, max_len=max_len, dtype=DType.BF16,
+        pos_per_row=True))
+    srv = ContinuousBatcher(m, max_len=max_len, max_batch=N,
+                            chunk=int(os.environ.get("WT_BENCH_CHUNK", "32")),
+                            chunk_max=chunk_max or None,
+                            cache_dtype=DType.BF16,
+                            prompt_buckets=(32,)).start()
+    rng = np.random.default_rng(0)
+
+    def prompt():
+        return rng.integers(0, cfg.vocab_size,
+                            (int(rng.integers(8, 32)),)).astype(np.int64)
+
+    # warmup: compile prefill groups (k=1..) and the ladder programs
+    for L in (n_new, chunk_max + max(4, chunk_max // 4), 40):
+        futs = [srv.submit(prompt(), L) for _ in range(8)]
+        for f in futs:
+            f.result(timeout=2400)
+    print("# warmup done", file=sys.stderr)
+
+    lat, ttft, lock = [], [], _th.Lock()
+    done_evt = _th.Event()
+    outstanding = [0]
+
+    def fire():
+        t_sub = time.time()
+        first = []
+
+        def on_tok(_tok, t_sub=t_sub, first=first):
+            if not first:
+                first.append(time.time() - t_sub)
+
+        fut = srv.submit(prompt(), n_new, on_token=on_tok)
+
+        def reap(fut=fut, t_sub=t_sub, first=first):
+            toks = fut.result(timeout=2400)
+            with lock:
+                lat.append(time.time() - t_sub)
+                ttft.append(first[0] if first else lat[-1])
+                outstanding[0] -= 1
+                if done_evt.is_set() and not outstanding[0]:
+                    all_done.set()
+            return len(toks)
+
+        _th.Thread(target=reap, daemon=True).start()
+
+    all_done = _th.Event()
+    t0 = time.time()
+    n_fired = 0
+    while time.time() - t0 < secs:
+        gap = rng.exponential(1.0 / rate)
+        time.sleep(gap)
+        with lock:
+            outstanding[0] += 1
+        fire()
+        n_fired += 1
+    done_evt.set()
+    with lock:
+        if not outstanding[0]:
+            all_done.set()
+    all_done.wait(timeout=2400)
+    span = time.time() - t0
+    srv.stop()
+    tok_s = n_fired * n_new / span
+    q = lambda a, p: float(np.percentile(np.asarray(a), p))  # noqa: E731
+    print(f"# open-loop {rate} req/s x {secs:.0f}s: {n_fired} reqs, "
+          f"{tok_s:.0f} tok/s, TTFT p50 {q(ttft, 50) * 1e3:.0f} ms / "
+          f"p99 {q(ttft, 99) * 1e3:.0f} ms, e2e p50 {q(lat, 50):.2f} s",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "gpt2_124m_serving_open_loop",
+        "value": round(tok_s, 1), "unit": "tok/s",
+        "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
+        "rate_req_s": rate, "requests": n_fired,
+        "ttft_p50_ms": round(q(ttft, 50) * 1e3, 1),
+        "ttft_p99_ms": round(q(ttft, 99) * 1e3, 1),
+        "e2e_p50_s": round(q(lat, 50), 3),
+        "e2e_p99_s": round(q(lat, 99), 3),
+        "chunk_max": chunk_max,
     }))
 
 
@@ -623,6 +737,9 @@ def main() -> None:
         return
     if os.environ.get("WT_BENCH_TARGET") == "serving":
         bench_serving()
+        return
+    if os.environ.get("WT_BENCH_TARGET") == "serving_open":
+        bench_serving_open()
         return
     from whisper_tensor_tpu.dtype import DType
     from whisper_tensor_tpu.importers.recipes.llm.gpt2 import (

@@ -96,7 +96,10 @@ def test_quantize_blocks_roundtrip_error_bounded():
 def _write_tiny_gguf(tmp_path, fmt):
     from whisper_tensor_tpu.importers.gguf import write_gguf
 
-    E, Hq, Hkv, D, I, V, L = 64, 2, 1, 32, 128, 96, 2
+    if fmt.block_size == 256:      # K-quants need K % 256 == 0 weights
+        E, Hq, Hkv, D, I, V, L = 256, 2, 1, 128, 256, 96, 2
+    else:
+        E, Hq, Hkv, D, I, V, L = 64, 2, 1, 32, 128, 96, 2
     r = np.random.default_rng(1)
 
     def q(shape):
@@ -133,7 +136,8 @@ def _write_tiny_gguf(tmp_path, fmt):
     return path
 
 
-@pytest.mark.parametrize("fmt", [PackedFormat.Q4_0, PackedFormat.Q8_0],
+@pytest.mark.parametrize("fmt", [PackedFormat.Q4_0, PackedFormat.Q8_0,
+                                 PackedFormat.Q4_K, PackedFormat.Q6_K],
                          ids=lambda f: f.value)
 def test_gguf_packed_path_end_to_end(tmp_path, fmt):
     """GgufLoader(packed_weights=True): weights stay packed in the

@@ -256,4 +256,99 @@ def quantize_blocks(arr: np.ndarray, fmt: PackedFormat) -> bytes:
         out[:, 0:2] = d.astype(np.float16).view(np.uint8).reshape(nb, 2)
         out[:, 2:18] = q[:, :16] | (q[:, 16:] << 4)
         return out.tobytes()
+    if fmt == PackedFormat.Q5_0:
+        imax = np.abs(x).argmax(axis=1)
+        vmax = x[np.arange(nb), imax]
+        d = np.where(vmax != 0, vmax / -16.0, 1.0).astype(np.float32)
+        d = d.astype(np.float16).astype(np.float32)
+        q = np.clip(np.round(x / d[:, None]) + 16, 0, 31).astype(np.uint32)
+        out = np.empty((nb, 22), np.uint8)
+        out[:, 0:2] = d.astype(np.float16).view(np.uint8).reshape(nb, 2)
+        hb = (q >> 4) & 1                       # (nb, 32) high bits
+        qh = (hb << np.arange(32)).sum(axis=1).astype("<u4")
+        out[:, 2:6] = qh.view(np.uint8).reshape(nb, 4)
+        lo = (q & 0x0F).astype(np.uint8)
+        out[:, 6:22] = lo[:, :16] | (lo[:, 16:] << 4)
+        return out.tobytes()
+    if fmt == PackedFormat.Q4_K:
+        return _quantize_q4_k(arr)
+    if fmt == PackedFormat.Q6_K:
+        return _quantize_q6_k(arr)
     raise ValueError(f"quantize_blocks: unsupported format {fmt}")
+
+
+def _pack_k_scales(sc: np.ndarray, mn: np.ndarray) -> np.ndarray:
+    """Inverse of _unpack_k_scales: (nb, 8) 6-bit ints each -> (nb, 12)
+    packed bytes."""
+    nb = sc.shape[0]
+    sc = sc.astype(np.uint8)
+    mn = mn.astype(np.uint8)
+    out = np.empty((nb, 12), np.uint8)
+    for j in range(4):
+        out[:, j] = (sc[:, j] & 63) | (((sc[:, j + 4] >> 4) & 3) << 6)
+        out[:, j + 4] = (mn[:, j] & 63) | (((mn[:, j + 4] >> 4) & 3) << 6)
+        out[:, j + 8] = (sc[:, j + 4] & 0x0F) | ((mn[:, j + 4] & 0x0F) << 4)
+    return out
+
+
+def _quantize_q4_k(arr: np.ndarray) -> bytes:
+    """Simple-search Q4_K writer (per-32-group affine, 6-bit super
+    scales): emits VALID blocks — dequantize_blocks is exact on them —
+    with near-llama.cpp quality (no iterative refinement)."""
+    x = np.ascontiguousarray(arr, dtype=np.float32).reshape(-1, QK_K)
+    nb = x.shape[0]
+    g = x.reshape(nb, 8, 32)
+    gmin = np.minimum(g.min(axis=2), 0.0)           # mins stored >= 0
+    gmax = g.max(axis=2)
+    s = np.maximum((gmax - gmin) / 15.0, 0.0)       # per-group scale
+    m = -gmin                                       # per-group min
+    d = np.maximum(s.max(axis=1, keepdims=True) / 63.0, 1e-12)
+    dmin = np.maximum(m.max(axis=1, keepdims=True) / 63.0, 1e-12)
+    d16 = d.astype(np.float16).astype(np.float32)
+    dmin16 = dmin.astype(np.float16).astype(np.float32)
+    sc = np.clip(np.round(s / d16), 0, 63)
+    mn = np.clip(np.round(m / dmin16), 0, 63)
+    eff_s = np.maximum(d16 * sc, 1e-12)             # (nb, 8)
+    eff_m = dmin16 * mn
+    q = np.clip(np.round((g + eff_m[:, :, None]) / eff_s[:, :, None]),
+                0, 15).astype(np.uint8).reshape(nb, 256)
+    out = np.empty((nb, 144), np.uint8)
+    out[:, 0:2] = d16.astype(np.float16).view(np.uint8).reshape(nb, 2)
+    out[:, 2:4] = dmin16.astype(np.float16).view(np.uint8).reshape(nb, 2)
+    out[:, 4:16] = _pack_k_scales(sc, mn)
+    # qs layout: byte 32c+p packs l = 64c+p (low) and l = 64c+32+p (high)
+    b = np.arange(128)
+    c, p = b // 32, b % 32
+    out[:, 16:144] = (q[:, 64 * c + p]
+                      | (q[:, 64 * c + 32 + p] << 4))
+    return out.tobytes()
+
+
+def _quantize_q6_k(arr: np.ndarray) -> bytes:
+    """Simple Q6_K writer (per-16-group symmetric, int8 sub-scales)."""
+    x = np.ascontiguousarray(arr, dtype=np.float32).reshape(-1, QK_K)
+    nb = x.shape[0]
+    g = x.reshape(nb, 16, 16)
+    s = np.abs(g).max(axis=2) / 31.0                # per-16 scale
+    d = np.maximum(s.max(axis=1, keepdims=True) / 127.0, 1e-12)
+    d16 = d.astype(np.float16).astype(np.float32)
+    sc = np.clip(np.round(s / d16), 0, 127)
+    eff = np.maximum(d16 * sc, 1e-12)
+    q = (np.clip(np.round(g / eff[:, :, None]), -32, 31) + 32
+         ).astype(np.uint8).reshape(nb, 256)
+    out = np.empty((nb, 210), np.uint8)
+    # ql byte 64h+p packs l = 128h+p (low nibble) and l = 128h+64+p (hi)
+    b = np.arange(64)
+    for h in (0, 1):
+        out[:, h * 64 + b] = ((q[:, 128 * h + b] & 0x0F)
+                              | ((q[:, 128 * h + 64 + b] & 0x0F) << 4))
+    # qh byte 32h+p packs bits 4-5 of l = 128h+p+32t at shift 2t
+    p = np.arange(32)
+    for h in (0, 1):
+        acc = np.zeros((nb, 32), np.uint8)
+        for t in range(4):
+            acc |= ((q[:, 128 * h + 32 * t + p] >> 4) & 3) << (2 * t)
+        out[:, 128 + 32 * h + p] = acc
+    out[:, 192:208] = sc.astype(np.int8).view(np.uint8)
+    out[:, 208:210] = d16.astype(np.float16).view(np.uint8).reshape(nb, 2)
+    return out.tobytes()

@@ -48,6 +48,8 @@ class _Request:
     sampling: Optional[SamplingParams] = None
     # per-request LoRA adapter name (multi-LoRA serving): None = base
     adapter: Optional[str] = None
+    # arrival time (admission-coalescing deadline)
+    t_arrival: float = field(default_factory=time.time)
 
 
 @dataclass
@@ -85,7 +87,8 @@ class ContinuousBatcher:
                  prefix_ids: Optional[np.ndarray] = None,
                  quantize: Optional[str] = None,
                  adapters: "Optional[Dict[str, Dict[str, tuple]]]" = None,
-                 chunk_max: Optional[int] = None):
+                 chunk_max: Optional[int] = None,
+                 admit_coalesce_s: float = 0.05):
         """prefill_chunk: chunked prefill (vLLM-style admission QoS) —
         prompts longer than this are prefilled in prefill_chunk-token
         pieces, ONE piece per scheduler tick, so in-flight decode rows
@@ -112,7 +115,18 @@ class ContinuousBatcher:
         costs over many more tokens. New arrivals during a long chunk
         wait at most one long-chunk time for admission (the queue was
         empty when it was chosen). None disables (every dispatch uses
-        `chunk`)."""
+        `chunk`).
+
+        admit_coalesce_s: admission coalescing under open-loop load.
+        Every admission group costs one prefill dispatch PLUS a full
+        device->host sync for the group's first tokens, so a stream of
+        single-request admissions (steady arrivals) can spend more
+        wall time on admission syncs than on decode. Arrivals are
+        therefore held briefly and admitted together: a group forms
+        when the waiting requests can fill every free slot, when the
+        oldest waiter has aged past this deadline, or when the device
+        has no decode work anyway (then admission is free). 0 restores
+        admit-immediately."""
         self.iface = TextInferenceInterface(
             model, max_len=max_len, cache_dtype=cache_dtype,
             prompt_buckets=prompt_buckets, quantize=quantize)
@@ -164,6 +178,8 @@ class ContinuousBatcher:
         self._admit_backlog: List[tuple] = []    # (slot, req) not yet started
         self._chunks_dispatched = 0
         self._tokens_emitted = 0
+        self.admit_coalesce_s = admit_coalesce_s
+        self._wait: List[_Request] = []   # arrived, not yet admitted
         self.prefix_ids = (None if prefix_ids is None else
                            np.asarray(prefix_ids, np.int64).reshape(-1))
         self.prefix_len = 0 if self.prefix_ids is None \
@@ -767,7 +783,7 @@ class ContinuousBatcher:
         while not self._stop.is_set():
             if (self._draining.is_set() and inflight is None
                     and all(s.req is None for s in self._slots)
-                    and self._queue.empty()
+                    and self._queue.empty() and not self._wait
                     and self._admission is None
                     and not self._admit_backlog):
                 # drain(): judged HERE, between ticks, where no request
@@ -792,6 +808,10 @@ class ContinuousBatcher:
                 for _, req in self._admit_backlog:
                     if not req.future.done():
                         req.future.set_exception(e)
+                for req in self._wait:
+                    if not req.future.done():
+                        req.future.set_exception(e)
+                self._wait = []
                 self._admit_backlog = []
                 self._admission = None
                 self._pending = {}
@@ -805,34 +825,86 @@ class ContinuousBatcher:
                 inflight = None
 
     def _pick_chunk_len(self, inflight) -> int:
-        """Adaptive chunk length (see chunk_max in __init__): long
-        chunks only when provably safe — queue empty, no admission in
-        any stage, and every live row still needs >= chunk_max tokens
-        even if the whole in-flight (not yet fetched) chunk lands on
-        it. Sampled rows may still park early on EOS mid-chunk; those
-        steps are wasted compute, never wrong output (actives gates
-        emission)."""
+        """Adaptive chunk length (see chunk_max in __init__): the
+        largest power-of-two multiple of `chunk` (capped at chunk_max)
+        that every live row verifiably still needs, counting the whole
+        in-flight (not yet fetched) chunk against each row — so no
+        row's slot could have opened for a waiting request during the
+        long scan, and no client waits on steps its request can't use.
+        Long chunks are considered only when nothing is mid-admission
+        and either the queue is empty or no slot can possibly open
+        (all occupied, EOS-free config). Sampled rows may still park
+        early mid-chunk; those steps are wasted compute, never wrong
+        output (actives gates emission)."""
         if self.chunk_max is None:
             return self.chunk
         if self._admit_backlog or self._admission is not None:
             return self.chunk
-        if not self._queue.empty():
+        if not self._queue.empty() or self._wait:
             # waiting requests: a long chunk is still free ONLY when no
-            # slot can possibly open during it — all slots occupied,
-            # none can retire mid-chunk (the remaining check below
-            # covers n_new; EOS can park a sampled row early, so any
-            # EOS config keeps the short chunk while work is queued)
+            # slot can possibly open during it — all slots occupied and
+            # none can retire mid-chunk (the remaining bound covers
+            # n_new; EOS can park a sampled row early, so any EOS
+            # config keeps the short chunk while work is queued)
             if self.eos_token_ids is not None \
                     or any(s.req is None for s in self._slots):
                 return self.chunk
         pending_lag = inflight[1].shape[1] if inflight is not None else 0
+        min_remaining = self.chunk_max
         for slot in self._slots:
             if slot.req is None:
                 continue
             remaining = slot.req.n_new - len(slot.emitted) - pending_lag
-            if remaining < self.chunk_max:
-                return self.chunk
-        return self.chunk_max
+            if remaining < min_remaining:
+                min_remaining = remaining
+        # ladder: chunk, 2*chunk, 4*chunk, ... <= min(remaining, max)
+        n = self.chunk
+        while n * 2 <= min_remaining and n * 2 <= self.chunk_max:
+            n *= 2
+        return n
+
+    def _drain_arrivals(self):
+        """Move queued arrivals into the host-side wait list (dropping
+        already-cancelled ones) so admission policy can look at ages
+        and counts — queue.Queue cannot be peeked."""
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                return
+            if req.cancelled.is_set():          # cancelled in queue
+                if not req.future.done():
+                    req.future.set_result(np.zeros(0, np.int64))
+                self._requests.pop(req.future, None)
+                continue
+            # re-register: a tick-failure reset may have swapped the
+            # registry while submit() was between its two statements
+            self._requests.setdefault(req.future, req)
+            self._wait.append(req)
+
+    def _admit_now(self, free) -> bool:
+        """Admission-coalescing policy (see admit_coalesce_s): admit
+        when the waiters can fill every free slot, the oldest waiter
+        is past its deadline, or the device is idle (admission then
+        costs nothing it could have overlapped with)."""
+        kept = []
+        for r in self._wait:
+            if r.cancelled.is_set():            # cancelled while waiting
+                if not r.future.done():
+                    r.future.set_result(np.zeros(0, np.int64))
+                self._requests.pop(r.future, None)
+            else:
+                kept.append(r)
+        self._wait = kept
+        if not self._wait:
+            return False
+        if self.admit_coalesce_s <= 0:
+            return True
+        if len(self._wait) >= len(free):
+            return True
+        if time.time() - self._wait[0].t_arrival >= self.admit_coalesce_s:
+            return True
+        return not any(slot.req is not None for slot in self._slots)
 
     def _tick(self, inflight):
         """One scheduler iteration: admit, dispatch, drain the
@@ -864,24 +936,13 @@ class ContinuousBatcher:
         if self.prefill_chunk is not None:
             self._advance_admission()
         else:
-            pairs = []
-            for i, slot in enumerate(self._slots):
-                if slot.req is None:
-                    try:
-                        req = self._queue.get_nowait()
-                    except queue.Empty:
-                        break
-                    if req.cancelled.is_set():     # cancelled in queue
-                        if not req.future.done():
-                            req.future.set_result(np.zeros(0, np.int64))
-                        self._requests.pop(req.future, None)
-                        continue
-                    # re-register: a tick-failure reset may have swapped
-                    # the registry while submit() was between its two
-                    # statements (registry add, queue put)
-                    self._requests.setdefault(req.future, req)
-                    pairs.append((i, req))
-            if pairs:
+            self._drain_arrivals()
+            free = [i for i, slot in enumerate(self._slots)
+                    if slot.req is None]
+            if self._wait and free and self._admit_now(free):
+                taken, self._wait = (self._wait[:len(free)],
+                                     self._wait[len(free):])
+                pairs = list(zip(free, taken))
                 pairs.sort(key=lambda p: p[1].prompt_ids.shape[0])
                 try:
                     self._admit_group(pairs)
@@ -941,7 +1002,7 @@ class ContinuousBatcher:
             toks, actives_np, pos_np = jax.device_get(inflight[1:])
             self._drain_chunk(chunk_idx, toks, actives_np, pos_np)
         elif not work and self._admission is None \
-                and not self._admit_backlog:
+                and not self._admit_backlog and not self._wait:
             self._wake.wait(timeout=0.05)
             self._wake.clear()
         return new_inflight
