@@ -546,6 +546,47 @@ def test_pipelined_slot_churn_matches_sequential():
         batcher.stop()
 
 
+def test_admission_coalescing_matches_sequential():
+    """admit_coalesce_s groups arrivals before the prefill dispatch;
+    an idle device must still admit immediately (the idle rule), and
+    staggered arrivals under a large deadline must produce exactly the
+    sequential outputs."""
+    import time as _t
+
+    cfg, m_scalar, m_ragged = _models()
+    ref_iface = TextInferenceInterface(m_scalar, max_len=64,
+                                       prompt_buckets=(16,))
+    batcher = ContinuousBatcher(m_ragged, max_len=64, max_batch=4, chunk=3,
+                                admit_coalesce_s=30.0,   # deadline unhit
+                                cache_dtype=DType.F32,
+                                prompt_buckets=(16,)).start()
+    try:
+        r = np.random.default_rng(7)
+        # idle device: the first request must not wait out the deadline
+        p0 = r.integers(0, cfg.vocab_size, (5,)).astype(np.int64)
+        t0 = _t.time()
+        out0 = batcher.submit(p0, 4).result(timeout=120)
+        assert _t.time() - t0 < 25, "idle admission waited on coalesce"
+        np.testing.assert_array_equal(
+            out0, ref_iface.generate_tokens(p0[None], 4)[0])
+        # staggered arrivals while rows are decoding: grouped admission
+        # (deadline never fires; groups form on fill-the-free-slots or
+        # idle) must still match the sequential reference
+        jobs = []
+        for k in range(8):
+            p = r.integers(0, cfg.vocab_size, (int(r.integers(2, 12)),)
+                           ).astype(np.int64)
+            n = int(r.integers(4, 14))
+            jobs.append((p, n, batcher.submit(p, n)))
+            _t.sleep(0.02)
+        for p, n, f in jobs:
+            out = f.result(timeout=180)
+            np.testing.assert_array_equal(
+                out, ref_iface.generate_tokens(p[None], n)[0])
+    finally:
+        batcher.stop()
+
+
 def test_adaptive_chunk_max_matches_sequential():
     """chunk_max long-chunk dispatch (steady-state throughput mode):
     long scans engage only when the queue is empty and every live row

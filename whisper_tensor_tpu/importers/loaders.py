@@ -156,6 +156,11 @@ class TransformersLoader(Loader):
                         "empty and every live row has that many tokens "
                         "left — amortizes the fixed dispatch cost",
                         default=0),
+            ConfigField("serve_admit_coalesce_ms", ConfigFieldType.INT,
+                        "admission coalescing deadline (ms): arrivals "
+                        "are grouped before their prefill dispatch so "
+                        "steady single-request arrivals don't pay one "
+                        "device sync each", default=50),
             ConfigField("quantize", ConfigFieldType.ENUM,
                         "weight quantization for the text interface",
                         default="", choices=["", "int8", "q4_0", "q8_0"]),
@@ -497,6 +502,7 @@ class TransformersLoader(Loader):
                                                  "max_batch": int(config.get("serve_batch", 8) or 8),
                                                  "chunk": int(config.get("serve_chunk", 16) or 16),
                                                  "chunk_max": int(config.get("serve_chunk_max", 0) or 0),
+                                                 "admit_coalesce_s": float(config.get("serve_admit_coalesce_ms", 50) or 0) / 1e3,
                                                  "quantize": config.get("quantize") or "",
                                                  "windows": window_spec,
                                                  "adapters": serve_adapters,
@@ -537,6 +543,11 @@ class GgufLoader(Loader):
                         "empty and every live row has that many tokens "
                         "left — amortizes the fixed dispatch cost",
                         default=0),
+            ConfigField("serve_admit_coalesce_ms", ConfigFieldType.INT,
+                        "admission coalescing deadline (ms): arrivals "
+                        "are grouped before their prefill dispatch so "
+                        "steady single-request arrivals don't pay one "
+                        "device sync each", default=50),
             ConfigField("decode_windows", ConfigFieldType.STRING,
                         "comma-separated KV window sizes for phased "
                         "windowed decode", default=""),
@@ -615,6 +626,7 @@ class GgufLoader(Loader):
                                                  "max_batch": int(config.get("serve_batch", 8) or 8),
                                                  "chunk": int(config.get("serve_chunk", 16) or 16),
                                                  "chunk_max": int(config.get("serve_chunk_max", 0) or 0),
+                                                 "admit_coalesce_s": float(config.get("serve_admit_coalesce_ms", 50) or 0) / 1e3,
                                                  "quantize": config.get("quantize") or "",
                                                  "windows": window_spec,
                                                  "eos_token_id":

@@ -61,6 +61,9 @@ class _Slot:
     # dispatched — earlier chunks' rows for this slot belong to a
     # previous tenant and must not be emitted
     dispatched: Optional[int] = None
+    # pipelined admission: (group dict, row) holding the DEVICE handle
+    # of this row's first token, resolved at the drain of `dispatched`
+    first_group: Optional[tuple] = None
 
 
 class ContinuousBatcher:
@@ -180,6 +183,9 @@ class ContinuousBatcher:
         self._tokens_emitted = 0
         self.admit_coalesce_s = admit_coalesce_s
         self._wait: List[_Request] = []   # arrived, not yet admitted
+        # pipelined admissions: groups whose first tokens are still
+        # device handles, waiting to ride into the next chunk dispatch
+        self._dev_admits: List[dict] = []
         self.prefix_ids = (None if prefix_ids is None else
                            np.asarray(prefix_ids, np.int64).reshape(-1))
         self.prefix_len = 0 if self.prefix_ids is None \
@@ -624,11 +630,44 @@ class ContinuousBatcher:
                 args.append(self._prefix_small(k, gidx))
             logits, self._caches = self._prefill_insert_program(
                 Sb, k, la)(*args)
-            last = jnp.stack([logits[row, lens[row] - 1, :]
-                              for row in range(k)])
-            firsts = self._first_tokens(grp, last, rng)
-            self._install_admitted(
-                grp, [self.prefix_len + L for L in lens], firsts)
+            last = logits[jnp.arange(k), jnp.asarray(lens) - 1, :]
+            sps = [req.sampling or self.sampling for _, req in grp]
+            flags = _rows_flags(sps)
+            if flags[4]:
+                # penalty rows need host-side seen seeding: keep the
+                # synchronous admission for this (rare) group shape
+                firsts = self._first_tokens(grp, last, rng)
+                self._install_admitted(
+                    grp, [self.prefix_len + L for L in lens], firsts)
+                continue
+            # PIPELINED admission: the first token stays a device
+            # handle — it rides into the next chunk dispatch as a
+            # device scatter slice and is fetched with that chunk's
+            # regular drain, so admission costs NO device->host sync
+            rows_a = tuple(jnp.asarray(a) for a in _rows_arrays(sps))
+            firsts_dev = _pick_token_rows(last, rng, rows_a, flags, None)
+            act = jnp.asarray([req.n_new > 1 for _, req in grp])
+            if self.eos_token_ids is not None:
+                hit = firsts_dev == self.eos_token_ids[0]
+                for e in self.eos_token_ids[1:]:
+                    hit = hit | (firsts_dev == e)
+                act = act & ~hit
+            ga = {"slots": [s for s, _ in grp], "firsts": firsts_dev,
+                  "active": act,
+                  "pos": [min(self.prefix_len + L, self.park_pos)
+                          for L in lens],
+                  "np": None}
+            for row, (slot_idx, req) in enumerate(grp):
+                slot = self._slots[slot_idx]
+                slot.req = req
+                slot.emitted = []
+                slot.dispatched = None
+                slot.first_group = (ga, row)
+                # an older queued park for this slot (its previous
+                # tenant's _finish) is subsumed: the admission writes
+                # cur/pos/active itself and must win
+                self._pending.pop(slot_idx, None)
+            self._dev_admits.append(ga)
 
     def _install_admitted(self, grp, lens, firsts):
         """Common admission tail: record each row's first token, queue
@@ -760,6 +799,7 @@ class ContinuousBatcher:
         slot.req = None
         slot.emitted = []
         slot.dispatched = None
+        slot.first_group = None
         self._row_lora[slot_idx] = 0
         # park the device row at the next dispatch (harmless if it keeps
         # decoding for one in-flight chunk first — its writes land at
@@ -812,6 +852,7 @@ class ContinuousBatcher:
                     if not req.future.done():
                         req.future.set_exception(e)
                 self._wait = []
+                self._dev_admits = []
                 self._admit_backlog = []
                 self._admission = None
                 self._pending = {}
@@ -951,10 +992,13 @@ class ContinuousBatcher:
                         if not req.future.done():
                             req.future.set_exception(e)
         # a slot reserved by an in-flight chunked admission (dispatched
-        # None, no pending update yet) is not decodable work
-        work = any(s.req is not None
-                   and (s.dispatched is not None or i in self._pending)
-                   for i, s in enumerate(self._slots))
+        # None, no pending update yet) is not decodable work; a
+        # pipelined admission (device first-token handle) IS — its
+        # update rides with the next dispatch
+        work = bool(self._dev_admits) or any(
+            s.req is not None
+            and (s.dispatched is not None or i in self._pending)
+            for i, s in enumerate(self._slots))
         new_inflight = None
         if work:
             # fold queued slot updates into fixed-shape scatter
@@ -968,7 +1012,42 @@ class ContinuousBatcher:
                 slot = self._slots[s]
                 if slot.req is not None and slot.dispatched is None:
                     slot.dispatched = step_count
+            j = len(self._pending)
             self._pending = {}
+            # pipelined admissions: first tokens are DEVICE slices —
+            # scatter them into the update arrays without any host
+            # fetch. A row is live only while its slot still points at
+            # this group (a later _finish — e.g. cancel-during-
+            # admission — clears first_group and queues the winning
+            # park instead).
+            upd_c_d = upd_a_d = None
+            for ga in self._dev_admits:
+                keep = [r for r, sl in enumerate(ga["slots"])
+                        if (self._slots[sl].first_group is not None
+                            and self._slots[sl].first_group[0] is ga)]
+                if not keep:
+                    continue
+                firsts = ga["firsts"]
+                act = ga["active"]
+                if len(keep) != len(ga["slots"]):
+                    ki = jnp.asarray(keep)
+                    firsts, act = firsts[ki], act[ki]
+                if upd_c_d is None:
+                    upd_c_d = jnp.asarray(upd_c)
+                    upd_a_d = jnp.asarray(upd_a)
+                upd_c_d = jax.lax.dynamic_update_slice(
+                    upd_c_d, firsts.astype(upd_c_d.dtype), (j,))
+                upd_a_d = jax.lax.dynamic_update_slice(upd_a_d, act, (j,))
+                for r in keep:
+                    sl = ga["slots"][r]
+                    upd_s[j] = sl
+                    upd_p[j] = ga["pos"][r]
+                    j += 1
+                    if self._slots[sl].req is not None:
+                        self._slots[sl].dispatched = step_count
+            self._dev_admits = []
+            if upd_c_d is not None:
+                upd_c, upd_a = upd_c_d, upd_a_d
             # per-row sampling params for every slot (parked rows are
             # neutral/greedy — their picks are discarded by `active`)
             sps = [self._slot_sp(s) for s in self._slots]
@@ -1026,6 +1105,24 @@ class ContinuousBatcher:
                 # admitted after this chunk was dispatched — these rows
                 # belong to the slot's previous tenant
                 continue
+            if slot.first_group is not None:
+                # pipelined admission: THIS chunk carried the row's
+                # admission — its first token is ready on device now
+                # (the prefill preceded this chunk in program order)
+                ga, row = slot.first_group
+                slot.first_group = None
+                if ga["np"] is None:
+                    ga["np"] = np.asarray(ga["firsts"])
+                first = int(ga["np"][row])
+                slot.emitted.append(first)
+                self._tokens_emitted += 1
+                if req.on_token is not None:
+                    req.on_token(first)
+                eos_hit = (self.eos_token_ids is not None
+                           and first in self.eos_token_ids)
+                if req.n_new <= 1 or eos_hit:
+                    self._finish(i)
+                    continue
             was_active = True
             for j in range(toks.shape[1]):   # this chunk's actual length
                 if not was_active or len(slot.emitted) >= req.n_new:

@@ -703,6 +703,7 @@ class Server:
             chunk=int(cfg.get("chunk", 16)),
             chunk_max=(int(cfg["chunk_max"]) if cfg.get("chunk_max")
                        else None),
+            admit_coalesce_s=float(cfg.get("admit_coalesce_s", 0.05)),
             cache_dtype=DType.BF16,
             prefill_chunk=int(pc) if pc else None,
             quantize=cfg.get("quantize") or None,
