@@ -163,7 +163,8 @@ class TransformersLoader(Loader):
                         "device sync each", default=50),
             ConfigField("quantize", ConfigFieldType.ENUM,
                         "weight quantization for the text interface",
-                        default="", choices=["", "int8", "q4_0", "q8_0"]),
+                        default="", choices=["", "int8", "q4_0", "q8_0",
+                                             "q5_0", "q4_k", "q6_k"]),
             ConfigField("decode_windows", ConfigFieldType.STRING,
                         "comma-separated KV window sizes (e.g. 256,1024) "
                         "for phased windowed decode — cuts HBM cache "

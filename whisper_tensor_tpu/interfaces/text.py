@@ -346,12 +346,11 @@ class TextInferenceInterface:
             self._packed = pack_matmul_nodes(milli, live_weights,
                                              model.graph.store,
                                              sources=self._pack_sources)
-        elif quantize in ("q4_0", "q8_0"):
-            # host-quantize ANY dense checkpoint into GGUF Q4_0/Q8_0
-            # blocks and execute through the same fused packed kernel —
-            # 4-bit (or 8-bit) weight HBM without needing a GGUF file.
-            # Ineligible weights (non-2-D, K not a multiple of 64) stay
-            # dense.
+        elif quantize in ("q4_0", "q8_0", "q5_0", "q4_k", "q6_k"):
+            # host-quantize ANY dense checkpoint into GGUF blocks and
+            # execute through the same fused packed kernel — sub-byte
+            # weight HBM without needing a GGUF file. Ineligible
+            # weights (non-2-D, K not a block multiple) stay dense.
             from ..backends.cpu.dequant import quantize_blocks
             from ..milli.transforms import pack_matmul_nodes
             from ..packed_format import PackedFormat
@@ -365,7 +364,8 @@ class TextInferenceInterface:
                 def make():
                     if n not in _q_memo:   # window graphs reuse the
                         w = self._dense_np(n, DType.F32)
-                        if w.ndim != 2 or w.shape[0] % 64:
+                        if w.ndim != 2 or w.shape[0] % max(
+                                64, fmt.block_size):
                             _q_memo[n] = None
                         else:
                             _q_memo[n] = PackedTensor(
