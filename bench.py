@@ -388,14 +388,16 @@ def _llama8b_getter(cfg):
     return getter
 
 
-def _llama8b_iface(cfg, mode, max_len, buckets):
+def _llama8b_model(cfg, mode, max_len, pos_per_row=False):
+    """Build the 8B-shaped llama Model with its store populated from
+    the deterministic weight getter; returns (model, mode) where mode
+    may have been rewritten (q4_dequant -> bf16 referee values)."""
     from whisper_tensor_tpu.backends.cpu.dequant import (
         dequantize_blocks, quantize_blocks)
     from whisper_tensor_tpu.dtype import DType
     from whisper_tensor_tpu.importers.onnx_builder import WeightStorage
     from whisper_tensor_tpu.importers.recipes.llm.llama import (
         build_llama_step)
-    from whisper_tensor_tpu.interfaces.text import TextInferenceInterface
     from whisper_tensor_tpu.model import Model
     from whisper_tensor_tpu.packed_format import PackedFormat
     from whisper_tensor_tpu.symbolic_graph.tensor_store import LazyTensor
@@ -419,7 +421,7 @@ def _llama8b_iface(cfg, mode, max_len, buckets):
         mode = "bf16"
     sink, wm = {}, {}
     data = build_llama_step(getter, cfg, max_len=max_len,
-                            dtype=DType.BF16,
+                            dtype=DType.BF16, pos_per_row=pos_per_row,
                             storage=WeightStorage.to_sink(sink),
                             weight_map=wm)
     model = Model.new_from_onnx(data, name=f"llama-{cfg.num_hidden_layers}L")
@@ -442,10 +444,71 @@ def _llama8b_iface(cfg, mode, max_len, buckets):
         else:
             store.put(name, NumericTensor(np.asarray(val)))
     del sink
+    return model, mode
+
+
+def _llama8b_iface(cfg, mode, max_len, buckets):
+    from whisper_tensor_tpu.dtype import DType
+    from whisper_tensor_tpu.interfaces.text import TextInferenceInterface
+
+    model, mode = _llama8b_model(cfg, mode, max_len)
     return TextInferenceInterface(
         model, max_len=max_len, cache_dtype=DType.BF16,
         prompt_buckets=buckets,
         quantize=("int8" if mode == "int8" else None))
+
+
+def bench_llama8b_serving() -> None:
+    """Production serving at SCALE: llama-8B int8 through the
+    ContinuousBatcher — N concurrent clients, ragged prompts, chunked
+    + pipelined + adaptive-ladder scheduling, one persistent batched
+    decode program over the 8.5 GB int8 weight set."""
+    from whisper_tensor_tpu.dtype import DType
+    from whisper_tensor_tpu.server.batching import ContinuousBatcher
+
+    N = int(os.environ.get("WT_BENCH_CLIENTS", "16"))
+    n_new = int(os.environ.get("WT_BENCH_NEW", "96"))
+    max_len = int(os.environ.get("WT_BENCH_MAXLEN", "128"))
+    waves = int(os.environ.get("WT_BENCH_WAVES", "2"))
+    chunk_max = int(os.environ.get("WT_BENCH_CHUNK_MAX", "64"))
+    t0 = time.time()
+    cfg = _llama8b_cfg(int(os.environ.get("WT_BENCH_LAYERS", "32")))
+    model, mode = _llama8b_model(cfg, os.environ.get("WT_BENCH_QUANT",
+                                                     "int8"),
+                                 max_len, pos_per_row=True)
+    srv = ContinuousBatcher(
+        model, max_len=max_len, max_batch=N,
+        chunk=int(os.environ.get("WT_BENCH_CHUNK", "16")),
+        chunk_max=chunk_max or None, cache_dtype=DType.BF16,
+        prompt_buckets=(16,),
+        quantize=("int8" if mode == "int8" else None)).start()
+    print(f"# 8B build+ingest ({mode}): {time.time() - t0:.0f}s",
+          file=sys.stderr)
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(0, cfg.vocab_size,
+                            (int(rng.integers(4, 16)),)).astype(np.int64)
+               for _ in range(max(waves, 1) * N)]
+    t0 = time.time()
+    ladder = sorted({16, min(chunk_max or 16, 64), chunk_max or 16})
+    for L in ladder:     # compile prefill + every ladder program
+        futs = [srv.submit(p, L + max(4, L // 4)) for p in prompts[:N]]
+        for f in futs:
+            f.result(timeout=3600)
+    print(f"# compile+warmup: {time.time() - t0:.1f}s", file=sys.stderr)
+    t0 = time.time()
+    futs = [srv.submit(p, n_new) for p in prompts]
+    total = sum(len(f.result(timeout=3600)) for f in futs)
+    dt = time.time() - t0
+    srv.stop()
+    tok_s = total / dt
+    print(f"# 8B serving N={N}: {tok_s:.0f} tok/s ({total} tokens "
+          f"in {dt:.1f}s)", file=sys.stderr)
+    print(json.dumps({
+        "metric": f"llama8b_{mode}_serving",
+        "value": round(tok_s, 1), "unit": "tok/s",
+        "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
+        "clients": N, "n_new": n_new,
+    }))
 
 
 def bench_llama8b() -> None:
@@ -725,6 +788,9 @@ def main() -> None:
         return
     if os.environ.get("WT_BENCH_TARGET") == "llama8b_prefill":
         bench_llama8b_prefill()
+        return
+    if os.environ.get("WT_BENCH_TARGET") == "llama8b_serving":
+        bench_llama8b_serving()
         return
     if os.environ.get("WT_BENCH_TARGET") == "prefill":
         bench_prefill()
