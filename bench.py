@@ -231,11 +231,17 @@ def bench_serving_open() -> None:
         return rng.integers(0, cfg.vocab_size,
                             (int(rng.integers(8, 32)),)).astype(np.int64)
 
-    # warmup: compile prefill groups (k=1..) and the ladder programs
+    # warmup: compile the ladder programs AND the coalesced prefill
+    # group sizes (k = N, N/2, ..., 1 — admission coalescing forms
+    # LARGE groups under load; a k=32 prefill compiling mid-run costs
+    # ~a minute of measured time)
     for L in (n_new, chunk_max + max(4, chunk_max // 4), 40):
         futs = [srv.submit(prompt(), L) for _ in range(8)]
         for f in futs:
             f.result(timeout=2400)
+    futs = [srv.submit(prompt(), 40) for _ in range(N + N // 2 + 3)]
+    for f in futs:
+        f.result(timeout=2400)
     print("# warmup done", file=sys.stderr)
 
     lat, ttft, lock = [], [], _th.Lock()

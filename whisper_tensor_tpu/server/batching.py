@@ -235,7 +235,7 @@ class ContinuousBatcher:
         chunk counters."""
         active = sum(1 for s in self._slots if s.req is not None)
         return {"slots": self.max_batch, "active": active,
-                "queued": self._queue.qsize()
+                "queued": self._queue.qsize() + len(self._wait)
                 + len(self._admit_backlog),
                 "admitting": self._admission is not None,
                 "chunks_dispatched": self._chunks_dispatched,
