@@ -447,3 +447,102 @@ def test_reduce_backward_family_matches_jax(mode, keepdims):
     jg = jax.grad(lambda v: jnp.mean((jfn(v) - tv) ** 2))(jnp.asarray(xv))
     np.testing.assert_allclose(out["grad::x"], np.asarray(jg),
                                rtol=1e-4, atol=1e-5, err_msg=mode)
+
+
+def test_external_gradients_bptt_seeding():
+    """BackwardGenOptions.external_gradients (reference BPTT seeding,
+    mod.rs:207-243 + examples/rwkv_lora_train.rs): a state output's
+    incoming future-step gradient enters as a graph INPUT and
+    accumulates with the local loss path. Closed-form referee:
+    L_total = mean(h @ W2) + <g_h, h>  with h = x @ W
+    => dW = x.T @ (G_y @ W2.T + g_h)."""
+    from whisper_tensor_tpu.milli.autodiff import BackwardGenOptions
+    from whisper_tensor_tpu.milli.ops import Reduce
+
+    rng = np.random.default_rng(11)
+    g = MilliGraph("bptt")
+    x_t = g.add_input("x")
+    w_t = g.add_input("W")
+    w2_t = g.add_input("W2")
+    h_t = g.op1(MatMul(), x_t, w_t)
+    g.mark_output("h", h_t)
+    y_t = g.op1(MatMul(), h_t, w2_t)
+    loss_t = g.op1(Reduce("mean", axes=None, keepdims=False), y_t)
+    g.mark_output("loss", loss_t)
+
+    grads = generate_backward(
+        g, loss_t, {"W": w_t},
+        BackwardGenOptions(external_gradients={h_t: "g_h"}))
+    g.mark_output("grad::W", grads["W"])
+
+    x = rng.standard_normal((3, 4)).astype(np.float32)
+    W = rng.standard_normal((4, 5)).astype(np.float32)
+    W2 = rng.standard_normal((5, 2)).astype(np.float32)
+    g_h = rng.standard_normal((3, 5)).astype(np.float32)
+    out = g.eval({"x": x, "W": W, "W2": W2, "g_h": g_h})
+
+    G_y = np.full((3, 2), 1.0 / 6.0, np.float32)   # d(mean)/dy
+    want = x.T @ (G_y @ W2.T + g_h)
+    np.testing.assert_allclose(out["grad::W"], want, rtol=1e-5,
+                               atol=1e-6)
+    # and the forward state output is untouched by the seeding
+    np.testing.assert_allclose(out["h"], x @ W, rtol=1e-6, atol=1e-6)
+
+
+def test_bf16_lora_training_artifact():
+    """The failure the reference DOCUMENTS as open (examples/
+    rwkv_lora_train.rs:11-27: 'mixed BF16/F32 dtype mismatches break
+    the backward pass') must not exist here by construction: a bf16
+    forward with bf16 adapters trains through the symbolic artifact —
+    the validating oracle checks every assignment's dtype — and the
+    adapter grads match jax.grad over the same bf16 graph."""
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_tensor_tpu.backends.xla.compiler import _trace_graph
+    from whisper_tensor_tpu.dtype import DType as DT
+    from whisper_tensor_tpu.milli.transforms import inject_lora
+    from whisper_tensor_tpu.tensor_info import TensorInfo
+
+    rng = np.random.default_rng(12)
+    bf16 = DT.BF16.to_numpy()
+    W = (0.25 * rng.standard_normal((8, 6))).astype(bf16)
+    g = MilliGraph("lin16")
+    x_t = g.add_input("x")
+    w_t = g.add_input("W")
+    g.mark_output("y", g.op1(MatMul(), x_t, w_t))
+    ad = inject_lora(g, ["W"], rank=2,
+                     weight_getter=lambda n: W, seed=5)
+    ad["W::lora_b"] = (0.1 * rng.standard_normal((2, 6))).astype(bf16)
+    assert all(v.dtype == bf16 for v in ad.values())
+    x = (0.5 * rng.standard_normal((4, 8))).astype(bf16)
+    tgt = rng.standard_normal((4, 6)).astype(bf16)
+
+    names = sorted(ad)
+    train, meta = build_training_graph(
+        g, names, "y", loss="mse",
+        input_infos={"x": TensorInfo.numeric(x),
+                     "W": TensorInfo.numeric(W),
+                     **{n: TensorInfo.numeric(v) for n, v in ad.items()}})
+    feeds = {"x": x, "W": W, "target": tgt, **ad}
+    out = train.eval(feeds, validate=True)    # dtype-checked eval
+    assert set(meta.param_to_grad) == set(names)
+
+    fn = _trace_graph(g, {})
+    order = list(g.inputs)
+
+    def loss(a, b):
+        by = {"x": jnp.asarray(x), "W": jnp.asarray(W),
+              "W::lora_a": a, "W::lora_b": b}
+        yv = dict(zip(g.outputs, fn(*[by[n] for n in order])))["y"]
+        return jnp.mean((yv.astype(jnp.float32)
+                         - jnp.asarray(tgt).astype(jnp.float32)) ** 2)
+
+    ga, gb = jax.grad(loss, argnums=(0, 1))(
+        jnp.asarray(ad["W::lora_a"]), jnp.asarray(ad["W::lora_b"]))
+    np.testing.assert_allclose(
+        np.asarray(out["grad::W::lora_a"], np.float32),
+        np.asarray(ga, np.float32), rtol=0.1, atol=0.02)
+    np.testing.assert_allclose(
+        np.asarray(out["grad::W::lora_b"], np.float32),
+        np.asarray(gb, np.float32), rtol=0.1, atol=0.02)
