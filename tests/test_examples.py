@@ -64,3 +64,8 @@ def test_multihost_train_smoke():
 def test_speculative_decode_smoke():
     out = run_example("speculative_decode.py", "--smoke", "--k", "3")
     assert "token-exact" in out and "ok" in out
+
+
+def test_rwkv_lora_train_smoke():
+    out = run_example("rwkv_lora_train.py", "--smoke", timeout=900)
+    assert "OK: adapters trained" in out

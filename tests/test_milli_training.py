@@ -546,3 +546,58 @@ def test_bf16_lora_training_artifact():
     np.testing.assert_allclose(
         np.asarray(out["grad::W::lora_b"], np.float32),
         np.asarray(gb, np.float32), rtol=0.1, atol=0.02)
+
+
+def test_groupnorm_backward_matches_jax():
+    """GroupNorm backward (per-group LN math + channel-param sums)
+    vs jax.grad, all three inputs."""
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_tensor_tpu.milli.autodiff import BackwardGenOptions
+    from whisper_tensor_tpu.milli.ops import Reduce
+    from whisper_tensor_tpu.milli.ops.norm import GroupNormMilli
+    from whisper_tensor_tpu.tensor_info import TensorInfo
+
+    rng = np.random.default_rng(13)
+    N, C, S, G = 2, 6, 5, 3
+    x = rng.standard_normal((N, C, S)).astype(np.float32)
+    sc = rng.standard_normal(C).astype(np.float32)
+    bi = rng.standard_normal(C).astype(np.float32)
+
+    g = MilliGraph("gn")
+    x_t, s_t, b_t = (g.add_input(n) for n in ("x", "s", "b"))
+    y_t = g.op1(GroupNormMilli(epsilon=1e-5, num_groups=G), x_t, s_t, b_t)
+    loss_t = g.op1(Reduce("mean", None, keepdims=False),
+                   g.op1(MatMul(), y_t, y_t) if False else y_t)
+    # scalar loss: mean(y * w) with a fixed random weighting so the
+    # gradient isn't uniform
+    wv = rng.standard_normal((N, C, S)).astype(np.float32)
+    w_t = g.add_input("w")
+    loss_t = g.op1(Reduce("mean", None, keepdims=False),
+                   g.op1(SimpleBinary("mul"), y_t, w_t))
+    g.mark_output("loss", loss_t)
+    g.infer_all({n: TensorInfo.numeric(v) for n, v in
+                 (("x", x), ("s", sc), ("b", bi), ("w", wv))})
+    grads = generate_backward(g, loss_t,
+                              {"x": x_t, "s": s_t, "b": b_t})
+    for n, t in grads.items():
+        g.mark_output(f"grad::{n}", t)
+    out = g.eval({"x": x, "s": sc, "b": bi, "w": wv}, validate=True)
+
+    def jloss(xv, sv, bv):
+        xg = xv.reshape(N, G, C // G, S)
+        m = xg.mean(axis=(2, 3), keepdims=True)
+        v = ((xg - m) ** 2).mean(axis=(2, 3), keepdims=True)
+        y = ((xg - m) / jnp.sqrt(v + 1e-5)).reshape(N, C, S)
+        y = y * sv[None, :, None] + bv[None, :, None]
+        return jnp.mean(y * wv)
+
+    jx, js, jb = jax.grad(jloss, argnums=(0, 1, 2))(
+        jnp.asarray(x), jnp.asarray(sc), jnp.asarray(bi))
+    np.testing.assert_allclose(out["grad::x"], np.asarray(jx),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(out["grad::s"], np.asarray(js),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(out["grad::b"], np.asarray(jb),
+                               rtol=1e-4, atol=1e-5)

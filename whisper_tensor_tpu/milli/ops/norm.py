@@ -260,6 +260,72 @@ class GroupNormMilli(MilliOp):
             return [TensorInfo.numeric(self.eval([f.value for f in infos])[0])]
         return [i.forget_value()]
 
+    def backward(self, b, node, out_grads):
+        """Per-group LayerNorm backward in the grouped view:
+          x̂ = (x−μ_g)·inv_g,  ĝ = g·γ_c
+          dx = inv·(ĝ − mean_g(ĝ) − x̂·mean_g(ĝ·x̂))
+          dγ_c = Σ_{N,spatial} g·x̂,   dβ_c = Σ_{N,spatial} g
+        Needs a concrete input shape (group reshape), like the
+        reference's shape-resolved norm backward rules."""
+        g = out_grads[0]
+        if g is None:
+            return [None, None, None]
+        from .basic import CastLike, Constant, SimpleBinary, SimpleUnary
+        from .reduce import Reduce
+        from .shape import Reshape
+
+        x, scale = node.inputs[0], node.inputs[1]
+        info = b.tensors[x].info
+        dims = info.dims() if info is not None else None
+        if dims is None or any(d is None or not d.is_known for d in dims):
+            raise NotImplementedError("GroupNorm backward: unknown shape")
+        shape = [int(d.value()) for d in dims]
+        N, C, sp = shape[0], shape[1], shape[2:]
+        G = self.num_groups
+        gshape = [N, G, C // G] + sp
+        P = Phase.BACKWARD
+
+        def bop(mode, *ins):
+            return b.op1(SimpleBinary(mode), *ins, phase=P)
+
+        def const_i64(vals):
+            return b.op1(Constant(np.asarray(vals, dtype=np.int64)),
+                         phase=P)
+
+        def reshape(t, spec):
+            return b.op1(Reshape(), t, const_i64(spec), phase=P)
+
+        norm_axes = list(range(2, len(gshape)))
+        xg = reshape(x, gshape)
+        mean = b.op1(Reduce("mean", norm_axes, keepdims=True), xg, phase=P)
+        d = bop("sub", xg, mean)
+        var = b.op1(Reduce("mean", norm_axes, keepdims=True),
+                    bop("mul", d, d), phase=P)
+        eps = b.op1(CastLike(), b.op1(Constant(
+            np.asarray(self.epsilon, dtype=np.float32)), phase=P), var,
+            phase=P)
+        one = b.op1(CastLike(), b.op1(Constant(
+            np.asarray(1.0, dtype=np.float32)), phase=P), var, phase=P)
+        inv = bop("div", one,
+                  b.op1(SimpleUnary("sqrt"), bop("add", var, eps), phase=P))
+        xhat = bop("mul", d, inv)
+
+        # ĝ = g·γ broadcast per channel (axis 1), then grouped
+        sc_view = reshape(b.op1(CastLike(), scale, g, phase=P),
+                          [1, C] + [1] * len(sp))
+        ghat = reshape(bop("mul", g, sc_view), gshape)
+        m1 = b.op1(Reduce("mean", norm_axes, keepdims=True), ghat, phase=P)
+        m2 = b.op1(Reduce("mean", norm_axes, keepdims=True),
+                   bop("mul", ghat, xhat), phase=P)
+        dx = reshape(bop("mul", inv, bop("sub", bop("sub", ghat, m1),
+                                         bop("mul", xhat, m2))), shape)
+
+        red_axes = [0] + list(range(2, len(shape)))   # all but channel
+        gx = bop("mul", g, reshape(xhat, shape))
+        dscale = b.op1(Reduce("sum", red_axes, keepdims=False), gx, phase=P)
+        dbias = b.op1(Reduce("sum", red_axes, keepdims=False), g, phase=P)
+        return [dx, dscale, dbias]
+
 
 @dataclass
 class BatchNormMilli(MilliOp):
