@@ -109,6 +109,16 @@ def bench_sd15_unet() -> None:
     }))
 
 
+def _chunk_ladder(chunk: int, chunk_max: int):
+    """The exact adaptive-chunk lengths _pick_chunk_len can dispatch:
+    chunk, 2*chunk, 4*chunk, ... capped at chunk_max."""
+    ladder, c = [chunk], chunk
+    while c * 2 <= max(chunk_max, chunk):
+        c *= 2
+        ladder.append(c)
+    return ladder
+
+
 def bench_serving() -> None:
     """Continuous-batching serving throughput: N concurrent clients with
     ragged prompts through the slot scheduler vs the same-B offline run.
@@ -164,13 +174,8 @@ def bench_serving() -> None:
     # warmup: full waves compile the k=N prefill group and EVERY
     # adaptive ladder step (chunk, 2c, ..., chunk_max) — a ladder
     # program compiling inside the timed run would swamp it
-    ladder, c = [], int(os.environ.get("WT_BENCH_CHUNK", "32"))
-    while c <= max(chunk_max, c):
-        ladder.append(c)
-        if c >= chunk_max:
-            break
-        c *= 2
-    for L in ladder:
+    for L in _chunk_ladder(int(os.environ.get("WT_BENCH_CHUNK", "32")),
+                           chunk_max):
         futs = [srv.submit(p, L + max(4, L // 4)) for p in prompts[:N]]
         for f in futs:
             f.result(timeout=2400)
@@ -239,9 +244,15 @@ def bench_serving_open() -> None:
         futs = [srv.submit(prompt(), L) for _ in range(8)]
         for f in futs:
             f.result(timeout=2400)
-    futs = [srv.submit(prompt(), 40) for _ in range(N + N // 2 + 3)]
-    for f in futs:
-        f.result(timeout=2400)
+    # coalesced admissions form pow-2 groups of ANY size k <= N: warm
+    # each (bucket, k) prefill program with an exact-k burst while the
+    # device is otherwise idle (the idle rule admits it as one group)
+    k = 1
+    while k <= N:
+        futs = [srv.submit(prompt(), 8) for _ in range(k)]
+        for f in futs:
+            f.result(timeout=2400)
+        k *= 2
     print("# warmup done", file=sys.stderr)
 
     lat, ttft, lock = [], [], _th.Lock()
@@ -495,8 +506,10 @@ def bench_llama8b_serving() -> None:
                             (int(rng.integers(4, 16)),)).astype(np.int64)
                for _ in range(max(waves, 1) * N)]
     t0 = time.time()
-    ladder = sorted({16, min(chunk_max or 16, 64), chunk_max or 16})
-    for L in ladder:     # compile prefill + every ladder program
+    # compile the k=N prefill + every REAL ladder length (a mid-run
+    # 8B chunk compile costs ~a minute of measured time)
+    for L in _chunk_ladder(int(os.environ.get("WT_BENCH_CHUNK", "16")),
+                           chunk_max or 16):
         futs = [srv.submit(p, L + max(4, L // 4)) for p in prompts[:N]]
         for f in futs:
             f.result(timeout=3600)

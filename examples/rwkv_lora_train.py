@@ -92,7 +92,10 @@ def main():
     B = 2
     rng = np.random.default_rng(0)
     seq = rng.integers(0, cfg.vocab_size, (args.seq + 1,)).astype(np.int64)
-    weights = {n: getter(n) for n in weight_inputs if n in milli.inputs}
+    # .copy(): the frozen-base check at the end compares against these
+    # snapshots, so they must not alias the store's arrays
+    weights = {n: getter(n).copy() for n in weight_inputs
+               if n in milli.inputs}
     H, D = cfg.n_head, cfg.n_embd // cfg.n_head
 
     def zero_states():
@@ -116,6 +119,14 @@ def main():
         **{n: TensorInfo.numeric(v) for n, v in weights.items()},
         **{n: TensorInfo.numeric(v) for n, v in adapters.items()}})
 
+    # snapshot a FORWARD-ONLY program for the state-recording sweep
+    # (the combined step also computes every gradient; running it for
+    # the forward pass would pay the backward twice per BPTT step)
+    from whisper_tensor_tpu.milli.serde import (graph_from_json,
+                                                graph_to_json)
+
+    fwd = graph_from_json(graph_to_json(milli))
+
     ext = {milli.outputs[n]: f"g::{n}" for n in milli.outputs
            if n.startswith("new_")}
     wrt = {**{n: milli.inputs[n] for n in adapters}, **state_in}
@@ -129,6 +140,9 @@ def main():
                **{f"g::new_{n}": np.zeros_like(v)
                   for n, v in zero_states().items()}}
     step = compile_milli(milli, example)
+    fwd_example = {k: v for k, v in example.items()
+                   if not k.startswith("g::")}
+    step_fwd = compile_milli(fwd, fwd_example)
 
     t0 = time.time()
     for it in range(args.steps):
@@ -137,9 +151,9 @@ def main():
         trail = []
         for t in range(args.seq):
             trail.append(states)
-            out = step({**example, **states, **adapters,
-                        "token": np.full(B, seq[t]),
-                        "target": np.full(B, seq[t + 1])})
+            out = step_fwd({**fwd_example, **states, **adapters,
+                            "token": np.full(B, seq[t]),
+                            "target": np.full(B, seq[t + 1])})
             states = {n: np.asarray(out[f"new_{n}"]) for n in states}
         # backward sweep: thread state grads from the future
         g_state = {f"g::new_{n}": np.zeros_like(v)

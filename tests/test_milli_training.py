@@ -568,8 +568,6 @@ def test_groupnorm_backward_matches_jax():
     g = MilliGraph("gn")
     x_t, s_t, b_t = (g.add_input(n) for n in ("x", "s", "b"))
     y_t = g.op1(GroupNormMilli(epsilon=1e-5, num_groups=G), x_t, s_t, b_t)
-    loss_t = g.op1(Reduce("mean", None, keepdims=False),
-                   g.op1(MatMul(), y_t, y_t) if False else y_t)
     # scalar loss: mean(y * w) with a fixed random weighting so the
     # gradient isn't uniform
     wv = rng.standard_normal((N, C, S)).astype(np.float32)

@@ -838,6 +838,7 @@ class ContinuousBatcher:
                     slot.req = None
                     slot.emitted = []
                     slot.dispatched = None
+                    slot.first_group = None
                 while True:
                     try:
                         req = self._queue.get_nowait()
@@ -895,7 +896,10 @@ class ContinuousBatcher:
         for slot in self._slots:
             if slot.req is None:
                 continue
-            remaining = slot.req.n_new - len(slot.emitted) - pending_lag
+            # a pipelined admission's first token is not in emitted yet
+            first_pending = 1 if slot.first_group is not None else 0
+            remaining = (slot.req.n_new - len(slot.emitted)
+                         - pending_lag - first_pending)
             if remaining < min_remaining:
                 min_remaining = remaining
         # ladder: chunk, 2*chunk, 4*chunk, ... <= min(remaining, max)
