@@ -518,10 +518,15 @@ def bench_llama8b_serving() -> None:
     futs = [srv.submit(p, n_new) for p in prompts]
     total = sum(len(f.result(timeout=3600)) for f in futs)
     dt = time.time() - t0
+    st = srv.stats()
     srv.stop()
     tok_s = total / dt
     print(f"# 8B serving N={N}: {tok_s:.0f} tok/s ({total} tokens "
           f"in {dt:.1f}s)", file=sys.stderr)
+    print(f"# phases: admit {st['time_admit_s']}s, dispatch "
+          f"{st['time_dispatch_s']}s, fetch {st['time_fetch_s']}s, "
+          f"{st['chunks_dispatched']} chunks / "
+          f"{st['steps_dispatched']} steps", file=sys.stderr)
     print(json.dumps({
         "metric": f"llama8b_{mode}_serving",
         "value": round(tok_s, 1), "unit": "tok/s",

@@ -183,6 +183,13 @@ class ContinuousBatcher:
         self._tokens_emitted = 0
         self.admit_coalesce_s = admit_coalesce_s
         self._wait: List[_Request] = []   # arrived, not yet admitted
+        # wall-clock accumulators per scheduler phase (observability:
+        # the reference streams per-node timings; here the loop phases
+        # are the units that matter) — seconds, monotonic totals
+        self._t_admit = 0.0      # prefill dispatch + install
+        self._t_dispatch = 0.0   # chunk-program dispatch calls
+        self._t_fetch = 0.0      # blocking device->host drains
+        self._steps_dispatched = 0
         # pipelined admissions: groups whose first tokens are still
         # device handles, waiting to ride into the next chunk dispatch
         self._dev_admits: List[dict] = []
@@ -239,7 +246,11 @@ class ContinuousBatcher:
                 + len(self._admit_backlog),
                 "admitting": self._admission is not None,
                 "chunks_dispatched": self._chunks_dispatched,
+                "steps_dispatched": self._steps_dispatched,
                 "tokens_emitted": self._tokens_emitted,
+                "time_admit_s": round(self._t_admit, 3),
+                "time_dispatch_s": round(self._t_dispatch, 3),
+                "time_fetch_s": round(self._t_fetch, 3),
                 "prefix_len": self.prefix_len,
                 "prefill_chunk": self.prefill_chunk,
                 "chunk": self.chunk,
@@ -989,12 +1000,14 @@ class ContinuousBatcher:
                                      self._wait[len(free):])
                 pairs = list(zip(free, taken))
                 pairs.sort(key=lambda p: p[1].prompt_ids.shape[0])
+                t0 = time.time()
                 try:
                     self._admit_group(pairs)
                 except Exception as e:  # noqa: BLE001
                     for _, req in pairs:
                         if not req.future.done():
                             req.future.set_exception(e)
+                self._t_admit += time.time() - t0
         # a slot reserved by an in-flight chunked admission (dispatched
         # None, no pending update yet) is not decodable work; a
         # pipelined admission (device first-token handle) IS — its
@@ -1068,21 +1081,26 @@ class ContinuousBatcher:
                     jax.random.fold_in(rng, step_count), rows,
                     jnp.asarray(upd_s), jnp.asarray(upd_c),
                     jnp.asarray(upd_p), jnp.asarray(upd_a))
+            t0 = time.time()
             if flags[4]:
                 (dcur, dpos, dact, self._caches, toks, actives,
                  self._seen) = prog(*args, self._ensure_seen())
             else:
                 dcur, dpos, dact, self._caches, toks, actives = prog(*args)
+            self._t_dispatch += time.time() - t0
             new_inflight = (step_count, toks, actives, dpos)
             step_count += 1
             self._chunks_dispatched += 1
+            self._steps_dispatched += int(toks.shape[1])
         self._row_state = (rng, step_count, dcur, dpos, dact)
         if inflight is not None:
             # ONE host fetch per chunk; blocks until THAT chunk is
             # done while the freshly dispatched one keeps the device
             # busy
             chunk_idx = inflight[0]
+            t0 = time.time()
             toks, actives_np, pos_np = jax.device_get(inflight[1:])
+            self._t_fetch += time.time() - t0
             self._drain_chunk(chunk_idx, toks, actives_np, pos_np)
         elif not work and self._admission is None \
                 and not self._admit_backlog and not self._wait:
