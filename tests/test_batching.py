@@ -881,3 +881,73 @@ def test_multi_lora_base_variant_switching():
         max_len=max_len, prompt_buckets=(16,)).generate_tokens(
         p[None], 6)[0]
     np.testing.assert_array_equal(out_ad, ref_ad)
+
+
+def test_auto_prefix_caching_matches_sequential():
+    """auto_prefix: requests sharing a >=32-token prompt prefix reuse
+    the pool entry (prefilling only the remainder) and must match the
+    sequential reference exactly; the pool registers hits and respects
+    its LRU cap."""
+    cfg, m_scalar, m_ragged = _models(max_len=96)
+    ref_iface = TextInferenceInterface(m_scalar, max_len=96,
+                                       prompt_buckets=(16, 32, 64))
+    batcher = ContinuousBatcher(m_ragged, max_len=96, max_batch=2, chunk=4,
+                                cache_dtype=DType.F32, auto_prefix=2,
+                                prompt_buckets=(16, 32, 64)).start()
+    try:
+        r = np.random.default_rng(31)
+        base = r.integers(0, cfg.vocab_size, (40,)).astype(np.int64)
+        jobs = []
+        # seed the pool (miss), then three shared-prefix variants (hits)
+        for tail_len in (3, 7, 2, 11):
+            p = np.concatenate([base,
+                                r.integers(0, cfg.vocab_size, (tail_len,))
+                                .astype(np.int64)])
+            f = batcher.submit(p, 6)
+            f.result(timeout=180)      # serialize so reuse is observable
+            jobs.append((p, f))
+        for p, f in jobs:
+            ref = ref_iface.generate_tokens(p[None], 6)[0]
+            np.testing.assert_array_equal(f.result(), ref)
+        st = batcher.stats()["auto_prefix"]
+        assert st["hits"] >= 3, st
+        assert st["pool"] <= 2, st      # LRU cap respected
+        # an unrelated short prompt neither hits nor poisons the pool
+        q = r.integers(0, cfg.vocab_size, (9,)).astype(np.int64)
+        out = batcher.submit(q, 5).result(timeout=180)
+        np.testing.assert_array_equal(
+            out, ref_iface.generate_tokens(q[None], 5)[0])
+    finally:
+        batcher.stop()
+
+
+def test_auto_prefix_mixed_group_partitions():
+    """A single admission wave mixing hit and miss rows partitions into
+    per-plen prefill groups; every output stays exact."""
+    cfg, m_scalar, m_ragged = _models(max_len=96)
+    ref_iface = TextInferenceInterface(m_scalar, max_len=96,
+                                       prompt_buckets=(16, 32, 64))
+    batcher = ContinuousBatcher(m_ragged, max_len=96, max_batch=4, chunk=3,
+                                cache_dtype=DType.F32, auto_prefix=4,
+                                prompt_buckets=(16, 32, 64)).start()
+    try:
+        r = np.random.default_rng(37)
+        base = r.integers(0, cfg.vocab_size, (33,)).astype(np.int64)
+        # seed the pool
+        batcher.submit(base[:33], 4).result(timeout=180)
+        # one wave: two prefix-sharing prompts + two unrelated
+        prompts = [
+            np.concatenate([base, r.integers(0, cfg.vocab_size, (5,))
+                            .astype(np.int64)]),
+            np.concatenate([base, r.integers(0, cfg.vocab_size, (2,))
+                            .astype(np.int64)]),
+            r.integers(0, cfg.vocab_size, (12,)).astype(np.int64),
+            r.integers(0, cfg.vocab_size, (6,)).astype(np.int64),
+        ]
+        futs = [batcher.submit(p, 5) for p in prompts]
+        for p, f in zip(prompts, futs):
+            ref = ref_iface.generate_tokens(p[None], 5)[0]
+            np.testing.assert_array_equal(f.result(timeout=180), ref)
+        assert batcher.stats()["auto_prefix"]["hits"] >= 2
+    finally:
+        batcher.stop()

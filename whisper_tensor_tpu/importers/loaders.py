@@ -161,6 +161,12 @@ class TransformersLoader(Loader):
                         "are grouped before their prefill dispatch so "
                         "steady single-request arrivals don't pay one "
                         "device sync each", default=50),
+            ConfigField("serve_auto_prefix", ConfigFieldType.INT,
+                        "automatic prefix caching: LRU pool of N cached "
+                        "KV rows keyed by 32-aligned prompt prefix; "
+                        "admissions reuse the longest cached prefix and "
+                        "prefill only the remainder (0 = off)",
+                        default=0),
             ConfigField("quantize", ConfigFieldType.ENUM,
                         "weight quantization for the text interface",
                         default="", choices=["", "int8", "q4_0", "q8_0",
@@ -504,6 +510,7 @@ class TransformersLoader(Loader):
                                                  "chunk": int(config.get("serve_chunk", 16) or 16),
                                                  "chunk_max": int(config.get("serve_chunk_max", 0) or 0),
                                                  "admit_coalesce_s": float(config.get("serve_admit_coalesce_ms", 50) or 0) / 1e3,
+                                                 "auto_prefix": int(config.get("serve_auto_prefix", 0) or 0),
                                                  "quantize": config.get("quantize") or "",
                                                  "windows": window_spec,
                                                  "adapters": serve_adapters,
@@ -549,6 +556,12 @@ class GgufLoader(Loader):
                         "are grouped before their prefill dispatch so "
                         "steady single-request arrivals don't pay one "
                         "device sync each", default=50),
+            ConfigField("serve_auto_prefix", ConfigFieldType.INT,
+                        "automatic prefix caching: LRU pool of N cached "
+                        "KV rows keyed by 32-aligned prompt prefix; "
+                        "admissions reuse the longest cached prefix and "
+                        "prefill only the remainder (0 = off)",
+                        default=0),
             ConfigField("decode_windows", ConfigFieldType.STRING,
                         "comma-separated KV window sizes for phased "
                         "windowed decode", default=""),
@@ -628,6 +641,7 @@ class GgufLoader(Loader):
                                                  "chunk": int(config.get("serve_chunk", 16) or 16),
                                                  "chunk_max": int(config.get("serve_chunk_max", 0) or 0),
                                                  "admit_coalesce_s": float(config.get("serve_admit_coalesce_ms", 50) or 0) / 1e3,
+                                                 "auto_prefix": int(config.get("serve_auto_prefix", 0) or 0),
                                                  "quantize": config.get("quantize") or "",
                                                  "windows": window_spec,
                                                  "eos_token_id":

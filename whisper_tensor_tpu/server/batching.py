@@ -91,7 +91,8 @@ class ContinuousBatcher:
                  quantize: Optional[str] = None,
                  adapters: "Optional[Dict[str, Dict[str, tuple]]]" = None,
                  chunk_max: Optional[int] = None,
-                 admit_coalesce_s: float = 0.05):
+                 admit_coalesce_s: float = 0.05,
+                 auto_prefix: int = 0):
         """prefill_chunk: chunked prefill (vLLM-style admission QoS) —
         prompts longer than this are prefilled in prefill_chunk-token
         pieces, ONE piece per scheduler tick, so in-flight decode rows
@@ -129,7 +130,18 @@ class ContinuousBatcher:
         when the waiting requests can fill every free slot, when the
         oldest waiter has aged past this deadline, or when the device
         has no decode work anyway (then admission is free). 0 restores
-        admit-immediately."""
+        admit-immediately.
+
+        auto_prefix: AUTOMATIC prefix caching (vLLM-style, generalizing
+        the configured prefix_ids machinery): an LRU pool of up to
+        `auto_prefix` cached KV rows keyed by (adapter, 32-aligned
+        prompt prefix). Admissions reuse the longest cached prefix of
+        their prompt (prefilling only the remainder at pos=plen), and
+        every admitted prompt of >= 32 tokens deposits its 32-aligned
+        prefix row into the pool. Exactness falls out of the existing
+        slot-reuse discipline: the tenant's suffix prefill overwrites
+        [plen, L) and the position mask hides everything beyond. 0 =
+        off; mutually exclusive with prefix_ids."""
         self.iface = TextInferenceInterface(
             model, max_len=max_len, cache_dtype=cache_dtype,
             prompt_buckets=prompt_buckets, quantize=quantize)
@@ -198,6 +210,15 @@ class ContinuousBatcher:
         self.prefix_len = 0 if self.prefix_ids is None \
             else int(self.prefix_ids.shape[0])
         self._prefix_caches = None        # B=1 KV rows for the prefix
+        self.auto_prefix = int(auto_prefix)
+        if self.auto_prefix and self.prefix_ids is not None:
+            raise ValueError("auto_prefix and prefix_ids are exclusive")
+        # (adapter, key bytes) -> {caches, plen, used}; LRU by `used`
+        self._auto_pool: Dict[Any, dict] = {}
+        self._auto_clock = 0
+        self._auto_hits = 0
+        self._auto_misses = 0
+        self._row_slice_prog = None
         self._programs: Dict[Any, Any] = {}
         self._thread: Optional[threading.Thread] = None
         self._stop = threading.Event()
@@ -252,6 +273,10 @@ class ContinuousBatcher:
                 "time_dispatch_s": round(self._t_dispatch, 3),
                 "time_fetch_s": round(self._t_fetch, 3),
                 "prefix_len": self.prefix_len,
+                "auto_prefix": {"pool": len(self._auto_pool),
+                                "hits": self._auto_hits,
+                                "misses": self._auto_misses}
+                if self.auto_prefix else None,
                 "prefill_chunk": self.prefill_chunk,
                 "chunk": self.chunk,
                 "chunk_max": self.chunk_max}
@@ -385,7 +410,8 @@ class ContinuousBatcher:
 
     # -- compiled programs --------------------------------------------------
     def _prefill_insert_program(self, bucket: int, k: int,
-                                la: bool = True):
+                                la: bool = True,
+                                plen: Optional[int] = None):
         """One dispatch admits k requests: prefill at B=k into the
         passed admission caches (zeros, or a broadcast of the shared
         prefix's KV at pos=prefix_len) and scatter the k cache rows
@@ -395,7 +421,7 @@ class ContinuousBatcher:
         import jax
         import jax.numpy as jnp
 
-        plen = self.prefix_len
+        plen = self.prefix_len if plen is None else plen
         key = ("prefill", bucket, k, plen, la)
         if key in self._programs:
             return self._programs[key]
@@ -608,13 +634,94 @@ class ContinuousBatcher:
         return prog
 
     # -- scheduler loop ------------------------------------------------------
+    def _match_auto_prefix(self, req: _Request, aslot: int):
+        """Longest pool entry whose tokens strictly prefix the prompt
+        (same adapter) -> (plen, entry) or (0, None)."""
+        ids = req.prompt_ids
+        L = ids.shape[0]
+        best, best_plen = None, 0
+        for (a, _kb), e in self._auto_pool.items():
+            if a != aslot or e["plen"] <= best_plen or e["plen"] >= L:
+                continue
+            if ids[:e["plen"]].tobytes() == _kb:
+                best, best_plen = e, e["plen"]
+        if best is not None:
+            self._auto_clock += 1
+            best["used"] = self._auto_clock
+        return best_plen, best
+
+    def _slice_row(self, slot_idx: int):
+        """Copy one slot's cache row out of the batched caches
+        (async device op; the copy outlives slot reuse)."""
+        import jax
+
+        if self._row_slice_prog is None:
+            def take(big, i):
+                return [jax.lax.dynamic_slice_in_dim(c, i, 1, axis=0)
+                        for c in big]
+
+            self._row_slice_prog = jax.jit(take)
+        return self._row_slice_prog(self._caches, slot_idx)
+
+    def _store_auto_entries(self, grp, gidx):
+        """Deposit each admitted prompt's 32-aligned prefix KV row
+        into the pool (LRU-capped)."""
+        for (slot_idx, req), a in zip(grp, gidx):
+            L = int(req.prompt_ids.shape[0])
+            pk = 32 * (L // 32)
+            if pk < 32:
+                continue
+            key = (a, req.prompt_ids[:pk].tobytes())
+            self._auto_clock += 1
+            if key in self._auto_pool:
+                self._auto_pool[key]["used"] = self._auto_clock
+                continue
+            self._auto_pool[key] = {
+                "caches": self._slice_row(slot_idx), "plen": pk,
+                "used": self._auto_clock}
+            while len(self._auto_pool) > self.auto_prefix:
+                victim = min(self._auto_pool,
+                             key=lambda kk: self._auto_pool[kk]["used"])
+                del self._auto_pool[victim]
+
     def _admit_group(self, pairs):
-        """pairs: [(slot_idx, req)] sharing one prompt bucket; admitted
-        in power-of-2 sub-groups (one compiled program per (bucket, k))."""
+        """pairs: [(slot_idx, req)]; partitioned by matched auto-prefix
+        entry (rows in one prefill share ONE pos offset and seed), then
+        admitted in power-of-2 sub-groups (one compiled program per
+        (bucket, k, plen))."""
+        if not (self.auto_prefix and self.prefix_ids is None):
+            self._admit_part(pairs, self.prefix_len, None)
+            return
+        tagged = []
+        for sp in pairs:
+            plen, entry = self._match_auto_prefix(
+                sp[1], self._adapter_slot(sp[1]))
+            if entry is not None:
+                self._auto_hits += 1
+            else:
+                self._auto_misses += 1
+            tagged.append((plen, id(entry), sp, entry))
+        tagged.sort(key=lambda t: (t[0], t[1],
+                                   t[2][1].prompt_ids.shape[0]))
+        i = 0
+        while i < len(tagged):
+            j = i
+            while j < len(tagged) and tagged[j][:2] == tagged[i][:2]:
+                j += 1
+            self._admit_part([t[2] for t in tagged[i:j]], tagged[i][0],
+                             tagged[i][3])
+            i = j
+
+    def _admit_part(self, pairs, plen: int, entry: Optional[dict]):
+        """One seed partition: prefill remainders at pos=plen from the
+        entry's (or configured prefix's, or zero) KV seed."""
         import jax
         import jax.numpy as jnp
 
         rng = jax.random.PRNGKey(self.sampling.seed if self.sampling else 0)
+        # auto-prefix rows feed only the REMAINDER tokens; the legacy
+        # configured-prefix path's prompts already exclude the prefix
+        cut = plen if entry is not None else 0
         i = 0
         while i < len(pairs):
             k = 1
@@ -622,14 +729,14 @@ class ContinuousBatcher:
                 k *= 2
             grp = pairs[i:i + k]
             i += k
-            Sb = _bucket(max(r.prompt_ids.shape[0] for _, r in grp),
+            Sb = _bucket(max(r.prompt_ids.shape[0] - cut for _, r in grp),
                          self.iface.prompt_buckets)
             padded = np.zeros((k, Sb), np.int64)
             lens = []
             for row, (_, req) in enumerate(grp):
-                L = req.prompt_ids.shape[0]
-                padded[row, :L] = req.prompt_ids
-                lens.append(L)
+                rem = req.prompt_ids[cut:]
+                padded[row, :rem.shape[0]] = rem
+                lens.append(rem.shape[0])
             slots = np.asarray([s for s, _ in grp], np.int32)
             gidx = [self._adapter_slot(r) for _, r in grp]
             la = any(gidx)
@@ -637,10 +744,15 @@ class ContinuousBatcher:
                 self._row_lora[s] = a
             args = [jnp.asarray(padded), self._caches,
                     self._wf(gidx, la), jnp.asarray(slots)]
-            if self.prefix_len:
+            if entry is not None:
+                args.append([jnp.tile(c, (k,) + (1,) * (c.ndim - 1))
+                             for c in entry["caches"]])
+            elif self.prefix_len:
                 args.append(self._prefix_small(k, gidx))
             logits, self._caches = self._prefill_insert_program(
-                Sb, k, la)(*args)
+                Sb, k, la, plen)(*args)
+            if self.auto_prefix:
+                self._store_auto_entries(grp, gidx)
             last = logits[jnp.arange(k), jnp.asarray(lens) - 1, :]
             sps = [req.sampling or self.sampling for _, req in grp]
             flags = _rows_flags(sps)
@@ -649,7 +761,7 @@ class ContinuousBatcher:
                 # synchronous admission for this (rare) group shape
                 firsts = self._first_tokens(grp, last, rng)
                 self._install_admitted(
-                    grp, [self.prefix_len + L for L in lens], firsts)
+                    grp, [plen + L for L in lens], firsts)
                 continue
             # PIPELINED admission: the first token stays a device
             # handle — it rides into the next chunk dispatch as a
@@ -665,7 +777,7 @@ class ContinuousBatcher:
                 act = act & ~hit
             ga = {"slots": [s for s, _ in grp], "firsts": firsts_dev,
                   "active": act,
-                  "pos": [min(self.prefix_len + L, self.park_pos)
+                  "pos": [min(plen + L, self.park_pos)
                           for L in lens],
                   "np": None}
             for row, (slot_idx, req) in enumerate(grp):

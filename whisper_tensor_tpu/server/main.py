@@ -704,6 +704,7 @@ class Server:
             chunk_max=(int(cfg["chunk_max"]) if cfg.get("chunk_max")
                        else None),
             admit_coalesce_s=float(cfg.get("admit_coalesce_s", 0.05)),
+            auto_prefix=int(cfg.get("auto_prefix", 0) or 0),
             cache_dtype=DType.BF16,
             prefill_chunk=int(pc) if pc else None,
             quantize=cfg.get("quantize") or None,
