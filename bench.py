@@ -484,10 +484,10 @@ def bench_llama8b_serving() -> None:
     from whisper_tensor_tpu.server.batching import ContinuousBatcher
 
     N = int(os.environ.get("WT_BENCH_CLIENTS", "16"))
-    n_new = int(os.environ.get("WT_BENCH_NEW", "96"))
-    max_len = int(os.environ.get("WT_BENCH_MAXLEN", "128"))
+    n_new = int(os.environ.get("WT_BENCH_NEW", "160"))
+    max_len = int(os.environ.get("WT_BENCH_MAXLEN", "192"))
     waves = int(os.environ.get("WT_BENCH_WAVES", "2"))
-    chunk_max = int(os.environ.get("WT_BENCH_CHUNK_MAX", "64"))
+    chunk_max = int(os.environ.get("WT_BENCH_CHUNK_MAX", "128"))
     t0 = time.time()
     cfg = _llama8b_cfg(int(os.environ.get("WT_BENCH_LAYERS", "32")))
     model, mode = _llama8b_model(cfg, os.environ.get("WT_BENCH_QUANT",
@@ -495,7 +495,7 @@ def bench_llama8b_serving() -> None:
                                  max_len, pos_per_row=True)
     srv = ContinuousBatcher(
         model, max_len=max_len, max_batch=N,
-        chunk=int(os.environ.get("WT_BENCH_CHUNK", "16")),
+        chunk=int(os.environ.get("WT_BENCH_CHUNK", "32")),
         chunk_max=chunk_max or None, cache_dtype=DType.BF16,
         prompt_buckets=(16,),
         quantize=("int8" if mode == "int8" else None)).start()
@@ -508,8 +508,8 @@ def bench_llama8b_serving() -> None:
     t0 = time.time()
     # compile the k=N prefill + every REAL ladder length (a mid-run
     # 8B chunk compile costs ~a minute of measured time)
-    for L in _chunk_ladder(int(os.environ.get("WT_BENCH_CHUNK", "16")),
-                           chunk_max or 16):
+    for L in _chunk_ladder(int(os.environ.get("WT_BENCH_CHUNK", "32")),
+                           chunk_max or 32):
         futs = [srv.submit(p, L + max(4, L // 4)) for p in prompts[:N]]
         for f in futs:
             f.result(timeout=3600)
