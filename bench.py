@@ -219,6 +219,12 @@ def bench_serving_open() -> None:
     rate = float(os.environ.get("WT_BENCH_RATE", "20"))   # req/s
     secs = float(os.environ.get("WT_BENCH_SECS", "60"))
     chunk_max = int(os.environ.get("WT_BENCH_CHUNK_MAX", "128"))
+    # WT_BENCH_PREFIX_LEN > 0: every prompt shares a common PREFIX of
+    # that length (chat-system-prompt workload); WT_BENCH_AUTO_PREFIX
+    # sizes the automatic prefix-cache pool (0 = off) so the admission
+    # prefill cost drop is measurable
+    prefix_len = int(os.environ.get("WT_BENCH_PREFIX_LEN", "0"))
+    auto_prefix = int(os.environ.get("WT_BENCH_AUTO_PREFIX", "0"))
     max_len = 256
     cfg = GPT2Config(n_layer=12, n_head=12, n_embd=768, vocab_size=50257,
                      n_positions=1024)
@@ -229,12 +235,16 @@ def bench_serving_open() -> None:
                             chunk=int(os.environ.get("WT_BENCH_CHUNK", "32")),
                             chunk_max=chunk_max or None,
                             cache_dtype=DType.BF16,
-                            prompt_buckets=(32,)).start()
+                            auto_prefix=auto_prefix,
+                            prompt_buckets=((32, 64, 128) if prefix_len
+                                            else (32,))).start()
     rng = np.random.default_rng(0)
+    common = rng.integers(0, cfg.vocab_size, (prefix_len,)).astype(np.int64)
 
     def prompt():
-        return rng.integers(0, cfg.vocab_size,
+        tail = rng.integers(0, cfg.vocab_size,
                             (int(rng.integers(8, 32)),)).astype(np.int64)
+        return np.concatenate([common, tail]) if prefix_len else tail
 
     # warmup: compile the ladder programs AND the coalesced prefill
     # group sizes (k = N, N/2, ..., 1 — admission coalescing forms
@@ -297,6 +307,7 @@ def bench_serving_open() -> None:
             all_done.set()
     all_done.wait(timeout=2400)
     span = time.time() - t0
+    ap = srv.stats().get("auto_prefix")
     srv.stop()
     tok_s = n_fired * n_new / span
     q = lambda a, p: float(np.percentile(np.asarray(a), p))  # noqa: E731
@@ -314,6 +325,7 @@ def bench_serving_open() -> None:
         "e2e_p50_s": round(q(lat, 50), 3),
         "e2e_p99_s": round(q(lat, 99), 3),
         "chunk_max": chunk_max,
+        "prefix_len": prefix_len, "auto_prefix": ap,
     }))
 
 
