@@ -716,7 +716,13 @@ def bench_prefill() -> None:
 
     B = int(os.environ.get("WT_BENCH_BATCH", "8"))
     S = int(os.environ.get("WT_BENCH_SEQ", "1024"))
-    cfg = GPT2Config(n_layer=12, n_head=12, n_embd=768, vocab_size=50257,
+    # WT_BENCH_WIDTH/LAYERS/HEADS/VOCAB: larger-than-124M train shapes
+    # (d=768 caps MFU ~30%; wider models feed the MXU better)
+    cfg = GPT2Config(n_layer=int(os.environ.get("WT_BENCH_LAYERS", "12")),
+                     n_head=int(os.environ.get("WT_BENCH_HEADS", "12")),
+                     n_embd=int(os.environ.get("WT_BENCH_WIDTH", "768")),
+                     vocab_size=int(os.environ.get("WT_BENCH_VOCAB",
+                                                   "50257")),
                      n_positions=max(S, 1024))
     model = Model.new_from_onnx(build_gpt2_step(
         random_gpt2_weights(cfg), cfg, max_len=S, dtype=DType.BF16))
@@ -774,7 +780,13 @@ def bench_train() -> None:
 
     B = int(os.environ.get("WT_BENCH_BATCH", "8"))
     S = int(os.environ.get("WT_BENCH_SEQ", "1024"))
-    cfg = GPT2Config(n_layer=12, n_head=12, n_embd=768, vocab_size=50257,
+    # WT_BENCH_WIDTH/LAYERS/HEADS/VOCAB: larger-than-124M train shapes
+    # (d=768 caps MFU ~30%; wider models feed the MXU better)
+    cfg = GPT2Config(n_layer=int(os.environ.get("WT_BENCH_LAYERS", "12")),
+                     n_head=int(os.environ.get("WT_BENCH_HEADS", "12")),
+                     n_embd=int(os.environ.get("WT_BENCH_WIDTH", "768")),
+                     vocab_size=int(os.environ.get("WT_BENCH_VOCAB",
+                                                   "50257")),
                      n_positions=max(S, 1024))
     model = Model.new_from_onnx(build_gpt2_train(random_gpt2_weights(cfg),
                                                  cfg))
@@ -797,15 +809,18 @@ def bench_train() -> None:
     float(np.asarray(loss))
     dt = (time.time() - t0) / runs
     tok_s = B * S / dt
-    n_param_mm = (12 * 12 * cfg.n_embd ** 2 + cfg.n_embd * cfg.vocab_size)
+    n_param_mm = (cfg.n_layer * 12 * cfg.n_embd ** 2
+                  + cfg.n_embd * cfg.vocab_size)
     # fwd 2N + bwd 4N per token, + attention fwd/bwd
-    flops_tok = 6 * n_param_mm + 3 * 12 * 2 * S * cfg.n_embd
+    flops_tok = 6 * n_param_mm + 3 * cfg.n_layer * 2 * S * cfg.n_embd
     mfu = flops_tok * tok_s / V5E_PEAK_BF16
     print(f"# {B}x{S} train step: {dt * 1e3:.1f} ms -> {tok_s:.0f} tok/s, "
           f"MFU {mfu * 100:.1f}%, loss {float(np.asarray(loss)):.3f}",
           file=sys.stderr)
     print(json.dumps({
-        "metric": "gpt2_train_step_throughput",
+        "metric": ("gpt2_train_step_throughput"
+                   if cfg.n_embd == 768 else
+                   f"gpt2w{cfg.n_embd}_train_step_throughput"),
         "value": round(tok_s, 1), "unit": "tok/s",
         "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
         "mfu": round(mfu, 4), "batch": B, "seq": S,

@@ -230,7 +230,10 @@ def test_server_concurrent_generate_ragged(tmp_path):
 
     def run():
         asyncio.set_event_loop(loop)
-        loop.run_until_complete(srv.run(port=port))
+        try:
+            loop.run_until_complete(srv.run(port=port))
+        except RuntimeError:
+            pass   # expected: teardown stops the loop mid-serve
 
     th = threading.Thread(target=run, daemon=True)
     th.start()
@@ -310,7 +313,10 @@ def test_server_cancel_batched_job(tmp_path):
 
     def run():
         asyncio.set_event_loop(loop)
-        loop.run_until_complete(srv.run(port=port))
+        try:
+            loop.run_until_complete(srv.run(port=port))
+        except RuntimeError:
+            pass   # expected: teardown stops the loop mid-serve
 
     threading.Thread(target=run, daemon=True).start()
     _time.sleep(0.3)

@@ -105,7 +105,10 @@ def server():
 
     def run():
         asyncio.set_event_loop(loop)
-        loop.run_until_complete(srv.run("127.0.0.1", port))
+        try:
+            loop.run_until_complete(srv.run("127.0.0.1", port))
+        except RuntimeError:
+            pass   # expected: teardown stops the loop mid-serve
 
     t = threading.Thread(target=run, daemon=True)
     t.start()
