@@ -17,8 +17,8 @@ Configuration via env:
 
 Measured on 1x v5e (axon, driver-reproducible): bf16-KV B=512 with
 UNIFIED windowed decode (the default: every window phase fused into
-ONE jitted program, 32-slot window steps) -> 78.3k tok/s (15.7x
-baseline). Schedule sweep: 32-step windows 78.3k, 16-step 77.4k,
+ONE jitted program, 32-slot window steps) -> 91.6k tok/s on a warm
+compile cache (18.3x baseline; 78.3k on the r2 cold-cache runs). Schedule sweep: 32-step windows 78.3k, 16-step 77.4k,
 (64,128) 71.4k; the same schedules dispatched one-program-per-phase
 measured 60.9k / 54.8k — each extra host dispatch costs ~55 ms on the
 axon tunnel, which is why the phases must be fused. Flat single-window
