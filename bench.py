@@ -526,6 +526,10 @@ def bench_llama8b_serving() -> None:
         for f in futs:
             f.result(timeout=3600)
     print(f"# compile+warmup: {time.time() - t0:.1f}s", file=sys.stderr)
+    # reset lifetime phase counters so the printed breakdown covers
+    # only the timed run (warmup compiles otherwise dominate)
+    srv._t_admit = srv._t_dispatch = srv._t_fetch = 0.0
+    srv._chunks_dispatched = srv._steps_dispatched = 0
     t0 = time.time()
     futs = [srv.submit(p, n_new) for p in prompts]
     total = sum(len(f.result(timeout=3600)) for f in futs)
