@@ -658,8 +658,16 @@ class _Handler(BaseHTTPRequestHandler):
              "Requests waiting for a slot."),
             ("wt_batcher_chunks_dispatched_total", "counter",
              "chunks_dispatched", "Decode chunk programs dispatched."),
+            ("wt_batcher_steps_dispatched_total", "counter",
+             "steps_dispatched", "Decode scan steps dispatched."),
             ("wt_batcher_tokens_emitted_total", "counter",
              "tokens_emitted", "Tokens emitted to requests."),
+            ("wt_batcher_admit_seconds_total", "counter",
+             "time_admit_s", "Wall seconds in admission prefills."),
+            ("wt_batcher_dispatch_seconds_total", "counter",
+             "time_dispatch_s", "Wall seconds in chunk dispatch calls."),
+            ("wt_batcher_fetch_seconds_total", "counter",
+             "time_fetch_s", "Wall seconds blocked on token drains."),
         ]
         # snapshot first: ThreadingHTTPServer scrapes race load_adapter
         # swaps / first-request inserts on this dict
