@@ -57,7 +57,10 @@ def _time_loop(fn, args, caches_idx, reps, n_steps):
     import jax
 
     out = fn(*args)
-    jax.block_until_ready(out)
+    # a real host fetch: block_until_ready on axon-tunneled buffers
+    # returns before device completion, so sync by materializing the
+    # token output
+    jax.device_get(out[0])
     # rebuild args with the output caches each call
     t0 = time.time()
     cur = out
@@ -65,7 +68,7 @@ def _time_loop(fn, args, caches_idx, reps, n_steps):
         a = list(args)
         a[caches_idx] = cur[3] if isinstance(cur, tuple) else cur
         cur = fn(*a)
-    jax.block_until_ready(cur)
+    jax.device_get(cur[0])
     return (time.time() - t0) / (reps * n_steps)
 
 
