@@ -93,34 +93,10 @@ def probe_raw(iface, B, max_len, n_steps, reps, pos_init):
     prog = jax.jit(raw, donate_argnums=(2,))
     caches = iface.fresh_cache(B)
     cur = jnp.zeros(B, jnp.int64)
+    # pos_init may be a per-row vector (pos_per_row models) or a plain
+    # scalar (the offline program's step shape) — the traced step
+    # handles both, so the scalar probe reuses this function.
     pos = jnp.asarray(pos_init, jnp.int64)
-    weights = iface._weights()
-    args = (cur, pos, caches, weights)
-    return _time_loop(prog, args, 2, reps, n_steps)
-
-
-def probe_scalar(iface, B, max_len, n_steps, reps, pos0):
-    import jax
-    import jax.numpy as jnp
-
-    step = iface._traced_step(B, 1)
-    park = max_len - 1
-
-    def raw(cur, pos, caches, weights):
-        def body(carry, i):
-            cur, pos, caches = carry
-            logits, caches = step(cur[:, None], pos, caches, weights)
-            nxt = jnp.argmax(logits[:, -1, :], axis=-1)
-            return (nxt, jnp.minimum(pos + 1, park), caches), nxt
-
-        (cur, pos, caches), toks = jax.lax.scan(
-            body, (cur, pos, caches), jnp.arange(n_steps))
-        return cur, pos, None, caches, jnp.swapaxes(toks, 0, 1)
-
-    prog = jax.jit(raw, donate_argnums=(2,))
-    caches = iface.fresh_cache(B)
-    cur = jnp.zeros(B, jnp.int64)
-    pos = jnp.asarray(pos0)  # scalar
     weights = iface._weights()
     args = (cur, pos, caches, weights)
     return _time_loop(prog, args, 2, reps, n_steps)
@@ -138,15 +114,21 @@ def probe_chunk(model, mode, B, max_len, n_steps, reps, pos_init):
         model, max_len=max_len, max_batch=B, chunk=n_steps,
         cache_dtype=DType.BF16, prompt_buckets=(16,),
         quantize=("int8" if mode == "int8" else None))
-    sps = [None] * B
+    # The batcher rounds max_batch up to the next power of two; size
+    # every row-state array at srv.max_batch so the chunk program we
+    # time has exactly the shape the server runs (for non-pow2 B the
+    # extra rows are parked-inactive padding).
+    mb = srv.max_batch
+    sps = [None] * mb
     flags = _rows_flags(sps)
     rows = tuple(jnp.asarray(a) for a in _rows_arrays(sps))
     prog = srv._chunk_program(flags, False, n_steps)
-    caches = srv.iface.fresh_cache(B)
-    cur = jnp.zeros(B, jnp.int64)
-    pos = jnp.asarray(pos_init, jnp.int64)
-    act = jnp.ones(B, bool)
-    mb = srv.max_batch
+    caches = srv.iface.fresh_cache(mb)
+    cur = jnp.zeros(mb, jnp.int64)
+    pos_pad = np.full(mb, srv.park_pos, np.int64)
+    pos_pad[:B] = pos_init
+    pos = jnp.asarray(pos_pad)
+    act = jnp.asarray(np.arange(mb) < B)
     upd_s = jnp.full(mb, mb, jnp.int32)
     upd_c = jnp.zeros(mb, jnp.int64)
     upd_p = jnp.full(mb, srv.park_pos, jnp.int64)
@@ -173,9 +155,10 @@ def main():
         t0 = time.time()
         cfg, model, mode = _build(layers, max_len, pos_per_row=True)
         print(f"# build pos_per_row: {time.time() - t0:.0f}s", flush=True)
+        # keep low < high even for small max_len/large n_steps combos
+        hi = max(17, min(128, max_len - n_steps - 2))
         for B in batches:
-            pos_init = rng.integers(16, min(128, max_len - n_steps - 2),
-                                    B)
+            pos_init = rng.integers(16, hi, B)
             sec, srv = probe_chunk(model, mode, B, max_len, n_steps,
                                    reps, pos_init)
             print(f"B={B:4d} chunk   {sec * 1e3:8.2f} ms/step",
@@ -193,7 +176,7 @@ def main():
                   flush=True)
             iface = _mk_iface(smodel, max_len, smode)
             for B in batches:
-                sec = probe_scalar(iface, B, max_len, n_steps, reps, 64)
+                sec = probe_raw(iface, B, max_len, n_steps, reps, 64)
                 print(f"B={B:4d} scalar  {sec * 1e3:8.2f} ms/step",
                       flush=True)
 
