@@ -8,12 +8,16 @@ metric (BASELINE.json: "all 400+ ONNX conformance tests green").
 import pytest
 
 from .harness import check_case
-from . import (cases_breadth, cases_dtypes, cases_elementwise, cases_misc2,
-               cases_more, cases_nn, cases_pool, cases_reduce2, cases_shape)
+from . import (cases_attention, cases_breadth, cases_dtypes,
+               cases_elementwise, cases_misc2, cases_more, cases_nn,
+               cases_norm_family, cases_pool, cases_reduce2, cases_sce,
+               cases_shape)
 
 ALL_CASES = (cases_elementwise.CASES + cases_shape.CASES + cases_nn.CASES
              + cases_dtypes.CASES + cases_reduce2.CASES + cases_pool.CASES
-             + cases_misc2.CASES + cases_more.CASES + cases_breadth.CASES)
+             + cases_misc2.CASES + cases_more.CASES + cases_breadth.CASES
+             + cases_attention.CASES + cases_norm_family.CASES
+             + cases_sce.CASES)
 
 _names = [c.name for c in ALL_CASES]
 assert len(_names) == len(set(_names)), sorted(

@@ -279,10 +279,12 @@ def test_transformer_training_graph_matches_torch():
 
 
 def test_attention_softcap_backward_matches_jax():
-    """Softcapped attention (Gemma-2 style: cap applied to scores BEFORE
-    mask/causal) now differentiates in the milli training artifact —
-    grads for q/k/v match jax.grad of the same formula (incl. GQA
-    group-summing of k/v grads)."""
+    """Softcapped attention (ONNX-23 stage order: bias/causal added to
+    the scores BEFORE the cap — the qk_matmul_output_mode enum order)
+    differentiates in the milli training artifact — grads for q/k/v
+    match jax.grad of the same formula (incl. GQA group-summing of
+    k/v grads; masked entries sit at tanh saturation so their cap
+    derivative is exactly 0)."""
     import jax
     import jax.numpy as jnp
 
@@ -313,9 +315,9 @@ def test_attention_softcap_backward_matches_jax():
         kf = jnp.repeat(p["k"], Hq // Hkv, axis=1)
         vf = jnp.repeat(p["v"], Hq // Hkv, axis=1)
         s = jnp.einsum("bhqd,bhkd->bhqk", p["q"], kf) / np.sqrt(D)
-        s = cap * jnp.tanh(s / cap)
         causal = jnp.tril(jnp.ones((S, S), bool))
         s = jnp.where(causal, s, -1e30)
+        s = cap * jnp.tanh(s / cap)
         pred = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, -1), vf)
         return jnp.mean((pred - tv) ** 2)
 

@@ -32,22 +32,59 @@ def _np_softmax(x, axis=-1):
 
 @dataclass
 class AttentionMilli(MilliOp):
-    """Scaled dot-product attention.
+    """Scaled dot-product attention (full ONNX opset-23 Attention).
 
-    inputs: q (B, Hq, Sq, D), k (B, Hkv, Skv, D), v (B, Hkv, Skv, Dv)
-            [, mask (additive, broadcastable to (B, Hq, Sq, Skv))]
-    GQA: Hq may be a multiple of Hkv.
+    inputs: q, k, v [, mask [, past_key [, past_value]]] — None gaps
+    stay positional.  4-D layout: q (B, Hq, Sq, D), k (B, Hkv, Skv, D),
+    v (B, Hkv, Skv, Dv).  3-D layout (B, S, H*D) is accepted when
+    q_heads is set (kv_heads for GQA); Y then comes back 3-D while the
+    present outputs are always 4-D, per the ONNX spec.
+    GQA: Hq may be a multiple of Hkv.  mask is additive (or boolean),
+    broadcastable to (B, Hq, Sq, S_total).
+
+    outputs (n_out of): Y, present_key, present_value, qk_matmul_output
+    qk_mode selects the captured stage per ONNX qk_matmul_output_mode:
+    0 = scaled QK^T, 1 = after mask/causal bias, 2 = after softcap,
+    3 = after softmax.  Stage order follows the ONNX-23 reference:
+    bias first, then softcap, then softmax (with 0/-inf masks this is
+    numerically identical to the Gemma-2 cap-then-mask order the
+    in-house recipes assume, because tanh saturates at the mask floor).
     """
 
     scale: Optional[float] = None
     is_causal: bool = False
     softcap: float = 0.0
+    qk_mode: int = 0
+    q_heads: int = 0
+    kv_heads: int = 0
+    n_out: int = 1
     KIND = "Attention"
 
-    def eval(self, inputs):
+    def _norm(self, xp, inputs):
+        """Normalize the input surface to 4-D (q, k, v, mask, was_3d),
+        concatenating past KV into k/v along the sequence axis."""
         q, k, v = inputs[0], inputs[1], inputs[2]
-        mask = inputs[3] if len(inputs) > 3 and inputs[3] is not None else None
-        out_dt = q.dtype
+        mask = inputs[3] if len(inputs) > 3 else None
+        past_k = inputs[4] if len(inputs) > 4 else None
+        past_v = inputs[5] if len(inputs) > 5 else None
+        was_3d = q.ndim == 3
+        if was_3d:
+            Hq = self.q_heads
+            Hkv = self.kv_heads or Hq
+            B, Sq = q.shape[0], q.shape[1]
+            Skv = k.shape[1]
+            q = xp.swapaxes(q.reshape(B, Sq, Hq, q.shape[2] // Hq), 1, 2)
+            k = xp.swapaxes(k.reshape(B, Skv, Hkv, k.shape[2] // Hkv), 1, 2)
+            v = xp.swapaxes(v.reshape(B, Skv, Hkv, v.shape[2] // Hkv), 1, 2)
+        if past_k is not None:
+            k = xp.concatenate([past_k, k], axis=2)
+        if past_v is not None:
+            v = xp.concatenate([past_v, v], axis=2)
+        return q, k, v, mask, was_3d
+
+    def eval(self, inputs):
+        out_dt = inputs[0].dtype
+        q, k, v, mask, was_3d = self._norm(np, inputs)
         qf = q.astype(np.float32)
         kf = k.astype(np.float32)
         vf = v.astype(np.float32)
@@ -59,8 +96,7 @@ class AttentionMilli(MilliOp):
             vf = np.repeat(vf, rep, axis=1)
         scale = self.scale if self.scale is not None else 1.0 / np.sqrt(D)
         scores = np.einsum("bhqd,bhkd->bhqk", qf, kf) * scale
-        if self.softcap > 0:
-            scores = self.softcap * np.tanh(scores / self.softcap)
+        qk_out = scores
         if mask is not None:
             if mask.dtype == np.bool_:
                 scores = np.where(mask, scores, np.float32(-1e30))
@@ -70,39 +106,67 @@ class AttentionMilli(MilliOp):
             Skv = kf.shape[2]
             causal = np.tril(np.ones((Sq, Skv), dtype=bool), k=Skv - Sq)
             scores = np.where(causal, scores, np.float32(-1e30))
+        if self.qk_mode >= 1:
+            qk_out = scores
+        if self.softcap > 0:
+            scores = self.softcap * np.tanh(scores / self.softcap)
+        if self.qk_mode >= 2:
+            qk_out = scores
         p = _np_softmax(scores, axis=-1)
-        out = np.einsum("bhqk,bhkd->bhqd", p, vf)
-        return [out.astype(out_dt)]
+        if self.qk_mode >= 3:
+            qk_out = p
+        y = np.einsum("bhqk,bhkd->bhqd", p, vf).astype(out_dt)
+        if was_3d:
+            yB, yH, yS, yDv = y.shape
+            y = np.swapaxes(y, 1, 2).reshape(yB, yS, yH * yDv)
+        outs = [y, k, v, qk_out.astype(out_dt)]
+        return outs[:self.n_out]
 
     def to_jax(self, inputs, static=None):
         import jax
         import jax.numpy as jnp
 
-        q, k, v = inputs[0], inputs[1], inputs[2]
-        mask = inputs[3] if len(inputs) > 3 and inputs[3] is not None else None
+        out_dt = inputs[0].dtype
+        q, k, v, mask, was_3d = self._norm(jnp, inputs)
+        pk, pv = k, v  # present_key / present_value (pre-GQA-repeat)
         B, Hq, Sq, D = q.shape
         Hkv = k.shape[1]
         scale = self.scale if self.scale is not None else 1.0 / np.sqrt(D)
+        need_qk = self.n_out >= 4
+
+        def finish(y, qk=None):
+            if was_3d:
+                y = jnp.swapaxes(y, 1, 2).reshape(B, Sq, Hq * y.shape[-1])
+            outs = [y.astype(out_dt), pk, pv]
+            if qk is not None:
+                outs.append(qk.astype(out_dt))
+            return outs[:self.n_out]
 
         # Pallas flash-attention fast path (TPU, no mask tensor, no softcap)
         from ...backends.pallas.attention import flash_attention_usable, flash_attention
 
-        if flash_attention_usable(q, k, v, mask, self.softcap):
+        if not need_qk and flash_attention_usable(q, k, v, mask, self.softcap):
             # head dims the kernel can't tile (SD UNet: 40/80/160) are
             # zero-padded to the next lane multiple: zero q/k columns add
             # nothing to the scores and padded v columns are sliced away
             Dp = D if (D % 128 == 0 or D == 64) else (
                 64 if D < 64 else ((D + 127) // 128) * 128)
             if Dp == D:
-                return [flash_attention(q, k, v, scale=scale,
-                                        causal=self.is_causal, mask=mask)]
+                return finish(flash_attention(q, k, v, scale=scale,
+                                              causal=self.is_causal, mask=mask))
             pad = [(0, 0)] * 3 + [(0, Dp - D)]
             out = flash_attention(jnp.pad(q, pad), jnp.pad(k, pad),
                                   jnp.pad(v, pad), scale=scale,
                                   causal=self.is_causal, mask=mask)
-            return [out[..., :D]]
+            return finish(out[..., :D])
 
-        rep = Hq // Hkv
+        # the grouped-GQA einsum can't expose a (B, Hq, Sq, Skv) qk
+        # stage without a reshape of every intermediate — the qk-output
+        # debug mode takes the plain repeat path instead (cold path)
+        rep = 1 if need_qk else Hq // Hkv
+        if need_qk and Hq != Hkv:
+            k = jnp.repeat(k, Hq // Hkv, axis=1)
+            v = jnp.repeat(v, Hq // Hkv, axis=1)
         # f32/f16 inputs need true-precision MXU passes to match the
         # oracle (same per-op rule as MatMul); bf16 feeds the MXU
         # DIRECTLY (exact bf16 products + f32 accumulation — identical
@@ -130,8 +194,7 @@ class AttentionMilli(MilliOp):
             scores = jnp.einsum("bhqd,bhkd->bhqk", qc, kc,
                                 preferred_element_type=jnp.float32,
                                 precision=prec) * scale
-        if self.softcap > 0:
-            scores = self.softcap * jnp.tanh(scores / self.softcap)
+        qk_out = scores
         if mask is not None:
             m = mask
             if rep > 1:
@@ -146,7 +209,15 @@ class AttentionMilli(MilliOp):
         if self.is_causal:
             causal = jnp.tril(jnp.ones((Sq, Skv), dtype=bool), k=Skv - Sq)
             scores = jnp.where(causal, scores, jnp.float32(-1e30))
+        if self.qk_mode >= 1:
+            qk_out = scores
+        if self.softcap > 0:
+            scores = self.softcap * jnp.tanh(scores / self.softcap)
+        if self.qk_mode >= 2:
+            qk_out = scores
         p = jax.nn.softmax(scores, axis=-1)
+        if self.qk_mode >= 3:
+            qk_out = p
         if rep > 1:
             out = jnp.einsum("bgrqk,bgkd->bgrqd", p.astype(qc.dtype), vc,
                              preferred_element_type=jnp.float32,
@@ -156,18 +227,38 @@ class AttentionMilli(MilliOp):
             out = jnp.einsum("bhqk,bhkd->bhqd", p.astype(qc.dtype), vc,
                              preferred_element_type=jnp.float32,
                              precision=prec)
-        return [out.astype(q.dtype)]
+        return finish(out, qk_out if need_qk else None)
 
     def infer(self, infos):
-        if all(i is not None and i.level is Level.NUMERIC for i in infos):
-            return [TensorInfo.numeric(self.eval([i.value for i in infos])[0])]
+        if all(i is None or i.level is Level.NUMERIC for i in infos) \
+                and all(i is not None for i in infos[:3]):
+            outs = self.eval([None if i is None else i.value for i in infos])
+            return [TensorInfo.numeric(o) for o in outs]
         q, k, v = infos[0], infos[1], infos[2]
-        dq, dv = q.dims(), v.dims()
-        if dq is not None and dv is not None:
-            return [TensorInfo.shaped(q.dtype, [dq[0], dq[1], dq[2], dv[3]])]
+        has_past = len(infos) > 4 and infos[4] is not None
+        if self.n_out == 1 and not has_past and q.rank == 4:
+            dq, dv = q.dims(), v.dims()
+            if dq is not None and dv is not None:
+                return [TensorInfo.shaped(q.dtype, [dq[0], dq[1], dq[2], dv[3]])]
+            return [TensorInfo.ranked(q.dtype, 4)]
+        # multi-output / past-KV / 3-D surfaces: Y keeps q's rank, the
+        # present outputs are always 4-D, the qk capture is 4-D; seq
+        # dims after past-concat are left unknown (conservative lattice
+        # level — validate-by-default eval accepts any lower level)
+        outs = []
         if q.rank is not None:
-            return [TensorInfo.ranked(q.dtype, q.rank)]
-        return [TensorInfo.minimal(q.dtype)]
+            outs.append(TensorInfo.ranked(q.dtype, q.rank))
+        else:
+            outs.append(TensorInfo.minimal(q.dtype))
+        if self.n_out >= 2:
+            outs.append(TensorInfo.ranked(k.dtype, 4)
+                        if k is not None else TensorInfo.minimal(q.dtype))
+        if self.n_out >= 3:
+            outs.append(TensorInfo.ranked(v.dtype, 4)
+                        if v is not None else TensorInfo.minimal(q.dtype))
+        if self.n_out >= 4:
+            outs.append(TensorInfo.ranked(q.dtype, 4))
+        return outs[:self.n_out]
 
     def backward(self, b, node, out_grads):
         """Recompute-based attention backward (milli training artifact):
@@ -177,8 +268,14 @@ class AttentionMilli(MilliOp):
         GQA sums g_k/g_v over the query-head group (needs head counts
         from infer infos). Mask input gets no gradient (positional)."""
         g = out_grads[0]
-        if g is None:
+        if g is None and not any(og is not None for og in out_grads):
             return [None] * len(node.inputs)
+        if len(node.inputs) > 4 or self.q_heads or \
+                any(og is not None for og in out_grads[1:]):
+            raise NotImplementedError(
+                "attention backward: only the 4-D q,k,v[,mask] surface "
+                "with a Y gradient is differentiable (past-KV / 3-D / "
+                "present-output grads are inference artifacts)")
         from .basic import CastLike, Constant, MatMul, Pow, SimpleBinary
         from ..ir import Phase
         from .shape import (Concat, Expand, GatherShape, Reshape, Shape,
@@ -247,22 +344,6 @@ class AttentionMilli(MilliOp):
             scale_t = b.op1(Pow(), d_f, neg_half, phase=P)
 
         s = bop("mul", mm(q, tsw(k_full)), scale_t)
-        cap_deriv = None
-        if self.softcap > 0:
-            # s_cap = c·tanh(s/c); ds_cap/ds = 1 − tanh²(s/c) — the mask
-            # and causal terms are added AFTER the cap (Gemma-2 order),
-            # so the softmax grad passes through them unchanged and only
-            # the score grad picks up the tanh derivative.
-            from .basic import SimpleUnary as _SU
-
-            cap = b.op1(CastLike(), b.op1(Constant(
-                np.asarray(self.softcap, dtype=np.float32)), phase=P), s,
-                phase=P)
-            th = b.op1(_SU("tanh"), bop("div", s, cap), phase=P)
-            one_f = b.op1(CastLike(), b.op1(Constant(
-                np.asarray(1.0, dtype=np.float32)), phase=P), s, phase=P)
-            cap_deriv = bop("sub", one_f, bop("mul", th, th))
-            s = bop("mul", cap, th)
         if mask is not None:
             s = bop("add", s, b.op1(CastLike(), mask, s, phase=P))
         if self.is_causal:
@@ -285,6 +366,22 @@ class AttentionMilli(MilliOp):
             from .basic import Where
 
             s = bop("add", s, b.op1(Where(), vis, zf, big, phase=P))
+        cap_deriv = None
+        if self.softcap > 0:
+            # ONNX-23 order: cap AFTER bias/causal. s_cap = c·tanh(s/c);
+            # ds_cap/ds = 1 − tanh²(s/c) — at masked (-1e30-biased)
+            # entries tanh saturates so the derivative is 0 there, which
+            # is exactly right: masked scores carry no gradient.
+            from .basic import SimpleUnary as _SU
+
+            cap = b.op1(CastLike(), b.op1(Constant(
+                np.asarray(self.softcap, dtype=np.float32)), phase=P), s,
+                phase=P)
+            th = b.op1(_SU("tanh"), bop("div", s, cap), phase=P)
+            one_f = b.op1(CastLike(), b.op1(Constant(
+                np.asarray(1.0, dtype=np.float32)), phase=P), s, phase=P)
+            cap_deriv = bop("sub", one_f, bop("mul", th, th))
+            s = bop("mul", cap, th)
         # softmax recompute
         mx = b.op1(Reduce("max", axes=[-1], keepdims=True), s, phase=P)
         from .basic import SimpleUnary

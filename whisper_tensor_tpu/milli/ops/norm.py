@@ -28,11 +28,14 @@ def _bcast_to_rank(v, ndim: int, axis: int):
 
 @dataclass
 class LayerNormMilli(MilliOp):
-    """x, scale[, bias] -> y[, mean, inv_std]; normalizes dims [axis:]."""
+    """x, scale[, bias] -> y[, mean, inv_std]; normalizes dims [axis:].
+    Mean/InvStdDev (keepdims over the normalized span) stay in the
+    stash dtype (f32 when stash_f32), per the ONNX-17 spec."""
 
     axis: int = -1
     epsilon: float = 1e-5
     stash_f32: bool = True
+    n_out: int = 1
     KIND = "LayerNorm"
     N_OUTPUTS = 1
 
@@ -53,7 +56,9 @@ class LayerNormMilli(MilliOp):
         y = d * inv * scale.astype(xp.dtype)
         if bias is not None:
             y = y + bias.astype(xp.dtype)
-        return [y.astype(x.dtype)]
+        stash_dt = np.float32 if self.stash_f32 else x.dtype
+        return [y.astype(x.dtype), mean.astype(stash_dt),
+                inv.astype(stash_dt)][:self.n_out]
 
     def to_jax(self, inputs, static=None):
         import jax.numpy as jnp
@@ -66,16 +71,26 @@ class LayerNormMilli(MilliOp):
         mean = xp.mean(axis=ax, keepdims=True)
         d = xp - mean
         var = (d * d).mean(axis=ax, keepdims=True)
-        y = d * jax_rsqrt(var + self.epsilon) * scale.astype(xp.dtype)
+        inv = jax_rsqrt(var + self.epsilon)
+        y = d * inv * scale.astype(xp.dtype)
         if bias is not None:
             y = y + bias.astype(xp.dtype)
-        return [y.astype(x.dtype)]
+        stash_dt = jnp.float32 if self.stash_f32 else x.dtype
+        return [y.astype(x.dtype), mean.astype(stash_dt),
+                inv.astype(stash_dt)][:self.n_out]
 
     def infer(self, infos):
         i = infos[0]
         if all(f is not None and f.level is Level.NUMERIC for f in infos):
-            return [TensorInfo.numeric(self.eval([f.value for f in infos])[0])]
-        return [i.forget_value()]
+            return [TensorInfo.numeric(o)
+                    for o in self.eval([f.value for f in infos])]
+        if self.n_out == 1:
+            return [i.forget_value()]
+        from ...dtype import DType
+        stash = DType.F32 if self.stash_f32 else i.dtype
+        stats = (TensorInfo.ranked(stash, i.rank) if i.rank is not None
+                 else TensorInfo.minimal(stash))
+        return [i.forget_value(), stats, stats][:self.n_out]
 
     def backward(self, b, node, out_grads):
         """Recompute-based LN backward:
@@ -85,6 +100,9 @@ class LayerNormMilli(MilliOp):
         Needs the input rank (to span axis..rank); stats recomputed in
         the graph (cheap — XLA fuses them with the forward's)."""
         g = out_grads[0]
+        if any(og is not None for og in out_grads[1:]):
+            raise NotImplementedError(
+                "LayerNorm backward: grads into Mean/InvStdDev outputs")
         if g is None:
             return [None] * len(node.inputs)
         from .basic import Constant, SimpleBinary, SimpleUnary

@@ -25,21 +25,34 @@ from .base import Attrs, Operation, register
 @register("Attention")
 @dataclass
 class Attention(Operation):
-    """Fused SDPA (ONNX opset 23 Attention, 4-D Q/K/V subset + GQA)."""
+    """Fused SDPA (full ONNX opset 23 Attention: 3-D/4-D Q/K/V, GQA,
+    mask, past/present KV, softcap, qk_matmul_output capture)."""
 
     scale: Optional[float] = None
     is_causal: bool = False
     softcap: float = 0.0
+    qk_matmul_output_mode: int = 0
+    q_num_heads: int = 0
+    kv_num_heads: int = 0
 
     @classmethod
     def from_onnx(cls, node, attrs, opset):
         return cls(attrs.f("scale", None), bool(attrs.i("is_causal", 0)),
-                   attrs.f("softcap", 0.0))
+                   attrs.f("softcap", 0.0),
+                   attrs.i("qk_matmul_output_mode", 0),
+                   attrs.i("q_num_heads", 0), attrs.i("kv_num_heads", 0))
 
     def lower(self, ctx, inputs, n_outputs):
-        args = [i for i in inputs if i is not None]
-        return [ctx.emit1(AttentionMilli(self.scale, self.is_causal,
-                                         self.softcap), *args)]
+        args = list(inputs)
+        while args and args[-1] is None:  # trim trailing absent optionals
+            args.pop()
+        return ctx.emit(
+            AttentionMilli(self.scale, self.is_causal, self.softcap,
+                           qk_mode=self.qk_matmul_output_mode,
+                           q_heads=self.q_num_heads,
+                           kv_heads=self.kv_num_heads,
+                           n_out=n_outputs),
+            *args, n_outputs=n_outputs)
 
 
 @register("RotaryEmbedding")

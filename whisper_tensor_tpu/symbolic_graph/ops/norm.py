@@ -15,9 +15,10 @@ from typing import List, Optional
 import numpy as np
 
 from ...dtype import DType
-from ...milli.ops import (Cast, CastLike, ClampMin, Concat, Gather,
-                          GatherShape, MatMul, Reduce, Reshape, Shape,
-                          SimpleBinary, SimpleUnary, Transpose, Unsqueeze)
+from ...milli.ops import (Cast, CastLike, ClampMin, Concat, Constant, Gather,
+                          GatherElements, GatherShape, MatMul, Reduce,
+                          Reshape, Shape, SimpleBinary, SimpleUnary, Squeeze,
+                          Transpose, Unsqueeze, Where)
 from .base import Attrs, LowerCtx, Operation, register
 
 
@@ -117,11 +118,11 @@ class LayerNormalization(Operation):
     def lower(self, ctx, inputs, n_outputs):
         from ...milli.ops.norm import LayerNormMilli
 
-        if n_outputs > 1:
-            raise NotImplementedError("LayerNormalization mean/inv_std outputs")
         args = [i for i in inputs if i is not None]
-        return [ctx.emit1(LayerNormMilli(self.axis, self.epsilon,
-                                         bool(self.stash_type)), *args)]
+        return ctx.emit(LayerNormMilli(self.axis, self.epsilon,
+                                       bool(self.stash_type),
+                                       n_out=n_outputs),
+                        *args, n_outputs=n_outputs)
 
 
 @register("RMSNormalization")
@@ -228,3 +229,118 @@ class MeanVarianceNormalization(Operation):
         norm, _, _ = _mean_var_normalize(ctx, inputs[0], self.axes, 1e-9,
                                          compute_in_f32=False)
         return [norm]
+
+
+def _pick_class(ctx, logp, labels):
+    """logp (N,C,d1..dk), labels int (N,d1..dk) -> logp at the label
+    class, shape (N,d1..dk) (GatherElements along the class axis)."""
+    lbl_u = ctx.emit1(Unsqueeze(axes=[1]), labels)
+    picked = ctx.emit1(GatherElements(axis=1), logp, lbl_u)
+    return ctx.emit1(Squeeze(axes=[1]), picked)
+
+
+def _nll_reduce(ctx, pick_neg, labels, weights, reduction, ignore_index):
+    """Shared NLL tail: per-element loss `pick_neg` (N,d1..dk) already
+    negated; applies class weights / ignore_index masking and the
+    reduction. ONNX 'mean' is the WEIGHTED mean sum(l*w)/sum(w)."""
+    w = None
+    if weights is not None:
+        safe = labels
+        if ignore_index is not None:
+            ii = ctx.emit1(CastLike(), ctx.const(
+                np.asarray(ignore_index, np.int64)), labels)
+            ign = ctx.emit1(SimpleBinary("eq"), labels, ii)
+            zero = ctx.emit1(CastLike(), ctx.const(
+                np.asarray(0, np.int64)), labels)
+            safe = ctx.emit1(Where(), ign, zero, labels)
+        w = ctx.emit1(Gather(axis=0), weights, safe)
+    if ignore_index is not None:
+        ii = ctx.emit1(CastLike(), ctx.const(
+            np.asarray(ignore_index, np.int64)), labels)
+        keep = ctx.emit1(SimpleBinary("ne"), labels, ii)
+        keep_f = ctx.emit1(CastLike(), keep, pick_neg)
+        w = keep_f if w is None else ctx.emit1(SimpleBinary("mul"), w, keep_f)
+    loss = pick_neg if w is None else ctx.emit1(SimpleBinary("mul"),
+                                                pick_neg, w)
+    if reduction == "none":
+        return loss
+    if reduction == "sum":
+        return ctx.emit1(Reduce("sum", axes=None, keepdims=False), loss)
+    # mean: weighted by the per-element weights when any exist
+    if w is None:
+        return ctx.emit1(Reduce("mean", axes=None, keepdims=False), loss)
+    num = ctx.emit1(Reduce("sum", axes=None, keepdims=False), loss)
+    den = ctx.emit1(Reduce("sum", axes=None, keepdims=False), w)
+    return ctx.emit1(SimpleBinary("div"), num, den)
+
+
+@register("SoftmaxCrossEntropyLoss")
+@dataclass
+class SoftmaxCrossEntropyLoss(Operation):
+    """loss [, log_prob] = NLL(LogSoftmax(scores, axis=1), labels).
+
+    Reference runs this family from the official corpus
+    (tests/onnx_testing.rs test_sce_*); here lowered to milli
+    primitives (log-softmax + GatherElements + masked reduction)."""
+
+    reduction: str = "mean"
+    ignore_index: Optional[int] = None
+
+    @classmethod
+    def from_onnx(cls, node, attrs, opset):
+        ii = attrs.i("ignore_index", None)
+        return cls(attrs.s("reduction", "mean"),
+                   int(ii) if ii is not None else None)
+
+    def lower(self, ctx, inputs, n_outputs):
+        scores, labels = inputs[0], inputs[1]
+        weights = inputs[2] if len(inputs) > 2 else None
+        _, sh, s = _softmax(ctx, scores, 1)
+        logp = ctx.emit1(SimpleBinary("sub"), sh,
+                         ctx.emit1(SimpleUnary("log"), s))
+        safe = labels
+        if self.ignore_index is not None:
+            # ignored labels may be out of class range: clamp for gather
+            ii = ctx.emit1(CastLike(), ctx.const(
+                np.asarray(self.ignore_index, np.int64)), labels)
+            ign = ctx.emit1(SimpleBinary("eq"), labels, ii)
+            zero = ctx.emit1(CastLike(), ctx.const(
+                np.asarray(0, np.int64)), labels)
+            safe = ctx.emit1(Where(), ign, zero, labels)
+        pick = _pick_class(ctx, logp, safe)
+        neg = ctx.emit1(SimpleUnary("neg"), pick)
+        loss = _nll_reduce(ctx, neg, labels, weights, self.reduction,
+                           self.ignore_index)
+        return [loss, logp][:n_outputs]
+
+
+@register("NegativeLogLikelihoodLoss")
+@dataclass
+class NegativeLogLikelihoodLoss(Operation):
+    """loss = -input[n, labels[n], d...] with weights/ignore_index and
+    mean/sum/none reduction (official corpus test_nllloss_*)."""
+
+    reduction: str = "mean"
+    ignore_index: Optional[int] = None
+
+    @classmethod
+    def from_onnx(cls, node, attrs, opset):
+        ii = attrs.i("ignore_index", None)
+        return cls(attrs.s("reduction", "mean"),
+                   int(ii) if ii is not None else None)
+
+    def lower(self, ctx, inputs, n_outputs):
+        x, labels = inputs[0], inputs[1]
+        weights = inputs[2] if len(inputs) > 2 else None
+        safe = labels
+        if self.ignore_index is not None:
+            ii = ctx.emit1(CastLike(), ctx.const(
+                np.asarray(self.ignore_index, np.int64)), labels)
+            ign = ctx.emit1(SimpleBinary("eq"), labels, ii)
+            zero = ctx.emit1(CastLike(), ctx.const(
+                np.asarray(0, np.int64)), labels)
+            safe = ctx.emit1(Where(), ign, zero, labels)
+        pick = _pick_class(ctx, x, safe)
+        neg = ctx.emit1(SimpleUnary("neg"), pick)
+        return [_nll_reduce(ctx, neg, labels, weights, self.reduction,
+                            self.ignore_index)]
