@@ -535,6 +535,11 @@ def bench_llama8b_serving() -> None:
     total = sum(len(f.result(timeout=3600)) for f in futs)
     dt = time.time() - t0
     st = srv.stats()
+    if getattr(srv, "_trace", None):
+        with open("/tmp/batch_trace.txt", "w") as f:
+            tb = srv._trace[0][0]
+            for ts, ev, kw in srv._trace:
+                f.write(f"{ts - tb:9.3f} {ev} {kw}\n")
     srv.stop()
     tok_s = total / dt
     print(f"# 8B serving N={N}: {tok_s:.0f} tok/s ({total} tokens "

@@ -193,6 +193,7 @@ _UNARY_TABLE = {
     "round": (_np_round, "round", False),
     "reciprocal": (lambda x: 1.0 / x, "_reciprocal", False),
     "not": (np.logical_not, "logical_not", True),
+    "bitnot": (np.invert, "invert", False),
     "sign": (np.sign, "sign", False),
     "relu": (lambda x: np.maximum(x, 0), "_relu", False),
     "isnan": (np.isnan, "isnan", True),
@@ -210,7 +211,8 @@ class SimpleUnary(MilliOp):
         x = inputs[0]
         if self.mode in ("not",):
             return [np.logical_not(x)]
-        if x.dtype.kind in "iub" and self.mode in ("neg", "abs", "sign"):
+        if x.dtype.kind in "iub" and self.mode in ("neg", "abs", "sign",
+                                                   "bitnot"):
             return [fn(x)]
         if bool_out:
             # isnan etc.: BOOL result — never round back to the input

@@ -454,23 +454,78 @@ def _cubic_weights(t: np.ndarray, a: float) -> np.ndarray:
     return w
 
 
+def _cubic_kernel(x, a):
+    x = np.abs(x)
+    return np.where(
+        x <= 1.0, (a + 2.0) * x ** 3 - (a + 3.0) * x ** 2 + 1.0,
+        np.where(x < 2.0,
+                 a * x ** 3 - 5.0 * a * x ** 2 + 8.0 * a * x - 4.0 * a,
+                 0.0))
+
+
+def _antialias_plan(coord, in_size, scale, mode, cubic_a, exclude_outside):
+    """Downscale antialias filter (ONNX-18 antialias=1): the kernel is
+    stretched by 1/scale and every output taps a fixed footprint of
+    inputs, weights normalized to sum 1 (edge-replicated borders)."""
+    s = min(float(scale), 1.0)
+    reach = 1.0 if mode == "linear" else 2.0
+    i_start = int(np.floor(-reach / s)) + 1
+    i_end = int(2 * reach) - i_start if mode == "cubic" else 2 - 2 * i_start
+    # footprint: relative taps [i_start, i_end)
+    if mode == "cubic":
+        i_end = 2 - i_start
+        rel = np.arange(i_start, i_end)
+    else:
+        rel = np.arange(i_start, i_start + (2 - 2 * i_start))
+    lo = np.floor(coord).astype(np.int64)
+    ratio = coord - lo
+    args = (rel[None, :] - ratio[:, None]) * s
+    if mode == "linear":
+        w = np.clip(1.0 - np.abs(args), 0.0, 1.0)
+    else:
+        w = _cubic_kernel(args, cubic_a)
+    idx = lo[:, None] + rel[None, :]
+    if exclude_outside:
+        inside = (idx >= 0) & (idx < in_size)
+        w = np.where(inside, w, 0.0)
+    w = w / np.maximum(w.sum(axis=1, keepdims=True), 1e-12)
+    return np.clip(idx, 0, in_size - 1), w
+
+
 def resize_plan(in_size: int, out_size: int, scale: float, mode: str,
                 coord_mode: str, nearest_mode: str, cubic_a: float,
-                exclude_outside: bool):
-    """Host-side gather plan for one axis: (indices (out,k), weights (out,k))."""
+                exclude_outside: bool, antialias: bool = False,
+                roi_ax=None):
+    """Host-side gather plan for one axis: (indices (out,k), weights
+    (out,k), extrapolation mask (out,) or None)."""
     out_idx = np.arange(out_size)
-    coord = _orig_coord(out_idx, scale, in_size, out_size, coord_mode)
+    if coord_mode == "tf_crop_and_resize":
+        start, end = float(roi_ax[0]), float(roi_ax[1])
+        x = out_idx.astype(np.float64)
+        if out_size > 1:
+            coord = (start * (in_size - 1)
+                     + x * (end - start) * (in_size - 1) / (out_size - 1))
+        else:
+            coord = np.full_like(x, 0.5 * (start + end) * (in_size - 1))
+        extrap = ~((coord >= 0) & (coord <= in_size - 1))
+    else:
+        coord = _orig_coord(out_idx, scale, in_size, out_size, coord_mode)
+        extrap = None
+    if antialias and mode in ("linear", "cubic") and scale < 1.0:
+        idx, w = _antialias_plan(coord, in_size, scale, mode, cubic_a,
+                                 exclude_outside)
+        return idx, w, extrap
     if mode == "nearest":
         idx = _nearest_pick(coord, nearest_mode).astype(np.int64)
         idx = np.clip(idx, 0, in_size - 1)
-        return idx[:, None], np.ones((out_size, 1))
+        return idx[:, None], np.ones((out_size, 1)), extrap
     if mode == "linear":
         lo = np.floor(coord).astype(np.int64)
         t = coord - lo
         idx = np.stack([lo, lo + 1], axis=1)
         w = np.stack([1 - t, t], axis=1)
         idx_c = np.clip(idx, 0, in_size - 1)
-        return idx_c, w
+        return idx_c, w, extrap
     if mode == "cubic":
         lo = np.floor(coord).astype(np.int64)
         t = coord - lo
@@ -481,7 +536,7 @@ def resize_plan(in_size: int, out_size: int, scale: float, mode: str,
             w = np.where(inside, w, 0.0)
             w = w / w.sum(axis=1, keepdims=True)
         idx_c = np.clip(idx, 0, in_size - 1)
-        return idx_c, w
+        return idx_c, w, extrap
     raise NotImplementedError(f"resize mode {mode}")
 
 
@@ -496,9 +551,12 @@ class Resize(MilliOp):
     cubic_a: float = -0.75
     exclude_outside: bool = False
     axes: Optional[List[int]] = None
+    antialias: bool = False
+    keep_policy: str = "stretch"   # keep_aspect_ratio_policy
+    extrapolation_value: float = 0.0
     KIND = "Resize"
 
-    def _plan(self, in_shape, scales, sizes):
+    def _plan(self, in_shape, scales, sizes, roi=None):
         rank = len(in_shape)
         axes = self.axes if self.axes else list(range(rank))
         axes = [a % rank for a in axes]
@@ -506,78 +564,113 @@ class Resize(MilliOp):
         per_axis = {}
         if sizes is not None and np.asarray(sizes).size:
             sizes = [int(s) for s in np.asarray(sizes).reshape(-1)]
-            for a, s in zip(axes, sizes):
-                out_shape[a] = s
-                per_axis[a] = (s, s / in_shape[a])
+            if self.keep_policy in ("not_larger", "not_smaller"):
+                cands = [s / in_shape[a] for a, s in zip(axes, sizes)]
+                sc = (min(cands) if self.keep_policy == "not_larger"
+                      else max(cands))
+                for a in axes:
+                    o = int(round(sc * in_shape[a]))
+                    out_shape[a] = o
+                    per_axis[a] = (o, sc)
+            else:
+                for a, s in zip(axes, sizes):
+                    out_shape[a] = s
+                    per_axis[a] = (s, s / in_shape[a])
         else:
             scales = np.asarray(scales).reshape(-1).astype(np.float64)
             for a, sc in zip(axes, scales):
                 o = int(np.floor(in_shape[a] * sc))
                 out_shape[a] = o
                 per_axis[a] = (o, sc)
+        roi_per_axis = {}
+        if self.coord_mode == "tf_crop_and_resize":
+            r = (np.asarray(roi, dtype=np.float64).reshape(-1)
+                 if roi is not None and np.asarray(roi).size
+                 else np.concatenate([np.zeros(len(axes)),
+                                      np.ones(len(axes))]))
+            for i, a in enumerate(axes):
+                roi_per_axis[a] = (r[i], r[len(axes) + i])
         plans = {}
         for a, (o, sc) in per_axis.items():
-            if o == in_shape[a] and abs(sc - 1.0) < 1e-9:
+            if (o == in_shape[a] and abs(sc - 1.0) < 1e-9
+                    and self.coord_mode != "tf_crop_and_resize"):
                 continue
-            plans[a] = resize_plan(in_shape[a], o, sc, self.mode, self.coord_mode,
-                                   self.nearest_mode, self.cubic_a, self.exclude_outside)
+            plans[a] = resize_plan(in_shape[a], o, sc, self.mode,
+                                   self.coord_mode, self.nearest_mode,
+                                   self.cubic_a, self.exclude_outside,
+                                   self.antialias,
+                                   roi_per_axis.get(a, (0.0, 1.0)))
         return tuple(out_shape), plans
+
+    def _apply(self, xp, x, plans, f32=False):
+        out = x
+        for a, (idx, w, extrap) in plans.items():
+            gathered = xp.take(out, xp.asarray(idx.reshape(-1)), axis=a)
+            new_shape = out.shape[:a] + idx.shape + out.shape[a + 1:]
+            gathered = gathered.reshape(new_shape)
+            wv = w.reshape((1,) * a + w.shape + (1,) * (out.ndim - a - 1))
+            if f32:
+                wb = xp.asarray(wv, dtype=np.float32)
+                out = (gathered.astype(np.float32) * wb).sum(axis=a + 1)
+            else:
+                wb = xp.asarray(wv)
+                out = (gathered * wb).sum(axis=a + 1)
+            if extrap is not None and extrap.any():
+                ev = xp.asarray(np.float32(self.extrapolation_value)
+                                if f32 else self.extrapolation_value)
+                eb = xp.asarray(extrap.reshape(
+                    (1,) * a + extrap.shape + (1,) * (out.ndim - a - 1)))
+                out = xp.where(eb, ev.astype(out.dtype), out)
+        return out
 
     def eval(self, inputs):
         x = inputs[0]
+        roi = inputs[1] if len(inputs) > 1 else None
         scales = inputs[2] if len(inputs) > 2 else None
         sizes = inputs[3] if len(inputs) > 3 else None
         xc, orig = upcast_for_compute(x)
-        out_shape, plans = self._plan(x.shape, scales, sizes)
-        out = xc
-        for a, (idx, w) in plans.items():
-            gathered = np.take(out, idx.reshape(-1), axis=a)
-            new_shape = out.shape[:a] + idx.shape + out.shape[a + 1:]
-            gathered = gathered.reshape(new_shape)
-            wb = w.reshape((1,) * a + w.shape + (1,) * (out.ndim - a - 1))
-            out = (gathered * wb).sum(axis=a + 1)
-            if self.mode == "nearest":
-                out = out.astype(xc.dtype)
+        out_shape, plans = self._plan(x.shape, scales, sizes, roi)
+        out = self._apply(np, xc, plans)
+        if self.mode == "nearest":
+            out = out.astype(xc.dtype)
         out = out.astype(xc.dtype, copy=False)
         return [downcast_result(out, orig)]
 
     def to_jax(self, inputs, static=None):
         import jax.numpy as jnp
 
-        from .shape import _need_static
-
         x = inputs[0]
+        roi = None
         scales = None
         sizes = None
+        if len(inputs) > 1 and static is not None:
+            roi = static[1]
         if len(inputs) > 2 and static is not None and static[2] is not None:
             scales = static[2]
-        elif len(inputs) > 2:
+        elif len(inputs) > 2 and inputs[2] is not None:
             raise NotImplementedError("Resize: dynamic scales")
-        if len(inputs) > 3:
+        if len(inputs) > 3 and inputs[3] is not None:
             if static is None or static[3] is None:
                 raise NotImplementedError("Resize: dynamic sizes")
             sizes = static[3]
-        out_shape, plans = self._plan(x.shape, scales, sizes)
-        out = x
-        for a, (idx, w) in plans.items():
-            gathered = jnp.take(out, jnp.asarray(idx.reshape(-1)), axis=a)
-            new_shape = out.shape[:a] + idx.shape + out.shape[a + 1:]
-            gathered = gathered.reshape(new_shape)
-            wb = jnp.asarray(w.reshape((1,) * a + w.shape + (1,) * (out.ndim - a - 1)),
-                             dtype=jnp.float32)
-            out = (gathered.astype(jnp.float32) * wb).sum(axis=a + 1).astype(x.dtype)
-        return [out]
+        if self.coord_mode == "tf_crop_and_resize" and len(inputs) > 1 \
+                and inputs[1] is not None and roi is None:
+            raise NotImplementedError("Resize: dynamic roi")
+        out_shape, plans = self._plan(x.shape, scales, sizes, roi)
+        return [self._apply(jnp, x, plans, f32=True).astype(x.dtype)]
 
     def infer(self, infos):
         vals = [i.value if i is not None and i.level is Level.NUMERIC else None for i in infos]
         x = infos[0]
-        if all(v is not None for v in vals):
+        if all(v is not None or infos[k] is None
+               for k, v in enumerate(vals)) and vals[0] is not None:
             return [TensorInfo.numeric(self.eval(vals)[0])]
         cs = x.concrete_shape()
         scales = vals[2] if len(vals) > 2 else None
         sizes = vals[3] if len(vals) > 3 else None
         if cs is not None and (scales is not None or sizes is not None):
-            out_shape, _ = self._plan(cs, scales, sizes)
+            out_shape, _ = self._plan(cs, scales, sizes,
+                                      vals[1] if len(vals) > 1 else None)
             return [TensorInfo.shaped(x.dtype, list(out_shape))]
         if x.rank is not None:
             return [TensorInfo.ranked(x.dtype, x.rank)]

@@ -51,12 +51,28 @@ class Reduce(MilliOp):
             return tuple(range(rank))
         return tuple(sorted(a % rank for a in axes))
 
+    def _empty_set(self, x, ax, xp):
+        """ONNX empty-set reduction identities (a reduced dim is 0):
+        sum/l1/l2/sumsquare -> 0, prod -> 1, logsum/logsumexp -> -inf,
+        max -> -inf/int-min, min -> +inf/int-max, mean -> nan."""
+        shape = [1 if a in ax else d for a, d in enumerate(x.shape)] \
+            if self.keepdims else \
+            [d for a, d in enumerate(x.shape) if a not in ax]
+        is_int = x.dtype.kind in "iub"
+        fills = {"sum": 0, "l1": 0, "l2": 0, "sumsquare": 0, "prod": 1,
+                 "logsum": -np.inf, "logsumexp": -np.inf, "mean": np.nan,
+                 "max": (np.iinfo(x.dtype).min if is_int else -np.inf),
+                 "min": (np.iinfo(x.dtype).max if is_int else np.inf)}
+        return np.full(shape, fills[self.mode], dtype=x.dtype)
+
     def eval(self, inputs):
         x = inputs[0]
         axes_arr = inputs[1] if len(inputs) > 1 and inputs[1] is not None else None
         ax = self._axes(x.ndim, axes_arr)
         if len(ax) == 0:
             return [x.copy()]
+        if any(x.shape[a] == 0 for a in ax):
+            return [self._empty_set(x, ax, np)]
         from .common import downcast_result, upcast_for_compute
 
         xc, orig = upcast_for_compute(x)
@@ -85,6 +101,9 @@ class Reduce(MilliOp):
         ax = self._axes(x.ndim, axes_arr)
         if len(ax) == 0:
             return [x]
+        if any(x.shape[a] == 0 for a in ax):
+            return [jnp.asarray(self._empty_set(np.zeros(x.shape,
+                                                         x.dtype), ax, np))]
         m = self.mode
         if m == "sum":
             return [jnp.sum(x, axis=ax, keepdims=self.keepdims)]

@@ -36,12 +36,12 @@ def op_registry() -> Dict[str, Type[MilliOp]]:
     if _REGISTRY is None:
         from . import ops as O
         from . import transforms as T
-        from .ops import (attention, conv, einsum, index, misc, norm,
-                          quant, random, rnn, signal)
+        from .ops import (attention, conv, einsum, extra, index, misc,
+                          norm, quant, random, rnn, signal, vision)
 
         reg: Dict[str, Type[MilliOp]] = {}
-        for mod in (O, T, attention, conv, einsum, index, misc, norm,
-                    quant, random, rnn, signal):
+        for mod in (O, T, attention, conv, einsum, extra, index, misc,
+                    norm, quant, random, rnn, signal, vision):
             for name in dir(mod):
                 c = getattr(mod, name)
                 if (inspect.isclass(c) and issubclass(c, MilliOp)

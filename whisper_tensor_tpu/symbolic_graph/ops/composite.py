@@ -60,16 +60,19 @@ class Attention(Operation):
 class RotaryEmbedding(Operation):
     interleaved: bool = False
     rotary_embedding_dim: int = 0
+    num_heads: int = 0   # required for the 3-D (B,S,H*D) layout
 
     @classmethod
     def from_onnx(cls, node, attrs, opset):
         return cls(bool(attrs.i("interleaved", 0)),
-                   attrs.i("rotary_embedding_dim", 0))
+                   attrs.i("rotary_embedding_dim", 0),
+                   attrs.i("num_heads", 0))
 
     def lower(self, ctx, inputs, n_outputs):
         args = [i for i in inputs if i is not None]
         return [ctx.emit1(RotaryMilli(self.interleaved,
-                                      self.rotary_embedding_dim), *args)]
+                                      self.rotary_embedding_dim,
+                                      self.num_heads), *args)]
 
 
 @register("LSTM")

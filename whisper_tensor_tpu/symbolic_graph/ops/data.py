@@ -457,6 +457,9 @@ class ResizeOp(Operation):
     cubic_a: float = -0.75
     exclude_outside: bool = False
     axes: Optional[List[int]] = None
+    antialias: bool = False
+    keep_policy: str = "stretch"
+    extrapolation_value: float = 0.0
 
     @classmethod
     def from_onnx(cls, node, attrs, opset):
@@ -465,13 +468,18 @@ class ResizeOp(Operation):
                    attrs.s("nearest_mode", "round_prefer_floor"),
                    attrs.f("cubic_coeff_a", -0.75),
                    bool(attrs.i("exclude_outside", 0)),
-                   attrs.ints("axes", None))
+                   attrs.ints("axes", None),
+                   bool(attrs.i("antialias", 0)),
+                   attrs.s("keep_aspect_ratio_policy", "stretch"),
+                   attrs.f("extrapolation_value", 0.0))
 
     def lower(self, ctx, inputs, n_outputs):
         from ...milli.ops import Resize
 
         return [ctx.emit1(Resize(self.mode, self.coord_mode, self.nearest_mode,
-                                 self.cubic_a, self.exclude_outside, self.axes),
+                                 self.cubic_a, self.exclude_outside, self.axes,
+                                 self.antialias, self.keep_policy,
+                                 self.extrapolation_value),
                           *inputs)]
 
 

@@ -23,6 +23,7 @@ _UNARY_MAP = {
     "Sigmoid": "sigmoid", "Erf": "erf", "Floor": "floor", "Ceil": "ceil",
     "Round": "round", "Reciprocal": "reciprocal", "Not": "not",
     "Sign": "sign", "Relu": "relu", "Softplus": "softplus", "IsNaN": "isnan",
+    "BitwiseNot": "bitnot",
 }
 
 
