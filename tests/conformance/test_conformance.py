@@ -11,14 +11,15 @@ from .harness import check_case
 from . import (cases_attention, cases_breadth, cases_dtypes,
                cases_elementwise, cases_misc2, cases_more, cases_nn,
                cases_newops, cases_norm_family, cases_pool, cases_reduce2,
-               cases_ref_reduce, cases_ref_resize, cases_sce, cases_shape)
+               cases_ref_misc, cases_ref_reduce, cases_ref_resize, cases_sce,
+               cases_shape)
 
 ALL_CASES = (cases_elementwise.CASES + cases_shape.CASES + cases_nn.CASES
              + cases_dtypes.CASES + cases_reduce2.CASES + cases_pool.CASES
              + cases_misc2.CASES + cases_more.CASES + cases_breadth.CASES
              + cases_attention.CASES + cases_norm_family.CASES
              + cases_sce.CASES + cases_ref_resize.CASES + cases_newops.CASES
-             + cases_ref_reduce.CASES)
+             + cases_ref_reduce.CASES + cases_ref_misc.CASES)
 
 _names = [c.name for c in ALL_CASES]
 assert len(_names) == len(set(_names)), sorted(

@@ -422,22 +422,27 @@ class AttentionMilli(MilliOp):
 class RotaryMilli(MilliOp):
     """Rotary position embedding.
 
-    inputs: x (B, H, S, D), cos (S', D/2 or D), sin (S', D/2 or D)
+    inputs: x (B, H, S, D) — or (B, S, H*D) when num_heads is set —
+            cos (S', D/2 or D), sin (S', D/2 or D)
             [, position_ids (B, S) or (S,)]
+    Without position_ids the caches may also be (B, S, D/2) per the
+    ONNX-23 spec (rows already positioned).
     interleaved=False (GPT-NeoX style halves) or True (GPT-J pairs).
     rotary_dim: apply to the first `rotary_dim` features only (0 = all).
     """
 
     interleaved: bool = False
     rotary_dim: int = 0
+    num_heads: int = 0
     KIND = "Rotary"
 
     def _tables(self, xp, cos, sin, pos, S):
-        # select rows by positions
+        # select rows by positions; 3-D (B,S,half) caches come
+        # pre-positioned (the ONNX-23 no-position_ids form)
         if pos is not None:
             cos = cos[pos.astype(np.int64) if isinstance(pos, np.ndarray) else pos]
             sin = sin[pos.astype(np.int64) if isinstance(pos, np.ndarray) else pos]
-        else:
+        elif cos.ndim == 2:
             cos = cos[:S]
             sin = sin[:S]
         return cos, sin
@@ -448,6 +453,10 @@ class RotaryMilli(MilliOp):
         pos = inputs[3] if len(inputs) > 3 and inputs[3] is not None else None
         out_dt = x.dtype
         xf = x.astype(np.float32)
+        was_3d = xf.ndim == 3
+        if was_3d:
+            Bx, Sx = xf.shape[0], xf.shape[1]
+            xf = np.swapaxes(xf.reshape(Bx, Sx, self.num_heads, -1), 1, 2)
         B, H, S, D = xf.shape
         rd = self.rotary_dim or D
         xr, xpass = xf[..., :rd], xf[..., rd:]
@@ -477,6 +486,8 @@ class RotaryMilli(MilliOp):
             rot = np.concatenate([x1 * cos_h - x2 * sin_h,
                                   x2 * cos_h + x1 * sin_h], axis=-1)
         out = np.concatenate([rot, xpass], axis=-1) if rd < D else rot
+        if was_3d:
+            out = np.swapaxes(out, 1, 2).reshape(B, S, H * D)
         return [out.astype(out_dt)]
 
     def to_jax(self, inputs, static=None):
@@ -485,16 +496,20 @@ class RotaryMilli(MilliOp):
         x = inputs[0]
         cos, sin = inputs[1], inputs[2]
         pos = inputs[3] if len(inputs) > 3 and inputs[3] is not None else None
-        B, H, S, D = x.shape
-        rd = self.rotary_dim or D
         xf = x.astype(jnp.float32)
+        was_3d = xf.ndim == 3
+        if was_3d:
+            Bx, Sx = xf.shape[0], xf.shape[1]
+            xf = jnp.swapaxes(xf.reshape(Bx, Sx, self.num_heads, -1), 1, 2)
+        B, H, S, D = xf.shape
+        rd = self.rotary_dim or D
         xr, xpass = xf[..., :rd], xf[..., rd:]
         cosf = cos.astype(jnp.float32)
         sinf = sin.astype(jnp.float32)
         if pos is not None:
             cosf = cosf[pos]
             sinf = sinf[pos]
-        else:
+        elif cosf.ndim == 2:
             cosf = cosf[:S]
             sinf = sinf[:S]
         while cosf.ndim < 3:
@@ -519,6 +534,8 @@ class RotaryMilli(MilliOp):
             rot = jnp.concatenate([x1 * cos_h - x2 * sin_h,
                                    x2 * cos_h + x1 * sin_h], axis=-1)
         out = jnp.concatenate([rot, xpass], axis=-1) if rd < D else rot
+        if was_3d:
+            out = jnp.swapaxes(out, 1, 2).reshape(B, S, H * D)
         return [out.astype(x.dtype)]
 
     def infer(self, infos):

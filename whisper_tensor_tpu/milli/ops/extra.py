@@ -730,3 +730,123 @@ class TrainingOptimizerMilli(MilliOp):
         for j in range(per * self.n_tensors):
             outs.append(TensorInfo.minimal(DType.F32))
         return outs
+
+
+@dataclass
+class TfIdfVectorizerMilli(MilliOp):
+    """ONNX TfIdfVectorizer (TF/IDF/TFIDF over skip-n-grams).
+    Oracle-only: dictionary-driven counting (official corpus
+    test_tfidfvectorizer_*)."""
+
+    max_gram_length: int = 1
+    max_skip_count: int = 0
+    min_gram_length: int = 1
+    mode: str = "TF"
+    ngram_counts: tuple = ()
+    ngram_indexes: tuple = ()
+    pool_int64s: tuple = ()
+    weights: Optional[tuple] = None
+    KIND = "TfIdfVectorizer"
+
+    def _pool(self):
+        """{(gram tuple): output column}"""
+        table = {}
+        counts = list(self.ngram_counts) + [len(self.pool_int64s)]
+        idx_pos = 0
+        for level in range(len(self.ngram_counts)):
+            n = level + 1
+            start, end = counts[level], counts[level + 1]
+            section = self.pool_int64s[start:end]
+            for off in range(0, len(section), n):
+                gram = tuple(section[off:off + n])
+                table[gram] = self.ngram_indexes[idx_pos]
+                idx_pos += 1
+        return table
+
+    def eval(self, inputs):
+        x = np.asarray(inputs[0], dtype=np.int64)
+        was_1d = x.ndim == 1
+        if was_1d:
+            x = x[None]
+        N, C = x.shape
+        W = max(self.ngram_indexes) + 1 if self.ngram_indexes else 0
+        out = np.zeros((N, W), np.float32)
+        table = self._pool()
+        for r in range(N):
+            row = x[r]
+            for n in range(self.min_gram_length,
+                           self.max_gram_length + 1):
+                skips = range(self.max_skip_count + 1) if n > 1 else [0]
+                for s in skips:
+                    stride = s + 1
+                    span = (n - 1) * stride
+                    for i in range(0, C - span):
+                        gram = tuple(int(row[i + j * stride])
+                                     for j in range(n))
+                        col = table.get(gram)
+                        if col is not None:
+                            out[r, col] += 1.0
+        if self.mode in ("IDF", "TFIDF"):
+            w = (np.asarray(self.weights, np.float32)
+                 if self.weights is not None else np.ones(W, np.float32))
+            if self.mode == "IDF":
+                out = (out > 0).astype(np.float32) * w
+            else:
+                out = out * w
+        return [out[0] if was_1d else out]
+
+    def infer(self, infos):
+        i = infos[0]
+        if _numeric_all(infos):
+            return [TensorInfo.numeric(self.eval([i.value])[0])]
+        return [TensorInfo.ranked(DType.F32, i.rank)
+                if i.rank is not None else TensorInfo.minimal(DType.F32)]
+
+
+@dataclass
+class DropoutMilli(MilliOp):
+    """ONNX-13 Dropout: x [, ratio [, training_mode]] -> y [, mask].
+    Inference (or ratio 0): identity + all-true mask. Training: the
+    official corpus' legacy numpy draw (np.random.seed(seed);
+    uniform >= ratio), oracle-only — the jit path serves inference."""
+
+    seed: Optional[int] = None
+    n_out: int = 1
+    KIND = "Dropout"
+
+    def _mode(self, inputs):
+        ratio = (float(np.asarray(inputs[1]).reshape(()))
+                 if len(inputs) > 1 and inputs[1] is not None else 0.5)
+        training = (bool(np.asarray(inputs[2]).reshape(()))
+                    if len(inputs) > 2 and inputs[2] is not None else False)
+        return ratio, training
+
+    def eval(self, inputs):
+        x = inputs[0]
+        ratio, training = self._mode(inputs)
+        if not training or ratio == 0.0:
+            return [x.copy(), np.ones(x.shape, bool)][:self.n_out]
+        np.random.seed(int(self.seed) if self.seed is not None else 0)
+        mask = np.random.uniform(0.0, 1.0, x.shape) >= ratio
+        y = (mask * x / (1.0 - ratio)).astype(x.dtype)
+        return [y, mask][:self.n_out]
+
+    def to_jax(self, inputs, static=None):
+        import jax.numpy as jnp
+
+        x = inputs[0]
+        if len(inputs) > 2 and inputs[2] is not None:
+            if static is None or static[2] is None:
+                raise NotImplementedError("Dropout: dynamic training_mode")
+            if bool(np.asarray(static[2]).reshape(())):
+                raise NotImplementedError(
+                    "Dropout training draw is host-seeded (oracle path)")
+        return [x, jnp.ones(x.shape, bool)][:self.n_out]
+
+    def infer(self, infos):
+        x = infos[0]
+        outs = [x.forget_value()]
+        if self.n_out > 1:
+            outs.append(TensorInfo(DType.BOOL, min(x.level, Level.SHAPED),
+                                   shape=x.shape, rank_=x.rank_))
+        return outs

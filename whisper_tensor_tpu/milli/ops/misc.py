@@ -261,6 +261,16 @@ class DynUpdateSliceMilli(MilliOp):
         data, update, start = inputs
         ax = self.axis % data.ndim
         if start.ndim == 1:
+            if ax == 2 and data.ndim == 4:
+                from ...backends.pallas.kv_write import (
+                    ragged_kv_write, ragged_kv_write_usable)
+
+                if ragged_kv_write_usable(data, update, start):
+                    # true in-place ragged write: XLA's lowering of the
+                    # vmapped DUS rewrites the FULL cache every step
+                    # (masked select); the Pallas kernel touches only
+                    # each row's (H, 1, D) slab
+                    return [ragged_kv_write(data, update, start)]
             return [jax.vmap(
                 lambda d, u, s: jax.lax.dynamic_update_slice_in_dim(
                     d, u.astype(d.dtype), s, axis=ax - 1))(

@@ -108,19 +108,27 @@ class STFT(Operation):
 
 
 @register("Dropout")
+@dataclass
 class Dropout(Operation):
-    """Inference mode: identity (+ all-true mask when requested)."""
+    """Inference: identity (+ all-true mask). Training (opset-13
+    training_mode input true): the official seeded numpy draw, via
+    DropoutMilli (oracle path). Opset<12 attr form is always
+    inference per ONNX >= 7."""
+
+    seed: Optional[int] = None
+
+    @classmethod
+    def from_onnx(cls, node, attrs, opset):
+        return cls(attrs.i("seed", None))
 
     def lower(self, ctx, inputs, n_outputs):
-        from ...milli.ops import ConstantOfShape
+        from ...milli.ops.extra import DropoutMilli
 
-        x = inputs[0]
-        outs = [x]
-        if n_outputs > 1:
-            shp = ctx.emit1(Shape(), x)
-            mask = ctx.emit1(ConstantOfShape(np.asarray(True)), shp)
-            outs.append(mask)
-        return outs
+        args = list(inputs)
+        while args and args[-1] is None:
+            args.pop()
+        return ctx.emit(DropoutMilli(self.seed, n_out=n_outputs), *args,
+                        n_outputs=n_outputs)
 
 
 @register("DepthToSpace")

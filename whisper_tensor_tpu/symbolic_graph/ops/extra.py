@@ -427,3 +427,37 @@ class ConvInteger(Operation):
                    a.get("group", 1),
                    a.get("auto_pad", "NOTSET")).lower(ctx, [xf, wf], 1)[0]
         return [ctx.emit1(Cast(DType.I32), y)]
+
+
+@register("TfIdfVectorizer")
+@dataclass
+class TfIdfVectorizer(Operation):
+    max_gram_length: int = 1
+    max_skip_count: int = 0
+    min_gram_length: int = 1
+    mode: str = "TF"
+    ngram_counts: tuple = ()
+    ngram_indexes: tuple = ()
+    pool_int64s: tuple = ()
+    weights: Optional[tuple] = None
+
+    @classmethod
+    def from_onnx(cls, node, attrs, opset):
+        w = attrs.floats("weights", None)
+        return cls(attrs.i("max_gram_length", 1),
+                   attrs.i("max_skip_count", 0),
+                   attrs.i("min_gram_length", 1),
+                   attrs.s("mode", "TF"),
+                   tuple(attrs.ints("ngram_counts", []) or []),
+                   tuple(attrs.ints("ngram_indexes", []) or []),
+                   tuple(attrs.ints("pool_int64s", []) or []),
+                   tuple(w) if w is not None else None)
+
+    def lower(self, ctx, inputs, n_outputs):
+        from ...milli.ops.extra import TfIdfVectorizerMilli
+
+        return [ctx.emit1(TfIdfVectorizerMilli(
+            self.max_gram_length, self.max_skip_count,
+            self.min_gram_length, self.mode, self.ngram_counts,
+            self.ngram_indexes, self.pool_int64s, self.weights),
+            inputs[0])]
