@@ -127,6 +127,14 @@ OP_TOKENS = {
     "adagrad": "Adagrad", "adam": "Adam",
     "hardsigmoid_default": "HardSigmoid",
     "pad": "Pad", "unique": "Unique",
+    # corpus spellings without an underscore after the op token
+    "and2d": "And", "and3d": "And", "and4d": "And",
+    "or2d": "Or", "or3d": "Or", "or4d": "Or",
+    "xor2d": "Xor", "xor3d": "Xor", "xor4d": "Xor",
+    "regex_full_match": "RegexFullMatch",
+    "basic_deform_conv": "DeformConv",
+    "loop11": "Loop", "loop13": "Loop", "loop16": "Loop",
+    "scan9": "Scan",
 }
 
 # repo-name synonym tokens (variant vocabulary normalization)
@@ -231,6 +239,21 @@ def main():
     with open("/tmp/mapped.txt", "w") as f:
         for r, c in sorted(mapped.items()):
             f.write(f"{r}\t{c}\n")
+    if "--emit" in sys.argv:
+        out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "..", "tests", "conformance",
+                           "reference_map.tsv")
+        with open(out, "w") as f:
+            f.write("# reference onnx_testing.rs test name -> repo "
+                    "conformance case (regenerated suite)\n"
+                    f"# {len(mapped)}/{len(set(refs))} unique reference "
+                    "names mapped; generator: scripts/"
+                    "map_reference_conformance.py --emit\n")
+            for r, c in sorted(mapped.items()):
+                f.write(f"{r}\t{c}\n")
+            for r, why_, op in sorted(unmapped):
+                f.write(f"{r}\tUNMAPPED({why_}:{op})\n")
+        print(f"wrote {out}")
 
 
 if __name__ == "__main__":

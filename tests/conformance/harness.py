@@ -42,8 +42,13 @@ class Case:
     oracle_only: bool = False
     rtol: float = RTOL
     atol: float = ATOL
+    # optional custom graph builder (multi-node cases: sequences,
+    # optionals); called with the Case, returns a Model
+    builder: Optional[Callable] = None
 
     def build_model(self) -> Model:
+        if self.builder is not None:
+            return self.builder(self)
         b = OnnxBuilder(self.name, opset=self.opset,
                         custom_opsets={"wt": 1} if self.domain else None)
         in_names = []
@@ -62,6 +67,15 @@ class Case:
         b.node(self.op_type, in_names, outputs=out_names, domain=self.domain,
                **self.attrs)
         for nm, e in zip(out_names, self.expected):
+            if isinstance(e, list):
+                # sequence-valued output: declare by element dtype only
+                # (the interpreter carries sequences as python lists and
+                # skips shape validation for them)
+                el = np.asarray(e[0]) if e else np.zeros(0, np.float32)
+                b.output(nm, DType.from_numpy(el.dtype)
+                         if el.dtype != np.dtype(object) else DType.STRING,
+                         [])
+                continue
             e = np.asarray(e)
             b.output(nm, DType.from_numpy(e.dtype) if e.dtype != np.dtype(object)
                      else DType.STRING, list(e.shape))
@@ -87,6 +101,19 @@ def check_case(case: Case, mode: str) -> None:
              if n not in case.initializer_names and v is not None}
     out = model.eval(feeds, mode=mode)
     for k, expected in enumerate(case.expected):
+        if isinstance(expected, list):
+            got_seq = out[f"out_{k}"]
+            assert isinstance(got_seq, list), \
+                f"{case.name}: expected a sequence, got {type(got_seq)}"
+            assert len(got_seq) == len(expected), \
+                f"{case.name}: sequence length {len(got_seq)} != " \
+                f"{len(expected)}"
+            for gi, ei in zip(got_seq, expected):
+                np.testing.assert_allclose(
+                    np.asarray(gi, dtype=np.float64),
+                    np.asarray(ei, dtype=np.float64), rtol=case.rtol,
+                    atol=case.atol, err_msg=case.name, equal_nan=True)
+            continue
         got = np.asarray(out[f"out_{k}"])
         expected = np.asarray(expected)
         assert got.shape == expected.shape, \

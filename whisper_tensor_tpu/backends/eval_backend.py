@@ -125,8 +125,10 @@ class EvalBackend:
                 return outer[name]
             raise KeyError(f"tensor {name!r} has no value")
 
+        from ..symbolic_graph.ops.sequence import OptionalVal
         for name, v in feeds.items():
-            env[name] = np.asarray(v)
+            env[name] = (v if isinstance(v, (list, OptionalVal))
+                         else np.asarray(v))
         for tid in graph.inputs:
             n = graph.tensors[tid].name
             if n not in env and n not in outer:
@@ -156,9 +158,11 @@ class EvalBackend:
             for st, v in zip(sop.outputs, outs):
                 if st is None:
                     continue
-                v = np.asarray(v)
+                from ..symbolic_graph.ops.sequence import OptionalVal
+                if not isinstance(v, (list, OptionalVal)):
+                    v = np.asarray(v)
                 name = graph.tensors[st].name
-                if self.validate:
+                if self.validate and isinstance(v, np.ndarray):
                     self._check(graph, st, v, sop)
                 env[name] = v
                 if self.observer is not None:

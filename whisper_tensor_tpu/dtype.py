@@ -50,6 +50,8 @@ class DType(enum.Enum):
     # U4/I4 sub-byte types (ONNX 21+); stored unpacked as u8/i8 on host.
     U4 = "u4"
     I4 = "i4"
+    # FLOAT4E2M1 (ONNX 23); ml_dtypes float4_e2m1fn host representation
+    F4E2M1 = "f4e2m1"
 
     # ------------------------------------------------------------------
     def __repr__(self) -> str:
@@ -119,18 +121,20 @@ class DType(enum.Enum):
         and the TPU MXU's native f32 accumulator); small ints accumulate
         in i32/i64.
         """
-        if self in (DType.BF16, DType.F16, DType.F8E4M3, DType.F8E5M2):
+        if self in (DType.BF16, DType.F16, DType.F8E4M3, DType.F8E5M2,
+                    DType.F4E2M1):
             return DType.F32
         if self in (DType.I8, DType.I16, DType.U8, DType.U16, DType.I4, DType.U4):
             return DType.I32
         return self
 
 
-_FLOATS = (DType.F64, DType.F32, DType.BF16, DType.F16, DType.F8E4M3, DType.F8E5M2)
+_FLOATS = (DType.F64, DType.F32, DType.BF16, DType.F16, DType.F8E4M3,
+           DType.F8E5M2, DType.F4E2M1)
 
 _SIZES = {
     DType.F64: 8.0, DType.F32: 4.0, DType.BF16: 2.0, DType.F16: 2.0,
-    DType.F8E4M3: 1.0, DType.F8E5M2: 1.0,
+    DType.F8E4M3: 1.0, DType.F8E5M2: 1.0, DType.F4E2M1: 0.5,
     DType.I64: 8.0, DType.I32: 4.0, DType.I16: 2.0, DType.I8: 1.0,
     DType.U64: 8.0, DType.U32: 4.0, DType.U16: 2.0, DType.U8: 1.0,
     DType.BOOL: 1.0, DType.U4: 0.5, DType.I4: 0.5,
@@ -157,10 +161,13 @@ if _HAVE_ML_DTYPES:
     _NP_MAP[DType.BF16] = ml_dtypes.bfloat16
     _NP_MAP[DType.F8E4M3] = ml_dtypes.float8_e4m3fn
     _NP_MAP[DType.F8E5M2] = ml_dtypes.float8_e5m2
+    _NP_MAP[DType.F4E2M1] = getattr(ml_dtypes, "float4_e2m1fn",
+                                    ml_dtypes.float8_e4m3fn)
 else:  # pragma: no cover - ml_dtypes ships with jax in this image
     _NP_MAP[DType.BF16] = np.float32
     _NP_MAP[DType.F8E4M3] = np.float32
     _NP_MAP[DType.F8E5M2] = np.float32
+    _NP_MAP[DType.F4E2M1] = np.float32
 
 
 # ---------------------------------------------------------------------------
@@ -186,6 +193,7 @@ ONNX_TO_DTYPE = {
     19: DType.F8E5M2,
     21: DType.U4,
     22: DType.I4,
+    23: DType.F4E2M1,
 }
 DTYPE_TO_ONNX = {v: k for k, v in ONNX_TO_DTYPE.items()}
 

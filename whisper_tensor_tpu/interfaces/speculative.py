@@ -221,7 +221,9 @@ class SpeculativeDecoder:
             carry = (first, pos, count, out, tuple(t_caches),
                      tuple(d_caches), jnp.asarray(1, jnp.int64))
             carry = jax.lax.while_loop(cond, body, carry)
-            return carry[3][:, :n_new]
+            # rounds ride out for acceptance-rate accounting (rnd
+            # starts at 1 and bumps once per verify round)
+            return carry[3][:, :n_new], carry[6] - 1
 
         jitted = jax.jit(spec, donate_argnums=(2, 3))
         self._programs[key] = jitted
@@ -271,7 +273,11 @@ class SpeculativeDecoder:
         padded[:, :L] = ids
         prog = self._program(B, bucket, n_new, sampling)
         rng = jax.random.PRNGKey(sampling.seed if sampling else 0)
-        toks = prog(jnp.asarray(padded), jnp.asarray(L, jnp.int64),
-                    self.target.fresh_cache(B), self.draft.fresh_cache(B),
-                    self.target._weights(), self.draft._weights(), rng)
+        toks, rounds = prog(
+            jnp.asarray(padded), jnp.asarray(L, jnp.int64),
+            self.target.fresh_cache(B), self.draft.fresh_cache(B),
+            self.target._weights(), self.draft._weights(), rng)
+        # acceptance-rate bookkeeping: tokens emitted per verify round
+        # is 1 + accepted proposals, so acceptance = (n/rounds - 1)/(k-1)
+        self.last_rounds = int(np.asarray(rounds))
         return np.asarray(toks)

@@ -80,13 +80,36 @@ def _np_conv(x, w, bias, strides, pads, dilations, groups):
 
 @dataclass
 class Conv(MilliOp):
-    """inputs: x, w[, bias]. Explicit pads (auto_pad resolved at lowering)."""
+    """inputs: x, w[, bias]. Explicit pads, or auto_pad SAME_UPPER /
+    SAME_LOWER resolved here from the runtime shapes."""
 
     strides: Optional[List[int]] = None
     pads: Optional[List[int]] = None
     dilations: Optional[List[int]] = None
     groups: int = 1
+    auto_pad: str = "NOTSET"
     KIND = "Conv"
+
+    def _pads(self, x_shape, w_shape):
+        if self.auto_pad not in ("SAME_UPPER", "SAME_LOWER"):
+            return self.pads
+        nsp = len(x_shape) - 2
+        s = list(self.strides or [1] * nsp)
+        d = list(self.dilations or [1] * nsp)
+        k = list(w_shape[2:])
+        pb, pe = [], []
+        for i in range(nsp):
+            eff = (k[i] - 1) * d[i] + 1
+            o = -(-x_shape[2 + i] // s[i])
+            total = max((o - 1) * s[i] + eff - x_shape[2 + i], 0)
+            small, big = total // 2, total - total // 2
+            if self.auto_pad == "SAME_UPPER":
+                pb.append(small)
+                pe.append(big)
+            else:
+                pb.append(big)
+                pe.append(small)
+        return pb + pe
 
     def eval(self, inputs):
         x, w = inputs[0], inputs[1]
@@ -94,7 +117,9 @@ class Conv(MilliOp):
         xc, orig = upcast_for_compute(x)
         wc, _ = upcast_for_compute(w)
         bc = upcast_for_compute(bias)[0] if bias is not None else None
-        out = _np_conv(xc, wc, bc, self.strides, self.pads, self.dilations, self.groups)
+        out = _np_conv(xc, wc, bc, self.strides,
+                       self._pads(x.shape, w.shape), self.dilations,
+                       self.groups)
         return [downcast_result(out, orig)]
 
     def to_jax(self, inputs, static=None):
@@ -105,7 +130,7 @@ class Conv(MilliOp):
         nsp = x.ndim - 2
         strides = tuple(self.strides or [1] * nsp)
         dil = tuple(self.dilations or [1] * nsp)
-        pads = list(self.pads or [0] * (2 * nsp))
+        pads = list(self._pads(x.shape, w.shape) or [0] * (2 * nsp))
         pad_pairs = tuple((pads[i], pads[i + nsp]) for i in range(nsp))
         dn = jax.lax.conv_dimension_numbers(x.shape, w.shape,
                                             ("NCHW"[:2 + nsp] if nsp <= 2 else None,
@@ -133,7 +158,12 @@ class Conv(MilliOp):
             nsp = len(dx) - 2
             strides = self.strides or [1] * nsp
             dil = self.dilations or [1] * nsp
-            pads = list(self.pads or [0] * (2 * nsp))
+            if self.auto_pad in ("SAME_UPPER", "SAME_LOWER") and \
+                    all(d.is_known for d in list(dx) + list(dw)):
+                pads = list(self._pads([int(d.value()) for d in dx],
+                                       [int(d.value()) for d in dw]))
+            else:
+                pads = list(self.pads or [0] * (2 * nsp))
             out = [dx[0], dw[0]]
             for i in range(nsp):
                 if dx[2 + i].is_known and dw[2 + i].is_known:
@@ -762,6 +792,9 @@ class Pool(MilliOp):
     dilations: Optional[List[int]] = None    # max only (ONNX)
     ceil_mode: bool = False
     count_include_pad: bool = False
+    auto_pad: str = "NOTSET"                 # SAME_UPPER | SAME_LOWER
+    n_out: int = 1                           # 2 = MaxPool Indices output
+    storage_order: int = 0                   # Indices flattening order
     KIND = "Pool"
 
     def _geometry(self, ishape):
@@ -771,6 +804,19 @@ class Pool(MilliOp):
         d = list(self.dilations or [1] * nsp)
         pads = list(self.pads or [0] * (2 * nsp))
         pb, pe = pads[:nsp], pads[nsp:]
+        if self.auto_pad in ("SAME_UPPER", "SAME_LOWER"):
+            pb, pe = [], []
+            for i in range(nsp):
+                eff = (k[i] - 1) * d[i] + 1
+                o = -(-ishape[2 + i] // s[i])
+                total = max((o - 1) * s[i] + eff - ishape[2 + i], 0)
+                small, big = total // 2, total - total // 2
+                if self.auto_pad == "SAME_UPPER":
+                    pb.append(small)
+                    pe.append(big)
+                else:
+                    pb.append(big)
+                    pe.append(small)
         osp, pe_ext = [], []
         for i in range(nsp):
             eff = (k[i] - 1) * d[i] + 1
@@ -811,7 +857,41 @@ class Pool(MilliOp):
                 out = out + w
         if self.mode == "avg":
             out = out / self._denom(x.shape, np)
-        return [downcast_result(out.astype(xc.dtype, copy=False), orig)]
+        y = downcast_result(out.astype(xc.dtype, copy=False), orig)
+        if self.n_out < 2:
+            return [y]
+        # MaxPool Indices: flattened position of each window max in the
+        # ORIGINAL input (row-major; storage_order=1 flattens spatial
+        # dims column-major). Loop form — the Indices surface is an
+        # oracle artifact (corpus argmax tests), not a serving path.
+        N, C = x.shape[0], x.shape[1]
+        sp = x.shape[2:]
+        idx_out = np.zeros((N, C) + tuple(osp), np.int64)
+        for n in range(N):
+            for c in range(C):
+                for opos in itertools.product(*[range(o) for o in osp]):
+                    best, best_i = None, 0
+                    for kpos in itertools.product(*[range(ki) for ki in k]):
+                        ipos = [opos[i] * s[i] - pb[i] + kpos[i] * d[i]
+                                for i in range(nsp)]
+                        if any(p_ < 0 or p_ >= sp[i]
+                               for i, p_ in enumerate(ipos)):
+                            continue
+                        v = x[(n, c) + tuple(ipos)]
+                        if best is None or v > best:
+                            best = v
+                            if self.storage_order == 1 and nsp == 2:
+                                flat_sp = ipos[1] * sp[0] + ipos[0]
+                            else:
+                                flat_sp = 0
+                                for i in range(nsp):
+                                    flat_sp = flat_sp * sp[i] + ipos[i]
+                            spn = 1
+                            for dim in sp:
+                                spn *= dim
+                            best_i = (n * C + c) * spn + flat_sp
+                    idx_out[(n, c) + opos] = best_i
+        return [y, idx_out]
 
     def _denom(self, ishape, xp_mod):
         """per-window element count (f32): ones over the input, 1-padded
@@ -839,6 +919,8 @@ class Pool(MilliOp):
         import jax
         import jax.numpy as jnp
 
+        if self.n_out > 1:
+            raise NotImplementedError("MaxPool Indices: oracle path")
         x = inputs[0]
         nsp = x.ndim - 2
         k, s, d, pb, pe, pe_ext, osp = self._geometry(x.shape)
@@ -867,11 +949,15 @@ class Pool(MilliOp):
     def infer(self, infos):
         i = infos[0]
         if i.level is Level.NUMERIC:
-            return [TensorInfo.numeric(self.eval([i.value])[0])]
+            return [TensorInfo.numeric(o) for o in self.eval([i.value])]
         cs = i.concrete_shape()
         if cs is not None:
             _, _, _, _, _, _, osp = self._geometry(cs)
-            return [TensorInfo.shaped(i.dtype, list(cs[:2]) + osp)]
+            out = TensorInfo.shaped(i.dtype, list(cs[:2]) + osp)
+            return [out, TensorInfo.shaped(DType.I64, list(cs[:2]) + osp)
+                    ][:self.n_out]
         if i.rank is not None:
-            return [TensorInfo.ranked(i.dtype, i.rank)]
-        return [TensorInfo.minimal(i.dtype)]
+            return [TensorInfo.ranked(i.dtype, i.rank),
+                    TensorInfo.ranked(DType.I64, i.rank)][:self.n_out]
+        return [TensorInfo.minimal(i.dtype),
+                TensorInfo.minimal(DType.I64)][:self.n_out]

@@ -347,38 +347,72 @@ class GroupNormMilli(MilliOp):
 
 @dataclass
 class BatchNormMilli(MilliOp):
-    """inference-mode batch norm: x, scale, bias, mean, var (all per-C)."""
+    """Batch norm: x, scale, bias, mean, var (all per-C). training=True
+    normalizes with CURRENT batch stats and also returns the
+    momentum-blended running mean/var (ONNX-15 outputs)."""
 
     epsilon: float = 1e-5
+    training: bool = False
+    momentum: float = 0.9
+    n_out: int = 1
     KIND = "BatchNorm"
+
+    def _norm(self, xp_mod, x, scale, bias, mean, var, cur_axes):
+        f32 = (np.float32 if xp_mod is np else
+               __import__("jax.numpy", fromlist=["x"]).float32)
+        xp = x.astype(f32)
+        r = x.ndim
+        if self.training:
+            cur_mean = xp.mean(axis=cur_axes)
+            cur_var = ((xp - _bcast_to_rank(cur_mean, r, 1)) ** 2).mean(
+                axis=cur_axes)
+            use_mean, use_var = cur_mean, cur_var
+            run_mean = (mean.astype(f32) * self.momentum
+                        + cur_mean * (1.0 - self.momentum))
+            run_var = (var.astype(f32) * self.momentum
+                       + cur_var * (1.0 - self.momentum))
+        else:
+            use_mean, use_var = mean.astype(f32), var.astype(f32)
+            run_mean = run_var = None
+        inv = 1.0 / np.sqrt(use_var + np.float32(self.epsilon)) \
+            if xp_mod is np else jax_rsqrt(use_var + self.epsilon)
+        y = (xp - _bcast_to_rank(use_mean, r, 1)) \
+            * _bcast_to_rank(inv, r, 1)
+        y = y * _bcast_to_rank(scale.astype(f32), r, 1) \
+            + _bcast_to_rank(bias.astype(f32), r, 1)
+        return y, run_mean, run_var
 
     def eval(self, inputs):
         x, scale, bias, mean, var = inputs
-        xp = x.astype(np.float32) if x.dtype.kind == "f" and x.dtype.itemsize < 4 else x
-        r = x.ndim
-        y = (xp - _bcast_to_rank(mean.astype(xp.dtype), r, 1)) \
-            / np.sqrt(_bcast_to_rank(var.astype(xp.dtype), r, 1) + np.asarray(self.epsilon, dtype=xp.dtype))
-        y = y * _bcast_to_rank(scale.astype(xp.dtype), r, 1) \
-            + _bcast_to_rank(bias.astype(xp.dtype), r, 1)
-        return [y.astype(x.dtype)]
+        axes = tuple(a for a in range(x.ndim) if a != 1)
+        y, rm, rv = self._norm(np, x, scale, bias, mean, var, axes)
+        outs = [y.astype(x.dtype)]
+        if self.n_out >= 2:
+            outs.append(rm.astype(mean.dtype))
+        if self.n_out >= 3:
+            outs.append(rv.astype(var.dtype))
+        return outs
 
     def to_jax(self, inputs, static=None):
         import jax.numpy as jnp
 
         x, scale, bias, mean, var = inputs
-        r = x.ndim
-        xp = x.astype(jnp.float32)
-        y = (xp - _bcast_to_rank(mean.astype(jnp.float32), r, 1)) \
-            * jax_rsqrt(_bcast_to_rank(var.astype(jnp.float32), r, 1) + self.epsilon)
-        y = y * _bcast_to_rank(scale.astype(jnp.float32), r, 1) \
-            + _bcast_to_rank(bias.astype(jnp.float32), r, 1)
-        return [y.astype(x.dtype)]
+        axes = tuple(a for a in range(x.ndim) if a != 1)
+        y, rm, rv = self._norm(jnp, x, scale, bias, mean, var, axes)
+        outs = [y.astype(x.dtype)]
+        if self.n_out >= 2:
+            outs.append(rm.astype(mean.dtype))
+        if self.n_out >= 3:
+            outs.append(rv.astype(var.dtype))
+        return outs
 
     def infer(self, infos):
         i = infos[0]
         if all(f.level is Level.NUMERIC for f in infos):
-            return [TensorInfo.numeric(self.eval([f.value for f in infos])[0])]
-        return [i.forget_value()]
+            return [TensorInfo.numeric(o)
+                    for o in self.eval([f.value for f in infos])]
+        return [i.forget_value(), infos[3].forget_value(),
+                infos[4].forget_value()][:self.n_out]
 
 
 def jax_rsqrt(v):

@@ -408,6 +408,9 @@ class TopK(MilliOp):
         from .common import upcast_for_compute
 
         xc, _ = upcast_for_compute(x)
+        if xc.dtype.kind == "u":
+            # unsigned negation wraps; order in float64 (exact <= 2^53)
+            xc = xc.astype(np.float64)
         if self.largest:
             part = np.argsort(-xc, axis=ax, kind="stable")
         else:
@@ -425,6 +428,15 @@ class TopK(MilliOp):
         x = inputs[0]
         kk = int(np.asarray(_need_static(static, 1, "TopK")).reshape(-1)[0])
         ax = self.axis % x.ndim
+        if jnp.issubdtype(x.dtype, jnp.unsignedinteger) \
+                and not self.largest:
+            # unsigned negation wraps: order via a signed view
+            xs = x.astype(jnp.int64 if x.dtype.itemsize < 8
+                          else jnp.float32)
+            _, idx = TopK(self.axis, self.largest,
+                          self.sorted).to_jax([xs, inputs[1]], static)
+            return [jnp.take_along_axis(x, idx, axis=ax),
+                    idx.astype(jnp.int64)]
         if ax != x.ndim - 1:
             perm = [i for i in range(x.ndim) if i != ax] + [ax]
             inv = np.argsort(perm)

@@ -45,6 +45,7 @@ class LstmMilli(MilliOp):
 
     hidden_size: int = 0
     direction: str = "forward"  # forward | reverse | bidirectional
+    layout: int = 0             # 1 = batch-first (batchwise tests)
     KIND = "Lstm"
     N_OUTPUTS = 3
 
@@ -55,6 +56,8 @@ class LstmMilli(MilliOp):
 
     def eval(self, inputs):
         X = inputs[0].astype(np.float32)
+        if self.layout:
+            X = np.swapaxes(X, 0, 1)
         W = inputs[1].astype(np.float32)
         R = inputs[2].astype(np.float32)
         Bi = inputs[3].astype(np.float32) if len(inputs) > 3 and inputs[3] is not None else None
@@ -66,6 +69,12 @@ class LstmMilli(MilliOp):
               else np.zeros((nd, Bn, H), np.float32))
         c0 = (inputs[6].astype(np.float32) if len(inputs) > 6 and inputs[6] is not None
               else np.zeros((nd, Bn, H), np.float32))
+        if self.layout and len(inputs) > 5 and inputs[5] is not None:
+            h0 = np.swapaxes(h0, 0, 1)
+        if self.layout and len(inputs) > 6 and inputs[6] is not None:
+            c0 = np.swapaxes(c0, 0, 1)
+        P = (inputs[7].astype(np.float32)
+             if len(inputs) > 7 and inputs[7] is not None else None)
         Y = np.zeros((S, nd, Bn, H), np.float32)
         Yh = np.zeros((nd, Bn, H), np.float32)
         Yc = np.zeros((nd, Bn, H), np.float32)
@@ -73,16 +82,19 @@ class LstmMilli(MilliOp):
             rev = (self.direction == "reverse") or (d == 1)
             Wd, Rd = W[d], R[d]
             bias = Bi[d][:4 * H] + Bi[d][4 * H:] if Bi is not None else np.zeros(4 * H, np.float32)
+            pi = P[d][0:H] if P is not None else 0.0
+            po = P[d][H:2 * H] if P is not None else 0.0
+            pf = P[d][2 * H:3 * H] if P is not None else 0.0
             h, c = h0[d].copy(), c0[d].copy()
             order = range(S - 1, -1, -1) if rev else range(S)
             for t in order:
                 x = X[t]
                 g = x @ Wd.T + h @ Rd.T + bias
-                i = _sig(g[:, 0:H])
-                o = _sig(g[:, H:2 * H])
-                f = _sig(g[:, 2 * H:3 * H])
+                i = _sig(g[:, 0:H] + pi * c)
+                f = _sig(g[:, 2 * H:3 * H] + pf * c)
                 cc = np.tanh(g[:, 3 * H:4 * H])
                 c_new = f * c + i * cc
+                o = _sig(g[:, H:2 * H] + po * c_new)
                 h_new = o * np.tanh(c_new)
                 if seq_lens is not None:
                     active = (t < np.asarray(seq_lens).astype(np.int64))[:, None]
@@ -94,6 +106,11 @@ class LstmMilli(MilliOp):
                 h, c = h_new, c_new
             Yh[d], Yc[d] = h, c
         dt = inputs[0].dtype
+        if self.layout:
+            # layout=1: Y (B,S,nd,H); Y_h/Y_c (B,nd,H)
+            return [Y.transpose(2, 0, 1, 3).astype(dt),
+                    np.swapaxes(Yh, 0, 1).astype(dt),
+                    np.swapaxes(Yc, 0, 1).astype(dt)]
         return [Y.astype(dt), Yh.astype(dt), Yc.astype(dt)]
 
     @_f32_matmuls
@@ -104,6 +121,10 @@ class LstmMilli(MilliOp):
         X = inputs[0].astype(jnp.float32)
         W = inputs[1].astype(jnp.float32)
         R = inputs[2].astype(jnp.float32)
+        if self.layout or (len(inputs) > 7 and inputs[7] is not None):
+            # batch-first layout / peephole forms are corpus artifacts:
+            # oracle path (recipes use the standard S-major surface)
+            raise NotImplementedError("LSTM layout=1 / peepholes")
         Bi = inputs[3].astype(jnp.float32) if len(inputs) > 3 and inputs[3] is not None else None
         seq_lens = (inputs[4].astype(jnp.int64)
                     if len(inputs) > 4 and inputs[4] is not None else None)
@@ -168,6 +189,11 @@ class LstmMilli(MilliOp):
         dx = x.dims()
         nd = 2 if self.direction == "bidirectional" else 1
         H = self.hidden_size
+        if getattr(self, "layout", 0):
+            # batch-first layout transposes S/B in the outputs: RANKED
+            n_out = getattr(self, "N_OUTPUTS", 2)
+            return ([TensorInfo.ranked(x.dtype, 4)]
+                    + [TensorInfo.ranked(x.dtype, 3)] * (n_out - 1))
         if dx is not None:
             from ...scalar_info import ScalarInfo
 
@@ -187,6 +213,7 @@ class GruMilli(MilliOp):
     hidden_size: int = 0
     direction: str = "forward"
     linear_before_reset: bool = False
+    layout: int = 0             # 1 = batch-first (batchwise tests)
     KIND = "Gru"
     N_OUTPUTS = 2
 
@@ -205,6 +232,8 @@ class GruMilli(MilliOp):
 
     def eval(self, inputs):
         X = inputs[0].astype(np.float32)
+        if self.layout:
+            X = np.swapaxes(X, 0, 1)
         W = inputs[1].astype(np.float32)
         R = inputs[2].astype(np.float32)
         Bi = (inputs[3].astype(np.float32)
@@ -217,6 +246,8 @@ class GruMilli(MilliOp):
         h0 = (inputs[5].astype(np.float32)
               if len(inputs) > 5 and inputs[5] is not None
               else np.zeros((nd, Bn, H), np.float32))
+        if self.layout and len(inputs) > 5 and inputs[5] is not None:
+            h0 = np.swapaxes(h0, 0, 1)
         Y = np.zeros((S, nd, Bn, H), np.float32)
         Yh = np.zeros((nd, Bn, H), np.float32)
         for d in range(nd):
@@ -247,10 +278,15 @@ class GruMilli(MilliOp):
                 h = h_new
             Yh[d] = h
         dt = inputs[0].dtype
+        if self.layout:
+            return [Y.transpose(2, 0, 1, 3).astype(dt),
+                    np.swapaxes(Yh, 0, 1).astype(dt)]
         return [Y.astype(dt), Yh.astype(dt)]
 
     @_f32_matmuls
     def to_jax(self, inputs, static=None):
+        if self.layout:
+            raise NotImplementedError("GRU layout=1 (oracle path)")
         import jax
         import jax.numpy as jnp
 
@@ -311,6 +347,11 @@ class GruMilli(MilliOp):
         dx = x.dims()
         nd = 2 if self.direction == "bidirectional" else 1
         H = self.hidden_size
+        if getattr(self, "layout", 0):
+            # batch-first layout transposes S/B in the outputs: RANKED
+            n_out = getattr(self, "N_OUTPUTS", 2)
+            return ([TensorInfo.ranked(x.dtype, 4)]
+                    + [TensorInfo.ranked(x.dtype, 3)] * (n_out - 1))
         if dx is not None:
             from ...scalar_info import ScalarInfo
 
@@ -329,6 +370,7 @@ class RnnMilli(MilliOp):
     hidden_size: int = 0
     direction: str = "forward"
     activation: str = "tanh"   # tanh | relu
+    layout: int = 0
     KIND = "Rnn"
     N_OUTPUTS = 2
 
@@ -337,6 +379,8 @@ class RnnMilli(MilliOp):
 
     def eval(self, inputs):
         X = inputs[0].astype(np.float32)
+        if self.layout:
+            X = np.swapaxes(X, 0, 1)
         W = inputs[1].astype(np.float32)
         R = inputs[2].astype(np.float32)
         Bi = (inputs[3].astype(np.float32)
@@ -367,10 +411,15 @@ class RnnMilli(MilliOp):
                 h = h_new
             Yh[d] = h
         dt = inputs[0].dtype
+        if self.layout:
+            return [Y.transpose(2, 0, 1, 3).astype(dt),
+                    np.swapaxes(Yh, 0, 1).astype(dt)]
         return [Y.astype(dt), Yh.astype(dt)]
 
     @_f32_matmuls
     def to_jax(self, inputs, static=None):
+        if self.layout:
+            raise NotImplementedError("RNN layout=1 (oracle path)")
         import jax
         import jax.numpy as jnp
 
@@ -422,6 +471,11 @@ class RnnMilli(MilliOp):
         dx = x.dims()
         nd = 2 if self.direction == "bidirectional" else 1
         H = self.hidden_size
+        if getattr(self, "layout", 0):
+            # batch-first layout transposes S/B in the outputs: RANKED
+            n_out = getattr(self, "N_OUTPUTS", 2)
+            return ([TensorInfo.ranked(x.dtype, 4)]
+                    + [TensorInfo.ranked(x.dtype, 3)] * (n_out - 1))
         if dx is not None:
             from ...scalar_info import ScalarInfo
 

@@ -12,6 +12,7 @@ from .ops import extra as _extra  # noqa: F401
 from .ops import linalg as _linalg  # noqa: F401
 from .ops import norm as _norm  # noqa: F401
 from .ops import reduce as _reduce  # noqa: F401
+from .ops import sequence as _sequence  # noqa: F401
 from .ops import vision as _vision  # noqa: F401
 
 __all__ = ["SymbolicGraph", "STensor", "SOp", "TensorKind", "UnsupportedOnnxOp",

@@ -74,7 +74,9 @@ class Attrs:
 
     def t(self, k) -> Optional[np.ndarray]:
         a = self._d.get(k)
-        return None if a is None else tensor_proto_to_numpy(a.t, self._base_dir)
+        if a is None or a.t is None:
+            return None
+        return tensor_proto_to_numpy(a.t, self._base_dir)
 
     def g(self, k):
         a = self._d.get(k)

@@ -80,17 +80,19 @@ class RotaryEmbedding(Operation):
 class LSTM(Operation):
     hidden_size: int = 0
     direction: str = "forward"
+    layout: int = 0
 
     @classmethod
     def from_onnx(cls, node, attrs, opset):
         acts = attrs.strings("activations", None)
         if acts and [a.lower() for a in acts[:3]] != ["sigmoid", "tanh", "tanh"]:
             raise NotImplementedError(f"LSTM custom activations {acts}")
-        return cls(attrs.i("hidden_size", 0), attrs.s("direction", "forward"))
+        return cls(attrs.i("hidden_size", 0), attrs.s("direction", "forward"),
+                   attrs.i("layout", 0))
 
     def lower(self, ctx, inputs, n_outputs):
-        outs = ctx.emit(LstmMilli(self.hidden_size, self.direction), *inputs,
-                        n_outputs=3)
+        outs = ctx.emit(LstmMilli(self.hidden_size, self.direction,
+                                  self.layout), *inputs, n_outputs=3)
         return outs[:n_outputs] if n_outputs < 3 else outs
 
 
@@ -167,28 +169,34 @@ class SpaceToDepth(Operation):
 class QuantizeLinear(Operation):
     axis: int = 1
     output_dtype: Optional[DType] = None
+    block_size: int = 0
 
     @classmethod
     def from_onnx(cls, node, attrs, opset):
-        return cls(attrs.i("axis", 1), ONNX_TO_DTYPE.get(attrs.i("output_dtype", 0)))
+        return cls(attrs.i("axis", 1),
+                   ONNX_TO_DTYPE.get(attrs.i("output_dtype", 0)),
+                   attrs.i("block_size", 0))
 
     def lower(self, ctx, inputs, n_outputs):
         args = [i for i in inputs if i is not None]
-        return [ctx.emit1(QuantizeLinearMilli(self.axis, self.output_dtype), *args)]
+        return [ctx.emit1(QuantizeLinearMilli(self.axis, self.output_dtype,
+                                              self.block_size), *args)]
 
 
 @register("DequantizeLinear")
 @dataclass
 class DequantizeLinear(Operation):
     axis: int = 1
+    block_size: int = 0
 
     @classmethod
     def from_onnx(cls, node, attrs, opset):
-        return cls(attrs.i("axis", 1))
+        return cls(attrs.i("axis", 1), attrs.i("block_size", 0))
 
     def lower(self, ctx, inputs, n_outputs):
         args = [i for i in inputs if i is not None]
-        return [ctx.emit1(DequantizeLinearMilli(self.axis), *args)]
+        return [ctx.emit1(DequantizeLinearMilli(self.axis,
+                                                self.block_size), *args)]
 
 
 @register("CacheWrite")
@@ -217,6 +225,7 @@ class GRU(Operation):
     hidden_size: int = 0
     direction: str = "forward"
     linear_before_reset: bool = False
+    layout: int = 0
 
     @classmethod
     def from_onnx(cls, node, attrs, opset):
@@ -224,13 +233,15 @@ class GRU(Operation):
         if acts and [a.lower() for a in acts[:2]] != ["sigmoid", "tanh"]:
             raise NotImplementedError(f"GRU custom activations {acts}")
         return cls(attrs.i("hidden_size", 0), attrs.s("direction", "forward"),
-                   bool(attrs.i("linear_before_reset", 0)))
+                   bool(attrs.i("linear_before_reset", 0)),
+                   attrs.i("layout", 0))
 
     def lower(self, ctx, inputs, n_outputs):
         from ...milli.ops.rnn import GruMilli
 
         outs = ctx.emit(GruMilli(self.hidden_size, self.direction,
-                                 self.linear_before_reset), *inputs,
+                                 self.linear_before_reset, self.layout),
+                        *inputs,
                         n_outputs=2)
         return outs[:n_outputs] if n_outputs < 2 else outs
 
@@ -241,6 +252,7 @@ class RNN(Operation):
     hidden_size: int = 0
     direction: str = "forward"
     activation: str = "tanh"
+    layout: int = 0
 
     @classmethod
     def from_onnx(cls, node, attrs, opset):
@@ -249,11 +261,12 @@ class RNN(Operation):
         if act not in ("tanh", "relu"):
             raise NotImplementedError(f"RNN activation {act}")
         return cls(attrs.i("hidden_size", 0), attrs.s("direction", "forward"),
-                   act)
+                   act, attrs.i("layout", 0))
 
     def lower(self, ctx, inputs, n_outputs):
         from ...milli.ops.rnn import RnnMilli
 
         outs = ctx.emit(RnnMilli(self.hidden_size, self.direction,
-                                 self.activation), *inputs, n_outputs=2)
+                                 self.activation, self.layout), *inputs,
+                        n_outputs=2)
         return outs[:n_outputs] if n_outputs < 2 else outs

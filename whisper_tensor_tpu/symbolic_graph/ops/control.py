@@ -152,10 +152,16 @@ class Loop(Operation):
 
     def eval_direct(self, backend, inputs: List[np.ndarray],
                     outer_env: Dict[str, np.ndarray], n_outputs: int) -> List[np.ndarray]:
+        from .sequence import OptionalVal
+
+        def _coerce(v):
+            # sequence/optional loop state stays a host container
+            return v if isinstance(v, (list, OptionalVal)) else np.asarray(v)
+
         body = self.body
         max_trip = inputs[0]
         cond = inputs[1]
-        state = [np.asarray(v) for v in inputs[2:]]
+        state = [_coerce(v) for v in inputs[2:]]
         n_state = len(state)
         body_in_names = [body.tensors[t].name for t in body.inputs]
         body_out_names = [body.tensors[t].name for t in body.outputs]
@@ -171,7 +177,7 @@ class Loop(Operation):
                 feeds[name] = s
             out = backend.run(body, feeds, outer_env=outer_env)
             c = bool(np.asarray(out[body_out_names[0]]).reshape(-1)[0])
-            state = [np.asarray(out[n]) for n in body_out_names[1:1 + n_state]]
+            state = [_coerce(out[n]) for n in body_out_names[1:1 + n_state]]
             for k in range(n_scan_out):
                 collected[k].append(np.asarray(out[body_out_names[1 + n_state + k]]))
             it += 1

@@ -81,16 +81,13 @@ class ConvOp(Operation):
                    attrs.s("auto_pad", "NOTSET"), attrs.ints("kernel_shape", None))
 
     def lower(self, ctx, inputs, n_outputs):
-        nsp = len(self.kernel_shape) if self.kernel_shape else None
         pads = self.pads
-        if self.auto_pad not in ("", "NOTSET") and self.auto_pad != "VALID":
-            raise NotImplementedError(f"Conv auto_pad={self.auto_pad} requires "
-                                      "shape-aware lowering (emit explicit pads)")
-        if self.auto_pad == "VALID":
-            pads = None
+        ap = self.auto_pad or "NOTSET"
+        if ap == "VALID":
+            pads, ap = None, "NOTSET"
         args = [i for i in inputs if i is not None]
-        return [ctx.emit1(Conv(self.strides, pads, self.dilations, self.groups),
-                          *args)]
+        return [ctx.emit1(Conv(self.strides, pads, self.dilations,
+                               self.groups, auto_pad=ap), *args)]
 
 
 @register("ConvTranspose")
@@ -166,6 +163,7 @@ class PoolOp(Operation):
     count_include_pad: bool = False
     p: int = 2
     auto_pad: str = "NOTSET"
+    storage_order: int = 0
 
     @classmethod
     def from_onnx(cls, node, attrs, opset):
@@ -179,15 +177,15 @@ class PoolOp(Operation):
                    attrs.ints("dilations", None),
                    bool(attrs.i("ceil_mode", 0)),
                    bool(attrs.i("count_include_pad", 0)),
-                   attrs.i("p", 2), attrs.s("auto_pad", "NOTSET"))
+                   attrs.i("p", 2), attrs.s("auto_pad", "NOTSET"),
+                   attrs.i("storage_order", 0))
 
     def lower(self, ctx, inputs, n_outputs):
         from ...milli.ops import Pool, Pow, SimpleBinary, SimpleUnary
 
-        if self.auto_pad not in ("", "NOTSET", "VALID"):
-            raise NotImplementedError(f"Pool auto_pad={self.auto_pad}")
-        if n_outputs > 1:
-            raise NotImplementedError("MaxPool Indices output")
+        ap = self.auto_pad or "NOTSET"
+        if ap == "VALID":
+            ap = "NOTSET"
         x = inputs[0]
         if self.mode == "lp":
             # LpPool(p) = (sum |x|^p)^(1/p) = (avg*count)^(1/p); use
@@ -199,8 +197,9 @@ class PoolOp(Operation):
             else:
                 xpow = ctx.emit1(SimpleBinary("mul"), x, x)
             avg = ctx.emit1(Pool("avg", self.kernel_shape, self.strides,
-                                 self.pads, None, self.ceil_mode,
-                                 count_include_pad=True), xpow)
+                                 self.pads, self.dilations, self.ceil_mode,
+                                 count_include_pad=True, auto_pad=ap),
+                            xpow)
             n = 1
             for kk in (self.kernel_shape or []):
                 n *= kk
@@ -208,6 +207,9 @@ class PoolOp(Operation):
                              ctx.const_like(float(n), avg))
             inv = ctx.const_like(1.0 / float(self.p), ssum)
             return [ctx.emit1(Pow(), ssum, inv)]
-        return [ctx.emit1(Pool(self.mode, self.kernel_shape, self.strides,
-                               self.pads, self.dilations, self.ceil_mode,
-                               self.count_include_pad), x)]
+        return ctx.emit(Pool(self.mode, self.kernel_shape, self.strides,
+                             self.pads, self.dilations, self.ceil_mode,
+                             self.count_include_pad, auto_pad=ap,
+                             n_out=n_outputs,
+                             storage_order=self.storage_order), x,
+                        n_outputs=n_outputs)

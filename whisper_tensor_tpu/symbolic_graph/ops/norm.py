@@ -193,10 +193,10 @@ class BatchNormalization(Operation):
     def lower(self, ctx, inputs, n_outputs):
         from ...milli.ops.norm import BatchNormMilli
 
-        if self.training_mode:
-            raise NotImplementedError("BatchNormalization training mode")
         x, scale, bias, mean, var = inputs[:5]
-        return [ctx.emit1(BatchNormMilli(self.epsilon), x, scale, bias, mean, var)]
+        return ctx.emit(BatchNormMilli(self.epsilon, self.training_mode,
+                                       self.momentum, n_out=n_outputs),
+                        x, scale, bias, mean, var, n_outputs=n_outputs)
 
 
 @register("LpNormalization")
