@@ -204,3 +204,78 @@ def test_lora_example_smoke():
         capture_output=True, text=True, timeout=600)
     assert out.returncode == 0, out.stderr
     assert "adapters:" in out.stdout
+
+
+def test_int8_frozen_lora_trainer_and_peft_round_trip(tmp_path):
+    """LoRA fine-tuning over an int8-FROZEN llama base (the 8B-on-one-
+    chip recipe): loss falls, and the trained adapters round-trip
+    through the standard PEFT directory format (save_peft_adapter ->
+    load_peft_adapter_arrays), closing the loop the reference aspires
+    to in examples/rwkv_lora_train.rs."""
+    import numpy as np
+
+    from whisper_tensor_tpu.dtype import DType
+    from whisper_tensor_tpu.importers.lora import (load_peft_adapter_arrays,
+                                                   save_peft_adapter)
+    from whisper_tensor_tpu.importers.recipes.llm.llama import (
+        LlamaConfig, build_llama_train)
+    from whisper_tensor_tpu.model import Model
+    from whisper_tensor_tpu.training.trainer import LMTrainer
+
+    cfg = LlamaConfig(model_type="llama", hidden_size=128,
+                      intermediate_size=256, num_attention_heads=4,
+                      num_key_value_heads=2, num_hidden_layers=2,
+                      vocab_size=512, rms_norm_eps=1e-5)
+    rng = np.random.default_rng(0)
+    cache = {}
+
+    def getter(n):
+        if n not in cache:
+            if "embed" in n:
+                shp = (cfg.vocab_size, cfg.hidden_size)
+            elif "norm" in n or "layernorm" in n:
+                shp = (cfg.hidden_size,)
+            elif "q_proj" in n or "o_proj" in n:
+                shp = (cfg.hidden_size, cfg.hidden_size)
+            elif "k_proj" in n or "v_proj" in n:
+                shp = (cfg.hidden_size // 2, cfg.hidden_size)
+            elif "gate_proj" in n or "up_proj" in n:
+                shp = (cfg.intermediate_size, cfg.hidden_size)
+            elif "down_proj" in n:
+                shp = (cfg.hidden_size, cfg.intermediate_size)
+            elif "lm_head" in n:
+                shp = (cfg.vocab_size, cfg.hidden_size)
+            else:
+                raise KeyError(n)
+            v = (rng.standard_normal(shp) * 0.05).astype(np.float32)
+            if "norm" in n or "layernorm" in n:
+                v = np.ones(shp, np.float32)
+            cache[n] = v
+        return cache[n]
+
+    wm = {}
+    m = Model.new_from_onnx(build_llama_train(getter, cfg, max_len=64,
+                                              weight_map=wm))
+    tr = LMTrainer(m, lr=5e-3, compute_dtype=DType.BF16, lora_rank=4,
+                   lora_targets=("wq_", "wk_", "wv_", "wo_"),
+                   quantize_base="int8", remat=True)
+    params = tr.init_params()
+    opt = tr.init_opt_state(params)
+    ids = rng.integers(0, cfg.vocab_size, (2, 32)).astype(np.int64)
+    tgt = np.roll(ids, -1, axis=1)
+    losses = []
+    for _ in range(8):
+        params, opt, loss = tr.train_step(params, opt, ids, tgt)
+        losses.append(float(np.asarray(loss)))
+    assert losses[-1] < losses[0] - 0.05, losses
+
+    d = save_peft_adapter({k: np.asarray(v) for k, v in params.items()},
+                          wm, 4, str(tmp_path / "adapter"))
+    back = load_peft_adapter_arrays(d, wm)
+    assert len(back) == 8  # 4 targets x 2 layers
+    for name, (a, b, sc) in back.items():
+        np.testing.assert_allclose(
+            a, np.asarray(params[f"{name}::lora_a"]), rtol=1e-6)
+        np.testing.assert_allclose(
+            b, np.asarray(params[f"{name}::lora_b"]), rtol=1e-6)
+        assert sc == 1.0

@@ -626,7 +626,9 @@ class ContinuousBatcher:
             (cur, pos, active, caches, seen), (toks, actives) = jax.lax.scan(
                 body, (cur, pos, active, caches, seen),
                 jnp.arange(n_steps))
-            out = (cur, pos, active, caches,
+            # state rides out int32 (see _tick row-state pinning)
+            out = (cur.astype(jnp.int32), pos.astype(jnp.int32), active,
+                   caches,
                    jnp.swapaxes(toks, 0, 1), jnp.swapaxes(actives, 0, 1))
             return out + (seen,) if any_pen else out
 
@@ -667,16 +669,23 @@ class ContinuousBatcher:
                     specs = jax.tree_util.tree_map(
                         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
                         args)
-                    prog = self._chunk_program(flags, la, n)
+                    # TRACE inline on this thread: the Pallas helpers
+                    # toggle jax.enable_x64 around their own traces, so
+                    # a concurrent background trace can canonicalize
+                    # i64 args to i32 (observed: 'compiled with
+                    # int32[64] and called with int64[64]'). Tracing is
+                    # milliseconds; only the XLA compile (seconds, no
+                    # config reads) goes to the background thread.
+                    lowered = self._chunk_program(flags, la,
+                                                  n).lower(*specs)
                 except Exception:
                     n //= 2
                     continue
                 self._chunk_compiling.add(key)
 
-                def work(key=key, prog=prog, specs=specs):
+                def work(key=key, lowered=lowered):
                     try:
-                        self._chunk_exec[key] = \
-                            prog.lower(*specs).compile()
+                        self._chunk_exec[key] = lowered.compile()
                     except Exception:
                         pass
                     finally:
@@ -1146,12 +1155,17 @@ class ContinuousBatcher:
         if self._caches is None:
             self._caches = self.iface.fresh_cache(mb)
         if self._row_state is None:
+            # row state is pinned int32 at the program boundary (the
+            # program upcasts internally): dtype-stable signatures keep
+            # ONE chunk executable regardless of x64-context timing in
+            # other traces (the Pallas wrappers toggle x64 around their
+            # own pallas_call builds)
             self._row_state = (
                 jax.random.PRNGKey(self.sampling.seed if self.sampling
                                    else 0),
                 0,                                     # step_count
-                jnp.zeros(mb, jnp.int64),              # cur token
-                jnp.full(mb, self.park_pos, jnp.int64),  # pos
+                jnp.zeros(mb, jnp.int32),              # cur token
+                jnp.full(mb, self.park_pos, jnp.int32),  # pos
                 jnp.zeros(mb, bool))                   # active
         rng, step_count, dcur, dpos, dact = self._row_state
         # retire cancelled rows first: their future resolves with the
@@ -1194,8 +1208,8 @@ class ContinuousBatcher:
             # fold queued slot updates into fixed-shape scatter
             # inputs (index mb == out of range -> dropped pad)
             upd_s = np.full(mb, mb, np.int32)
-            upd_c = np.zeros(mb, np.int64)
-            upd_p = np.full(mb, self.park_pos, np.int64)
+            upd_c = np.zeros(mb, np.int32)
+            upd_p = np.full(mb, self.park_pos, np.int32)
             upd_a = np.zeros(mb, bool)
             for j, (s, (c, p, a)) in enumerate(self._pending.items()):
                 upd_s[j], upd_c[j], upd_p[j], upd_a[j] = s, c, p, a

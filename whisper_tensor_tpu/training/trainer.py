@@ -35,7 +35,8 @@ class LMTrainer:
                  remat: bool = False, fsdp: bool = False,
                  fsdp_min_size: int = 2 ** 16,
                  lora_rank: int = 0, lora_alpha: Optional[float] = None,
-                 lora_targets: Optional[Sequence[str]] = None):
+                 lora_targets: Optional[Sequence[str]] = None,
+                 quantize_base: Optional[str] = None):
         """grad_clip: global-norm clipping before the optimizer.
         compute_dtype: mixed precision — params stay in param_dtype
         (f32 master weights) and are cast per-step for the forward/
@@ -85,6 +86,19 @@ class LMTrainer:
                 raise ValueError(
                     "lora_rank set but no 2-D weight MatMul matched "
                     f"lora_targets={lora_targets!r}")
+        self._quantized_base = {}
+        if quantize_base is not None:
+            if quantize_base != "int8":
+                raise ValueError(f"quantize_base={quantize_base!r}")
+            if lora_rank == 0:
+                raise ValueError("quantize_base needs lora_rank > 0 "
+                                 "(only a frozen base can be quantized)")
+            from ..milli.transforms import quantize_matmul_weights
+
+            self._quantized_base = quantize_matmul_weights(
+                milli, self.weight_names,
+                lambda n: model.graph.store.get_numeric(
+                    n, DType.F32).numpy())
         self._fn = _trace_graph(milli, {})
         self._order = list(milli.inputs)
         self.mesh = mesh
@@ -190,6 +204,11 @@ class LMTrainer:
         if getattr(self, "_frozen_cache", None) is None:
             frozen = {}
             for i, n in enumerate(self.weight_names):
+                if n in self._quantized_base:
+                    w_i8, scale = self._quantized_base[n]
+                    frozen[n] = jax.device_put(w_i8)
+                    frozen[f"{n}::scale"] = jax.device_put(scale)
+                    continue
                 host = self.model.graph.store.get_numeric(
                     n, self.param_dtype).numpy()
                 host = host.astype(self.param_dtype.to_numpy(), copy=False)
@@ -212,8 +231,11 @@ class LMTrainer:
             cdt = self.compute_dtype.to_jax()
 
             def cast(d):
+                # quant scales stay f32: an int8 base's accuracy rides
+                # entirely on its per-channel scales
                 return {k: (v.astype(cdt) if jax.numpy.issubdtype(
-                    v.dtype, jax.numpy.floating) else v)
+                    v.dtype, jax.numpy.floating)
+                    and not k.endswith("::scale") else v)
                     for k, v in d.items()}
 
             params = cast(params)
