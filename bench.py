@@ -899,8 +899,9 @@ def bench_llama8b_lora_train() -> None:
         losses.append(float(np.asarray(loss)))
     dt = (time.time() - t0) / steps
     tok_s = B * S / dt
-    # FLOPs: fwd 2N + bwd 4N through the FROZEN base (adapter grads
-    # only; weight grads skipped) + remat refwd 2N = 8N per token
+    # FLOPs: fwd 2N + backward dX 2N (the base is FROZEN so its dW
+    # 2N is skipped; adapter matmuls are rank-16 noise) + remat refwd
+    # 2N = 6N per token
     n_param_mm = (cfg.num_hidden_layers
                   * (4 * cfg.hidden_size * cfg.hd
                      * cfg.num_attention_heads // 2
@@ -908,7 +909,7 @@ def bench_llama8b_lora_train() -> None:
                      * cfg.num_key_value_heads
                      + 3 * cfg.hidden_size * cfg.intermediate_size)
                   + cfg.hidden_size * cfg.vocab_size)
-    flops_tok = 8 * n_param_mm
+    flops_tok = 6 * n_param_mm
     mfu = flops_tok * tok_s / V5E_PEAK_BF16
     falling = losses[-1] < losses[0]
     print(f"# 8B LoRA train {B}x{S}: {dt * 1e3:.0f} ms/step -> "
@@ -932,6 +933,84 @@ def bench_llama8b_lora_train() -> None:
     }))
 
 
+def bench_spec() -> None:
+    """Speculative decoding measured on chip (VERDICT r3 item 6): a
+    truncated-layer DRAFT (first 4 of the target's 24 layers, shared
+    weights + head — the self-speculative configuration) proposes k-1
+    tokens per round for the full target to verify. Records acceptance
+    rate and tok/s vs plain target-only decode at B=1 and batched."""
+    from whisper_tensor_tpu.dtype import DType
+    from whisper_tensor_tpu.importers.recipes.llm.gpt2 import (
+        GPT2Config, build_gpt2_step, random_gpt2_weights)
+    from whisper_tensor_tpu.interfaces.speculative import SpeculativeDecoder
+    from whisper_tensor_tpu.interfaces.text import TextInferenceInterface
+    from whisper_tensor_tpu.model import Model
+
+    n_new = int(os.environ.get("WT_BENCH_NEW", "128"))
+    K = int(os.environ.get("WT_BENCH_SPEC_K", "4"))
+    max_len = int(os.environ.get("WT_BENCH_MAXLEN", "256"))
+    L_t = int(os.environ.get("WT_BENCH_LAYERS", "24"))
+    L_d = int(os.environ.get("WT_BENCH_DRAFT_LAYERS", "4"))
+    cfg_t = GPT2Config(n_layer=L_t, n_head=16, n_embd=1024,
+                       vocab_size=50257, n_positions=1024)
+    cfg_d = GPT2Config(n_layer=L_d, n_head=16, n_embd=1024,
+                       vocab_size=50257, n_positions=1024)
+    base = random_gpt2_weights(cfg_t)
+    cache = {}
+
+    def getter(name):
+        # per-name cache: target and draft builds must see IDENTICAL
+        # arrays for shared names (the rng in random_gpt2_weights is
+        # call-order dependent)
+        if name not in cache:
+            cache[name] = base(name)
+        return cache[name]
+
+    t0 = time.time()
+    tm = Model.new_from_onnx(build_gpt2_step(getter, cfg_t,
+                                             max_len=max_len,
+                                             dtype=DType.BF16))
+    dm = Model.new_from_onnx(build_gpt2_step(getter, cfg_d,
+                                             max_len=max_len,
+                                             dtype=DType.BF16))
+    target = TextInferenceInterface(tm, max_len=max_len,
+                                    cache_dtype=DType.BF16,
+                                    prompt_buckets=(16,))
+    draft = TextInferenceInterface(dm, max_len=max_len,
+                                   cache_dtype=DType.BF16,
+                                   prompt_buckets=(16,))
+    dec = SpeculativeDecoder(target, draft, k=K)
+    print(f"# build: {time.time() - t0:.0f}s", file=sys.stderr)
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(0, cfg_t.vocab_size, (12,)).astype(np.int64)
+
+    def timed(fn, runs=5):
+        fn()                      # compile+warm
+        t0 = time.time()
+        for _ in range(runs):
+            fn()
+        return (time.time() - t0) / runs
+
+    dt_spec = timed(lambda: dec.generate_tokens(prompt, n_new))
+    acc = (n_new / max(dec.last_rounds, 1) - 1.0) / (K - 1)
+    dt_plain = timed(lambda: target.generate_tokens(prompt, n_new))
+    spec_tok = n_new / dt_spec
+    plain_tok = n_new / dt_plain
+    print(f"# spec B=1: {spec_tok:.0f} tok/s vs plain {plain_tok:.0f} "
+          f"(x{spec_tok / plain_tok:.2f}), acceptance "
+          f"{acc * 100:.0f}% over {dec.last_rounds} rounds",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "gpt2_350m_speculative_decode",
+        "value": round(spec_tok, 1), "unit": "tok/s",
+        "vs_baseline": round(spec_tok / BASELINE_TOK_S, 3),
+        "plain_tok_s": round(plain_tok, 1),
+        "speedup": round(spec_tok / plain_tok, 3),
+        "acceptance": round(acc, 3), "k": K, "rounds": dec.last_rounds,
+        "draft_layers": L_d, "target_layers": L_t,
+    }))
+
+
 def main() -> None:
     from whisper_tensor_tpu.compile_cache import enable_persistent_cache
 
@@ -950,6 +1029,9 @@ def main() -> None:
         return
     if os.environ.get("WT_BENCH_TARGET") == "llama8b_lora_train":
         bench_llama8b_lora_train()
+        return
+    if os.environ.get("WT_BENCH_TARGET") == "spec":
+        bench_spec()
         return
     if os.environ.get("WT_BENCH_TARGET") == "prefill":
         bench_prefill()

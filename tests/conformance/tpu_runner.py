@@ -71,13 +71,11 @@ def run_case(case: Case) -> str:
 
 
 def all_cases() -> List[Case]:
-    from . import (cases_breadth, cases_dtypes, cases_elementwise,
-                   cases_misc2, cases_more, cases_nn, cases_pool,
-                   cases_reduce2, cases_shape)
+    # the FULL registered suite (same list the CPU runner parametrizes
+    # over), incl. the official-name reference-map families
+    from .test_conformance import ALL_CASES
 
-    return (cases_elementwise.CASES + cases_shape.CASES + cases_nn.CASES
-            + cases_dtypes.CASES + cases_reduce2.CASES + cases_pool.CASES
-            + cases_misc2.CASES + cases_more.CASES + cases_breadth.CASES)
+    return list(ALL_CASES)
 
 
 def run_conformance(limit: Optional[int] = None,

@@ -63,6 +63,8 @@ class EvalBackend:
         self._op_milli_cache: Dict[int, Any] = {}
         self._graph_milli_cache: Dict[int, Any] = {}
         self._weights_device_cache: Dict[int, Dict[str, Any]] = {}
+        self._static_weight_cache: Dict[int, Dict[str, Any]] = {}
+        self._static_weight_done: set = set()
 
     # ------------------------------------------------------------------
     def run(self, graph: SymbolicGraph, feeds: Dict[str, np.ndarray],
@@ -249,8 +251,59 @@ class EvalBackend:
         milli, weight_inputs = self._milli_of(graph)
         all_feeds = self._resolve_feeds(graph, milli, weight_inputs, feeds,
                                         outer_env)
+        # small store-backed weights are trace-time CONSTANTS: axes /
+        # scales / sizes / pads / shape / k initializers must fold for
+        # the ops that demand static values (Reduce axes, Resize
+        # scales, Pad pads, TopK k, ...) — without this every such
+        # graph fell off the whole-graph path into segmented execution
+        # (the r3 on-chip census: 294 segmented conformance cases,
+        # almost all of them exactly these families)
+        statics = self._static_weight_cache.setdefault(graph.id, {})
+        if graph.id not in self._static_weight_done:
+            for name in weight_inputs:
+                if name not in milli.inputs:
+                    continue
+                host = graph.store.get_numeric(name).numpy()
+                if host.size <= 256:
+                    statics[name] = host
+            self._static_weight_done.add(graph.id)
         caps = sorted(self.capture) if self.capture else None
-        compiled = compile_milli(milli, all_feeds, capture_labels=caps)
+        from .xla.compiler import GraphNotJittable
+        try:
+            compiled = compile_milli(milli, all_feeds, capture_labels=caps,
+                                     static_inputs=statics or None)
+        except GraphNotJittable:
+            # value-specialize: small integer FEEDS (runtime shape /
+            # axes / k tensors) lift to trace-time statics on a second
+            # attempt — a legitimate jit specialization (the compile
+            # cache keys on their values), and exactly how the official
+            # dynamic-shape corpus cases become single XLA programs on
+            # the chip instead of segmented islands
+            lifted = dict(statics)
+            for n, v in feeds.items():
+                a = np.asarray(v)
+                if a.dtype.kind in "iu" and a.size <= 64:
+                    lifted[n] = a
+            try:
+                if len(lifted) == len(statics):
+                    raise GraphNotJittable("no liftable integer feeds")
+                compiled = compile_milli(milli, all_feeds,
+                                         capture_labels=caps,
+                                         static_inputs=lifted)
+            except GraphNotJittable:
+                # last resort: small float feeds too (Resize scales /
+                # roi, Range start/limit/delta) — still value-keyed,
+                # still exact; only reached for graphs that would
+                # otherwise run segmented
+                for n, v in feeds.items():
+                    a = np.asarray(v)
+                    if a.size <= 64:
+                        lifted[n] = a
+                if len(lifted) == len(statics):
+                    raise
+                compiled = compile_milli(milli, all_feeds,
+                                         capture_labels=caps,
+                                         static_inputs=lifted)
         outs = compiled(all_feeds)
         if compiled.capture_labels and self.observer is not None:
             for lbl in compiled.capture_labels:

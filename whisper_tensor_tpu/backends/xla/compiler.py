@@ -258,9 +258,12 @@ def compile_milli(
 
     key = None
     if use_cache:
+        stat_key = tuple(sorted(
+            (n, np.asarray(v).tobytes())
+            for n, v in (static_inputs or {}).items()))
         key = (graph.id, tuple(sorted((n, s, str(d)) for n, (s, d) in avals.items())),
                tuple(capture_labels or ()), tuple(donate),
-               str(in_shardings), str(out_shardings))
+               str(in_shardings), str(out_shardings), stat_key)
         with _CACHE_LOCK:
             if key in _COMPILE_CACHE:
                 return _COMPILE_CACHE[key]
