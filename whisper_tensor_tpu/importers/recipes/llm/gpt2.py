@@ -98,23 +98,23 @@ def build_gpt2_step(weights: Callable[[str], np.ndarray], cfg: GPT2Config,
     pemb = b.gather(wpe, abs_pos)                             # (S,E)|(B,S,E)
     x = b.add(tok, pemb)
 
-    # additive attention mask: slot m visible to query s iff m <= pos + s
-    # scalar pos: (1,1,S,MAX); per-row pos: (B,1,S,MAX)
-    mrange = b.node("Range", [zero, b.const_i64(max_len), one])    # (MAX,)
+    # attention mask: slot m visible to query s iff m <= pos + s
     if pos_per_row:
-        q_abs = b.node("Unsqueeze", [abs_pos, b.const_i64([1, 3])])  # (B,1,S,1)
-        m2 = b.node("Unsqueeze", [mrange, b.const_i64([0, 1, 2])])   # (1,1,1,MAX)
+        # rank-1 position mask (wt Attention extension) — same
+        # visibility as the dense (B,1,S,MAX) Where mask, but the TPU
+        # backend can dispatch the ragged flash-decode kernel on it
+        mask = pos
     else:
+        mrange = b.node("Range", [zero, b.const_i64(max_len), one])  # (MAX,)
         q_abs = b.node("Unsqueeze", [abs_pos, b.const_i64([1])])   # (S,1)
         m2 = b.node("Unsqueeze", [mrange, b.const_i64([0])])       # (1,MAX)
-    vis = b.node("LessOrEqual", [m2, q_abs])
-    big_neg = b.const(np.asarray(-1e30, dtype=np.float32))
-    zero_f = b.const(np.asarray(0.0, dtype=np.float32))
-    mask = b.node("Where", [vis, zero_f, big_neg])
-    if not pos_per_row:
+        vis = b.node("LessOrEqual", [m2, q_abs])
+        big_neg = b.const(np.asarray(-1e30, dtype=np.float32))
+        zero_f = b.const(np.asarray(0.0, dtype=np.float32))
+        mask = b.node("Where", [vis, zero_f, big_neg])
         mask = b.node("Unsqueeze", [mask, b.const_i64([0, 1])])    # (1,1,S,MAX)
-    if dtype is not DType.F32:
-        mask = b.cast(mask, dtype)
+        if dtype is not DType.F32:
+            mask = b.cast(mask, dtype)
 
     eps = cfg.layer_norm_epsilon
     cache_outs = []

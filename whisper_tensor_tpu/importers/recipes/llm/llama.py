@@ -138,21 +138,24 @@ def build_llama_step(weights: Callable[[str], np.ndarray], cfg: LlamaConfig,
         abs_pos = b.add(rel, b.node("Unsqueeze", [pos, b.const_i64([1])]))
     else:
         abs_pos = b.add(rel, b.node("Cast", [pos], to=7))           # (S,)
-    mrange = b.node("Range", [zero, b.const_i64(max_len), one])
     if pos_per_row:
-        vis = b.node("LessOrEqual",
-                     [b.node("Unsqueeze", [mrange, b.const_i64([0, 1, 2])]),
-                      b.node("Unsqueeze", [abs_pos, b.const_i64([1, 3])])])
+        # rank-1 position mask (wt Attention extension): row b sees
+        # keys j <= pos[b] + s — semantically identical to the dense
+        # Where mask this used to build, but lets the TPU backend
+        # dispatch the ragged flash-decode kernel that reads only each
+        # row's live KV prefix (backends/pallas/decode_attention.py)
+        mask = pos
     else:
+        mrange = b.node("Range", [zero, b.const_i64(max_len), one])
         vis = b.node("LessOrEqual",
                      [b.node("Unsqueeze", [mrange, b.const_i64([0])]),
                       b.node("Unsqueeze", [abs_pos, b.const_i64([1])])])
-    mask = b.node("Where", [vis, b.const(np.asarray(0.0, dtype=np.float32)),
-                            b.const(np.asarray(-1e30, dtype=np.float32))])
-    if not pos_per_row:
+        mask = b.node("Where",
+                      [vis, b.const(np.asarray(0.0, dtype=np.float32)),
+                       b.const(np.asarray(-1e30, dtype=np.float32))])
         mask = b.node("Unsqueeze", [mask, b.const_i64([0, 1])])
-    if dtype is not DType.F32:
-        mask = b.cast(mask, dtype)
+        if dtype is not DType.F32:
+            mask = b.cast(mask, dtype)
 
     cos_t, sin_t = rope_tables(cfg, max_len)
     cos = b.initializer("rope_cos", cos_t.astype(np_dt))

@@ -49,6 +49,15 @@ class AttentionMilli(MilliOp):
     bias first, then softcap, then softmax (with 0/-inf masks this is
     numerically identical to the Gemma-2 cap-then-mask order the
     in-house recipes assume, because tanh saturates at the mask floor).
+
+    wt extension — rank-1 POSITION mask: mask of shape (B,) integer is
+    a per-row position vector; query row s of batch b may attend keys
+    j <= mask[b] + s (exactly the visibility the serving recipes built
+    as a dense Where mask from per-row `pos`).  On TPU with Sq == 1
+    this dispatches the Pallas ragged flash-decode kernel
+    (backends/pallas/decode_attention.py) which reads only each row's
+    live KV prefix; everywhere else the dense boolean mask is
+    synthesized and the standard paths run.
     """
 
     scale: Optional[float] = None
@@ -82,9 +91,19 @@ class AttentionMilli(MilliOp):
             v = xp.concatenate([past_v, v], axis=2)
         return q, k, v, mask, was_3d
 
+    @staticmethod
+    def _expand_pos_mask(xp, pos, Sq, Skv):
+        """Rank-1 position mask -> dense boolean (B, 1, Sq, Skv):
+        query row s of batch b sees keys j <= pos[b] + s."""
+        j = xp.arange(Skv).reshape(1, 1, 1, Skv).astype(pos.dtype)
+        s = xp.arange(Sq).reshape(1, 1, Sq, 1).astype(pos.dtype)
+        return j <= (pos.reshape(-1, 1, 1, 1) + s)
+
     def eval(self, inputs):
         out_dt = inputs[0].dtype
         q, k, v, mask, was_3d = self._norm(np, inputs)
+        if mask is not None and mask.ndim == 1:
+            mask = self._expand_pos_mask(np, mask, q.shape[2], k.shape[2])
         qf = q.astype(np.float32)
         kf = k.astype(np.float32)
         vf = v.astype(np.float32)
@@ -133,6 +152,22 @@ class AttentionMilli(MilliOp):
         Hkv = k.shape[1]
         scale = self.scale if self.scale is not None else 1.0 / np.sqrt(D)
         need_qk = self.n_out >= 4
+
+        if mask is not None and mask.ndim == 1:
+            # rank-1 position mask: Pallas ragged decode kernel when it
+            # applies, dense synthesis otherwise
+            from ...backends.pallas.decode_attention import (
+                ragged_decode_attention, ragged_decode_attention_usable)
+
+            if not need_qk and not self.softcap and not self.is_causal \
+                    and ragged_decode_attention_usable(q, k, v, mask):
+                y = ragged_decode_attention(q, k, v, mask, scale)
+                if was_3d:
+                    y = jnp.swapaxes(y, 1, 2).reshape(B, Sq,
+                                                      Hq * y.shape[-1])
+                outs = [y.astype(out_dt), pk, pv]
+                return outs[:self.n_out]
+            mask = self._expand_pos_mask(jnp, mask, Sq, k.shape[2])
 
         def finish(y, qk=None):
             if was_3d:
