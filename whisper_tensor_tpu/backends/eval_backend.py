@@ -46,13 +46,22 @@ class EvalBackend:
     def __init__(self, mode: str = "oracle", validate: Optional[bool] = None,
                  observer: Optional[SymbolicObserver] = None,
                  capture: Optional[set] = None):
-        if mode not in ("oracle", "xla"):
+        if mode not in ("oracle", "xla", "torch"):
             raise ValueError(mode)
         self.mode = mode
+        # runtime-selectable alternate backend (reference
+        # eval_backend.rs:18-27 Candle/TCH): per-op torch execution
+        # with oracle fallback for uncovered ops/dtypes
+        self._torch = None
+        if mode == "torch":
+            from .torch_backend import TorchDispatch
+
+            self._torch = TorchDispatch()
         # reference eval_backend.rs validates every assignment in its
         # interpreter (:230-270); match that default on the oracle path
         # (the XLA path validates structurally at trace time instead)
-        self.validate = (mode == "oracle") if validate is None else validate
+        self.validate = (mode in ("oracle", "torch")) if validate is None \
+            else validate
         self.observer = observer
         # intermediate tensor names to report via the observer even in
         # compiled (XLA) mode — selected at COMPILE time so unselected
@@ -70,8 +79,9 @@ class EvalBackend:
     def run(self, graph: SymbolicGraph, feeds: Dict[str, np.ndarray],
             outer_env: Optional[Dict[str, np.ndarray]] = None) -> Dict[str, np.ndarray]:
         # last_path records which execution path actually served the
-        # request ("xla" | "segmented" | "oracle") — conformance reports
-        # use it to state honestly how much of a case ran on-device.
+        # request ("xla" | "segmented" | "oracle" | "torch") —
+        # conformance reports use it to state honestly how much of a
+        # case ran on-device.
         if self.mode == "xla" and not graph.has_control_flow():
             try:
                 out = self._run_xla(graph, feeds, outer_env)
@@ -90,7 +100,7 @@ class EvalBackend:
                     return out
                 except Exception:
                     pass  # last resort: whole graph on the oracle
-        self.last_path = "oracle"
+        self.last_path = "torch" if self.mode == "torch" else "oracle"
         return self._run_interp(graph, feeds, outer_env)
 
     def _run_segmented(self, graph: SymbolicGraph, feeds, outer_env):
@@ -196,7 +206,7 @@ class EvalBackend:
             cached = milli
             self._op_milli_cache[key] = cached
         feeds = {f"i{k}": v for k, v in enumerate(ins) if v is not None}
-        res = cached.eval(feeds)
+        res = cached.eval(feeds, op_impl=self._torch)
         return [res[f"o{k}"] for k in range(len(cached.outputs))]
 
     def _check(self, graph: SymbolicGraph, tid: int, v: np.ndarray, sop) -> None:

@@ -176,7 +176,12 @@ class MilliGraph:
         observer: Optional["MilliObserver"] = None,
         validate: bool = False,
         capture: Optional[Callable[[int, np.ndarray], None]] = None,
+        op_impl: Optional[Callable[["MilliOp", List], Optional[List]]] = None,
     ) -> Dict[str, np.ndarray]:
+        """op_impl: optional alternate per-op executor (e.g. the torch
+        backend). Called as op_impl(op, inputs); returning None falls
+        back to the op's numpy oracle eval — the reference's per-op
+        alternate-backend dispatch shape (eval_backend.rs:18-27)."""
         values: Dict[int, np.ndarray] = {}
         for name, tid in self.inputs.items():
             if name not in feeds:
@@ -200,7 +205,9 @@ class MilliGraph:
                 ) from e
             t0 = time.perf_counter()
             try:
-                outs = node.op.eval(ins)
+                outs = op_impl(node.op, ins) if op_impl is not None else None
+                if outs is None:
+                    outs = node.op.eval(ins)
             except Exception as e:
                 shapes = [tuple(x.shape) for x in ins]
                 dts = [str(x.dtype) for x in ins]
