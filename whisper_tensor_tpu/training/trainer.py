@@ -260,9 +260,14 @@ class LMTrainer:
         fwd = (jax.checkpoint(self._forward) if self.remat
                else self._forward)
         logits = fwd(params, ids, frozen).astype(jnp.float32)
-        logp = jax.nn.log_softmax(logits, axis=-1)
-        nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
-        return nll.mean()
+        # logsumexp form: nll = lse(logits) - logits[target]. Same math
+        # as log_softmax+gather but never materializes the full f32
+        # (B, S, V) log-prob tensor — at 124M the vocab dominates HBM
+        # traffic and this is the loss side of that wall.
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        gold = jnp.take_along_axis(logits, targets[..., None],
+                                   axis=-1)[..., 0]
+        return (lse - gold).mean()
 
     def _build_step(self):
         import jax
