@@ -516,8 +516,18 @@ def bench_llama8b_serving() -> None:
     model, mode = _llama8b_model(cfg, os.environ.get("WT_BENCH_QUANT",
                                                      "int8"),
                                  max_len, pos_per_row=True)
+    # WT_BENCH_PROMPT_MAX spreads prompt lengths over [4, prompt_max)
+    # (mixed-length workload for the ragged-attention A/B); buckets
+    # cover the range in powers of two so admission stays bucketed.
+    prompt_max = int(os.environ.get("WT_BENCH_PROMPT_MAX", "16"))
     buckets = ((16,) if not prefix_len
                else (16, 1 << (prefix_len + 16 - 1).bit_length()))
+    if prompt_max > 16:
+        b, bl = 16, []
+        while b < prompt_max * 2:
+            bl.append(b)
+            b *= 2
+        buckets = tuple(bl)
     srv = ContinuousBatcher(
         model, max_len=max_len, max_batch=N,
         chunk=int(os.environ.get("WT_BENCH_CHUNK", "32")),
@@ -530,7 +540,8 @@ def bench_llama8b_serving() -> None:
     shared = rng.integers(0, cfg.vocab_size, (prefix_len,)).astype(np.int64)
     prompts = [np.concatenate([shared, rng.integers(
                    0, cfg.vocab_size,
-                   (int(rng.integers(4, 16)),)).astype(np.int64)])
+                   (int(rng.integers(4, max(prompt_max, 5))),))
+                   .astype(np.int64)])
                for _ in range(max(waves, 1) * N)]
     t0 = time.time()
     # compile the k=N prefill + every REAL ladder length (a mid-run
@@ -572,12 +583,25 @@ def bench_llama8b_serving() -> None:
           f"{st['time_dispatch_s']}s, fetch {st['time_fetch_s']}s, "
           f"{st['chunks_dispatched']} chunks / "
           f"{st['steps_dispatched']} steps", file=sys.stderr)
-    print(json.dumps({
+    tvals = sorted(t for t in ttft if t is not None)
+
+    def q(p):
+        return tvals[min(len(tvals) - 1,
+                         int(len(tvals) * p / 100))] if tvals else None
+
+    ap = st.get("auto_prefix")
+    rec = {
         "metric": f"llama8b_{mode}_serving",
         "value": round(tok_s, 1), "unit": "tok/s",
         "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
         "clients": N, "n_new": n_new,
-    }))
+        "ttft_p50_s": round(q(50), 3) if tvals else None,
+        "ttft_p99_s": round(q(99), 3) if tvals else None,
+    }
+    if prefix_len:
+        rec["prefix_len"] = prefix_len
+        rec["auto_prefix"] = ap
+    print(json.dumps(rec))
 
 
 def bench_llama8b() -> None:
