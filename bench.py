@@ -1276,16 +1276,11 @@ def main() -> None:
                 "segmented": res["paths"]["segmented"]}
         except Exception as e:  # never let the sweep break the bench line
             print(f"# conformance sweep failed: {e}", file=sys.stderr)
-    # round-internal measurements of the other targets (each
-    # reproducible via WT_BENCH_TARGET=<name> python bench.py)
-    extra_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "BENCH_EXTRA.json")
-    if not small and os.path.exists(extra_path):
-        try:
-            with open(extra_path) as f:
-                result["extra_metrics"] = json.load(f)
-        except Exception:
-            pass
+    # Round-internal measurements of the other targets live in
+    # BENCH_EXTRA.json (each reproducible via WT_BENCH_TARGET=<name>).
+    # They are deliberately NOT folded into this line: the driver keeps
+    # only a bounded tail of stdout, and round 4's headline got truncated
+    # into unparseable JSON by its own extras. Compact line, printed LAST.
     print(json.dumps(result))
 
 

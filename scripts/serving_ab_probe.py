@@ -42,6 +42,7 @@ SUFFIX = 8          # fixed suffix length: prefill programs are keyed on
 
 
 def run_wave(srv, prompts, n_new):
+    progs0 = len(srv._programs)   # detect JIT compiles inside the wave
     t0 = time.time()
     ttft = [None] * len(prompts)
 
@@ -56,9 +57,16 @@ def run_wave(srv, prompts, n_new):
     total = sum(len(f.result(timeout=3600)) for f in futs)
     dt = time.time() - t0
     ts = sorted(t for t in ttft if t is not None)
+    # true (interpolated) median; at small N this is still noisy, so the
+    # sample count rides along in the JSON.
+    n = len(ts)
+    med = (ts[n // 2] if n % 2 else 0.5 * (ts[n // 2 - 1] + ts[n // 2]))
     return {"tok_s": round(total / dt, 1), "wall_s": round(dt, 2),
-            "ttft_p50_ms": round(ts[len(ts) // 2] * 1e3, 1),
-            "ttft_max_ms": round(ts[-1] * 1e3, 1)}
+            "ttft_med_ms": round(med * 1e3, 1), "ttft_n": n,
+            "ttft_max_ms": round(ts[-1] * 1e3, 1),
+            # >0 means admission coalescing hit an unwarmed (bucket, k)
+            # program shape and compile time is folded into this wave
+            "new_compiles": len(srv._programs) - progs0}
 
 
 def case_prefix(model, N, n_new):
@@ -94,27 +102,41 @@ def case_ragged(model, N, n_new):
     lens = [64, 256, 512, 1024] * ((2 * N) // 4 + 1)
     prompts = [rng.integers(0, 128256, (L,)).astype(np.int64)
                for L in lens[:2 * N]]
-    out = {}
-    for tag, flag in (("on", "1"), ("off", "0")):
-        os.environ["WT_RAGGED_ATTN"] = flag
-        srv = ContinuousBatcher(
-            model, max_len=MAX_LEN, max_batch=N, chunk=16,
-            cache_dtype=DType.BF16,
-            prompt_buckets=(64, 256, 512, 1024),
-            quantize="int8").start()
-        t0 = time.time()
-        warm = [srv.submit(p, 8) for p in prompts[:N]]
-        for f in warm:
-            f.result(timeout=3600)
-        print(f"# ragged[{tag}] warmup {time.time() - t0:.1f}s",
+    import jax
+
+    if jax.default_backend() != "tpu":
+        # ragged_decode_attention_usable() is False off-TPU, so both arms
+        # would run the identical dense path and the A/B would be ~1.0x
+        # by construction.
+        print("# ragged: WARNING non-TPU backend — A/B is meaningless",
               file=sys.stderr, flush=True)
-        res = run_wave(srv, prompts[N:2 * N], n_new)
-        srv.stop()
-        del srv
-        gc.collect()
-        out[tag] = res
-        print(f"# ragged[{tag}] {res}", file=sys.stderr, flush=True)
-    os.environ.pop("WT_RAGGED_ATTN", None)
+    out = {}
+    orig = os.environ.get("WT_RAGGED_ATTN")
+    try:
+        for tag, flag in (("on", "1"), ("off", "0")):
+            os.environ["WT_RAGGED_ATTN"] = flag
+            srv = ContinuousBatcher(
+                model, max_len=MAX_LEN, max_batch=N, chunk=16,
+                cache_dtype=DType.BF16,
+                prompt_buckets=(64, 256, 512, 1024),
+                quantize="int8").start()
+            t0 = time.time()
+            warm = [srv.submit(p, 8) for p in prompts[:N]]
+            for f in warm:
+                f.result(timeout=3600)
+            print(f"# ragged[{tag}] warmup {time.time() - t0:.1f}s",
+                  file=sys.stderr, flush=True)
+            res = run_wave(srv, prompts[N:2 * N], n_new)
+            srv.stop()
+            del srv
+            gc.collect()
+            out[tag] = res
+            print(f"# ragged[{tag}] {res}", file=sys.stderr, flush=True)
+    finally:
+        if orig is None:
+            os.environ.pop("WT_RAGGED_ATTN", None)
+        else:
+            os.environ["WT_RAGGED_ATTN"] = orig
     return out
 
 
@@ -128,7 +150,9 @@ def main():
                                        pos_per_row=True)
     print(f"# build {L}L: {time.time() - t0:.0f}s", file=sys.stderr,
           flush=True)
-    rec = {"layers": L, "clients": N, "max_len": MAX_LEN}
+    import jax
+    rec = {"layers": L, "clients": N, "max_len": MAX_LEN,
+           "jax_backend": jax.default_backend()}
     if case in ("both", "prefix"):
         rec["prefix"] = case_prefix(
             model, N, int(os.environ.get("WT_PROBE_NEW_A", "32")))
