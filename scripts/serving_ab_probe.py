@@ -81,9 +81,16 @@ def case_prefix(model, N, n_new):
             cache_dtype=DType.BF16, prompt_buckets=(16, PREFIX_LEN + 32),
             auto_prefix=pool, quantize="int8").start()
         t0 = time.time()
-        warm = [srv.submit(mk(), 8) for _ in range(N)]
-        for f in warm:
-            f.result(timeout=3600)
+        # TWO warmup waves: the first fills the pool (all admissions
+        # MISS -> compiles the plen=0 prefill program); the second HITS
+        # the pool and compiles the plen=PREFIX_LEN insert program.
+        # With one wave the hit-path compile (~15 s remote) lands inside
+        # the measured wave (observed: 17.3 s wall vs 0.8 s baseline,
+        # new_compiles=1 — the exact folding ADVICE r4 #3 warned about).
+        for _ in range(2 if pool else 1):
+            warm = [srv.submit(mk(), 8) for _ in range(N)]
+            for f in warm:
+                f.result(timeout=3600)
         print(f"# prefix[{tag}] warmup {time.time() - t0:.1f}s",
               file=sys.stderr, flush=True)
         res = run_wave(srv, [mk() for _ in range(N)], n_new)

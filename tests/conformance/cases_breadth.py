@@ -711,10 +711,10 @@ add("isnan_bf16", "IsNaN", {"x": _SPEC.astype(ml_dtypes.bfloat16)},
     np.isnan(_SPEC))
 
 add("nonzero_bool", "NonZero", {"x": _BA},
-    np.stack(np.nonzero(_BA)).astype(np.int64), oracle_only=True)
+    np.stack(np.nonzero(_BA)).astype(np.int64), oracle_only=False)
 add("nonzero_1d", "NonZero", {"x": np.asarray([0, 3, 0, 5], np.float32)},
     np.stack(np.nonzero(np.asarray([0, 3, 0, 5], np.float32))
-             ).astype(np.int64), oracle_only=True)
+             ).astype(np.int64), oracle_only=False)
 
 _TRX = rng.standard_normal((2, 4, 4)).astype(np.float32)
 add("trilu_k_input", "Trilu",

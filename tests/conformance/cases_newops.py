@@ -326,7 +326,7 @@ def _nms(name, boxes, scores, mo, iou, st=None, center=False):
     attrs = {"center_point_box": 1} if center else {}
     CASES.append(Case(name, "NonMaxSuppression", inputs,
                       [_nms_ref(boxes, scores, mo, iou, st, center)],
-                      attrs=attrs, oracle_only=True))
+                      attrs=attrs, oracle_only=False))
 
 
 _nms("nonmaxsuppression_single_box",
@@ -406,25 +406,25 @@ _DW = np.ones((1, 1, 2, 2), np.float32)
 _DOF = _rng.standard_normal((1, 8, 2, 2)).astype(np.float32) * 0.5
 add("basic_deform_conv_without_padding", "DeformConv",
     {"x": _DX, "w": _DW, "offset": _DOF},
-    [_deform_ref(_DX, _DW, _DOF)], oracle_only=True,
+    [_deform_ref(_DX, _DW, _DOF)], oracle_only=False,
     kernel_shape=[2, 2], pads=[0, 0, 0, 0])
 _DOF2 = _rng.standard_normal((1, 8, 4, 4)).astype(np.float32) * 0.5
 add("basic_deform_conv_with_padding", "DeformConv",
     {"x": _DX, "w": _DW, "offset": _DOF2},
-    [_deform_ref(_DX, _DW, _DOF2, pads=(1, 1, 1, 1))], oracle_only=True,
+    [_deform_ref(_DX, _DW, _DOF2, pads=(1, 1, 1, 1))], oracle_only=False,
     kernel_shape=[2, 2], pads=[1, 1, 1, 1])
 _DB = np.array([0.5], np.float32)
 _DM = _rng.random((1, 4, 2, 2)).astype(np.float32)
 add("deform_conv_with_mask_bias", "DeformConv",
     {"x": _DX, "w": _DW, "offset": _DOF, "bias": _DB, "mask": _DM},
-    [_deform_ref(_DX, _DW, _DOF, _DB, _DM)], oracle_only=True,
+    [_deform_ref(_DX, _DW, _DOF, _DB, _DM)], oracle_only=False,
     kernel_shape=[2, 2])
 _DX2 = np.arange(18, dtype=np.float32).reshape(1, 2, 3, 3)
 _DW2 = np.ones((1, 2, 2, 2), np.float32)
 _DOF3 = _rng.standard_normal((1, 16, 2, 2)).astype(np.float32) * 0.5
 add("deform_conv_with_multiple_offset_groups", "DeformConv",
     {"x": _DX2, "w": _DW2, "offset": _DOF3},
-    [_deform_ref(_DX2, _DW2, _DOF3, offset_group=2)], oracle_only=True,
+    [_deform_ref(_DX2, _DW2, _DOF3, offset_group=2)], oracle_only=False,
     kernel_shape=[2, 2], offset_group=2)
 
 # --- ImageDecoder ------------------------------------------------------------
@@ -453,7 +453,7 @@ def _imgdec(name, fmt, pixel_format="RGB", **save_kw):
         if pixel_format == "BGR":
             exp = exp[..., ::-1]
     add(name, "ImageDecoder", {"data": data},
-        [np.ascontiguousarray(exp)], oracle_only=True,
+        [np.ascontiguousarray(exp)], oracle_only=False,
         pixel_format=pixel_format)
 
 
@@ -606,46 +606,46 @@ y, i, inv, c = np.unique(_UQ, return_index=True, return_inverse=True,
                          return_counts=True)
 add("unique_sorted_without_axis", "Unique", {"x": _UQ},
     [y, i.astype(np.int64), inv.astype(np.int64), c.astype(np.int64)],
-    oracle_only=True)
+    oracle_only=False)
 add("unique_length_1", "Unique", {"x": np.array([5.0], np.float32)},
     [np.array([5.0], np.float32), np.zeros(1, np.int64),
-     np.zeros(1, np.int64), np.ones(1, np.int64)], oracle_only=True)
+     np.zeros(1, np.int64), np.ones(1, np.int64)], oracle_only=False)
 # not_sorted: first-occurrence order
 _UQ2 = np.array([2, 1, 1, 3, 4, 3], np.float32)
 add("unique_not_sorted_without_axis", "Unique", {"x": _UQ2},
     [np.array([2, 1, 3, 4], np.float32),
      np.array([0, 1, 3, 4], np.int64),
      np.array([0, 1, 1, 2, 3, 2], np.int64),
-     np.array([1, 2, 2, 1], np.int64)], oracle_only=True, sorted=0)
+     np.array([1, 2, 2, 1], np.int64)], oracle_only=False, sorted=0)
 _UQA = np.array([[1, 0, 0], [1, 0, 0], [2, 3, 4]], np.float32)
 ya, ia, inva, ca = np.unique(_UQA, axis=0, return_index=True,
                              return_inverse=True, return_counts=True)
 add("unique_sorted_with_axis", "Unique", {"x": _UQA},
     [ya, ia.astype(np.int64), inva.reshape(-1).astype(np.int64),
-     ca.astype(np.int64)], oracle_only=True, axis=0)
+     ca.astype(np.int64)], oracle_only=False, axis=0)
 add("unique_sorted_with_negative_axis", "Unique", {"x": _UQA.T},
     [ya.T, ia.astype(np.int64), inva.reshape(-1).astype(np.int64),
-     ca.astype(np.int64)], oracle_only=True, axis=-1)
+     ca.astype(np.int64)], oracle_only=False, axis=-1)
 _UQ3 = _rng.integers(0, 2, (2, 3, 2)).astype(np.float32)
 y3, i3, inv3, c3 = np.unique(_UQ3, axis=1, return_index=True,
                              return_inverse=True, return_counts=True)
 add("unique_sorted_with_axis_3d", "Unique", {"x": _UQ3},
     [y3, i3.astype(np.int64), inv3.reshape(-1).astype(np.int64),
-     c3.astype(np.int64)], oracle_only=True, axis=1)
+     c3.astype(np.int64)], oracle_only=False, axis=1)
 
 _CPX = np.array([[1, 2], [3, 4], [5, 6]], np.float32)
 add("compress_0", "Compress",
     {"x": _CPX, "cond": np.array([0, 1, 1], bool)},
-    [np.compress([0, 1, 1], _CPX, axis=0)], oracle_only=True, axis=0)
+    [np.compress([0, 1, 1], _CPX, axis=0)], oracle_only=False, axis=0)
 add("compress_1", "Compress",
     {"x": _CPX, "cond": np.array([0, 1], bool)},
-    [np.compress([0, 1], _CPX, axis=1)], oracle_only=True, axis=1)
+    [np.compress([0, 1], _CPX, axis=1)], oracle_only=False, axis=1)
 add("compress_negative_axis", "Compress",
     {"x": _CPX, "cond": np.array([0, 1], bool)},
-    [np.compress([0, 1], _CPX, axis=-1)], oracle_only=True, axis=-1)
+    [np.compress([0, 1], _CPX, axis=-1)], oracle_only=False, axis=-1)
 add("compress_default_axis", "Compress",
     {"x": _CPX, "cond": np.array([0, 1, 0, 0, 1], bool)},
-    [np.compress([0, 1, 0, 0, 1], _CPX.reshape(-1))], oracle_only=True)
+    [np.compress([0, 1, 0, 0, 1], _CPX.reshape(-1))], oracle_only=False)
 
 for nm, shp in (("bitwise_not_2d", (3, 4)), ("bitwise_not_3d", (3, 4, 5)),
                 ("bitwise_not_4d", (3, 4, 5, 6))):
@@ -681,105 +681,105 @@ def _s(x):
 
 add("string_concat", "StringConcat",
     {"a": _s(["abc", "def"]), "b": _s([".com", ".net"])},
-    [_s(["abc.com", "def.net"])], oracle_only=True)
+    [_s(["abc.com", "def.net"])], oracle_only=False)
 add("string_concat_broadcasting", "StringConcat",
     {"a": _s([["ab", "cd"], ["ef", "gh"]]), "b": _s(["x", "y"])},
-    [_s([["abx", "cdy"], ["efx", "ghy"]])], oracle_only=True)
+    [_s([["abx", "cdy"], ["efx", "ghy"]])], oracle_only=False)
 add("string_concat_empty_string", "StringConcat",
     {"a": _s(["", "a"]), "b": _s(["b", ""])}, [_s(["b", "a"])],
-    oracle_only=True)
+    oracle_only=False)
 add("string_concat_utf8", "StringConcat",
     {"a": _s(["桜"]), "b": _s(["はな"])}, [_s(["桜はな"])],
-    oracle_only=True)
+    oracle_only=False)
 add("string_concat_zero_dimensional", "StringConcat",
-    {"a": _s("ab"), "b": _s("cd")}, [_s("abcd")], oracle_only=True)
+    {"a": _s("ab"), "b": _s("cd")}, [_s("abcd")], oracle_only=False)
 
 add("string_split_basic", "StringSplit",
     {"x": _s(["a,b,c", "d,e"])},
     [_s([["a", "b", "c"], ["d", "e", ""]]),
-     np.array([3, 2], np.int64)], oracle_only=True, delimiter=",")
+     np.array([3, 2], np.int64)], oracle_only=False, delimiter=",")
 add("string_split_consecutive_delimiters", "StringSplit",
     {"x": _s(["a,,b"])}, [_s([["a", "", "b"]]),
                           np.array([3], np.int64)],
-    oracle_only=True, delimiter=",")
+    oracle_only=False, delimiter=",")
 add("string_split_maxsplit", "StringSplit",
     {"x": _s(["a,b,c,d"])}, [_s([["a", "b", "c,d"]]),
                              np.array([3], np.int64)],
-    oracle_only=True, delimiter=",", maxsplit=2)
+    oracle_only=False, delimiter=",", maxsplit=2)
 add("string_split_no_delimiter", "StringSplit",
     {"x": _s(["hello world  foo"])},
     [_s([["hello", "world", "foo"]]), np.array([3], np.int64)],
-    oracle_only=True)
+    oracle_only=False)
 add("string_split_empty_string_delimiter", "StringSplit",
     {"x": _s([""])}, [_s([[]]).reshape(1, 0),
                       np.array([0], np.int64)],
-    oracle_only=True, delimiter=",")
+    oracle_only=False, delimiter=",")
 add("string_split_empty_tensor", "StringSplit",
     {"x": _s([]).reshape(0)}, [_s([]).reshape(0, 0),
                                np.zeros(0, np.int64)],
-    oracle_only=True, delimiter=",")
+    oracle_only=False, delimiter=",")
 
 _MON = _s(["monday", "tuesday", "wednesday", "thursday"])
 add("strnormalizer_export_monday_casesensintive_lower",
     "StringNormalizer", {"x": _MON},
-    [_s(["tuesday", "wednesday", "thursday"])], oracle_only=True,
+    [_s(["tuesday", "wednesday", "thursday"])], oracle_only=False,
     case_change_action="LOWER", is_case_sensitive=1,
     stopwords=["monday"])
 add("strnormalizer_export_monday_casesensintive_nochangecase",
     "StringNormalizer", {"x": _MON},
-    [_s(["tuesday", "wednesday", "thursday"])], oracle_only=True,
+    [_s(["tuesday", "wednesday", "thursday"])], oracle_only=False,
     is_case_sensitive=1, stopwords=["monday"])
 add("strnormalizer_export_monday_casesensintive_upper",
     "StringNormalizer", {"x": _MON},
-    [_s(["TUESDAY", "WEDNESDAY", "THURSDAY"])], oracle_only=True,
+    [_s(["TUESDAY", "WEDNESDAY", "THURSDAY"])], oracle_only=False,
     case_change_action="UPPER", is_case_sensitive=1,
     stopwords=["monday"])
 add("strnormalizer_export_monday_empty_output", "StringNormalizer",
-    {"x": _s(["monday", "monday"])}, [_s([""])], oracle_only=True,
+    {"x": _s(["monday", "monday"])}, [_s([""])], oracle_only=False,
     is_case_sensitive=1, stopwords=["monday"])
 add("strnormalizer_export_monday_insensintive_upper_twodim",
     "StringNormalizer",
     {"x": _s(["Monday", "tuesday", "wednesday", "Monday", "tuesday",
               "wednesday"]).reshape(1, 6)},
     [_s(["TUESDAY", "WEDNESDAY", "TUESDAY", "WEDNESDAY"]).reshape(1, 4)],
-    oracle_only=True, case_change_action="UPPER", stopwords=["monday"])
+    oracle_only=False, case_change_action="UPPER", stopwords=["monday"])
 add("strnormalizer_nostopwords_nochangecase", "StringNormalizer",
     {"x": _s(["monday", "tuesday"])}, [_s(["monday", "tuesday"])],
-    oracle_only=True, is_case_sensitive=1)
+    oracle_only=False, is_case_sensitive=1)
 
 add("regex_full_match_basic", "RegexFullMatch",
     {"x": _s(["www.google.com", "www.facebook.com", "www.bbc.co.uk"])},
-    [np.array([False, False, True])], oracle_only=True,
+    [np.array([False, False, True])], oracle_only=False,
     pattern=r"www\.[\w.-]+\.\bco\.uk\b")
 add("regex_full_match_email_domain", "RegexFullMatch",
     {"x": _s([["account@gmail.com", "account@hotmail.com"],
               ["not email", "account2@yahoo.com"]])},
-    [np.array([[True, False], [False, True]])], oracle_only=True,
+    [np.array([[True, False], [False, True]])], oracle_only=False,
     pattern=r"(\W|^)[\w.\-]{0,25}@(yahoo|gmail)\.com(\W|$)")
 add("regex_full_match_empty", "RegexFullMatch",
-    {"x": _s([]).reshape(0)}, [np.zeros(0, bool)], oracle_only=True,
+    {"x": _s([]).reshape(0)}, [np.zeros(0, bool)], oracle_only=False,
     pattern=r"(\W|^)[\w.\-]{0,25}@(yahoo|gmail)\.com(\W|$)")
 
 # --- ai.onnx.ml ---------------------------------------------------------------
 
 add("ai_onnx_ml_label_encoder_string_int", "LabelEncoder",
     {"x": _s(["a", "b", "x", "c"])},
-    [np.array([0, 1, -1, 2], np.int64)], oracle_only=True,
+    [np.array([0, 1, -1, 2], np.int64)], oracle_only=False,
     domain="ai.onnx.ml", keys_strings=["a", "b", "c"],
     values_int64s=[0, 1, 2], default_int64=-1)
 add("ai_onnx_ml_label_encoder_string_int_no_default", "LabelEncoder",
     {"x": _s(["a", "b", "x", "c"])},
-    [np.array([0, 1, -1, 2], np.int64)], oracle_only=True,
+    [np.array([0, 1, -1, 2], np.int64)], oracle_only=False,
     domain="ai.onnx.ml", keys_strings=["a", "b", "c"],
     values_int64s=[0, 1, 2])
 add("ai_onnx_ml_label_encoder_tensor_mapping", "LabelEncoder",
     {"x": np.array([1, 5, 2, 9], np.int64)},
-    [_s(["one", "other", "two", "other"])], oracle_only=True,
+    [_s(["one", "other", "two", "other"])], oracle_only=False,
     domain="ai.onnx.ml", keys_int64s=[1, 2],
     values_strings=["one", "two"], default_string="other")
 add("ai_onnx_ml_label_encoder_tensor_value_only_mapping", "LabelEncoder",
     {"x": np.array([1, 2, 3], np.int64)},
-    [_s(["a", "b", "other"])], oracle_only=True, domain="ai.onnx.ml",
+    [_s(["a", "b", "other"])], oracle_only=False, domain="ai.onnx.ml",
     keys_int64s=[1, 2], values_strings=["a", "b"],
     default_string="other")
 
@@ -821,7 +821,7 @@ _MV = np.array([1.7, 3.6], np.float32)
 add("momentum", "Momentum",
     {"r": _MR, "t": _MT, "x": _MX, "g": _MG, "v": _MV},
     _momentum_ref(0.1, 0, [_MX], [_MG], [_MV], 0.95, 0.1, 0.002),
-    oracle_only=True, domain="ai.onnx.preview.training",
+    oracle_only=False, domain="ai.onnx.preview.training",
     alpha=0.95, beta=0.1, norm_coefficient=0.002, mode="standard")
 _MX2 = np.array([1.0], np.float32)
 _MG2 = np.array([-1.0], np.float32)
@@ -831,13 +831,13 @@ add("momentum_multiple", "Momentum",
      "v1": _MV2, "v2": _MV},
     _momentum_ref(0.1, 0, [_MX2, _MX], [_MG2, _MG], [_MV2, _MV],
                   0.95, 0.85, 0.002),
-    oracle_only=True, domain="ai.onnx.preview.training",
+    oracle_only=False, domain="ai.onnx.preview.training",
     alpha=0.95, beta=0.85, norm_coefficient=0.002, mode="standard")
 add("nesterov_momentum", "Momentum",
     {"r": _MR, "t": _MT, "x": _MX, "g": _MG, "v": _MV},
     _momentum_ref(0.1, 0, [_MX], [_MG], [_MV], 0.95, 1.0, 0.01,
                   nesterov=True),
-    oracle_only=True, domain="ai.onnx.preview.training",
+    oracle_only=False, domain="ai.onnx.preview.training",
     alpha=0.95, beta=1.0, norm_coefficient=0.01, mode="nesterov")
 
 # --- QLinearConv / ConvInteger -------------------------------------------------

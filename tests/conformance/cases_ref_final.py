@@ -330,10 +330,10 @@ add("equal_bcast", "Equal", {"a": _EQA, "b": _EQB}, [_EQA == _EQB])
 _EQS = np.asarray(["hello", "world", "x"], dtype=object)
 _EQS2 = np.asarray(["hello", "foo", "x"], dtype=object)
 add("equal_string", "Equal", {"a": _EQS, "b": _EQS2},
-    [np.array([True, False, True])], oracle_only=True)
+    [np.array([True, False, True])], oracle_only=False)
 add("equal_string_broadcast", "Equal",
     {"a": _EQS, "b": np.asarray(["hello"], dtype=object)},
-    [np.array([True, False, False])], oracle_only=True)
+    [np.array([True, False, False])], oracle_only=False)
 
 _GEA = _rng.standard_normal((3, 4, 5)).astype(np.float32)
 _GEB = _rng.standard_normal((5,)).astype(np.float32)
@@ -614,7 +614,7 @@ y, hT = _rnn_torch("gru", _RNX, _GW, _GR, layout=1)
 add("gru_batchwise", "GRU",
     {"x": np.swapaxes(_RNX, 0, 1).copy(), "w": _GW, "r": _GR}, [y, hT],
     hidden_size=_RH2, atol=1e-4, layout=1, linear_before_reset=1,
-    oracle_only=True)
+    oracle_only=False)
 
 y, hT, cT = _rnn_torch("lstm", _RNX, _LW, _LR)
 add("lstm_defaults", "LSTM", {"x": _RNX, "w": _LW, "r": _LR},
@@ -627,7 +627,7 @@ y, hT, cT = _rnn_torch("lstm", _RNX, _LW, _LR, layout=1)
 add("lstm_batchwise", "LSTM",
     {"x": np.swapaxes(_RNX, 0, 1).copy(), "w": _LW, "r": _LR},
     [y, hT, cT], hidden_size=_RH2, atol=1e-4, layout=1,
-    oracle_only=True)
+    oracle_only=False)
 
 
 def _lstm_peephole_ref(X, W, R, B, P):
@@ -664,7 +664,7 @@ add("lstm_with_peepholes", "LSTM",
      "lens": np.full(_RB2, _RS, np.int32),
      "h0": np.zeros((1, _RB2, _RH2), np.float32),
      "c0": np.zeros((1, _RB2, _RH2), np.float32), "p": _LP},
-    [y, hT, cT], hidden_size=_RH2, atol=1e-4, oracle_only=True,
+    [y, hT, cT], hidden_size=_RH2, atol=1e-4, oracle_only=False,
     init=("lens",))
 
 # --- pooling trio ---------------------------------------------------------------------------------
@@ -860,11 +860,11 @@ def _argmax_pool_ref(x, k, strides, pads):
 
 y, idx = _argmax_pool_ref(_mpa_x, (5, 5), (1, 1), (2, 2, 2, 2))
 add("maxpool_with_argmax_2d_precomputed_pads", "MaxPool", {"x": _mpa_x},
-    [y, idx], kernel_shape=[5, 5], pads=[2, 2, 2, 2], oracle_only=True)
+    [y, idx], kernel_shape=[5, 5], pads=[2, 2, 2, 2], oracle_only=False)
 y, idx = _argmax_pool_ref(_mpa_x, (2, 2), (2, 2), (0, 0, 0, 0))
 add("maxpool_with_argmax_2d_precomputed_strides", "MaxPool",
     {"x": _mpa_x}, [y, idx], kernel_shape=[2, 2], strides=[2, 2],
-    oracle_only=True)
+    oracle_only=False)
 
 _mp("averagepool_1d_default", _P1, [2], op="AveragePool")
 _mp("averagepool_2d_default", _P2, [2, 2], op="AveragePool")

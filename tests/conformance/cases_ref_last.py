@@ -222,7 +222,7 @@ add("matmul_3d", "MatMul", {"a": _M3A, "b": _M3B}, [_M3A @ _M3B],
     atol=1e-4)
 _NZX = np.array([[1, 0], [1, 1]], np.float32)
 add("nonzero_example", "NonZero", {"x": _NZX},
-    [np.asarray(np.nonzero(_NZX), np.int64)], oracle_only=True)
+    [np.asarray(np.nonzero(_NZX), np.int64)], oracle_only=False)
 for nd, shp in (("3d", (3, 4, 5)), ("4d", (2, 3, 4, 5))):
     xb = _rng.random(shp) > 0.5
     add(f"not_{nd}", "Not", {"x": xb}, [~xb])
@@ -449,7 +449,7 @@ add("simple_rnn_with_initial_bias", "RNN",
 y, hT = _rnn_ref(_RX.astype(np.float64), _RW, _RR, layout=1)
 add("simple_rnn_batchwise", "RNN",
     {"x": np.swapaxes(_RX, 0, 1).copy(), "w": _RW, "r": _RR}, [y, hT],
-    hidden_size=_RNH, atol=1e-4, layout=1, oracle_only=True)
+    hidden_size=_RNH, atol=1e-4, layout=1, oracle_only=False)
 
 # --- TreeEnsemble (ai.onnx.ml v5) ---------------------------------------------------
 
@@ -459,7 +459,7 @@ add("ai_onnx_ml_tree_ensemble_single_tree", "TreeEnsemble",
     {"x": np.array([[1.2, 3.4], [-0.12, 1.66], [4.14, 1.77]],
                    np.float64).astype(np.float32)},
     [np.array([[5.23, 0], [5.23, 0], [0, 12.12]], np.float32)],
-    oracle_only=True, domain="ai.onnx.ml",
+    oracle_only=False, domain="ai.onnx.ml",
     n_targets=2, aggregate_function=1, post_transform=0,
     tree_roots=np.array([0], np.int64),
     nodes_modes=np.array([0, 0, 0], np.uint8),
@@ -478,7 +478,7 @@ add("ai_onnx_ml_tree_ensemble_set_membership", "TreeEnsemble",
                     [np.nan, 0.5]], np.float32)},
     [np.array([[1, 0, 0, 0], [0, 0, 0, 1], [0, 0, 1, 0], [0, 1, 0, 0]],
               np.float32)],
-    oracle_only=True, domain="ai.onnx.ml",
+    oracle_only=False, domain="ai.onnx.ml",
     n_targets=4, aggregate_function=1, post_transform=0,
     tree_roots=np.array([0], np.int64),
     nodes_modes=np.array([0, 6, 6], np.uint8),

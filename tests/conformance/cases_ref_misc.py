@@ -254,20 +254,20 @@ add("training_dropout_default", "Dropout",
     {"x": _DRX, "ratio": np.float32(0.5),
      "training_mode": np.asarray(True)},
     [_train_dropout(_DRX, 0.5, 0)[0]], init=("ratio", "training_mode"),
-    oracle_only=True, seed=0)
+    oracle_only=False, seed=0)
 add("training_dropout_default_mask", "Dropout",
     {"x": _DRX, "ratio": np.float32(0.5),
      "training_mode": np.asarray(True)},
     list(_train_dropout(_DRX, 0.5, 0)), init=("ratio", "training_mode"),
-    oracle_only=True, seed=0)
+    oracle_only=False, seed=0)
 add("training_dropout", "Dropout",
     {"x": _DRX, "ratio": np.float32(0.75),
      "training_mode": np.asarray(True)},
-    [_TDY], init=("ratio", "training_mode"), oracle_only=True, seed=0)
+    [_TDY], init=("ratio", "training_mode"), oracle_only=False, seed=0)
 add("training_dropout_mask", "Dropout",
     {"x": _DRX, "ratio": np.float32(0.75),
      "training_mode": np.asarray(True)},
-    [_TDY, _TDM], init=("ratio", "training_mode"), oracle_only=True,
+    [_TDY, _TDM], init=("ratio", "training_mode"), oracle_only=False,
     seed=0)
 add("training_dropout_zero_ratio", "Dropout",
     {"x": _DRX, "ratio": np.float32(0.0),
@@ -600,7 +600,7 @@ def _tfidf(name, x, min_g, max_g, skip, counts=None, idxs=None,
                     if g in table:
                         out[r, table[g]] += 1
     exp = out if x.ndim == 2 else out[0]
-    add(name, "TfIdfVectorizer", {"x": x}, [exp], oracle_only=True,
+    add(name, "TfIdfVectorizer", {"x": x}, [exp], oracle_only=False,
         min_gram_length=min_g, max_gram_length=max_g,
         max_skip_count=skip, mode="TF", **cfg)
 

@@ -32,7 +32,7 @@ def _model(case, build):
 
 def add(name, expected, build, inputs=None, opset=23, op="seq"):
     CASES.append(Case(
-        name, op, inputs or {}, expected, oracle_only=True,
+        name, op, inputs or {}, expected, oracle_only=False,
         opset=opset, atol=1e-5,
         builder=lambda case, _b=build: _model(case, _b)))
 

@@ -29,7 +29,7 @@ add("reshape_zero", "Reshape", {"x": _X, "s": np.asarray([0, -1], dtype=np.int64
     _X.reshape(2, 12))
 add("reshape_allowzero", "Reshape",
     {"x": np.zeros((0, 4), np.float32), "s": np.asarray([0, 4], dtype=np.int64)},
-    np.zeros((0, 4), np.float32), attrs={"allowzero": 1}, oracle_only=True)
+    np.zeros((0, 4), np.float32), attrs={"allowzero": 1}, oracle_only=False)
 add("transpose_default", "Transpose", {"x": _X}, _X.T)
 add("transpose_perm", "Transpose", {"x": _X}, np.transpose(_X, (1, 2, 0)),
     attrs={"perm": [1, 2, 0]})
@@ -110,7 +110,7 @@ add("pad_edge", "Pad",
 add("pad_wrap", "Pad",
     {"x": _R, "p": np.asarray([1, 0, 1, 0], dtype=np.int64)},
     np.pad(_R, ((1, 1), (0, 0)), mode="wrap"), attrs={"mode": "wrap"},
-    oracle_only=True)
+    oracle_only=False)
 add("pad_axes_subset", "Pad",
     {"x": _R, "p": np.asarray([2, 1], dtype=np.int64),
      "v": np.asarray(0.0, dtype=np.float32),
@@ -118,7 +118,7 @@ add("pad_axes_subset", "Pad",
     np.pad(_R, ((0, 0), (2, 1))))
 add("pad_negative_crop", "Pad",
     {"x": _R, "p": np.asarray([-1, 0, 0, -2], dtype=np.int64)},
-    _R[1:, :3], oracle_only=True)
+    _R[1:, :3], oracle_only=False)
 
 # -- gather family -----------------------------------------------------------------
 add("gather_ax0", "Gather", {"x": _R, "i": np.asarray([3, 0], dtype=np.int64)},
@@ -169,7 +169,7 @@ add("eyelike", "EyeLike", {"x": np.zeros((3, 4), np.float32)},
     np.eye(3, 4, dtype=np.float32))
 add("nonzero", "NonZero", {"x": np.asarray([[1, 0], [0, 3]], dtype=np.float32)},
     np.asarray(np.nonzero(np.asarray([[1, 0], [0, 3]]))).astype(np.int64),
-    oracle_only=True)
+    oracle_only=False)
 add("depthtospace_dcr", "DepthToSpace",
     {"x": np.arange(16, dtype=np.float32).reshape(1, 4, 2, 2)},
     torch.pixel_shuffle(t(np.arange(16, dtype=np.float32).reshape(1, 4, 2, 2)), 2).numpy(),

@@ -82,7 +82,8 @@ class EvalBackend:
         # request ("xla" | "segmented" | "oracle" | "torch") —
         # conformance reports use it to state honestly how much of a
         # case ran on-device.
-        if self.mode == "xla" and not graph.has_control_flow():
+        if (self.mode == "xla" and not graph.has_control_flow()
+                and not graph.needs_host_eval()):
             try:
                 out = self._run_xla(graph, feeds, outer_env)
                 self.last_path = "xla"

@@ -305,6 +305,23 @@ class SymbolicGraph:
     def has_control_flow(self) -> bool:
         return any(op.op.sub_graphs() for op in self.ops)
 
+    def needs_host_eval(self) -> bool:
+        """True when the graph carries values XLA cannot represent:
+        sequence/optional host containers (ops that execute via
+        eval_direct) or STRING tensors. Such graphs run on the host
+        interpreter — the analog of the reference's per-op NDArray
+        fallback for ops its Vulkan backend cannot hold
+        (src/numeric_tensor.rs:844-880); XLA has no string or
+        ragged-container type, so this is a hardware property, not a
+        coverage gap."""
+        from ..dtype import DType
+
+        if any(hasattr(op.op, "eval_direct") and not op.op.sub_graphs()
+               for op in self.ops):
+            return True
+        return any(t.info is not None and t.info.dtype == DType.STRING
+                   for t in self.tensors.values())
+
     # ------------------------------------------------------------------
     # ONNX export (inverse of from_onnx_bytes; symbolic_graph/export.py)
     # ------------------------------------------------------------------
