@@ -957,3 +957,31 @@ def test_auto_prefix_mixed_group_partitions():
         assert batcher.stats()["auto_prefix"]["hits"] >= 2
     finally:
         batcher.stop()
+
+
+def test_shared_iface_across_batchers():
+    """bench sweep support: two sequential batchers over ONE
+    TextInferenceInterface (weights + compiled-program cache shared)
+    must each reproduce the sequential per-request generations — the
+    8B client-count sweep relies on this to pay the model build once."""
+    cfg, m_scalar, m_ragged = _models()
+    ref_iface = TextInferenceInterface(m_scalar, max_len=64,
+                                       prompt_buckets=(16, 32))
+    shared = TextInferenceInterface(m_ragged, max_len=64,
+                                    cache_dtype=DType.F32,
+                                    prompt_buckets=(16, 32))
+    prompts = [rng.integers(0, cfg.vocab_size, (n,)).astype(np.int64)
+               for n in (3, 7, 12, 5)]
+    refs = [ref_iface.generate_tokens(p[None], 8)[0] for p in prompts]
+    for max_batch in (2, 4):
+        b = ContinuousBatcher(None, max_len=64, max_batch=max_batch,
+                              chunk=4, iface=shared).start()
+        try:
+            outs = [f.result(timeout=120)
+                    for f in [b.submit(p, 8) for p in prompts]]
+            for out, ref in zip(outs, refs):
+                np.testing.assert_array_equal(out, ref)
+        finally:
+            b.stop()
+    with pytest.raises(ValueError):
+        ContinuousBatcher(None, max_len=32, iface=shared)

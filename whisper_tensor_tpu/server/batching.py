@@ -93,7 +93,8 @@ class ContinuousBatcher:
                  adapters: "Optional[Dict[str, Dict[str, tuple]]]" = None,
                  chunk_max: Optional[int] = None,
                  admit_coalesce_s: float = 0.05,
-                 auto_prefix: int = 0):
+                 auto_prefix: int = 0,
+                 iface: "Optional[TextInferenceInterface]" = None):
         """prefill_chunk: chunked prefill (vLLM-style admission QoS) —
         prompts longer than this are prefilled in prefill_chunk-token
         pieces, ONE piece per scheduler tick, so in-flight decode rows
@@ -142,10 +143,24 @@ class ContinuousBatcher:
         prefix row into the pool. Exactness falls out of the existing
         slot-reuse discipline: the tenant's suffix prefill overwrites
         [plen, L) and the position mask hides everything beyond. 0 =
-        off; mutually exclusive with prefix_ids."""
-        self.iface = TextInferenceInterface(
-            model, max_len=max_len, cache_dtype=cache_dtype,
-            prompt_buckets=prompt_buckets, quantize=quantize)
+        off; mutually exclusive with prefix_ids.
+
+        iface: reuse an existing TextInferenceInterface instead of
+        building one. Weights (possibly multi-GB, quantized+uploaded at
+        interface build) and the shape-keyed compiled-program cache are
+        then SHARED across batcher instances — a client-count sweep
+        pays the model build once. The interface must have been built
+        with the same max_len; model/cache_dtype/prompt_buckets/
+        quantize args are ignored in that case."""
+        if iface is not None:
+            if iface.max_len != max_len:
+                raise ValueError(
+                    f"shared iface max_len {iface.max_len} != {max_len}")
+            self.iface = iface
+        else:
+            self.iface = TextInferenceInterface(
+                model, max_len=max_len, cache_dtype=cache_dtype,
+                prompt_buckets=prompt_buckets, quantize=quantize)
         if adapters:
             # multi-LoRA serving: per-ROW adapter selection inside every
             # shared program; submit(..., adapter=<name>) picks one
