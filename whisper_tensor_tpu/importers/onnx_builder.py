@@ -35,7 +35,14 @@ class WeightStorage:
     reference WeightStorageStrategy::None), "sink" (structure only in
     the ONNX bytes, but every initializer VALUE lands in the given dict
     — the caller installs them into the TensorStore directly, so large
-    payloads never round-trip through protobuf serialization).
+    payloads never round-trip through protobuf serialization),
+    "origin" (reference WeightStorageStrategy::OriginReference,
+    onnx_graph/mod.rs:56-80 + weights.rs:233-420: initializers become
+    external-data protos whose `location` points back at the ORIGINAL
+    checkpoint file — .pth zip member offsets or a safetensors tensor
+    name — so the exported ONNX carries no payload bytes yet loads
+    anywhere the origin checkpoint exists. Initializers without origin
+    metadata (generated/derived arrays) embed inline.)
     """
 
     kind: str = "embed"
@@ -58,15 +65,28 @@ class WeightStorage:
     def to_sink(sink: dict) -> "WeightStorage":
         return WeightStorage("sink", sink=sink)
 
+    @staticmethod
+    def origin_reference() -> "WeightStorage":
+        return WeightStorage("origin")
+
 
 class LazyWeight:
     """Deferred weight payload (e.g. a safetensors slice); materialized
-    only when the chosen storage strategy needs bytes."""
+    only when the chosen storage strategy needs bytes.
 
-    def __init__(self, loader, dtype: DType, shape: Tuple[int, ...]):
+    origin: optional provenance for WeightStorage.origin_reference() —
+    a dict with keys `format` ("pth" | "safetensors"), `location`
+    (origin file path), `tensor_name`, and for pth `offset`/`length`
+    (byte span of the tensor inside the checkpoint). Mirrors the
+    external_data entries the reference writes
+    (onnx_graph/weights.rs:318-410)."""
+
+    def __init__(self, loader, dtype: DType, shape: Tuple[int, ...],
+                 origin: Optional[Dict[str, str]] = None):
         self.loader = loader
         self.dtype = dtype
         self.shape = tuple(int(d) for d in shape)
+        self.origin = origin
 
     def load(self) -> np.ndarray:
         arr = self.loader()
@@ -260,6 +280,21 @@ class OnnxBuilder:
                           else DType.from_numpy(w.dtype))
                     tp = TensorProto(name=name, data_type=DTYPE_TO_ONNX[dt],
                                      dims=[int(d) for d in arr_shape])
+                    g.initializer.append(tp)
+                    continue
+                if (storage.kind == "origin" and isinstance(w, LazyWeight)
+                        and w.origin):
+                    tp = TensorProto(name=name,
+                                     data_type=DTYPE_TO_ONNX[w.dtype],
+                                     dims=[int(d) for d in w.shape],
+                                     data_location=1)
+                    # key order matches the reference's external_data
+                    # (weights.rs:318-352): format, tensor_name,
+                    # location, then pth offset/length
+                    tp.external_data = [
+                        StringStringEntryProto(key=k, value=str(w.origin[k]))
+                        for k in ("format", "tensor_name", "location",
+                                  "offset", "length") if k in w.origin]
                     g.initializer.append(tp)
                     continue
                 arr = w.load() if isinstance(w, LazyWeight) else np.asarray(w)

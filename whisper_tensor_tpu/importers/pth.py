@@ -9,6 +9,7 @@ torch._utils._rebuild_tensor_v2. Unknown reduce callables raise.
 
 from __future__ import annotations
 
+import os
 import struct
 import zipfile
 from typing import Any, Dict, List, Optional, Tuple
@@ -278,4 +279,95 @@ def load_pth(path: str) -> Dict[str, np.ndarray]:
         # flatten one level of 'state_dict' style nesting
         if "state_dict" in out and isinstance(out["state_dict"], dict):
             out = out["state_dict"]
+    return out
+
+
+def _zip_data_offset(zf: zipfile.ZipFile, member: str) -> int:
+    """Absolute byte offset of a zip member's payload. Torch writes
+    checkpoint storages ZIP_STORED (uncompressed), so the payload is a
+    contiguous raw byte span — exactly what an OriginReference ONNX
+    points at. The local file header's own name/extra lengths are read
+    (they can differ from the central directory's)."""
+    info = zf.getinfo(member)
+    if info.compress_type != zipfile.ZIP_STORED:
+        raise ValueError(f"pth member {member!r} is compressed; "
+                         "OriginReference needs raw byte spans")
+    fp = zf.fp
+    fp.seek(info.header_offset + 26)
+    fnlen, extralen = struct.unpack("<HH", fp.read(4))
+    return info.header_offset + 30 + fnlen + extralen
+
+
+def load_pth_lazy(path: str) -> Dict[str, "object"]:
+    """{name: LazyWeight} with byte-span origin metadata, for
+    WeightStorage.origin_reference() exports that point back at this
+    .pth file (reference OriginReferenceOutputManager pth branch,
+    onnx_graph/weights.rs:250-261 + 300-364: external_data carries
+    format/tensor_name/location/offset/length)."""
+    from .onnx_builder import LazyWeight
+
+    abs_path = os.path.abspath(path)
+    storages: Dict[str, _Storage] = {}
+    with zipfile.ZipFile(path) as zf:
+        names = zf.namelist()
+        pkl_name = next(n for n in names if n.endswith("data.pkl"))
+        root = pkl_name[: -len("data.pkl")]
+
+        def persistent_load(pid):
+            assert pid[0] == "storage", pid
+            st_type = pid[1]
+            st_name = (st_type.rsplit(".", 1)[-1]
+                       if isinstance(st_type, str) else str(st_type))
+            key = pid[2]
+            if key not in storages:
+                dt = _STORAGE_DTYPES.get(st_name)
+                if dt is None and st_name.endswith("Storage"):
+                    dt = DType.U8
+                storages[key] = _Storage(dt, key, int(pid[4]))
+            return storages[key]
+
+        result = _PickleVM(zf.read(pkl_name), persistent_load).run()
+        data_off = {key: _zip_data_offset(zf, f"{root}data/{key}")
+                    for key in storages}
+
+    out: Dict[str, object] = {}
+
+    def walk(prefix, obj):
+        if isinstance(obj, _LazyTensorRef):
+            itemsize = int(obj.storage.dtype.size_bytes)
+            numel = 1
+            for d in obj.shape:
+                numel *= int(d)
+            # contiguity: origin spans can only describe dense
+            # row-major tensors (torch checkpoints save contiguous)
+            expect, ok = 1, True
+            for d, s in zip(reversed(obj.shape), reversed(obj.strides)):
+                ok = ok and (s == expect or d == 1)
+                expect *= int(d)
+            key = obj.storage.key
+
+            def loader(o=obj):
+                arrs = load_pth(path)
+                cur = arrs
+                for part in prefix.split("."):
+                    cur = cur[part]
+                return cur
+
+            origin = None
+            if ok:
+                origin = {"format": "pth", "tensor_name": prefix,
+                          "location": abs_path,
+                          "offset": data_off[key] + obj.offset * itemsize,
+                          "length": numel * itemsize}
+            out[prefix] = LazyWeight(loader, obj.storage.dtype,
+                                     obj.shape, origin=origin)
+            return
+        if isinstance(obj, dict):
+            for k, v in obj.items():
+                walk(f"{prefix}.{k}" if prefix else str(k), v)
+
+    if isinstance(result, dict) and isinstance(
+            result.get("state_dict"), dict):
+        result = result["state_dict"]
+    walk("", result)
     return out

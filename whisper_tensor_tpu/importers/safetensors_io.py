@@ -87,6 +87,21 @@ class SafetensorsStore:
             np_dt = ml_dtypes.bfloat16
         return shape, np.dtype(np_dt)
 
+    def lazy(self, name: str):
+        """Origin-bearing LazyWeight for WeightStorage.origin_reference():
+        carries the safetensors file path + tensor name so an exported
+        ONNX can point back at this checkpoint instead of embedding the
+        payload (reference OriginReferenceOutputManager,
+        onnx_graph/weights.rs:263-282)."""
+        from ..dtype import DType
+        from .onnx_builder import LazyWeight
+
+        shape, np_dt = self.meta(name)
+        return LazyWeight(
+            lambda: self.load(name), DType.from_numpy(np_dt), shape,
+            origin={"format": "safetensors", "tensor_name": name,
+                    "location": os.path.abspath(self._by_name[name])})
+
     def zeros_getter(self) -> Callable[[str], np.ndarray]:
         """Shape-faithful zero arrays (header metadata only) — for
         building structure-only graph variants (WeightStorage.none) that

@@ -433,8 +433,19 @@ def tensor_proto_to_numpy(tp: "TensorProto", base_dir: Optional[str] = None) -> 
 
         meta = {e.key: e.value for e in tp.external_data}
         path = meta["location"]
-        if base_dir is not None:
+        if base_dir is not None and not os.path.isabs(path):
             path = os.path.join(base_dir, path)
+        if meta.get("format") == "safetensors":
+            # OriginReference export pointing at a safetensors origin
+            # (reference onnx_graph/weights.rs:365-410): resolved by
+            # tensor NAME through the safetensors header, not by byte
+            # span, so re-sharded checkpoints still load.
+            from safetensors import safe_open
+
+            with safe_open(path, framework="numpy") as f:
+                arr = f.get_tensor(meta["tensor_name"])
+            return np.ascontiguousarray(arr).reshape(shape).astype(
+                dt.to_numpy(), copy=False)
         offset = int(meta.get("offset", 0))
         length = int(meta.get("length", -1))
         with open(path, "rb") as f:
