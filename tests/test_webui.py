@@ -228,3 +228,166 @@ def test_webui_served_over_http():
         f"http://127.0.0.1:{port}/", timeout=30).read().decode()
     assert "<script" in body and "explorer" in body
     loop.call_soon_threadsafe(loop.stop)
+
+
+# ---------------------------------------------------------------------------
+# LIVE field contract (round 5): the strongest E2E this image allows.
+# No JS engine exists anywhere here (no node/bun/chromium — even the
+# harness WebView has no backend), so the UI's JS cannot EXECUTE in CI.
+# What breaks a rendered page in practice is a field the JS reads that
+# the server stopped sending; this test drives the REAL server through
+# the UI's own bootstrap message sequence and asserts every field each
+# handle() branch destructures is present in the captured live
+# messages, with the structure the render functions index into
+# (webui.html:179-273, 302-353, 438-446). scripts/webui_e2e.py holds
+# the replayable in-browser drive for environments that have one.
+# ---------------------------------------------------------------------------
+
+def _tiny_gpt2_dir(tmp_path):
+    import json as _json
+
+    import torch
+    from safetensors.torch import save_file
+    from transformers import GPT2Config as HFConfig, GPT2LMHeadModel
+
+    torch.manual_seed(7)
+    hf = GPT2LMHeadModel(HFConfig(n_layer=1, n_head=2, n_embd=32,
+                                  vocab_size=300, n_positions=64))
+    d = tmp_path / "tiny-gpt2"
+    d.mkdir()
+    (d / "config.json").write_text(_json.dumps({
+        "model_type": "gpt2", "n_layer": 1, "n_head": 2, "n_embd": 32,
+        "vocab_size": 300, "n_positions": 64}))
+    save_file({k: v.contiguous() for k, v in hf.state_dict().items()
+               if k != "lm_head.weight"}, str(d / "model.safetensors"))
+    return d
+
+
+def test_webui_live_field_contract(tmp_path):
+    import asyncio
+    import socket
+    import threading
+    import time
+
+    from tests.test_server_cli import _WSClient
+    from whisper_tensor_tpu.server.main import Server
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    srv = Server()
+    srv.models.run_loader("transformers", {
+        "path": str(_tiny_gpt2_dir(tmp_path)), "dtype": "f32",
+        "max_len": 64})
+    loop = asyncio.new_event_loop()
+
+    def run():
+        asyncio.set_event_loop(loop)
+        try:
+            loop.run_until_complete(srv.run("127.0.0.1", port))
+        except RuntimeError:
+            pass
+
+    threading.Thread(target=run, daemon=True).start()
+    time.sleep(0.5)
+    c = _WSClient("127.0.0.1", port)
+
+    def ask(msg, want_type):
+        c.send(msg)
+        for _ in range(200):
+            m = c.recv()
+            if m["type"] == want_type:
+                return m
+        raise AssertionError(f"no {want_type} reply to {msg}")
+
+    try:
+        # renderLoaderForm: loaders[name].config[].{name,type,default?}
+        m = ask({"type": "list_loaders"}, "loaders_report")
+        assert len(m["loaders"]) >= 5
+        for name, spec in m["loaders"].items():
+            for f in spec["config"]:
+                assert "name" in f and "type" in f, (name, f)
+
+        # models_report branch: models[].{name,id,n_ops,weight_bytes,
+        # interfaces}; draft dropdown filters on interfaces.text
+        m = ask({"type": "list_models"}, "models_report")
+        assert m["models"], "preloaded model missing"
+        e = m["models"][0]
+        for k in ("name", "id", "n_ops", "weight_bytes", "interfaces"):
+            assert k in e, k
+        assert "text" in e["interfaces"]
+        mid = e["id"]
+
+        # setGraph/renderOps/selectOp/tensorHtml: graph.name, ops[].{id,
+        # op_type,name,properties,inputs,outputs}, tensors{id:{name,
+        # kind,dtype}}
+        m = ask({"type": "get_model_graph", "model_id": mid},
+                "model_graph")
+        g = m["graph"]
+        assert g["name"] and len(g["ops"]) > 10
+        op = g["ops"][0]
+        for k in ("id", "op_type", "name", "properties", "inputs",
+                  "outputs"):
+            assert k in op, k
+        some_tid = next(str(t) for o in g["ops"] for t in o["inputs"]
+                        if t is not None)
+        t = g["tensors"][some_tid]
+        for k in ("name", "kind", "dtype"):
+            assert k in t, k
+
+        # renderMilli: nodes[].{kind,params,inputs,outputs}
+        m = ask({"type": "get_op_milli", "model_id": mid,
+                 "op_id": g["ops"][len(g["ops"]) // 2]["id"]}, "op_milli")
+        assert m["nodes"], "lowering returned no milli nodes"
+        n = m["nodes"][0]
+        for k in ("kind", "params", "inputs", "outputs"):
+            assert k in n, k
+
+        # inspectStored -> get_tensor_slice -> renderSlice(m): find an
+        # initializer tensor name in the graph
+        init_name = next(t["name"] for t in g["tensors"].values()
+                         if t["kind"] == "initializer")
+        m = ask({"type": "get_tensor_slice", "model_id": mid,
+                 "name": init_name, "fix": [], "roff": 0, "coff": 0},
+                "tensor_slice")
+        # renderSlice reads: name/shape/fix/free_axes/values (2-D)/
+        # row_off/col_off/slice_shape/dtype/stats.{min,max,mean,std,nan}
+        for k in ("name", "shape", "fix", "free_axes", "values",
+                  "row_off", "col_off", "slice_shape", "dtype", "stats"):
+            assert k in m, k
+        assert m["values"] and isinstance(m["values"][0], list)
+        for k in ("min", "max", "mean", "std", "nan"):
+            assert k in m["stats"], k
+
+        # generate_text job: job_accepted{job} then job_result{job,
+        # result.tokens[].{p,text,id}} (with_probs drives the colored
+        # transcript render)
+        c.send({"type": "generate_text", "model_id": mid,
+                "prompt": "ab", "max_new_tokens": 3,
+                "with_probs": True, "tensor_subscriptions": []})
+        got_acc = got_res = None
+        for _ in range(400):
+            m = c.recv()
+            if m["type"] == "job_accepted":
+                got_acc = m
+            elif m["type"] == "job_result":
+                got_res = m
+                break
+            elif m["type"] == "job_error":
+                raise AssertionError(m)
+        assert got_acc and "job" in got_acc
+        assert got_res and got_res["job"] == got_acc["job"]
+        toks = got_res["result"]["tokens"]
+        assert len(toks) == 3
+        for tk in toks:
+            for k in ("p", "text", "id"):
+                assert k in tk, k
+
+        # batcher_stats branch (no ragged model loaded -> stats null,
+        # the JS renders the "load with ragged_decode" hint)
+        m = ask({"type": "get_batcher_stats", "model_id": mid},
+                "batcher_stats")
+        assert "stats" in m
+    finally:
+        c.close()
+        loop.call_soon_threadsafe(loop.stop)
