@@ -418,7 +418,7 @@ def _llama8b_getter(cfg):
 
 
 def _llama8b_model(cfg, mode, max_len, pos_per_row=False,
-                   getter_wrap=None):
+                   getter_wrap=None, logits_last_only=False):
     """Build the 8B-shaped llama Model with its store populated from
     the deterministic weight getter; returns (model, mode) where mode
     may have been rewritten (q4_dequant -> bf16 referee values)."""
@@ -455,7 +455,8 @@ def _llama8b_model(cfg, mode, max_len, pos_per_row=False,
     data = build_llama_step(getter, cfg, max_len=max_len,
                             dtype=DType.BF16, pos_per_row=pos_per_row,
                             storage=WeightStorage.to_sink(sink),
-                            weight_map=wm)
+                            weight_map=wm,
+                            logits_last_only=logits_last_only)
     model = Model.new_from_onnx(data, name=f"llama-{cfg.num_hidden_layers}L")
     store = model.graph.store
     for name, val in sink.items():
@@ -774,6 +775,157 @@ def bench_llama8b_prefill() -> None:
         "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
         "mfu": round(mfu, 4), "batch": B, "seq": S,
     }))
+
+
+def bench_llama8b_long() -> None:
+    """Long context on ONE chip (VERDICT r4 item 4): llama-8B int8
+    prefill + full-window decode at S=8k/16k. Two prefill arms:
+
+      xla    XLA attention — materializes (B,H,S,S) scores in HBM
+             (34 GB at 16k x B=2: OOM is an expected, recorded outcome)
+      flash  the opt-in Pallas flash kernel (WT_PALLAS_ATTENTION_FORCE,
+             backends/pallas/attention.py) — online softmax, scores
+             never leave VMEM. This is the niche the kernel was kept
+             for; this bench decides its long-context gate.
+
+    The model builds with logits_last_only=True (recipes/llm/llama.py):
+    full (B,S,V) logits are 4.2 GB/row at 16k and generation only reads
+    the last position. Decode measures a k-step lax.scan chunk at
+    pos ~ S (every step reads the FULL S-token KV window: the HBM
+    roofline is the KV stream itself).
+
+    Knobs: WT_BENCH_SEQ (8192), WT_BENCH_BATCH (2), WT_BENCH_QUANT,
+    WT_BENCH_DEC_STEPS (32)."""
+    import jax
+    import jax.numpy as jnp
+
+    from whisper_tensor_tpu.dtype import DType
+    from whisper_tensor_tpu.interfaces.text import TextInferenceInterface
+
+    mode = os.environ.get("WT_BENCH_QUANT", "int8")
+    S = int(os.environ.get("WT_BENCH_SEQ", "8192"))
+    B = int(os.environ.get("WT_BENCH_BATCH", "2"))
+    k_dec = int(os.environ.get("WT_BENCH_DEC_STEPS", "32"))
+    max_len = S + 32
+    t0 = time.time()
+    cfg = _llama8b_cfg(int(os.environ.get("WT_BENCH_LAYERS", "32")))
+    model, mode = _llama8b_model(cfg, mode, max_len,
+                                 logits_last_only=True)
+    iface = TextInferenceInterface(
+        model, max_len=max_len, cache_dtype=DType.BF16,
+        prompt_buckets=(S,),
+        quantize=("int8" if mode == "int8" else None))
+    print(f"# 8B build+ingest ({mode}): {time.time() - t0:.0f}s",
+          file=sys.stderr)
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(0, cfg.vocab_size, (B, S)).astype(np.int64)
+    ids = jnp.asarray(prompt)
+    weights = iface._weights()
+
+    E, I, V = cfg.hidden_size, cfg.intermediate_size, cfg.vocab_size
+    L, Hkv, D = cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.hd
+    n_mm = L * (2 * E * E + 2 * E * Hkv * D + 3 * E * I)
+    flops_tok = 2 * n_mm + L * 2 * S * E + 2 * E * V // S  # lm_head 1/S
+    kv_bytes_step = B * L * Hkv * S * D * 2 * 2   # bf16 K+V full window
+
+    rec = {"metric": f"llama8b_{mode}_long_context", "unit": "tok/s",
+           "seq": S, "batch": B, "arms": {}}
+
+    def run_prefill(tag):
+        step = iface._traced_step(B, S)
+
+        def prefill(ids, caches, weights):
+            out = step(ids, jnp.asarray(0, dtype=jnp.int64), caches,
+                       weights)
+            return out[0][:, -1].argmax(-1), out[1:]
+
+        prog = jax.jit(prefill, donate_argnums=(1,))
+        try:
+            t0 = time.time()
+            tok, caches = prog(ids, iface.fresh_cache(B), weights)
+            np.asarray(tok)
+            print(f"# [{tag}] compile+warmup: {time.time() - t0:.1f}s",
+                  file=sys.stderr)
+            runs = 3
+            ts = []
+            for _ in range(runs):
+                caches2 = iface.fresh_cache(B)
+                t0 = time.time()
+                tok, caches = prog(ids, caches2, weights)
+                np.asarray(tok)
+                ts.append(time.time() - t0)
+            dt = min(ts)
+            tok_s = B * S / dt
+            mfu = flops_tok * tok_s / V5E_PEAK_BF16
+            print(f"# [{tag}] {B}x{S} prefill {dt * 1e3:.0f} ms -> "
+                  f"{tok_s:.0f} tok/s, MFU {mfu * 100:.1f}%",
+                  file=sys.stderr)
+            rec["arms"][tag] = {"prefill_tok_s": round(tok_s, 1),
+                                "prefill_ms": round(dt * 1e3, 1),
+                                "mfu": round(mfu, 4)}
+            return caches
+        except Exception as e:
+            msg = f"{type(e).__name__}: {str(e)[:160]}"
+            print(f"# [{tag}] FAILED: {msg}", file=sys.stderr)
+            rec["arms"][tag] = {"error": msg}
+            return None
+
+    old = os.environ.pop("WT_PALLAS_ATTENTION_FORCE", None)
+    try:
+        caches = run_prefill("xla")
+        os.environ["WT_PALLAS_ATTENTION_FORCE"] = "1"
+        c2 = run_prefill("flash")
+        caches = caches if caches is not None else c2
+    finally:
+        os.environ.pop("WT_PALLAS_ATTENTION_FORCE", None)
+        if old is not None:
+            os.environ["WT_PALLAS_ATTENTION_FORCE"] = old
+
+    if caches is not None:
+        # decode at full context: k-step scan, every step reads the
+        # whole S-token KV window
+        step1 = iface._traced_step(B, 1)
+
+        def chunk(tok, pos, caches, weights):
+            def body(carry, _):
+                tok, pos, caches = carry
+                out = step1(tok[:, None], pos, caches, weights)
+                nt = out[0][:, -1].argmax(-1)
+                return (nt, pos + 1, out[1:]), nt
+
+            (tok, pos, caches), toks = jax.lax.scan(
+                body, (tok, pos, caches), None, length=k_dec)
+            return tok, pos, caches
+
+        prog = jax.jit(chunk, donate_argnums=(2,))
+        tok0 = jnp.zeros((B,), jnp.int64)
+        pos0 = jnp.asarray(S, jnp.int64)
+        t0 = time.time()
+        tok, pos, caches = prog(tok0, pos0, caches, weights)
+        np.asarray(tok)
+        print(f"# [decode] compile+warmup: {time.time() - t0:.1f}s",
+              file=sys.stderr)
+        runs = 3
+        t0 = time.time()
+        for _ in range(runs):
+            tok, pos, caches = prog(tok, pos0, caches, weights)
+        np.asarray(tok)
+        dt = (time.time() - t0) / runs / k_dec
+        tok_s = B / dt
+        roof = kv_bytes_step / 819e9
+        print(f"# [decode] {dt * 1e3:.2f} ms/step @ ctx {S} -> "
+              f"{tok_s:.1f} tok/s (KV-stream roofline "
+              f"{roof * 1e3:.2f} ms/step)", file=sys.stderr)
+        rec["arms"]["decode"] = {
+            "ms_per_step": round(dt * 1e3, 2),
+            "tok_s": round(tok_s, 1),
+            "kv_roofline_ms": round(roof * 1e3, 2)}
+
+    best = max((a.get("prefill_tok_s", 0) for a in rec["arms"].values()),
+               default=0)
+    rec["value"] = best
+    rec["vs_baseline"] = round(best / BASELINE_TOK_S, 3)
+    print(json.dumps(rec))
 
 
 def bench_prefill() -> None:
@@ -1168,6 +1320,9 @@ def main() -> None:
         return
     if os.environ.get("WT_BENCH_TARGET") == "llama8b_prefill":
         bench_llama8b_prefill()
+        return
+    if os.environ.get("WT_BENCH_TARGET") == "llama8b_long":
+        bench_llama8b_long()
         return
     if os.environ.get("WT_BENCH_TARGET") == "llama8b_serving":
         bench_llama8b_serving()

@@ -283,3 +283,31 @@ def test_llama_loader_decode_windows(tmp_path):
     a = plain.generate_tokens(prompt, 40)
     b = windowed.generate_tokens(prompt, 40)
     np.testing.assert_array_equal(a, b)
+
+
+def test_logits_last_only_matches_full():
+    """logits_last_only=True (long-context prefill: (B,1,V) instead of
+    the (B,S,V) matrix that dominates HBM at 16k) must agree exactly
+    with the last position of the full-logits graph."""
+    hf, model_full, cfg = make_tiny("llama")
+    data = build_llama_step(hf_weight_getter(hf), cfg, max_len=MAXLEN,
+                            logits_last_only=True)
+    model_last = Model.new_from_onnx(data, name="tiny-last")
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, cfg.vocab_size, (2, 12)).astype(np.int64)
+    def run(model):
+        iface = TextInferenceInterface(model, max_len=MAXLEN,
+                                       prompt_buckets=(16,))
+        caches = iface.fresh_cache(2)
+        step = iface._traced_step(2, 16)
+        import jax.numpy as jnp
+        padded = np.zeros((2, 16), np.int64)
+        padded[:, :12] = ids
+        lg, *_ = step(jnp.asarray(padded), jnp.asarray(0, jnp.int64),
+                      caches, iface._weights())
+        return np.asarray(lg)
+    lg_full = run(model_full)
+    lg_last = run(model_last)
+    assert lg_last.shape[1] == 1
+    np.testing.assert_allclose(lg_last[:, 0], lg_full[:, -1],
+                               rtol=1e-5, atol=1e-5)

@@ -85,7 +85,8 @@ def build_llama_step(weights: Callable[[str], np.ndarray], cfg: LlamaConfig,
                      max_len: int, dtype: DType = DType.F32,
                      storage: Optional[WeightStorage] = None,
                      pos_per_row: bool = False,
-                     weight_map: Optional[dict] = None) -> bytes:
+                     weight_map: Optional[dict] = None,
+                     logits_last_only: bool = False) -> bytes:
     """HF llama state-dict names; HF Linear weights are (out, in) and are
     transposed once at import into matmul-RHS layout.
 
@@ -95,7 +96,14 @@ def build_llama_step(weights: Callable[[str], np.ndarray], cfg: LlamaConfig,
     weight_map (optional out-param): records {initializer_name:
     hf_name} for every 2-D matmul-RHS weight — the packed-GGUF loader
     uses it to bind those initializers to lazily-loaded packed tensors
-    instead of dense payloads."""
+    instead of dense payloads.
+
+    logits_last_only=True slices the hidden state to the LAST position
+    before the lm_head, so logits are (B, 1, V) instead of (B, S, V) —
+    at long-context prefill the full-matrix logits dominate HBM
+    (16k x 128256 bf16 = 4.2 GB/row); generation only ever reads the
+    last position, and XLA cannot be relied on to sink the slice
+    through the lm_head matmul."""
     E = cfg.hidden_size
     Hq = cfg.num_attention_heads
     Hkv = cfg.num_key_value_heads
@@ -247,13 +255,19 @@ def build_llama_step(weights: Callable[[str], np.ndarray], cfg: LlamaConfig,
 
     xf = b.rms_norm(x, b.initializer("final_norm", w("model.norm.weight")),
                     epsilon=eps)
+    if logits_last_only:
+        xf = b.node("Slice", [
+            xf, b.const(np.asarray([-1], np.int64)),
+            b.const(np.asarray([np.iinfo(np.int64).max], np.int64)),
+            b.const(np.asarray([1], np.int64))])
     if cfg.tie_word_embeddings:
         lm = b.initializer("lm_head", np.ascontiguousarray(
             w("model.embed_tokens.weight").T))
     else:
         lm = lin("lm_head", "lm_head.weight")
     b.node("MatMul", [xf, lm], outputs=["logits"])
-    b.output("logits", dtype, ["batch", "seq", V])
+    b.output("logits", dtype,
+             ["batch", 1 if logits_last_only else "seq", V])
     for i, (nk, nv) in enumerate(cache_outs):
         b.output(nk, dtype, ["batch", Hkv, max_len, D])
         b.output(nv, dtype, ["batch", Hkv, max_len, D])
