@@ -832,6 +832,8 @@ def bench_llama8b_long() -> None:
            "seq": S, "batch": B, "arms": {}}
 
     def run_prefill(tag):
+        from whisper_tensor_tpu.backends.pallas import attention as pat
+
         step = iface._traced_step(B, S)
 
         def prefill(ids, caches, weights):
@@ -841,10 +843,13 @@ def bench_llama8b_long() -> None:
 
         prog = jax.jit(prefill, donate_argnums=(1,))
         try:
+            uses0 = pat.TRACE_USES
             t0 = time.time()
             tok, caches = prog(ids, iface.fresh_cache(B), weights)
             np.asarray(tok)
-            print(f"# [{tag}] compile+warmup: {time.time() - t0:.1f}s",
+            flash_layers = pat.TRACE_USES - uses0
+            print(f"# [{tag}] compile+warmup: {time.time() - t0:.1f}s "
+                  f"(flash kernel traced in {flash_layers} layers)",
                   file=sys.stderr)
             runs = 3
             ts = []
@@ -862,7 +867,8 @@ def bench_llama8b_long() -> None:
                   file=sys.stderr)
             rec["arms"][tag] = {"prefill_tok_s": round(tok_s, 1),
                                 "prefill_ms": round(dt * 1e3, 1),
-                                "mfu": round(mfu, 4)}
+                                "mfu": round(mfu, 4),
+                                "flash_layers": flash_layers}
             return caches
         except Exception as e:
             msg = f"{type(e).__name__}: {str(e)[:160]}"

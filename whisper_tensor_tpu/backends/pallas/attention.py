@@ -66,6 +66,12 @@ def pallas_attention_disabled():
         _NO_KERNEL.on = prev
 
 
+# trace-time usage counter: jitted programs don't reveal which
+# attention path they baked in, so benches/A-B probes read (and reset)
+# this after compiling an arm to assert the kernel actually engaged
+TRACE_USES = 0
+
+
 def flash_attention_usable(q, k, v, mask, softcap: float) -> bool:
     if getattr(_NO_KERNEL, "on", False):
         return False
@@ -127,6 +133,8 @@ def flash_attention(q, k, v, scale: float, causal: bool,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    global TRACE_USES
+    TRACE_USES += 1
     B, Hq, Sq, D = q.shape
     Hkv, Skv = k.shape[1], k.shape[2]
     Dv = v.shape[3]

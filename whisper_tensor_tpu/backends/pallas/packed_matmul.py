@@ -304,6 +304,89 @@ def packed_matmul(x, q, scales, offsets, bits: int,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    Kq = K if bits == 8 else K // 2
+    G = K // scales.shape[0]       # K-group size (32 GGUF, 128 GPTQ/AWQ)
+    Kg = scales.shape[0]
+    qbytes = Kq * N
+    # tile over M too (see quant_matmul.py): big-M prefill x-blocks
+    # otherwise exceed the 16 MB scoped-VMEM budget
+    TM = M if M <= 128 else next(
+        t for t in (128, 64, 32, 16, 8, 4, 2, 1) if M % t == 0)
+
+    # split-dot + offset-fold (r4 probe winner, shipped r5): the nibble
+    # concat was a sublane relayout of the whole (K, TN) tile, and the
+    # per-element offset subtract doubled the VPU work. Instead
+    #   x @ W = x_lo @ (nib_lo * s_lo) + x_hi @ (nib_hi * s_hi)
+    #           - xg @ o,   xg[m, g] = sum_{k in group g} x[m, k]
+    # (exact in f32 up to summation order; the fold turns K*TN offset
+    # ops into one (TM, Kg) @ (Kg, TN) MXU side-dot). Measured at the
+    # 8B FFN decode shape (M=32, K=4096, N=14336): 324.6 us vs 397
+    # shipped-r4 vs 365 int8 (scripts/q4mm_probe.py a2, TN=256).
+    split = Kg % 2 == 0 and N % 256 == 0 and (bits == 4 or has_off)
+    TN = 256 if split else TILE_N
+
+    if split:
+        half = K // 2
+
+        def kernel(x_ref, xg_ref, q_ref, s_ref, o_ref, out_ref):
+            xf = x_ref[:].astype(jnp.float32)
+            if bits == 4:
+                # Mosaic has no u8 shifts or u8->f32 casts: widen to
+                # i32 first (HBM traffic is still the packed u8 tile)
+                qi = q_ref[:].astype(jnp.int32)          # (K//2, TN)
+                s_lo = jnp.repeat(s_ref[:Kg // 2], G, axis=0)
+                s_hi = jnp.repeat(s_ref[Kg // 2:], G, axis=0)
+                w_lo = (qi & 0x0F).astype(jnp.float32) * s_lo
+                w_hi = (qi >> 4).astype(jnp.float32) * s_hi
+                acc = jax.lax.dot_general(
+                    xf[:, :half], w_lo,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                acc += jax.lax.dot_general(
+                    xf[:, half:], w_hi,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            else:
+                # int8 layouts with offsets (Q5/Q6): only the fold
+                w = q_ref[:].astype(jnp.float32) * jnp.repeat(
+                    s_ref[:], G, axis=0)
+                acc = jax.lax.dot_general(
+                    xf, w, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+            acc -= jax.lax.dot_general(
+                xg_ref[:], o_ref[:],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            out_ref[:] = acc.astype(out_ref.dtype)
+
+        xg = x2.astype(jnp.float32).reshape(M, Kg, G).sum(-1)
+        with jax.enable_x64(False):
+            out = pl.pallas_call(
+                kernel,
+                grid=(N // TN, M // TM),
+                in_specs=[
+                    pl.BlockSpec((TM, K), lambda j, i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((TM, Kg), lambda j, i: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((Kq, TN), lambda j, i: (0, j),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((Kg, TN), lambda j, i: (0, j),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((Kg, TN), lambda j, i: (0, j),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((TM, TN), lambda j, i: (i, j),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+                cost_estimate=pl.CostEstimate(
+                    flops=2 * M * K * N,
+                    bytes_accessed=M * K * 2 + qbytes + Kg * N * 8
+                    + M * N * 2,
+                    transcendentals=0),
+            )(x2, xg, q, scales, offsets)
+        return out.reshape(*lead, N)
+
     def kernel(x_ref, q_ref, s_ref, o_ref, out_ref):
         s = jnp.repeat(s_ref[:], G, axis=0)                # (K, TN)
         if bits == 8:
@@ -311,8 +394,8 @@ def packed_matmul(x, q, scales, offsets, bits: int,
             if has_off:
                 w = w - jnp.repeat(o_ref[:], G, axis=0)
         else:
-            # Mosaic has no u8 shifts or u8->f32 casts: widen to i32
-            # first (HBM traffic is still the packed u8 tile)
+            # odd-Kg / non-256-N fallback: widen + concat (see split
+            # path above for the preferred formulation)
             qi = q_ref[:].astype(jnp.int32)                # (K//2, TN)
             nib = jnp.concatenate([qi & 0x0F, qi >> 4], axis=0)
             w = nib.astype(jnp.float32) * s - jnp.repeat(
@@ -327,29 +410,21 @@ def packed_matmul(x, q, scales, offsets, bits: int,
             preferred_element_type=jnp.float32)
         out_ref[:] = acc.astype(out_ref.dtype)
 
-    Kq = K if bits == 8 else K // 2
-    G = K // scales.shape[0]       # K-group size (32 GGUF, 128 GPTQ/AWQ)
-    Kg = scales.shape[0]
-    qbytes = Kq * N
-    # tile over M too (see quant_matmul.py): big-M prefill x-blocks
-    # otherwise exceed the 16 MB scoped-VMEM budget
-    TM = M if M <= 128 else next(
-        t for t in (128, 64, 32, 16, 8, 4, 2, 1) if M % t == 0)
     with jax.enable_x64(False):
         out = pl.pallas_call(
             kernel,
-            grid=(N // TILE_N, M // TM),
+            grid=(N // TN, M // TM),
             in_specs=[
                 pl.BlockSpec((TM, K), lambda j, i: (i, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((Kq, TILE_N), lambda j, i: (0, j),
+                pl.BlockSpec((Kq, TN), lambda j, i: (0, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((Kg, TILE_N), lambda j, i: (0, j),
+                pl.BlockSpec((Kg, TN), lambda j, i: (0, j),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((Kg, TILE_N), lambda j, i: (0, j),
+                pl.BlockSpec((Kg, TN), lambda j, i: (0, j),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((TM, TILE_N), lambda j, i: (i, j),
+            out_specs=pl.BlockSpec((TM, TN), lambda j, i: (i, j),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
             cost_estimate=pl.CostEstimate(
