@@ -147,6 +147,21 @@ class Server:
         if t == P.GET_MODEL_GRAPH:
             return {"type": P.MODEL_GRAPH,
                     "graph": self.models.graph_json(int(msg["model_id"]))}
+        if t == "get_graph_layout":
+            # server-side layered layout (graph_layout.py — the
+            # reference computes this client-side in egui,
+            # graph_explorer/graph_layout.rs; here it is a tested
+            # server component and the UI just renders coordinates)
+            from .graph_layout import build_layout
+
+            g = self.models.graph_json(int(msg["model_id"]))
+            for key in msg.get("subgraph_path", ()):
+                oid, attr = key
+                op = next(o for o in g["ops"] if o["id"] == int(oid))
+                g = op["subgraphs"][attr]
+            return {"type": "graph_layout", "model_id": msg["model_id"],
+                    "layout": build_layout(
+                        g, max_ops=msg.get("max_ops"))}
         if t == P.GET_STORED_TENSOR:
             entry = self.models.get(int(msg["model_id"]))
             arr = entry.model.graph.store.get_numeric(msg["name"]).numpy()
