@@ -535,21 +535,42 @@ def bench_llama8b_serving() -> None:
             bl.append(b)
             b *= 2
         buckets = tuple(bl)
+    from whisper_tensor_tpu.importers.onnx_builder import WeightStorage
+    from whisper_tensor_tpu.importers.recipes.llm.llama import (
+        build_llama_step)
     from whisper_tensor_tpu.interfaces.text import TextInferenceInterface
+    from whisper_tensor_tpu.model import Model
+
+    # bucket-sized window step graphs (structure only, store shared):
+    # admission prefill then allocates k x bucket KV temporaries, not
+    # k x max_len — at N=256 the full-length admission temporaries are
+    # 6.4 GB next to the 6.4 GB slot cache + 8.5 GB weights and OOM
+    window_models = {}
+    for wb in buckets:
+        if wb >= max_len:
+            continue
+        wmod = Model.new_from_onnx(
+            build_llama_step(_llama8b_getter(cfg), cfg, max_len=wb,
+                             dtype=DType.BF16, pos_per_row=True,
+                             storage=WeightStorage.none()),
+            name=f"llama-w{wb}")
+        wmod.graph.store = model.graph.store
+        window_models[wb] = wmod
 
     iface = TextInferenceInterface(
         model, max_len=max_len, cache_dtype=DType.BF16,
-        prompt_buckets=buckets,
+        prompt_buckets=buckets, window_models=window_models or None,
         quantize=("int8" if mode == "int8" else None))
     print(f"# 8B build+ingest ({mode}): {time.time() - t0:.0f}s",
           file=sys.stderr)
 
+    max_admit = int(os.environ.get("WT_BENCH_ADMIT", "64"))
     for N in Ns:
         srv = ContinuousBatcher(
             None, max_len=max_len, max_batch=N,
             chunk=int(os.environ.get("WT_BENCH_CHUNK", "32")),
             chunk_max=chunk_max or None, auto_prefix=auto_prefix,
-            iface=iface).start()
+            iface=iface, max_admit=max_admit or None).start()
         rng = np.random.default_rng(0)
         shared = rng.integers(0, cfg.vocab_size,
                               (prefix_len,)).astype(np.int64)

@@ -985,3 +985,57 @@ def test_shared_iface_across_batchers():
             b.stop()
     with pytest.raises(ValueError):
         ContinuousBatcher(None, max_len=32, iface=shared)
+
+
+def test_window_admission_matches_sequential():
+    """Bucket-sized admission (window step graph + partial-width
+    scatter + max_admit cap) must be token-exact vs the sequential
+    reference: positions >= bucket keep stale tenant KV, hidden by the
+    position mask until decode overwrites them (the 8B N=256 OOM fix
+    relies on exactly this discipline)."""
+    from whisper_tensor_tpu.importers.onnx_builder import WeightStorage
+
+    max_len = 64
+    cfg = GPT2Config(n_layer=2, n_head=2, n_embd=32, vocab_size=211,
+                     n_positions=max_len)
+    wg = random_gpt2_weights(cfg)
+    m_scalar = Model.new_from_onnx(
+        build_gpt2_step(wg, cfg, max_len=max_len, dtype=DType.F32))
+    m_ragged = Model.new_from_onnx(
+        build_gpt2_step(wg, cfg, max_len=max_len, dtype=DType.F32,
+                        pos_per_row=True))
+    wmod = Model.new_from_onnx(
+        build_gpt2_step(wg, cfg, max_len=16, dtype=DType.F32,
+                        pos_per_row=True, storage=WeightStorage.none()),
+        name="w16")
+    wmod.graph.store = m_ragged.graph.store
+    iface = TextInferenceInterface(m_ragged, max_len=max_len,
+                                   cache_dtype=DType.F32,
+                                   prompt_buckets=(16, 32),
+                                   window_models={16: wmod})
+    ref = TextInferenceInterface(m_scalar, max_len=max_len,
+                                 prompt_buckets=(16, 32))
+    b = ContinuousBatcher(None, max_len=max_len, max_batch=4, chunk=4,
+                          iface=iface, max_admit=2).start()
+    try:
+        prompts = [rng.integers(0, cfg.vocab_size, (n,)).astype(np.int64)
+                   for n in (3, 7, 12, 5, 9, 14)]
+        # two generations per slot so slot REUSE crosses the stale
+        # region beyond the 16-token window
+        for _ in range(2):
+            futs = [b.submit(p, 9) for p in prompts]
+            outs = [f.result(timeout=120) for f in futs]
+            for p, out in zip(prompts, outs):
+                np.testing.assert_array_equal(
+                    out, ref.generate_tokens(p[None], 9)[0])
+        # the window admission program was actually used (not the
+        # full-length fallback): bucket-16 prompts hit ("prefill",16,..)
+        # compiled against window cache dims
+        assert any(k[0] == "prefill" and k[1] == 16
+                   for k in b._programs), list(b._programs)
+        # the window branch's preconditions held, so that program IS
+        # the window variant (batching.py _prefill_insert_program)
+        assert 16 in iface._window_millis
+        assert len(iface.adapter_slots) <= 1
+    finally:
+        b.stop()

@@ -623,6 +623,22 @@ class TextInferenceInterface:
             self.model.graph.by_name["logits"]].info
         return int(info.dims()[-1].value())
 
+    def window_cache_dims(self, batch: int, window: int):
+        """Declared cache shapes of the `window`-sized step graph
+        (length axis = window instead of max_len). The batcher's
+        admission uses these so a k-row admission allocates k x window
+        KV temporaries instead of k x max_len — at 8B serving scale
+        the full-length temporaries alone exceed HBM (measured: N=256,
+        max_len=192 admission OOMs at 6.4 GB big cache + 6.4 GB fresh
+        + 8.5 GB weights)."""
+        milli = self._window_millis[window]
+        out = []
+        for n in self.cache_in_names:
+            info = milli.tensors[milli.inputs[n]].info
+            out.append(tuple(batch if not d.is_known else int(d.value())
+                             for d in info.dims()))
+        return out
+
     def fresh_cache(self, batch: int):
         import jax
         import jax.numpy as jnp

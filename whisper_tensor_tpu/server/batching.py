@@ -94,7 +94,8 @@ class ContinuousBatcher:
                  chunk_max: Optional[int] = None,
                  admit_coalesce_s: float = 0.05,
                  auto_prefix: int = 0,
-                 iface: "Optional[TextInferenceInterface]" = None):
+                 iface: "Optional[TextInferenceInterface]" = None,
+                 max_admit: Optional[int] = None):
         """prefill_chunk: chunked prefill (vLLM-style admission QoS) —
         prompts longer than this are prefilled in prefill_chunk-token
         pieces, ONE piece per scheduler tick, so in-flight decode rows
@@ -151,7 +152,14 @@ class ContinuousBatcher:
         then SHARED across batcher instances — a client-count sweep
         pays the model build once. The interface must have been built
         with the same max_len; model/cache_dtype/prompt_buckets/
-        quantize args are ignored in that case."""
+        quantize args are ignored in that case.
+
+        max_admit: cap on the admission group size (power-of-2 split
+        still applies). An admission prefill at group size k allocates
+        k-row temporaries (fresh caches + (k, bucket, V) logits); at
+        the memory ceiling (8B int8 + N=256 slots on one 16 GB chip)
+        uncapped groups OOM — a cap trades one extra admission
+        dispatch for bounded temporaries. None = fill all free slots."""
         if iface is not None:
             if iface.max_len != max_len:
                 raise ValueError(
@@ -175,6 +183,7 @@ class ContinuousBatcher:
 
             max_batch = _next_pow2(max_batch)
         self.max_batch = max_batch
+        self.max_admit = max_admit
         self.chunk = chunk
         self.chunk_max = (None if chunk_max is None or chunk_max <= chunk
                           else int(chunk_max))
@@ -453,6 +462,43 @@ class ContinuousBatcher:
         step = self.iface._traced_step(k, bucket, adapters=la)
 
         if plen == 0:
+            # WINDOW admission (when the interface carries a step graph
+            # built at max_len == bucket): fresh caches and the scatter
+            # are bucket-length, so a k-row admission allocates
+            # k x bucket KV temporaries instead of k x max_len. At the
+            # memory ceiling (8B int8, 256 slots, one 16 GB chip) the
+            # full-length temporaries alone are 6.4 GB and OOM the
+            # admission. Positions >= bucket in the big rows keep stale
+            # tenant data — hidden by the same position-mask discipline
+            # the slot-reuse exactness tests pin (decode writes pos
+            # before reading it).
+            win = (bucket if bucket < self.max_len
+                   and bucket in self.iface._window_millis
+                   # window graphs carry no LoRA surgery: base-only
+                   and len(self.iface.adapter_slots) <= 1 else None)
+            if win is not None:
+                wstep = self.iface._traced_step(k, bucket, adapters=la,
+                                                window=win)
+                dt = self.iface.cache_dtype.to_jax()
+                wshapes = self.iface.window_cache_dims(k, win)
+
+                def prefill0w(ids_padded, big, weights, slots):
+                    fresh = [jnp.zeros(s, dt) for s in wshapes]
+                    logits, small = wstep(ids_padded,
+                                          jnp.zeros(k, dtype=jnp.int64),
+                                          fresh, weights)
+                    big2 = []
+                    for b, s in zip(big, small):
+                        idx = (slots,) + tuple(
+                            slice(0, ds) if ds != db else slice(None)
+                            for ds, db in zip(s.shape[1:], b.shape[1:]))
+                        big2.append(b.at[idx].set(s.astype(b.dtype)))
+                    return logits, big2
+
+                self._programs[key] = jax.jit(prefill0w,
+                                              donate_argnums=(1,))
+                return self._programs[key]
+
             # no prefix: zero caches created IN-graph (no extra host
             # dispatches per admission through the tunnel)
             shapes = [(tuple(c.shape), c.dtype)
@@ -801,9 +847,10 @@ class ContinuousBatcher:
         # configured-prefix path's prompts already exclude the prefix
         cut = plen if entry is not None else 0
         i = 0
+        k_cap = min(self.max_batch, self.max_admit or self.max_batch)
         while i < len(pairs):
             k = 1
-            while k * 2 <= len(pairs) - i and k * 2 <= self.max_batch:
+            while k * 2 <= len(pairs) - i and k * 2 <= k_cap:
                 k *= 2
             grp = pairs[i:i + k]
             i += k
