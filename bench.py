@@ -1043,8 +1043,16 @@ def bench_train() -> None:
                      n_positions=max(S, 1024))
     model = Model.new_from_onnx(build_gpt2_train(random_gpt2_weights(cfg),
                                                  cfg))
+    # WT_BENCH_REMAT: "" (off) | "1" (full jax.checkpoint) | "dots"
+    # (selective policy — keep matmul outputs, recompute elementwise +
+    # attention scores). "dots" is the MFU lever at width >= 1536: it
+    # frees the per-layer (B,H,S,S) scores so B=8 fits in 16 GB with
+    # ~no repeated MXU work (VERDICT r4 item 7).
+    remat_env = os.environ.get("WT_BENCH_REMAT", "")
+    remat = ("dots" if remat_env == "dots"
+             else bool(remat_env) and remat_env != "0")
     trainer = LMTrainer(model, optimizer="adamw", lr=1e-4,
-                        compute_dtype=DType.BF16)
+                        compute_dtype=DType.BF16, remat=remat)
     params = trainer.init_params()
     opt_state = trainer.init_opt_state(params)
     rng = np.random.default_rng(0)
@@ -1077,6 +1085,7 @@ def bench_train() -> None:
         "value": round(tok_s, 1), "unit": "tok/s",
         "vs_baseline": round(tok_s / BASELINE_TOK_S, 3),
         "mfu": round(mfu, 4), "batch": B, "seq": S,
+        "remat": remat_env or "off",
     }))
 
 

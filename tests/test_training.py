@@ -269,6 +269,14 @@ def test_remat_and_lr_schedule_match_baseline():
         np.testing.assert_allclose(np.asarray(p1[k]), np.asarray(p0[k]),
                                    rtol=1e-5, atol=1e-6)
 
+    # selective policy (keep matmul outputs, recompute elementwise +
+    # attention scores) — same math, different save set
+    dots, p2 = run(remat="dots")
+    np.testing.assert_allclose(dots, base, rtol=1e-5, atol=1e-6)
+    for k in list(p0)[:3]:
+        np.testing.assert_allclose(np.asarray(p2[k]), np.asarray(p0[k]),
+                                   rtol=1e-5, atol=1e-6)
+
     warm, _ = run(lr_schedule="warmup_cosine", warmup_steps=100,
                   total_steps=200)
     # with lr ~0 during warmup the first-step loss is unchanged but the

@@ -32,7 +32,7 @@ class LMTrainer:
                  accum_steps: int = 1,
                  lr_schedule: Optional[str] = None,
                  warmup_steps: int = 0, total_steps: int = 0,
-                 remat: bool = False, fsdp: bool = False,
+                 remat: "bool | str" = False, fsdp: bool = False,
                  fsdp_min_size: int = 2 ** 16,
                  lora_rank: int = 0, lora_alpha: Optional[float] = None,
                  lora_targets: Optional[Sequence[str]] = None,
@@ -49,6 +49,10 @@ class LMTrainer:
         backward recomputes activations instead of storing them, trading
         ~1 extra forward of FLOPs for the activation memory (the
         standard TPU HBM-for-FLOPs lever for long-sequence training).
+        remat="dots" uses the dots_with_no_batch_dims_saveable policy:
+        matmul outputs are kept, only elementwise chains and the
+        (B,H,S,S) attention scores are recomputed — near-zero extra MXU
+        work for most of the memory win.
         fsdp: ZeRO-3-style sharded training — every large parameter
         (and, by GSPMD propagation, its gradient and optimizer state)
         is sharded over the `dp` mesh axis ON TOP of any tp split from
@@ -257,8 +261,21 @@ class LMTrainer:
         import jax
         import jax.numpy as jnp
 
-        fwd = (jax.checkpoint(self._forward) if self.remat
-               else self._forward)
+        if self.remat == "dots":
+            # selective remat: keep matmul/einsum outputs (the MXU work
+            # worth not repeating), recompute everything elementwise —
+            # and, critically, the (B,H,S,S) attention-score dots DO
+            # have batch dims so they are recomputed, not stored. This
+            # frees the per-layer score tensors that cap the trainable
+            # batch at width >= 1536 while re-running ~no matmul FLOPs.
+            fwd = jax.checkpoint(
+                self._forward,
+                policy=jax.checkpoint_policies
+                .dots_with_no_batch_dims_saveable)
+        elif self.remat:
+            fwd = jax.checkpoint(self._forward)
+        else:
+            fwd = self._forward
         logits = fwd(params, ids, frozen).astype(jnp.float32)
         # logsumexp form: nll = lse(logits) - logits[target]. Same math
         # as log_softmax+gather but never materializes the full f32
