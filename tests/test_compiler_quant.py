@@ -118,3 +118,39 @@ def test_select_tiles():
         assert select_tiles(32, 14336 + 256) == (32, TILE_N)
     finally:
         del os.environ["WT_QMM_TN"]
+
+
+def test_int8_with_windowed_decode_token_exact():
+    """quantize="int8" composes with window_models (VERDICT r4 item 1:
+    window-sized admission at 8B serving needs int8 window graphs): the
+    window step graphs get the SAME QuantMatMul surgery reusing the
+    main graph's precomputed (w_i8, scale) arrays, and windowed
+    generation equals plain int8 generation token-exactly."""
+    from whisper_tensor_tpu.dtype import DType
+    from whisper_tensor_tpu.importers.onnx_builder import WeightStorage
+    from whisper_tensor_tpu.importers.recipes.llm.gpt2 import (
+        GPT2Config, build_gpt2_step, random_gpt2_weights)
+    from whisper_tensor_tpu.interfaces.text import TextInferenceInterface
+    from whisper_tensor_tpu.model import Model
+
+    cfg = GPT2Config(n_layer=2, n_head=2, n_embd=128, vocab_size=512,
+                     n_positions=64)
+    wg = random_gpt2_weights(cfg, seed=3)
+    m64 = Model.new_from_onnx(build_gpt2_step(wg, cfg, max_len=64,
+                                              dtype=DType.F32))
+    m32 = Model.new_from_onnx(build_gpt2_step(
+        wg, cfg, max_len=32, dtype=DType.F32,
+        storage=WeightStorage.none()))
+    m32.graph.store = m64.graph.store
+
+    plain = TextInferenceInterface(m64, max_len=64, prompt_buckets=(8,),
+                                   quantize="int8")
+    windowed = TextInferenceInterface(m64, max_len=64, prompt_buckets=(8,),
+                                      quantize="int8",
+                                      window_models={32: m32})
+    assert plain._quantized and windowed._quantized
+    assert windowed.weight_names == plain.weight_names
+    rng = np.random.default_rng(7)
+    p = rng.integers(0, 512, (2, 5)).astype(np.int64)
+    np.testing.assert_array_equal(plain.generate_tokens(p, 30),
+                                  windowed.generate_tokens(p, 30))

@@ -407,8 +407,6 @@ class TextInferenceInterface:
         self.head_dim = int(dims[3].value())
         # windowed decode: per-window millis (weight names must match)
         self.window_models = dict(window_models or {})
-        if self.window_models and self._quantized:
-            raise ValueError("window_models + quantize not supported together")
         self._window_millis: Dict[int, Any] = {}
         for w, wm in self.window_models.items():
             wmilli, w_weights = wm.graph.to_milli()
@@ -420,6 +418,13 @@ class TextInferenceInterface:
                 fuse_parallel_matmuls(wmilli, set(w_weights))
             w_live = [n for n in wmilli.inputs
                       if n in w_weights or n in self._fused]
+            if self._quantized:
+                from ..milli.transforms import quantize_matmul_weights
+
+                # same surgery, same int8 arrays (precomputed=) — the
+                # window graphs share the main graph's upload set
+                quantize_matmul_weights(wmilli, w_live, None,
+                                        precomputed=self._quantized)
             if self._packed:
                 from ..milli.transforms import pack_matmul_nodes
 
@@ -432,6 +437,7 @@ class TextInferenceInterface:
                                                   None))
             wnames = [n for n in wmilli.inputs
                       if n in w_weights or n in self._fused
+                      or n.endswith("::scale")
                       or n.endswith("::pscales")
                       or n.endswith("::poffsets")]
             if wnames != self.weight_names:

@@ -52,13 +52,18 @@ def quantize_matmul_weights(
     weight_names: Sequence[str],
     weight_getter,
     min_elements: int = 1 << 16,
+    precomputed: "Optional[Dict[str, Tuple[np.ndarray, np.ndarray]]]" = None,
 ) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
     """Mutate `milli`: every MatMul whose RHS is a 2-D weight input from
     `weight_names` (and large enough to matter) becomes QuantMatMul with
     an extra `<name>::scale` input. Returns {name: (w_i8, scale)} —
     callers feed w_i8 under the original name and scale under the new.
+
+    precomputed: apply the SAME surgery to a second graph built from the
+    same recipe (windowed-decode step graphs) without touching the dense
+    weights again — exactly the names present get QuantMatMul, reusing
+    the given (w_i8, scale) arrays, so both graphs share one upload set.
     """
-    from ..backends.pallas.quant_matmul import quantize_int8
     from .ops import MatMul
 
     name_to_tid = {name: tid for name, tid in milli.inputs.items()}
@@ -75,12 +80,21 @@ def quantize_matmul_weights(
                 break
         if rhs_name is None:
             continue
-        w = np.asarray(weight_getter(rhs_name))
-        if w.ndim != 2 or w.size < min_elements:
-            continue
-        if rhs_name not in quantized:
-            quantized[rhs_name] = quantize_int8(w.astype(np.float32))
-            scale_tid[rhs_name] = milli.add_input(f"{rhs_name}::scale")
+        if precomputed is not None:
+            if rhs_name not in precomputed:
+                continue
+            if rhs_name not in quantized:
+                quantized[rhs_name] = precomputed[rhs_name]
+                scale_tid[rhs_name] = milli.add_input(f"{rhs_name}::scale")
+        else:
+            w = np.asarray(weight_getter(rhs_name))
+            if w.ndim != 2 or w.size < min_elements:
+                continue
+            if rhs_name not in quantized:
+                from ..backends.pallas.quant_matmul import quantize_int8
+
+                quantized[rhs_name] = quantize_int8(w.astype(np.float32))
+                scale_tid[rhs_name] = milli.add_input(f"{rhs_name}::scale")
         node.op = QuantMatMulMilli()
         node.inputs = [node.inputs[0], rhs, scale_tid[rhs_name]]
     return quantized
