@@ -798,6 +798,9 @@ def bench_llama8b_prefill() -> None:
     }))
 
 
+_LONG_SHARED_QUANT: dict = {}
+
+
 def bench_llama8b_long() -> None:
     """Long context on ONE chip (VERDICT r4 item 4): llama-8B int8
     prefill + full-window decode at S=8k/16k. Two prefill arms:
@@ -815,16 +818,27 @@ def bench_llama8b_long() -> None:
     pos ~ S (every step reads the FULL S-token KV window: the HBM
     roofline is the KV stream itself).
 
-    Knobs: WT_BENCH_SEQ (8192), WT_BENCH_BATCH (2), WT_BENCH_QUANT,
-    WT_BENCH_DEC_STEPS (32)."""
+    Knobs: WT_BENCH_SEQ (8192; comma list sweeps S values in one
+    process, reusing the first build's int8 device arrays via
+    quantize_precomputed — the ~19-min 8B host-gen+upload is paid
+    once), WT_BENCH_BATCH (2), WT_BENCH_QUANT, WT_BENCH_DEC_STEPS (32).
+    """
     import jax
     import jax.numpy as jnp
 
     from whisper_tensor_tpu.dtype import DType
     from whisper_tensor_tpu.interfaces.text import TextInferenceInterface
 
+    seqs = os.environ.get("WT_BENCH_SEQ", "8192")
+    if "," in seqs:
+        for s in seqs.split(","):
+            os.environ["WT_BENCH_SEQ"] = s.strip()
+            bench_llama8b_long()
+        os.environ["WT_BENCH_SEQ"] = seqs
+        return
+
     mode = os.environ.get("WT_BENCH_QUANT", "int8")
-    S = int(os.environ.get("WT_BENCH_SEQ", "8192"))
+    S = int(seqs)
     B = int(os.environ.get("WT_BENCH_BATCH", "2"))
     k_dec = int(os.environ.get("WT_BENCH_DEC_STEPS", "32"))
     max_len = S + 32
@@ -832,11 +846,17 @@ def bench_llama8b_long() -> None:
     cfg = _llama8b_cfg(int(os.environ.get("WT_BENCH_LAYERS", "32")))
     model, mode = _llama8b_model(cfg, mode, max_len,
                                  logits_last_only=True)
+    shared_key = (mode, cfg.num_hidden_layers)
+    shared = _LONG_SHARED_QUANT.get(shared_key)
     iface = TextInferenceInterface(
         model, max_len=max_len, cache_dtype=DType.BF16,
         prompt_buckets=(S,),
-        quantize=("int8" if mode == "int8" else None))
-    print(f"# 8B build+ingest ({mode}): {time.time() - t0:.0f}s",
+        quantize=("int8" if mode == "int8" else None),
+        quantize_precomputed=shared)
+    if mode == "int8" and shared is None:
+        _LONG_SHARED_QUANT[shared_key] = iface._quantized
+    print(f"# 8B build+ingest ({mode}): {time.time() - t0:.0f}s"
+          + (" (reused shared int8 arrays)" if shared else ""),
           file=sys.stderr)
     rng = np.random.default_rng(0)
     prompt = rng.integers(0, cfg.vocab_size, (B, S)).astype(np.int64)

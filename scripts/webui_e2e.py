@@ -67,6 +67,13 @@ def build_tiny_gpt2(d: Path) -> Path:
 
 
 def main():
+    # CPU-only drive: never grab the (single, shared) axon TPU tunnel.
+    # The env var is ignored under the axon sitecustomize; the config
+    # update is the one that sticks.
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
     from whisper_tensor_tpu.server.main import Server
 
     with socket.socket() as s:

@@ -154,3 +154,42 @@ def test_int8_with_windowed_decode_token_exact():
     p = rng.integers(0, 512, (2, 5)).astype(np.int64)
     np.testing.assert_array_equal(plain.generate_tokens(p, 30),
                                   windowed.generate_tokens(p, 30))
+
+
+def test_int8_precomputed_shared_across_interfaces():
+    """quantize_precomputed: a SIBLING interface (same recipe, another
+    max_len — the long-context S-sweep case) reuses the first
+    interface's int8 arrays instead of re-quantizing/re-uploading;
+    after the first interface's _weights() ran, the shared dict holds
+    the DEVICE buffers (upload paid once). Logits must match the
+    fresh-quantized build exactly (same int8 values, same scales)."""
+    from whisper_tensor_tpu.dtype import DType
+    from whisper_tensor_tpu.importers.recipes.llm.gpt2 import (
+        GPT2Config, build_gpt2_step, random_gpt2_weights)
+    from whisper_tensor_tpu.interfaces.text import TextInferenceInterface
+    from whisper_tensor_tpu.model import Model
+
+    cfg = GPT2Config(n_layer=2, n_head=2, n_embd=128, vocab_size=512,
+                     n_positions=64)
+    wg = random_gpt2_weights(cfg, seed=3)
+    m64 = Model.new_from_onnx(build_gpt2_step(wg, cfg, max_len=64,
+                                              dtype=DType.F32))
+    m48 = Model.new_from_onnx(build_gpt2_step(wg, cfg, max_len=48,
+                                              dtype=DType.F32))
+    first = TextInferenceInterface(m64, max_len=64, prompt_buckets=(8,),
+                                   quantize="int8")
+    rng = np.random.default_rng(7)
+    p = rng.integers(0, 512, (2, 5)).astype(np.int64)
+    l_first = first.logits(p)
+    # _weights() ran inside logits(): the writeback leaves device
+    # arrays in the shared dict
+    assert any(hasattr(w, "devices") for w, _ in first._quantized.values())
+    shared = TextInferenceInterface(m48, max_len=48, prompt_buckets=(8,),
+                                    quantize="int8",
+                                    quantize_precomputed=first._quantized)
+    fresh = TextInferenceInterface(m48, max_len=48, prompt_buckets=(8,),
+                                   quantize="int8")
+    np.testing.assert_allclose(shared.logits(p), fresh.logits(p),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(shared.logits(p), l_first,
+                               rtol=1e-4, atol=1e-4)

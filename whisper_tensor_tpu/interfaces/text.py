@@ -261,7 +261,8 @@ class TextInferenceInterface:
                  window_models: Optional[Dict[int, Model]] = None,
                  mesh=None, shard_rules=None,
                  pad_batch_pow2: bool = True,
-                 fuse_matmuls: Optional[bool] = None):
+                 fuse_matmuls: Optional[bool] = None,
+                 quantize_precomputed: Optional[Dict[str, Any]] = None):
         """window_models: optional {window_size: step Model} built at
         SMALLER max_len values with the same weights. Decode then runs
         phased over growing cache windows — a step at position p only
@@ -328,9 +329,15 @@ class TextInferenceInterface:
         if quantize == "int8":
             from ..milli.transforms import quantize_matmul_weights
 
+            # quantize_precomputed: a sibling interface's _quantized
+            # dict (same recipe at another max_len) — reuse its int8
+            # arrays/device buffers instead of re-quantizing and
+            # re-uploading the whole weight set (an 8B re-build costs
+            # ~19 min mostly in host gen + tunnel upload)
             self._quantized = quantize_matmul_weights(
                 milli, live_weights,
-                lambda n: self._dense_np(n, DType.F32))
+                lambda n: self._dense_np(n, DType.F32),
+                precomputed=quantize_precomputed)
         elif quantize == "packed" or (
                 quantize is None
                 and getattr(model.graph.store, "packed_sources", None)):
@@ -611,6 +618,18 @@ class TextInferenceInterface:
                 out.append(jax.device_put(arr, dev) if dev is not None
                            else jax.device_put(arr))
             self._weights_dev = out
+            # write the uploaded int8 buffers back into _quantized so a
+            # sibling interface built with quantize_precomputed= this
+            # dict reuses the DEVICE arrays (device_put on a committed
+            # array is a no-op) — without this the 8.5 GB int8 set would
+            # ride the tunnel once per interface
+            for i, n in enumerate(self.weight_names):
+                if n.endswith("::scale") and n[:-7] in self._quantized:
+                    base = n[:-7]
+                    w = self._quantized[base]
+                    self._quantized[base] = (w[0], out[i])
+                elif n in self._quantized:
+                    self._quantized[n] = (out[i], self._quantized[n][1])
         return self._weights_dev
 
     def _cache_sharding(self, n_heads_this: int):
