@@ -151,6 +151,32 @@ def test_flash_attention_additive_mask_interpret():
     assert np.abs(out - ref).max() < 2e-2
 
 
+def test_flash_attention_pos_bound_interpret():
+    """pos_bound (B,) enforces the position-mask rule (key j visible to
+    query row s iff j <= pos[b] + s) in-register — must equal the
+    dense-mask reference, including per-batch ragged prefixes and GQA.
+    This is the long-context prefill path: no (Sq, Skv) mask tensor is
+    ever built (the dense form OOM'd scoped VMEM at S=8k)."""
+    from whisper_tensor_tpu.backends.pallas.attention import flash_attention
+
+    rng = np.random.default_rng(5)
+    B, Hq, Hkv, Sq, Skv, D = 2, 4, 2, 256, 384, 64
+    q = rng.standard_normal((B, Hq, Sq, D)).astype(ml_dtypes.bfloat16)
+    k = rng.standard_normal((B, Hkv, Skv, D)).astype(ml_dtypes.bfloat16)
+    v = rng.standard_normal((B, Hkv, Skv, D)).astype(ml_dtypes.bfloat16)
+    pos = np.asarray([0, 100], np.int32)   # row 0: pure causal prefix
+    out = np.asarray(flash_attention(q, k, v, scale=D ** -0.5,
+                                     causal=False, pos_bound=pos,
+                                     interpret=True)).astype(np.float32)
+    # dense reference mask: j <= pos[b] + s
+    j = np.arange(Skv)[None, None, None, :]
+    s = np.arange(Sq)[None, None, :, None]
+    vis = j <= (pos[:, None, None, None] + s)
+    mask = np.where(vis, 0.0, -1e30).astype(np.float32)[:, :1]
+    ref = _ref_attention_gqa(q, k, v, D ** -0.5, False, mask=mask)
+    assert np.abs(out - ref).max() < 2e-2
+
+
 def test_flash_attention_ragged_lengths_interpret():
     """Sq/Skv not multiples of the tile: padded in, key-masked in-kernel,
     query rows sliced out."""

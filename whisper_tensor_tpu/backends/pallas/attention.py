@@ -122,11 +122,62 @@ def flash_attention_usable(q, k, v, mask, softcap: float) -> bool:
     return True
 
 
+def flash_attention_pos_usable(q, k, v, softcap: float) -> bool:
+    """Gate for the pos-bound flash form (rank-0/rank-1 position masks
+    at prefill Sq). Structure mirrors flash_attention_usable, but the
+    ENGAGEMENT rule differs: this form auto-engages — without
+    WT_PALLAS_ATTENTION_FORCE — once XLA's materialized f32 score
+    tensor would stop fitting next to the weights (the niche measured
+    on v5e: llama-8B S=8k prefill scores are f32[2,8,4,8192,8224] =
+    17.2 GB > the 16 GB HBM; meanwhile at S<=2k XLA's fused attention
+    beats this kernel 1.9-2.1x at model level, so small shapes keep
+    the XLA path). Threshold via WT_FLASH_AUTO_BYTES (default 2 GiB)."""
+    if getattr(_NO_KERNEL, "on", False):
+        return False
+    if not _ENABLED or softcap > 0:
+        return False
+    try:
+        import jax
+
+        if jax.devices()[0].platform not in ("tpu",):
+            return False
+    except Exception:
+        return False
+    B, Hq, Sq, D = q.shape
+    Hkv, Skv = k.shape[1], k.shape[2]
+    if Hq % Hkv != 0 or v.shape[-1] != D:
+        return False
+    if D % 128 != 0 and D != 64:
+        return False
+    if Sq < BLOCK_Q or Skv < BLOCK_K:
+        return False
+    if np.dtype(q.dtype) != np.dtype("bfloat16"):
+        return False
+    # resident K/V per grid cell (kv-head-shared across qi): must fit
+    # scoped VMEM with headroom for q/out/acc tiles
+    if _pad_to(Skv, BLOCK_K) * D * 2 * 2 > 12 * 2 ** 20:
+        return False
+    if os.environ.get("WT_PALLAS_ATTENTION_FORCE") == "1":
+        return True
+    auto = int(os.environ.get("WT_FLASH_AUTO_BYTES", str(2 << 30)))
+    return B * Hq * Sq * Skv * 4 > auto
+
+
 def flash_attention(q, k, v, scale: float, causal: bool,
-                    mask=None, interpret: bool = False):
+                    mask=None, pos_bound=None, interpret: bool = False):
     """q: (B, Hq, Sq, D); k/v: (B, Hkv, Skv, D); Hq % Hkv == 0.
     mask: optional additive (1|B, 1, Sq, Skv). Ragged Sq/Skv are padded
     here; padded keys are masked in-kernel, padded query rows sliced off.
+
+    pos_bound: optional (B,) int32 — the rank-1 POSITION mask semantics
+    of AttentionMilli (query row s of batch b sees keys j <= pos[b]+s),
+    enforced ENTIRELY in-register from an SMEM scalar: no (Sq, Skv)
+    mask tensor exists anywhere (the dense-mask form of the same rule
+    costs a (BLOCK_Q, Skv) f32 VMEM block per q-tile, which at S=8k
+    blows the 16 MB scoped-VMEM budget — measured: 16.56 MB, the
+    long-context OOM this argument exists to fix). Mutually exclusive
+    with `mask` and `causal`; also bounds the k-loop per (b, q-tile) so
+    fully-invisible key blocks are never computed.
     Returns (B, Hq, Sq, Dv)."""
     import jax
     import jax.numpy as jnp
@@ -139,6 +190,10 @@ def flash_attention(q, k, v, scale: float, causal: bool,
     Hkv, Skv = k.shape[1], k.shape[2]
     Dv = v.shape[3]
     rep = Hq // Hkv
+    if pos_bound is not None:
+        assert mask is None and not causal
+        pos_bound = jnp.broadcast_to(
+            jnp.asarray(pos_bound, jnp.int32).reshape(-1), (B,))
 
     Sq_p, Skv_p = _pad_to(Sq, BLOCK_Q), _pad_to(Skv, BLOCK_K)
     if Sq_p != Sq:
@@ -159,8 +214,12 @@ def flash_attention(q, k, v, scale: float, causal: bool,
     ragged_k = Skv_p != Skv
 
     def kernel(*refs):
+        p_ref = None
         if mask is not None:
             q_ref, k_ref, v_ref, m_in_ref, o_ref, acc_ref, m_ref, l_ref = refs
+        elif pos_bound is not None:
+            q_ref, k_ref, v_ref, p_ref, o_ref, acc_ref, m_ref, l_ref = refs
+            m_in_ref = None
         else:
             q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref = refs
             m_in_ref = None
@@ -186,6 +245,12 @@ def flash_attention(q, k, v, scale: float, causal: bool,
                 q_pos = qi * BLOCK_Q + jax.lax.broadcasted_iota(
                     jnp.int32, (BLOCK_Q, BLOCK_K), 0) + (Skv - Sq)
                 s = jnp.where(q_pos >= k_pos, s, -jnp.inf)
+            if p_ref is not None:
+                # position-mask rule, in-register: key j visible to
+                # query row s iff j <= pos[b] + s
+                q_row = qi * BLOCK_Q + jax.lax.broadcasted_iota(
+                    jnp.int32, (BLOCK_Q, BLOCK_K), 0)
+                s = jnp.where(k_pos <= p_ref[0] + q_row, s, -jnp.inf)
             if ragged_k:
                 s = jnp.where(k_pos < Skv, s, -jnp.inf)
             m_prev = m_ref[:]
@@ -208,6 +273,10 @@ def flash_attention(q, k, v, scale: float, causal: bool,
             # skip key blocks strictly above the diagonal
             max_kj = (qi * BLOCK_Q + BLOCK_Q + (Skv - Sq) + BLOCK_K - 1) // BLOCK_K
             max_kj = jnp.minimum(max_kj, num_k)
+        elif p_ref is not None:
+            # last visible key for this q-tile: pos[b] + (last row)
+            last_j = p_ref[0] + qi * BLOCK_Q + (BLOCK_Q - 1)
+            max_kj = jnp.minimum((last_j + BLOCK_K) // BLOCK_K, num_k)
         else:
             max_kj = num_k
         jax.lax.fori_loop(0, max_kj, body, 0)
@@ -229,6 +298,10 @@ def flash_attention(q, k, v, scale: float, causal: bool,
             (1, 1, BLOCK_Q, Skv_p), lambda b, h, qi: (b, 0, qi, 0),
             memory_space=pltpu.VMEM))
         args.append(mask)
+    elif pos_bound is not None:
+        in_specs.append(pl.BlockSpec((1,), lambda b, h, qi: (b,),
+                                     memory_space=pltpu.SMEM))
+        args.append(pos_bound)
 
     # Mosaic cannot legalize i64 index-map returns; stay 32-bit in-kernel.
     with jax.enable_x64(False):

@@ -154,16 +154,15 @@ def build_llama_step(weights: Callable[[str], np.ndarray], cfg: LlamaConfig,
         # row's live KV prefix (backends/pallas/decode_attention.py)
         mask = pos
     else:
-        mrange = b.node("Range", [zero, b.const_i64(max_len), one])
-        vis = b.node("LessOrEqual",
-                     [b.node("Unsqueeze", [mrange, b.const_i64([0])]),
-                      b.node("Unsqueeze", [abs_pos, b.const_i64([1])])])
-        mask = b.node("Where",
-                      [vis, b.const(np.asarray(0.0, dtype=np.float32)),
-                       b.const(np.asarray(-1e30, dtype=np.float32))])
-        mask = b.node("Unsqueeze", [mask, b.const_i64([0, 1])])
-        if dtype is not DType.F32:
-            mask = b.cast(mask, dtype)
+        # rank-0 position mask (wt Attention extension, same rule as
+        # the rank-1 form: key j visible to query row s iff
+        # j <= pos + s). The dense Where mask this replaces cost a
+        # (S, max_len) tensor that, streamed per q-tile, OOM'd scoped
+        # VMEM in the flash kernel at S=8k; the rank-0 form lets the
+        # TPU backend enforce the bound in-register (pos-bound flash
+        # kernel) and the XLA/oracle paths synthesize the same dense
+        # mask internally.
+        mask = pos
 
     cos_t, sin_t = rope_tables(cfg, max_len)
     cos = b.initializer("rope_cos", cos_t.astype(np_dt))

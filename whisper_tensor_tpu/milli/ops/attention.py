@@ -50,14 +50,16 @@ class AttentionMilli(MilliOp):
     numerically identical to the Gemma-2 cap-then-mask order the
     in-house recipes assume, because tanh saturates at the mask floor).
 
-    wt extension — rank-1 POSITION mask: mask of shape (B,) integer is
-    a per-row position vector; query row s of batch b may attend keys
-    j <= mask[b] + s (exactly the visibility the serving recipes built
-    as a dense Where mask from per-row `pos`).  On TPU with Sq == 1
-    this dispatches the Pallas ragged flash-decode kernel
+    wt extension — rank-0/rank-1 POSITION mask: an integer mask of
+    shape () or (B,) is a (per-row) position; query row s of batch b
+    may attend keys j <= mask[b] + s (exactly the visibility the
+    recipes built as a dense Where mask from `pos`).  On TPU with
+    Sq == 1 this dispatches the Pallas ragged flash-decode kernel
     (backends/pallas/decode_attention.py) which reads only each row's
-    live KV prefix; everywhere else the dense boolean mask is
-    synthesized and the standard paths run.
+    live KV prefix; at prefill Sq it dispatches the pos-bound flash
+    kernel (backends/pallas/attention.py) once XLA's materialized
+    scores would stop fitting HBM; everywhere else the dense boolean
+    mask is synthesized and the standard paths run.
     """
 
     scale: Optional[float] = None
@@ -102,8 +104,9 @@ class AttentionMilli(MilliOp):
     def eval(self, inputs):
         out_dt = inputs[0].dtype
         q, k, v, mask, was_3d = self._norm(np, inputs)
-        if mask is not None and mask.ndim == 1:
-            mask = self._expand_pos_mask(np, mask, q.shape[2], k.shape[2])
+        if mask is not None and mask.ndim in (0, 1):
+            mask = self._expand_pos_mask(np, np.reshape(mask, (-1,)),
+                                         q.shape[2], k.shape[2])
         qf = q.astype(np.float32)
         kf = k.astype(np.float32)
         vf = v.astype(np.float32)
@@ -153,21 +156,37 @@ class AttentionMilli(MilliOp):
         scale = self.scale if self.scale is not None else 1.0 / np.sqrt(D)
         need_qk = self.n_out >= 4
 
-        if mask is not None and mask.ndim == 1:
-            # rank-1 position mask: Pallas ragged decode kernel when it
-            # applies, dense synthesis otherwise
+        if mask is not None and mask.ndim in (0, 1):
+            # rank-0/rank-1 position mask: Pallas ragged decode kernel
+            # for Sq==1, pos-bound flash kernel for long prefill (the
+            # bound rides SMEM — no (Sq, Skv) mask tensor ever exists;
+            # at S=8k the dense form's per-q-tile mask block alone
+            # blows scoped VMEM), dense synthesis otherwise
+            from ...backends.pallas.attention import (
+                flash_attention, flash_attention_pos_usable)
             from ...backends.pallas.decode_attention import (
                 ragged_decode_attention, ragged_decode_attention_usable)
 
+            pos_vec = (jnp.broadcast_to(mask.reshape(-1), (B,))
+                       if mask.ndim == 0 else mask)
             if not need_qk and not self.softcap and not self.is_causal \
-                    and ragged_decode_attention_usable(q, k, v, mask):
-                y = ragged_decode_attention(q, k, v, mask, scale)
+                    and ragged_decode_attention_usable(q, k, v, pos_vec):
+                y = ragged_decode_attention(q, k, v, pos_vec, scale)
                 if was_3d:
                     y = jnp.swapaxes(y, 1, 2).reshape(B, Sq,
                                                       Hq * y.shape[-1])
                 outs = [y.astype(out_dt), pk, pv]
                 return outs[:self.n_out]
-            mask = self._expand_pos_mask(jnp, mask, Sq, k.shape[2])
+            if not need_qk and not self.is_causal \
+                    and flash_attention_pos_usable(q, k, v, self.softcap):
+                y = flash_attention(q, k, v, scale=scale, causal=False,
+                                    pos_bound=pos_vec)
+                if was_3d:
+                    y = jnp.swapaxes(y, 1, 2).reshape(B, Sq,
+                                                      Hq * y.shape[-1])
+                outs = [y.astype(out_dt), pk, pv]
+                return outs[:self.n_out]
+            mask = self._expand_pos_mask(jnp, pos_vec, Sq, k.shape[2])
 
         def finish(y, qk=None):
             if was_3d:
