@@ -225,6 +225,7 @@ def flash_attention(q, k, v, scale: float, causal: bool,
             m_in_ref = None
         qi = pl.program_id(2)
         q_blk = q_ref[0, 0].astype(jnp.float32) * scale  # (BLOCK_Q, D)
+        pb = p_ref[pl.program_id(0)] if p_ref is not None else None
 
         m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
         l_ref[:] = jnp.zeros_like(l_ref)
@@ -250,7 +251,7 @@ def flash_attention(q, k, v, scale: float, causal: bool,
                 # query row s iff j <= pos[b] + s
                 q_row = qi * BLOCK_Q + jax.lax.broadcasted_iota(
                     jnp.int32, (BLOCK_Q, BLOCK_K), 0)
-                s = jnp.where(k_pos <= p_ref[0] + q_row, s, -jnp.inf)
+                s = jnp.where(k_pos <= pb + q_row, s, -jnp.inf)
             if ragged_k:
                 s = jnp.where(k_pos < Skv, s, -jnp.inf)
             m_prev = m_ref[:]
@@ -275,7 +276,7 @@ def flash_attention(q, k, v, scale: float, causal: bool,
             max_kj = jnp.minimum(max_kj, num_k)
         elif p_ref is not None:
             # last visible key for this q-tile: pos[b] + (last row)
-            last_j = p_ref[0] + qi * BLOCK_Q + (BLOCK_Q - 1)
+            last_j = pb + qi * BLOCK_Q + (BLOCK_Q - 1)
             max_kj = jnp.minimum((last_j + BLOCK_K) // BLOCK_K, num_k)
         else:
             max_kj = num_k
@@ -299,7 +300,9 @@ def flash_attention(q, k, v, scale: float, causal: bool,
             memory_space=pltpu.VMEM))
         args.append(mask)
     elif pos_bound is not None:
-        in_specs.append(pl.BlockSpec((1,), lambda b, h, qi: (b,),
+        # Mosaic requires rank-1 SMEM blocks to cover the whole array;
+        # the kernel indexes its batch row via program_id(0)
+        in_specs.append(pl.BlockSpec((B,), lambda b, h, qi: (0,),
                                      memory_space=pltpu.SMEM))
         args.append(pos_bound)
 
