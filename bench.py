@@ -917,16 +917,26 @@ def bench_llama8b_long() -> None:
             rec["arms"][tag] = {"error": msg}
             return None
 
-    old = os.environ.pop("WT_PALLAS_ATTENTION_FORCE", None)
+    # the pos-bound flash form AUTO-engages at these shapes (scores >
+    # WT_FLASH_AUTO_BYTES), so the xla arm must force the kernel OFF
+    # for its trace to actually measure XLA attention
+    old_force = os.environ.pop("WT_PALLAS_ATTENTION_FORCE", None)
+    old_en = os.environ.get("WT_PALLAS_ATTENTION")
     try:
+        os.environ["WT_PALLAS_ATTENTION"] = "0"
         caches = run_prefill("xla")
+        os.environ["WT_PALLAS_ATTENTION"] = old_en or "1"
         os.environ["WT_PALLAS_ATTENTION_FORCE"] = "1"
         c2 = run_prefill("flash")
-        caches = caches if caches is not None else c2
+        caches = c2 if c2 is not None else caches
     finally:
         os.environ.pop("WT_PALLAS_ATTENTION_FORCE", None)
-        if old is not None:
-            os.environ["WT_PALLAS_ATTENTION_FORCE"] = old
+        if old_force is not None:
+            os.environ["WT_PALLAS_ATTENTION_FORCE"] = old_force
+        if old_en is None:
+            os.environ.pop("WT_PALLAS_ATTENTION", None)
+        else:
+            os.environ["WT_PALLAS_ATTENTION"] = old_en
 
     if caches is not None:
         # decode at full context: k-step scan, every step reads the

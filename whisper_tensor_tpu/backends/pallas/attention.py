@@ -34,8 +34,11 @@ from typing import Optional
 
 import numpy as np
 
-# enable/disable via env until broadly validated on hardware
-_ENABLED = os.environ.get("WT_PALLAS_ATTENTION", "1") != "0"
+# enable/disable via env until broadly validated on hardware.
+# Read DYNAMICALLY (not at import) so bench A/B arms can flip the
+# kernel off per-trace in one process (long-context xla-vs-flash).
+def _enabled() -> bool:
+    return os.environ.get("WT_PALLAS_ATTENTION", "1") != "0"
 
 # tile sizes (MXU-aligned)
 BLOCK_Q = 128
@@ -75,7 +78,7 @@ TRACE_USES = 0
 def flash_attention_usable(q, k, v, mask, softcap: float) -> bool:
     if getattr(_NO_KERNEL, "on", False):
         return False
-    if not _ENABLED or softcap > 0:
+    if not _enabled() or softcap > 0:
         return False
     try:
         import jax
@@ -134,7 +137,7 @@ def flash_attention_pos_usable(q, k, v, softcap: float) -> bool:
     the XLA path). Threshold via WT_FLASH_AUTO_BYTES (default 2 GiB)."""
     if getattr(_NO_KERNEL, "on", False):
         return False
-    if not _ENABLED or softcap > 0:
+    if not _enabled() or softcap > 0:
         return False
     try:
         import jax
