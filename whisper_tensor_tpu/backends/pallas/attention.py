@@ -134,7 +134,10 @@ def flash_attention_pos_usable(q, k, v, softcap: float) -> bool:
     on v5e: llama-8B S=8k prefill scores are f32[2,8,4,8192,8224] =
     17.2 GB > the 16 GB HBM; meanwhile at S<=2k XLA's fused attention
     beats this kernel 1.9-2.1x at model level, so small shapes keep
-    the XLA path). Threshold via WT_FLASH_AUTO_BYTES (default 2 GiB)."""
+    the XLA path). Threshold via WT_FLASH_AUTO_BYTES (default 4 GiB:
+    at 8B-scale weights, 4 GiB of f32 scores next to 8.5 GB of int8
+    weights puts XLA within ~3 GB of the 16 GB HBM — engage before
+    the cliff, stay off where XLA was measured faster)."""
     if getattr(_NO_KERNEL, "on", False):
         return False
     if not _enabled() or softcap > 0:
@@ -162,7 +165,7 @@ def flash_attention_pos_usable(q, k, v, softcap: float) -> bool:
         return False
     if os.environ.get("WT_PALLAS_ATTENTION_FORCE") == "1":
         return True
-    auto = int(os.environ.get("WT_FLASH_AUTO_BYTES", str(2 << 30)))
+    auto = int(os.environ.get("WT_FLASH_AUTO_BYTES", str(4 << 30)))
     return B * Hq * Sq * Skv * 4 > auto
 
 
