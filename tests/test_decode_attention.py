@@ -81,6 +81,29 @@ def test_rank1_mask_oracle_matches_dense_mask():
         np.testing.assert_allclose(y_pos, y_dense, atol=1e-5)
 
 
+def test_rank0_mask_matches_rank1_broadcast():
+    """Rank-0 position mask (the scalar-pos prefill graphs) == the
+    rank-1 form with the scalar broadcast to every row, on both the
+    oracle and the CPU to_jax path. This is the mask form the llama
+    recipe now emits instead of a dense (S, max_len) Where mask (the
+    dense form OOM'd scoped VMEM in the long-context flash kernel)."""
+    rng = np.random.default_rng(4)
+    B, Hq, Hkv, L, D, Sq = 2, 4, 2, 32, 16, 8
+    q = rng.standard_normal((B, Hq, Sq, D)).astype(np.float32)
+    k = rng.standard_normal((B, Hkv, L, D)).astype(np.float32)
+    v = rng.standard_normal((B, Hkv, L, D)).astype(np.float32)
+    op = AttentionMilli(scale=1.0 / np.sqrt(D))
+    for p in (0, 7, L - Sq):
+        scalar = np.asarray(p, np.int64)            # rank-0
+        vec = np.full((B,), p, np.int64)            # rank-1
+        np.testing.assert_allclose(op.eval([q, k, v, scalar])[0],
+                                   op.eval([q, k, v, vec])[0], atol=1e-6)
+        got = jax.jit(lambda *a: op.to_jax(list(a))[0])(q, k, v, scalar)
+        np.testing.assert_allclose(np.asarray(got),
+                                   op.eval([q, k, v, vec])[0],
+                                   atol=1e-4, rtol=1e-4)
+
+
 def test_rank1_mask_to_jax_cpu_path():
     """On CPU the kernel gate is off: the rank-1 mask takes the dense
     synthesis path inside to_jax and must match the oracle."""
