@@ -880,7 +880,7 @@ def bench_llama8b_long() -> None:
         def prefill(ids, caches, weights):
             out = step(ids, jnp.asarray(0, dtype=jnp.int64), caches,
                        weights)
-            return out[0][:, -1].argmax(-1), out[1:]
+            return out[0][:, -1].argmax(-1), out[1]
 
         prog = jax.jit(prefill, donate_argnums=(1,))
         try:
@@ -948,7 +948,7 @@ def bench_llama8b_long() -> None:
                 tok, pos, caches = carry
                 out = step1(tok[:, None], pos, caches, weights)
                 nt = out[0][:, -1].argmax(-1)
-                return (nt, pos + 1, out[1:]), nt
+                return (nt, pos + 1, out[1]), nt
 
             (tok, pos, caches), toks = jax.lax.scan(
                 body, (tok, pos, caches), None, length=k_dec)
