@@ -102,7 +102,8 @@ def probe_raw(iface, B, max_len, n_steps, reps, pos_init):
     return _time_loop(prog, args, 2, reps, n_steps)
 
 
-def probe_chunk(model, mode, B, max_len, n_steps, reps, pos_init):
+def probe_chunk(model, mode, B, max_len, n_steps, reps, pos_init,
+                iface=None):
     import jax
     import jax.numpy as jnp
 
@@ -111,9 +112,9 @@ def probe_chunk(model, mode, B, max_len, n_steps, reps, pos_init):
         ContinuousBatcher, _rows_arrays, _rows_flags)
 
     srv = ContinuousBatcher(
-        model, max_len=max_len, max_batch=B, chunk=n_steps,
-        cache_dtype=DType.BF16, prompt_buckets=(16,),
-        quantize=("int8" if mode == "int8" else None))
+        model if iface is None else None, max_len=max_len, max_batch=B,
+        chunk=n_steps, cache_dtype=DType.BF16, prompt_buckets=(16,),
+        quantize=("int8" if mode == "int8" else None), iface=iface)
     # The batcher rounds max_batch up to the next power of two; size
     # every row-state array at srv.max_batch so the chunk program we
     # time has exactly the shape the server runs (for non-pow2 B the
@@ -154,20 +155,38 @@ def main():
         print(f"== max_len={max_len} layers={layers} ==", flush=True)
         t0 = time.time()
         cfg, model, mode = _build(layers, max_len, pos_per_row=True)
+        shared_iface = _mk_iface(model, max_len, mode)
         print(f"# build pos_per_row: {time.time() - t0:.0f}s", flush=True)
         # keep low < high even for small max_len/large n_steps combos
         hi = max(17, min(128, max_len - n_steps - 2))
         for B in batches:
             pos_init = rng.integers(16, hi, B)
-            sec, srv = probe_chunk(model, mode, B, max_len, n_steps,
-                                   reps, pos_init)
-            print(f"B={B:4d} chunk   {sec * 1e3:8.2f} ms/step",
-                  flush=True)
-            sec = probe_raw(srv.iface, B, max_len, n_steps, reps,
-                            pos_init)
-            print(f"B={B:4d} raw     {sec * 1e3:8.2f} ms/step",
-                  flush=True)
-            del srv
+            # A/B the ragged decode-attention kernel INSIDE the real
+            # chunk program: at large B with few key blocks per row
+            # (e.g. max_len=192 -> 3 blocks) the kernel's per-grid-step
+            # fixed cost scales with B while its DMA saving doesn't —
+            # the candidate cause of the served-step growth past B=64
+            # (61 ms/step served vs 31 offline at B=256, VERDICT r5).
+            old_ra = os.environ.get("WT_RAGGED_ATTN")
+            try:
+                for ra in ("1", "0"):
+                    os.environ["WT_RAGGED_ATTN"] = ra
+                    sec, srv = probe_chunk(model, mode, B, max_len,
+                                           n_steps, reps, pos_init,
+                                           iface=shared_iface)
+                    print(f"B={B:4d} chunk   {sec * 1e3:8.2f} ms/step"
+                          f"  (ragged={ra})", flush=True)
+                    if ra == "1":
+                        sec = probe_raw(srv.iface, B, max_len, n_steps,
+                                        reps, pos_init)
+                        print(f"B={B:4d} raw     {sec * 1e3:8.2f} "
+                              f"ms/step", flush=True)
+                    del srv
+            finally:
+                if old_ra is None:
+                    os.environ.pop("WT_RAGGED_ATTN", None)
+                else:
+                    os.environ["WT_RAGGED_ATTN"] = old_ra
         if os.environ.get("WT_PROBE_SCALAR", "1") == "1":
             t0 = time.time()
             cfg, smodel, smode = _build(layers, max_len,
