@@ -841,7 +841,12 @@ def bench_llama8b_long() -> None:
     S = int(seqs)
     B = int(os.environ.get("WT_BENCH_BATCH", "2"))
     k_dec = int(os.environ.get("WT_BENCH_DEC_STEPS", "32"))
-    max_len = S + 32
+    # +512 (not +32): the ragged decode kernel tiles the key axis with
+    # the largest block dividing max_len — S+32 forces 32-wide blocks
+    # (S=8k: 257 blocks x B x 32 layers of per-grid-step fixed cost
+    # measured 30 ms/step vs the 2.6 ms KV roofline); S+512 keeps
+    # 512-wide blocks
+    max_len = S + 512
     t0 = time.time()
     cfg = _llama8b_cfg(int(os.environ.get("WT_BENCH_LAYERS", "32")))
     model, mode = _llama8b_model(cfg, mode, max_len,
@@ -912,7 +917,7 @@ def bench_llama8b_long() -> None:
                                 "flash_layers": flash_layers}
             return caches
         except Exception as e:
-            msg = f"{type(e).__name__}: {str(e)[:160]}"
+            msg = f"{type(e).__name__}: {str(e)[:400]}"
             print(f"# [{tag}] FAILED: {msg}", file=sys.stderr)
             rec["arms"][tag] = {"error": msg}
             return None

@@ -177,6 +177,44 @@ def test_flash_attention_pos_bound_interpret():
     assert np.abs(out - ref).max() < 2e-2
 
 
+def test_flash_attention_pos_bound_chunked_interpret():
+    """The KV-chunked pos-bound path (Skv > WT_FLASH_KV_CHUNK splits
+    into per-chunk kernel calls whose online-softmax stats merge
+    exactly) == the single-call kernel == the dense reference."""
+    import os
+
+    from whisper_tensor_tpu.backends.pallas.attention import flash_attention
+
+    rng = np.random.default_rng(6)
+    B, Hq, Hkv, Sq, Skv, D = 2, 2, 1, 128, 512, 64
+    q = rng.standard_normal((B, Hq, Sq, D)).astype(ml_dtypes.bfloat16)
+    k = rng.standard_normal((B, Hkv, Skv, D)).astype(ml_dtypes.bfloat16)
+    v = rng.standard_normal((B, Hkv, Skv, D)).astype(ml_dtypes.bfloat16)
+    pos = np.asarray([40, 300], np.int32)   # row 1 crosses chunk 1
+    single = np.asarray(flash_attention(
+        q, k, v, scale=D ** -0.5, causal=False, pos_bound=pos,
+        interpret=True)).astype(np.float32)
+    old = os.environ.get("WT_FLASH_KV_CHUNK")
+    os.environ["WT_FLASH_KV_CHUNK"] = "128"   # forces 4 chunks
+    try:
+        chunked = np.asarray(flash_attention(
+            q, k, v, scale=D ** -0.5, causal=False, pos_bound=pos,
+            interpret=True)).astype(np.float32)
+    finally:
+        if old is None:
+            os.environ.pop("WT_FLASH_KV_CHUNK", None)
+        else:
+            os.environ["WT_FLASH_KV_CHUNK"] = old
+    j = np.arange(Skv)[None, None, None, :]
+    s = np.arange(Sq)[None, None, :, None]
+    vis = j <= (pos[:, None, None, None] + s)
+    mask = np.where(vis, 0.0, -1e30).astype(np.float32)[:, :1]
+    ref = _ref_attention_gqa(q, k, v, D ** -0.5, False, mask=mask)
+    assert np.abs(single - ref).max() < 2e-2
+    assert np.abs(chunked - ref).max() < 2e-2
+    assert np.abs(chunked - single).max() < 1e-2
+
+
 def test_flash_attention_ragged_lengths_interpret():
     """Sq/Skv not multiples of the tile: padded in, key-masked in-kernel,
     query rows sliced out."""

@@ -160,8 +160,11 @@ def flash_attention_pos_usable(q, k, v, softcap: float) -> bool:
     if np.dtype(q.dtype) != np.dtype("bfloat16"):
         return False
     # resident K/V per grid cell (kv-head-shared across qi): must fit
-    # scoped VMEM with headroom for q/out/acc tiles
-    if _pad_to(Skv, BLOCK_K) * D * 2 * 2 > 12 * 2 ** 20:
+    # scoped VMEM with headroom for q/out/acc tiles. Longer key axes
+    # split into WT_FLASH_KV_CHUNK calls with exact stats merge, so
+    # only the PER-CHUNK resident matters here.
+    chunk = int(os.environ.get("WT_FLASH_KV_CHUNK", "8192"))
+    if _pad_to(min(Skv, chunk), BLOCK_K) * D * 2 * 2 > 12 * 2 ** 20:
         return False
     if os.environ.get("WT_PALLAS_ATTENTION_FORCE") == "1":
         return True
@@ -170,7 +173,8 @@ def flash_attention_pos_usable(q, k, v, softcap: float) -> bool:
 
 
 def flash_attention(q, k, v, scale: float, causal: bool,
-                    mask=None, pos_bound=None, interpret: bool = False):
+                    mask=None, pos_bound=None, interpret: bool = False,
+                    return_stats: bool = False):
     """q: (B, Hq, Sq, D); k/v: (B, Hkv, Skv, D); Hq % Hkv == 0.
     mask: optional additive (1|B, 1, Sq, Skv). Ragged Sq/Skv are padded
     here; padded keys are masked in-kernel, padded query rows sliced off.
@@ -201,6 +205,35 @@ def flash_attention(q, k, v, scale: float, causal: bool,
         pos_bound = jnp.broadcast_to(
             jnp.asarray(pos_bound, jnp.int32).reshape(-1), (B,))
 
+    # KV chunking: the kernel keeps one kv-head's FULL (Skv, D) K and V
+    # resident in VMEM; past ~8k keys the double-buffered residents
+    # exceed scoped VMEM (measured: 16k OOMs). Split the key axis into
+    # WT_FLASH_KV_CHUNK-sized calls that each return their online-
+    # softmax stats (m, l) and merge the partials exactly — the
+    # standard two-level flash decomposition, chunk-local softmax in
+    # the kernel, cross-chunk combine in f32 outside.
+    if pos_bound is not None and not return_stats:
+        C = int(os.environ.get("WT_FLASH_KV_CHUNK", "8192"))
+        if Skv > C:
+            parts = []
+            for c in range(-(-Skv // C)):
+                parts.append(flash_attention(
+                    q, k[:, :, c * C:(c + 1) * C],
+                    v[:, :, c * C:(c + 1) * C], scale, False,
+                    pos_bound=pos_bound - c * C, return_stats=True,
+                    interpret=interpret))
+            m_star = functools.reduce(jnp.maximum,
+                                      [m for _, m, _ in parts])
+            m_safe = jnp.where(jnp.isinf(m_star), 0.0, m_star)
+            ws = [jnp.where(jnp.isinf(m), 0.0, jnp.exp(m - m_safe)) * l
+                  for _, m, l in parts]
+            l_star = functools.reduce(jnp.add, ws)
+            den = jnp.where(l_star == 0.0, 1.0, l_star)
+            out = functools.reduce(jnp.add, [
+                o.astype(jnp.float32) * (w / den)[..., None]
+                for (o, _, _), w in zip(parts, ws)])
+            return out.astype(q.dtype)
+
     Sq_p, Skv_p = _pad_to(Sq, BLOCK_Q), _pad_to(Skv, BLOCK_K)
     if Sq_p != Sq:
         q = jnp.pad(q, [(0, 0), (0, 0), (0, Sq_p - Sq), (0, 0)])
@@ -219,16 +252,19 @@ def flash_attention(q, k, v, scale: float, causal: bool,
     num_k = Skv_p // BLOCK_K
     ragged_k = Skv_p != Skv
 
+    n_in = 3 + (1 if (mask is not None or pos_bound is not None) else 0)
+    n_outs = 3 if return_stats else 1
+
     def kernel(*refs):
-        p_ref = None
-        if mask is not None:
-            q_ref, k_ref, v_ref, m_in_ref, o_ref, acc_ref, m_ref, l_ref = refs
-        elif pos_bound is not None:
-            q_ref, k_ref, v_ref, p_ref, o_ref, acc_ref, m_ref, l_ref = refs
-            m_in_ref = None
-        else:
-            q_ref, k_ref, v_ref, o_ref, acc_ref, m_ref, l_ref = refs
-            m_in_ref = None
+        q_ref, k_ref, v_ref = refs[:3]
+        m_in_ref = refs[3] if mask is not None else None
+        p_ref = (refs[3] if mask is None and pos_bound is not None
+                 else None)
+        outs = refs[n_in:n_in + n_outs]
+        o_ref = outs[0]
+        om_ref, ol_ref = (outs[1], outs[2]) if return_stats else (None,
+                                                                  None)
+        acc_ref, m_ref, l_ref = refs[n_in + n_outs:]
         qi = pl.program_id(2)
         q_blk = q_ref[0, 0].astype(jnp.float32) * scale  # (BLOCK_Q, D)
         pb = p_ref[pl.program_id(0)] if p_ref is not None else None
@@ -289,6 +325,9 @@ def flash_attention(q, k, v, scale: float, causal: bool,
         jax.lax.fori_loop(0, max_kj, body, 0)
         denom = jnp.where(l_ref[:] == 0.0, 1.0, l_ref[:])
         o_ref[0, 0] = (acc_ref[:] / denom).astype(o_ref.dtype)
+        if return_stats:
+            om_ref[0, 0] = m_ref[:][:, 0]
+            ol_ref[0, 0] = l_ref[:][:, 0]
 
     in_specs = [
         pl.BlockSpec((1, 1, BLOCK_Q, D), lambda b, h, qi: (b, h, qi, 0),
@@ -312,6 +351,17 @@ def flash_attention(q, k, v, scale: float, causal: bool,
                                      memory_space=pltpu.SMEM))
         args.append(pos_bound)
 
+    out_specs = pl.BlockSpec((1, 1, BLOCK_Q, Dv),
+                             lambda b, h, qi: (b, h, qi, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((B, Hq, Sq_p, Dv), q.dtype)
+    if return_stats:
+        stat_spec = pl.BlockSpec((1, 1, BLOCK_Q), lambda b, h, qi: (b, h, qi),
+                                 memory_space=pltpu.VMEM)
+        out_specs = [out_specs, stat_spec, stat_spec]
+        stat_shape = jax.ShapeDtypeStruct((B, Hq, Sq_p), jnp.float32)
+        out_shape = [out_shape, stat_shape, stat_shape]
+
     # Mosaic cannot legalize i64 index-map returns; stay 32-bit in-kernel.
     with jax.enable_x64(False):
         out = pl.pallas_call(
@@ -319,16 +369,19 @@ def flash_attention(q, k, v, scale: float, causal: bool,
             interpret=interpret,
             grid=grid,
             in_specs=in_specs,
-            out_specs=pl.BlockSpec((1, 1, BLOCK_Q, Dv),
-                                   lambda b, h, qi: (b, h, qi, 0),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B, Hq, Sq_p, Dv), q.dtype),
+            out_specs=out_specs,
+            out_shape=out_shape,
             scratch_shapes=[
                 pltpu.VMEM((BLOCK_Q, Dv), jnp.float32),
                 pltpu.VMEM((BLOCK_Q, 1), jnp.float32),
                 pltpu.VMEM((BLOCK_Q, 1), jnp.float32),
             ],
         )(*args)
+    if return_stats:
+        out, om, ol = out
+        if Sq_p != Sq:
+            out, om, ol = (out[:, :, :Sq], om[:, :, :Sq], ol[:, :, :Sq])
+        return out, om, ol
     if Sq_p != Sq:
         out = out[:, :, :Sq]
     return out
