@@ -326,8 +326,11 @@ def flash_attention(q, k, v, scale: float, causal: bool,
         denom = jnp.where(l_ref[:] == 0.0, 1.0, l_ref[:])
         o_ref[0, 0] = (acc_ref[:] / denom).astype(o_ref.dtype)
         if return_stats:
-            om_ref[0, 0] = m_ref[:][:, 0]
-            ol_ref[0, 0] = l_ref[:][:, 0]
+            # stats ride a trailing lane dim of 8 (Mosaic wants the
+            # last two block dims (8,128)-aligned or array-equal; a
+            # rank-3 (1,1,BQ) block is neither)
+            om_ref[0, 0] = jnp.broadcast_to(m_ref[:], (BLOCK_Q, 8))
+            ol_ref[0, 0] = jnp.broadcast_to(l_ref[:], (BLOCK_Q, 8))
 
     in_specs = [
         pl.BlockSpec((1, 1, BLOCK_Q, D), lambda b, h, qi: (b, h, qi, 0),
@@ -356,10 +359,11 @@ def flash_attention(q, k, v, scale: float, causal: bool,
                              memory_space=pltpu.VMEM)
     out_shape = jax.ShapeDtypeStruct((B, Hq, Sq_p, Dv), q.dtype)
     if return_stats:
-        stat_spec = pl.BlockSpec((1, 1, BLOCK_Q), lambda b, h, qi: (b, h, qi),
+        stat_spec = pl.BlockSpec((1, 1, BLOCK_Q, 8),
+                                 lambda b, h, qi: (b, h, qi, 0),
                                  memory_space=pltpu.VMEM)
         out_specs = [out_specs, stat_spec, stat_spec]
-        stat_shape = jax.ShapeDtypeStruct((B, Hq, Sq_p), jnp.float32)
+        stat_shape = jax.ShapeDtypeStruct((B, Hq, Sq_p, 8), jnp.float32)
         out_shape = [out_shape, stat_shape, stat_shape]
 
     # Mosaic cannot legalize i64 index-map returns; stay 32-bit in-kernel.
@@ -379,6 +383,7 @@ def flash_attention(q, k, v, scale: float, causal: bool,
         )(*args)
     if return_stats:
         out, om, ol = out
+        om, ol = om[..., 0], ol[..., 0]
         if Sq_p != Sq:
             out, om, ol = (out[:, :, :Sq], om[:, :, :Sq], ol[:, :, :Sq])
         return out, om, ol
