@@ -174,7 +174,7 @@ def flash_attention_pos_usable(q, k, v, softcap: float) -> bool:
 
 def flash_attention(q, k, v, scale: float, causal: bool,
                     mask=None, pos_bound=None, interpret: bool = False,
-                    return_stats: bool = False):
+                    carry=None, carry_out: bool = False):
     """q: (B, Hq, Sq, D); k/v: (B, Hkv, Skv, D); Hq % Hkv == 0.
     mask: optional additive (1|B, 1, Sq, Skv). Ragged Sq/Skv are padded
     here; padded keys are masked in-kernel, padded query rows sliced off.
@@ -208,31 +208,25 @@ def flash_attention(q, k, v, scale: float, causal: bool,
     # KV chunking: the kernel keeps one kv-head's FULL (Skv, D) K and V
     # resident in VMEM; past ~8k keys the double-buffered residents
     # exceed scoped VMEM (measured: 16k OOMs). Split the key axis into
-    # WT_FLASH_KV_CHUNK-sized calls that each return their online-
-    # softmax stats (m, l) and merge the partials exactly — the
-    # standard two-level flash decomposition, chunk-local softmax in
-    # the kernel, cross-chunk combine in f32 outside.
-    if pos_bound is not None and not return_stats:
+    # WT_FLASH_KV_CHUNK-sized calls CHAINED through an in-kernel carry:
+    # each chunk resumes the online softmax from the previous chunk's
+    # (acc, m, l) — passed as aliased f32 arrays — and only the LAST
+    # chunk normalizes. No cross-chunk math exists outside the kernel
+    # (a first cut merged partials with jnp ops; its (B,Hq,Sq,1)
+    # broadcast temps padded 128x on TPU — 512 MB per 4 MB of data —
+    # and OOM'd HBM at 16k).
+    if pos_bound is not None and carry is None and not carry_out:
         C = int(os.environ.get("WT_FLASH_KV_CHUNK", "8192"))
         if Skv > C:
-            parts = []
-            for c in range(-(-Skv // C)):
-                parts.append(flash_attention(
+            n = -(-Skv // C)
+            cur = None
+            for c in range(n):
+                cur = flash_attention(
                     q, k[:, :, c * C:(c + 1) * C],
                     v[:, :, c * C:(c + 1) * C], scale, False,
-                    pos_bound=pos_bound - c * C, return_stats=True,
-                    interpret=interpret))
-            m_star = functools.reduce(jnp.maximum,
-                                      [m for _, m, _ in parts])
-            m_safe = jnp.where(jnp.isinf(m_star), 0.0, m_star)
-            ws = [jnp.where(jnp.isinf(m), 0.0, jnp.exp(m - m_safe)) * l
-                  for _, m, l in parts]
-            l_star = functools.reduce(jnp.add, ws)
-            den = jnp.where(l_star == 0.0, 1.0, l_star)
-            out = functools.reduce(jnp.add, [
-                o.astype(jnp.float32) * (w / den)[..., None]
-                for (o, _, _), w in zip(parts, ws)])
-            return out.astype(q.dtype)
+                    pos_bound=pos_bound - c * C, interpret=interpret,
+                    carry=cur, carry_out=c < n - 1)
+            return cur
 
     Sq_p, Skv_p = _pad_to(Sq, BLOCK_Q), _pad_to(Skv, BLOCK_K)
     if Sq_p != Sq:
@@ -252,26 +246,33 @@ def flash_attention(q, k, v, scale: float, causal: bool,
     num_k = Skv_p // BLOCK_K
     ragged_k = Skv_p != Skv
 
-    n_in = 3 + (1 if (mask is not None or pos_bound is not None) else 0)
-    n_outs = 3 if return_stats else 1
+    n_in = (3 + (1 if (mask is not None or pos_bound is not None) else 0)
+            + (3 if carry is not None else 0))
+    n_outs = 3 if carry_out else 1
 
     def kernel(*refs):
         q_ref, k_ref, v_ref = refs[:3]
         m_in_ref = refs[3] if mask is not None else None
         p_ref = (refs[3] if mask is None and pos_bound is not None
                  else None)
+        ci = refs[n_in - 3:n_in] if carry is not None else None
         outs = refs[n_in:n_in + n_outs]
         o_ref = outs[0]
-        om_ref, ol_ref = (outs[1], outs[2]) if return_stats else (None,
-                                                                  None)
+        om_ref, ol_ref = (outs[1], outs[2]) if carry_out else (None,
+                                                               None)
         acc_ref, m_ref, l_ref = refs[n_in + n_outs:]
         qi = pl.program_id(2)
         q_blk = q_ref[0, 0].astype(jnp.float32) * scale  # (BLOCK_Q, D)
         pb = p_ref[pl.program_id(0)] if p_ref is not None else None
 
-        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
-        l_ref[:] = jnp.zeros_like(l_ref)
-        acc_ref[:] = jnp.zeros_like(acc_ref)
+        if ci is not None:
+            acc_ref[:] = ci[0][0, 0]
+            m_ref[:] = ci[1][0, 0][:, :1]
+            l_ref[:] = ci[2][0, 0][:, :1]
+        else:
+            m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+            l_ref[:] = jnp.zeros_like(l_ref)
+            acc_ref[:] = jnp.zeros_like(acc_ref)
 
         def body(kj, _):
             k_blk = k_ref[0, 0, pl.ds(kj * BLOCK_K, BLOCK_K), :]
@@ -323,14 +324,16 @@ def flash_attention(q, k, v, scale: float, causal: bool,
         else:
             max_kj = num_k
         jax.lax.fori_loop(0, max_kj, body, 0)
-        denom = jnp.where(l_ref[:] == 0.0, 1.0, l_ref[:])
-        o_ref[0, 0] = (acc_ref[:] / denom).astype(o_ref.dtype)
-        if return_stats:
-            # stats ride a trailing lane dim of 8 (Mosaic wants the
-            # last two block dims (8,128)-aligned or array-equal; a
-            # rank-3 (1,1,BQ) block is neither)
+        if carry_out:
+            # raw partial: un-normalized f32 acc + stats with a
+            # trailing lane dim of 8 (Mosaic wants the last two block
+            # dims (8,128)-aligned or array-equal; (1,1,BQ) is neither)
+            o_ref[0, 0] = acc_ref[:]
             om_ref[0, 0] = jnp.broadcast_to(m_ref[:], (BLOCK_Q, 8))
             ol_ref[0, 0] = jnp.broadcast_to(l_ref[:], (BLOCK_Q, 8))
+        else:
+            denom = jnp.where(l_ref[:] == 0.0, 1.0, l_ref[:])
+            o_ref[0, 0] = (acc_ref[:] / denom).astype(o_ref.dtype)
 
     in_specs = [
         pl.BlockSpec((1, 1, BLOCK_Q, D), lambda b, h, qi: (b, h, qi, 0),
@@ -354,17 +357,31 @@ def flash_attention(q, k, v, scale: float, causal: bool,
                                      memory_space=pltpu.SMEM))
         args.append(pos_bound)
 
-    out_specs = pl.BlockSpec((1, 1, BLOCK_Q, Dv),
+    acc_spec = pl.BlockSpec((1, 1, BLOCK_Q, Dv),
+                            lambda b, h, qi: (b, h, qi, 0),
+                            memory_space=pltpu.VMEM)
+    stat_spec = pl.BlockSpec((1, 1, BLOCK_Q, 8),
                              lambda b, h, qi: (b, h, qi, 0),
                              memory_space=pltpu.VMEM)
-    out_shape = jax.ShapeDtypeStruct((B, Hq, Sq_p, Dv), q.dtype)
-    if return_stats:
-        stat_spec = pl.BlockSpec((1, 1, BLOCK_Q, 8),
+    aliases = {}
+    if carry is not None:
+        in_specs += [acc_spec, stat_spec, stat_spec]
+        args += list(carry)
+        if carry_out and not interpret:
+            # thread the chunk carry through ONE set of HBM buffers
+            base = n_in - 3
+            aliases = {base: 0, base + 1: 1, base + 2: 2}
+    if carry_out:
+        out_specs = [acc_spec, stat_spec, stat_spec]
+        out_shape = [
+            jax.ShapeDtypeStruct((B, Hq, Sq_p, Dv), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hq, Sq_p, 8), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hq, Sq_p, 8), jnp.float32)]
+    else:
+        out_specs = pl.BlockSpec((1, 1, BLOCK_Q, Dv),
                                  lambda b, h, qi: (b, h, qi, 0),
                                  memory_space=pltpu.VMEM)
-        out_specs = [out_specs, stat_spec, stat_spec]
-        stat_shape = jax.ShapeDtypeStruct((B, Hq, Sq_p, 8), jnp.float32)
-        out_shape = [out_shape, stat_shape, stat_shape]
+        out_shape = jax.ShapeDtypeStruct((B, Hq, Sq_p, Dv), q.dtype)
 
     # Mosaic cannot legalize i64 index-map returns; stay 32-bit in-kernel.
     with jax.enable_x64(False):
@@ -375,18 +392,15 @@ def flash_attention(q, k, v, scale: float, causal: bool,
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
+            input_output_aliases=aliases,
             scratch_shapes=[
                 pltpu.VMEM((BLOCK_Q, Dv), jnp.float32),
                 pltpu.VMEM((BLOCK_Q, 1), jnp.float32),
                 pltpu.VMEM((BLOCK_Q, 1), jnp.float32),
             ],
         )(*args)
-    if return_stats:
-        out, om, ol = out
-        om, ol = om[..., 0], ol[..., 0]
-        if Sq_p != Sq:
-            out, om, ol = (out[:, :, :Sq], om[:, :, :Sq], ol[:, :, :Sq])
-        return out, om, ol
+    if carry_out:
+        return tuple(out)
     if Sq_p != Sq:
         out = out[:, :, :Sq]
     return out
