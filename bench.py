@@ -917,7 +917,7 @@ def bench_llama8b_long() -> None:
                                 "flash_layers": flash_layers}
             return caches
         except Exception as e:
-            msg = f"{type(e).__name__}: {str(e)[:400]}"
+            msg = f"{type(e).__name__}: {str(e)[:2000]}"
             print(f"# [{tag}] FAILED: {msg}", file=sys.stderr)
             rec["arms"][tag] = {"error": msg}
             return None
