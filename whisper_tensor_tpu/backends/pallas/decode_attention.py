@@ -43,8 +43,21 @@ def _block_len(L: int) -> int:
 def ragged_decode_attention_usable(q, k, v, mask) -> bool:
     """True when the ragged decode kernel handles this call: TPU,
     single query step, rank-1 per-row position mask, lane-aligned head
-    dim, bf16 KV, and a window the block chooser can tile."""
-    if os.environ.get("WT_RAGGED_ATTN", "1") == "0":
+    dim, bf16 KV, a window the block chooser can tile, and batch below
+    the measured crossover.
+
+    WT_RAGGED_ATTN: "0" off, "1" force on, unset = batch-gated AUTO.
+    Measured inside the real serving chunk program (8-layer 8B,
+    max_len=192, scripts/chunk_scaling_probe.py, r5): the kernel loses
+    at large batch — 6.19 vs 5.26 ms/step at B=64 (+18%), 9.44 vs 7.85
+    at 128 (+20%), 15.93 vs 10.81 at 256 (+47%) — its (B, nb) grid's
+    per-step fixed cost scales with B while the DMA saving doesn't
+    once only a few key blocks exist per row. At small batch it wins
+    (serving A/B, N=8 mixed lengths: 1.146x end-to-end)."""
+    env = os.environ.get("WT_RAGGED_ATTN", "")
+    if env == "0":
+        return False
+    if env != "1" and q.shape[0] >= 64:
         return False
     try:
         import jax
